@@ -1,0 +1,96 @@
+"""Text-analysis column expressions (training-data pipeline surface).
+
+All pure Catalyst expressions (split / transform / aggregate / regexp) —
+JVM-side, codegen'd, no Python in the hot path. Tokenization is plain
+single-space split so the DuckDB oracle (``string_split(text, ' ')``)
+matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .vector import ColumnOrName, _c
+
+# BPE-ish lexer: runs of word chars, or a single non-space symbol.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible (list_intersect oracle).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+}
+
+
+def words(col: ColumnOrName) -> Column:
+    """Whitespace tokens (single-space split)."""
+    return F.split(_c(col), " ")
+
+
+def word_count(col: ColumnOrName) -> Column:
+    return F.size(words(col))
+
+
+def tokens_bpe(col: ColumnOrName) -> Column:
+    """Regex lexer tokens — the engine's token-counting primitive."""
+    return F.regexp_extract_all(_c(col), F.lit(TOKEN_REGEX), 0)
+
+
+def token_count(col: ColumnOrName) -> Column:
+    return F.size(tokens_bpe(col))
+
+
+def shingles(col: ColumnOrName, n: int = 3) -> Column:
+    """Word n-gram shingles: ``n`` consecutive words joined by a space.
+    Documents shorter than ``n`` words yield an empty list."""
+    w = words(col)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(w) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col: ColumnOrName) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = _c(col)
+    non_word = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(c) > 0, non_word.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: ColumnOrName, lang: str = "en") -> Column:
+    w = words(col)
+    hits = F.size(F.filter(w, lambda t: F.lower(t).isin(*STOPWORDS[lang])))
+    return F.when(F.size(w) > 0, hits.cast("double") / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: ColumnOrName) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs,
+    penalizes punctuation soup and very short text. Deterministic
+    arithmetic only (SQL-oracle-able)."""
+    c = _c(col)
+    wc = word_count(c).cast("double")
+    len_score = F.least(wc / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4)
+    mean_wlen = F.when(wc > 0, F.length(c).cast("double") / wc).otherwise(F.lit(0.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * punct_pen * wlen_score, 6)
+
+
+def lang_scores(col: ColumnOrName) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    w = F.transform(words(col), F.lower)
+    return {
+        lang: F.size(F.filter(w, lambda t: t.isin(*sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+
+
+def fingerprint(col: ColumnOrName) -> Column:
+    """Document fingerprint: md5 of the case/space-normalized text.
+    Stable under case and runs-of-whitespace differences."""
+    norm = F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+    return F.md5(norm)

@@ -1,0 +1,92 @@
+"""Vector column expressions — the engine's core capability (SURVEY.md §2.C).
+
+Everything here is a Catalyst ``Column`` built from higher-order functions
+(``zip_with`` / ``aggregate`` / ``transform``) so distance math runs
+JVM-side inside whole-stage codegen — the Spark-idiomatic replacement for
+the reference's server-side ``COSINE_DISTANCE(addr_vec, TO_VECTOR(:q, 384))``
+(streamlit_app.py:64-67). No Python executes per row.
+
+Accumulation is a sequential left-to-right fold over the array in double
+precision, which makes per-row results deterministic (unlike a
+partition-order-dependent double aggregate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def vector_lit(values: Sequence[float]) -> Column:
+    """A constant query vector as an array<double> literal.
+
+    Reference analogue: the client-serialized ``"[0.1,...]"`` bind +
+    ``TO_VECTOR(:query_vec, 384)`` (streamlit_app.py:53,66) — in Spark the
+    vector is passed natively, no string round-trip.
+    """
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def to_vector(col: ColumnOrName, dim: int | None = None) -> Column:
+    """Parse a bracketed string literal ``"[0.1, 0.2, ...]"`` into
+    array<float> — capability parity with Oracle's ``TO_VECTOR``
+    (streamlit_app.py:66; ingest_hotels.py:29).
+
+    When ``dim`` is given, a wrong-dimension vector yields NULL (the
+    engine-level analogue of TO_VECTOR's declared-dimension check, kept
+    null-on-error like the reference's LOB fallback, streamlit_app.py:97-99).
+    """
+    cleaned = F.regexp_replace(_c(col), r"[\[\]\s]", "")
+    arr = F.transform(F.split(cleaned, ","), lambda x: x.cast("float"))
+    arr = F.when(F.length(cleaned) > 0, arr).otherwise(F.array().cast("array<float>"))
+    if dim is not None:
+        arr = F.when(F.size(arr) == dim, arr)
+    return arr
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Sequential-fold dot product in double precision."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(v: ColumnOrName) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def l2_normalize(v: ColumnOrName) -> Column:
+    """Unit-normalize (reference: ``normalize_embeddings=True`` at embed
+    time, ingest_hotels.py:23). Zero vectors normalize to NULL elements
+    rather than NaN/inf."""
+    n = l2_norm(v)
+    return F.transform(_c(v), lambda x: F.when(n > 0, x.cast("double") / n))
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Oracle ``COSINE_DISTANCE`` semantics: 1 - cosine similarity
+    (streamlit_app.py:64-67). With unit vectors this equals ``1 - dot``."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def euclidean_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    diffs = F.zip_with(_c(a), _c(b),
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double")))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def match_score(dist: ColumnOrName) -> Column:
+    """The reference's derived similarity percentage:
+    ``round((1 - distance) * 100, 2)`` (streamlit_app.py:221)."""
+    return F.round((F.lit(1.0) - _c(dist)) * 100, 2)
