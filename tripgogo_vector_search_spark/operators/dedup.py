@@ -1,0 +1,150 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Four families, all shuffle-aware:
+
+* **exact** — hash groupBy on the key (or an md5 fingerprint of normalized
+  text). One shuffle on the dedup key; map-side partial aggregation.
+* **MinHash + LSH** — shingle -> md5-seeded minhash signature (one scan, no
+  shuffle) -> band keys -> explode -> self-join on band key. Only the
+  band-key join shuffles, and band keys are uniformly distributed md5s, so
+  no skew. The signature stays a hex-string array so the DuckDB oracle can
+  reproduce it bit-for-bit (functions/hashing.py).
+* **SimHash** — 32-bit bitstring signature; exact-signature groupBy.
+* **embedding cosine** — sign-prefix bucket (cheap quantization) ->
+  within-bucket pair join -> cosine threshold. The bucket join bounds the
+  candidate set; at 100 TB the bucket prefix length scales up to keep
+  bucket sizes constant.
+
+Canonical assignment is single-pass min-id (a doc's canonical is the
+smallest doc id it collides with), not transitive closure — the closure
+variant is an iterative connected-components job noted in docstrings.
+
+Reference has no dedup (SURVEY.md §2.E) — this is north-star extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import lsh_band_keys, minhash_signature, simhash32
+from ..functions.text import fingerprint, shingles, words
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct key, keeping the
+    smallest id as canonical plus the duplicate count."""
+    return (df.groupBy(*key_cols)
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text md5 fingerprint (robust to case
+    and whitespace runs)."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_bands(df: DataFrame, text_col: str, id_col: str,
+                  shingle_n: int = 3, num_hashes: int = 16,
+                  bands: int = 4) -> DataFrame:
+    """(id, band_key) pairs — the LSH inverted index. Docs shorter than
+    `shingle_n` words have no signature and never collide."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sig = (sh.filter(F.size("sh") > 0)
+           .select(id_col, minhash_signature("sh", num_hashes).alias("sig")))
+    return sig.select(
+        id_col,
+        F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("band_key"),
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
+                      shingle_n: int = 3, num_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """Per-doc near-dup verdict: is_dup + canonical_id (smallest doc
+    sharing any LSH band)."""
+    b = minhash_bands(df, text_col, id_col, shingle_n, num_hashes, bands)
+    left = b.withColumnsRenamed({id_col: "dup_id"})
+    right = b.withColumnsRenamed({id_col: "src_id"})
+    pairs = (left.join(right, "band_key")
+             .filter(F.col("src_id") < F.col("dup_id"))
+             .select("dup_id", "src_id").distinct())
+    mins = pairs.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
+    return (df.select(id_col)
+            .join(mins, df[id_col] == mins.dup_id, "left")
+            .select(F.col(id_col),
+                    F.col("min_src").isNotNull().alias("is_dup"),
+                    F.coalesce("min_src", F.col(id_col)).alias("canonical_id")))
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) — exact-match grouping on the 32-bit signature; a
+    banded hamming-radius variant is the scale path for radius > 0."""
+    return df.select(F.col(id_col), simhash32(words(text_col)).alias("simhash"))
+
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    s = simhash_signatures(df, text_col, id_col)
+    return (s.groupBy("simhash")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
+    """N-gram Jaccard similarity join via an inverted shingle index:
+    explode distinct shingles, self-join on shingle (each match is one
+    element of |A ∩ B|), then jaccard = inter / (|A| + |B| - inter).
+
+    Integer arithmetic until the final division — deterministic. At scale,
+    drop stop-shingles (document frequency above a cap) before the join to
+    bound the inverted-index fanout.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+          .filter(F.size("sh") > 0)
+          .withColumn("n_sh", F.size("sh")))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})
+    b = inv.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard))
+
+
+def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
+                       prefix_bits: int = 8, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup: bucket by the sign pattern of the first
+    `prefix_bits` dimensions, pair-join within buckets, keep cosine >=
+    threshold. Two near-identical vectors almost surely share the sign
+    prefix; bucket width tunes recall vs cost (longer prefix at scale)."""
+    from ..functions.vector import cosine_similarity
+
+    bucket = F.concat_ws("", *[
+        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
+        for i in range(prefix_bits)
+    ])
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  bucket.alias("bucket"))
+    a = e.withColumnsRenamed({"id": "id_a", "v": "v_a"})
+    b = e.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine_similarity("v_a", "v_b"))
+             .filter(F.col("cos") >= threshold))
+    mins = (pairs.groupBy("id_b").agg(F.min("id_a").alias("min_src"))
+            .withColumnsRenamed({"id_b": "dup_id"}))
+    return (df.select(F.col(id_col))
+            .join(mins, df[id_col] == mins.dup_id, "left")
+            .select(F.col(id_col),
+                    F.col("min_src").isNotNull().alias("is_dup"),
+                    F.coalesce("min_src", F.col(id_col)).alias("canonical_id")))

@@ -27,3 +27,51 @@ def sql_norm(a: str) -> str:
 
 def sql_cosine_distance(a: str, b: str) -> str:
     return f"(1.0 - {sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+# ---- text / hash mirrors (functions/text.py, functions/hashing.py) ------
+
+def sql_words(col: str) -> str:
+    return f"string_split({col}, ' ')"
+
+
+def sql_shingles(words: str, n: int = 3) -> str:
+    """Word n-gram shingles over a words-list expression."""
+    return (f"CASE WHEN len({words}) >= {n} THEN "
+            f"list_transform(generate_series(1, len({words}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' ')) "
+            f"ELSE []::VARCHAR[] END")
+
+
+def sql_minhash_signature(shingles: str, num_hashes: int = 16) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles}, s -> md5('{i}|' || s)))"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def sql_lsh_band_keys(sig: str, bands: int, rows_per_band: int) -> str:
+    keys = ", ".join(
+        f"md5('{b}' || ',' || array_to_string("
+        f"list_slice({sig}, {b * rows_per_band + 1}, {(b + 1) * rows_per_band}), ','))"
+        for b in range(bands)
+    )
+    return f"[{keys}]"
+
+
+HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+
+
+def sql_simhash32(words: str) -> str:
+    return (
+        "array_to_string(list_transform(generate_series(1, 32), j -> "
+        f"CASE WHEN list_sum(list_transform({words}, t -> "
+        f"CASE WHEN substring(md5(t), j, 1) IN {HEX_HIGH_SQL} THEN 1 ELSE -1 END)) > 0 "
+        "THEN '1' ELSE '0' END), '')"
+    )
+
+
+def sql_stopword_hits(words_lower: str, stopwords: Sequence[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    return f"len(list_filter({words_lower}, t -> t IN ({inlist})))"

@@ -17,11 +17,17 @@ from pyspark.sql import Window as W
 
 from ..functions import text as TX
 from ..functions import vector as V
+from ..operators import dedup as DD
+from ..operators import textstats as TS
 from ..operators.knn import knn_topk, with_distance, with_match_score
+from ..operators.simjoin import similarity_join
 from ..session import prepare
 from ..sources.tables import load_table
 from .flagship import DIM, QUERY_VEC, flagship_query
-from .oracle_helpers import sql_cosine_distance, sql_dot, sql_double_list
+from .oracle_helpers import (sql_cosine_distance, sql_dot, sql_double_list,
+                             sql_lsh_band_keys, sql_minhash_signature,
+                             sql_norm, sql_shingles, sql_simhash32,
+                             sql_stopword_hits, sql_words)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -294,3 +300,195 @@ def json_extract(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.select("event_id",
                     F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (north-star extension: SURVEY.md §2.E / BASELINE.json)
+# --------------------------------------------------------------------------
+
+@query("exact_dedup",
+       """SELECT text, min(doc_id) AS canonical_id, count(*) AS dup_count
+          FROM documents GROUP BY text""")
+def exact_dedup_q(spark, sf_dir):
+    """Exact duplicate groups by full text (hash groupBy; map-side combine,
+    one shuffle on the text key)."""
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query("fingerprint_dedup",
+       r"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                  min(doc_id) AS canonical_id, count(*) AS dup_count
+           FROM documents GROUP BY 1""")
+def fingerprint_dedup_q(spark, sf_dir):
+    """Dedup on the normalized-text md5 fingerprint."""
+    return DD.fingerprint_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_MINHASH_CTE = f"""
+WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+sh AS (SELECT doc_id, {sql_shingles('ws', 3)} AS sh FROM w),
+sig AS (SELECT doc_id, {sql_minhash_signature('sh', 16)} AS sig
+        FROM sh WHERE len(sh) > 0),
+bands AS (SELECT doc_id, unnest({sql_lsh_band_keys('sig', 4, 4)}) AS band_key
+          FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS dup_id, b.doc_id AS src_id
+          FROM bands a JOIN bands b
+            ON a.band_key = b.band_key AND b.doc_id < a.doc_id),
+mins AS (SELECT dup_id, min(src_id) AS min_src FROM pairs GROUP BY dup_id)
+"""
+
+@query("minhash_dedup",
+       _MINHASH_CTE + """
+       SELECT d.doc_id, (m.min_src IS NOT NULL) AS is_dup,
+              coalesce(m.min_src, d.doc_id) AS canonical_id
+       FROM documents d LEFT JOIN mins m ON d.doc_id = m.dup_id""")
+def minhash_dedup_q(spark, sf_dir):
+    """MinHash+LSH near-dedup: 3-word shingles -> 16 md5-seeded minhashes
+    -> 4 bands x 4 rows -> band-key self-join -> smallest-id canonical."""
+    return DD.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                                shingle_n=3, num_hashes=16, bands=4)
+
+
+@query("simhash_dedup",
+       f"""SELECT {sql_simhash32(sql_words('text'))} AS simhash,
+                  min(doc_id) AS canonical_id, count(*) AS dup_count
+           FROM documents GROUP BY 1""")
+def simhash_dedup_q(spark, sf_dir):
+    """SimHash (32-bit, md5-derived) exact-signature dedup."""
+    return DD.simhash_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query("ngram_jaccard",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+           sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh FROM w),
+           nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+           inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+                    b.n_sh AS n_b, count(*) AS inter
+             FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           SELECT id_a, id_b,
+                  round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+           FROM inter""")
+def ngram_jaccard_q(spark, sf_dir):
+    """N-gram Jaccard similarity join via inverted shingle index (candidate
+    pairs = docs sharing >= 1 shingle)."""
+    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                                  shingle_n=3, min_jaccard=0.0)
+
+
+_SIGN_BUCKET = ("array_to_string(list_transform(generate_series(1, 8), "
+                "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')")
+
+@query("embedding_near_dup",
+       f"""WITH e AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket
+                      FROM embeddings),
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             WHERE {sql_dot('a.embedding', 'b.embedding')}
+                   / ({sql_norm('a.embedding')} * {sql_norm('b.embedding')}) >= 0.95),
+           mins AS (SELECT id_b AS dup_id, min(id_a) AS min_src
+                    FROM pairs GROUP BY 1)
+           SELECT v.vec_id, (m.min_src IS NOT NULL) AS is_dup,
+                  coalesce(m.min_src, v.vec_id) AS canonical_id
+           FROM embeddings v LEFT JOIN mins m ON v.vec_id = m.dup_id""")
+def embedding_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-dedup: sign-prefix bucketing bounds the pair
+    join; cosine >= 0.95 within buckets."""
+    return DD.embedding_near_dup(_t(spark, sf_dir, "embeddings"), "embedding",
+                                 "vec_id", prefix_bits=8, threshold=0.95)
+
+
+# --------------------------------------------------------------------------
+# Similarity join (batch top-k per query row)
+# --------------------------------------------------------------------------
+
+@query("sim_join",
+       f"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 25 = 0),
+           scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {sql_cosine_distance('c.embedding', 'q.embedding')} AS d,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY {sql_cosine_distance('c.embedding', 'q.embedding')} ASC,
+                               c.vec_id ASC) AS rank
+             FROM embeddings c CROSS JOIN q
+             WHERE c.vec_id != q.vec_id)
+           SELECT query_id, neighbor_id, rank, round(d, 6) AS distance_score
+           FROM scored WHERE rank <= 3""")
+def sim_join_q(spark, sf_dir):
+    """Batch similarity join: each query row (every 25th vector) gets its
+    top-3 nearest corpus neighbors. Query side is broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return similarity_join(e, q, k=3)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north-star extension)
+# --------------------------------------------------------------------------
+
+@query("text_stats",
+       f"""SELECT doc_id, length(text) AS char_count,
+                  len({sql_words('text')}) AS word_count,
+                  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS token_count,
+                  round(length(text)::DOUBLE / len({sql_words('text')}), 6) AS chars_per_word
+           FROM documents""")
+def text_stats_q(spark, sf_dir):
+    """Per-doc char/word/lexer-token counts + mean word length."""
+    return TS.doc_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    wl = f"list_transform({sql_words('text')}, t -> lower(t))"
+    hits = {lang: sql_stopword_hits(wl, sw) for lang, sw in TX.STOPWORDS.items()}
+    ordered = sorted(hits)
+    cases = []
+    for lang in ordered:
+        others = ", ".join(hits[o] for o in ordered if o != lang)
+        cases.append(f"WHEN {hits[lang]} > 0 AND {hits[lang]} >= greatest({others}) "
+                     f"THEN '{lang}'")
+    ladder = "\n".join(cases)
+    return (f"SELECT doc_id, CASE {ladder} ELSE 'unknown' END AS lang_pred "
+            f"FROM documents")
+
+
+@query("lang_id", _lang_id_sql())
+def lang_id_q(spark, sf_dir):
+    """Stopword-hit language-ID heuristic (first-match alphabetical ties)."""
+    return TS.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query("quality_score",
+       f"""SELECT doc_id,
+                  round(
+                    least(len({sql_words('text')})::DOUBLE / 20.0, 1.0)
+                    * greatest(0.0, 1.0 -
+                        (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                         / length(text)) * 4)
+                    * CASE WHEN (length(text)::DOUBLE / len({sql_words('text')})) >= 3
+                                AND (length(text)::DOUBLE / len({sql_words('text')})) <= 12
+                           THEN 1.0 ELSE 0.5 END,
+                  6) AS quality
+           FROM documents""")
+def quality_score_q(spark, sf_dir):
+    """Heuristic doc quality: length x punctuation x word-shape factors."""
+    return TS.doc_quality(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_fingerprint",
+       r"""SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents""")
+def doc_fingerprint_q(spark, sf_dir):
+    """Stable md5 fingerprint of normalized text."""
+    return TS.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query("lang_dist",
+       "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang")
+def lang_dist_q(spark, sf_dir):
+    """Language distribution of the corpus."""
+    return TS.lang_distribution(_t(spark, sf_dir, "documents"))
