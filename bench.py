@@ -1,0 +1,73 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect for small results, count for
+large ones) after a shared-session warmup so JVM/codegen startup is not
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name -> terminal action ("collect" for top-k-sized outputs, else count)
+HEADLINE = {
+    "knn_topk": "collect",
+    "cosine_distance": "count",
+    "sim_join": "collect",
+    "ann_lsh": "collect",
+    "ann_ivf": "collect",
+    "groupby_agg": "collect",
+    "window_topk": "collect",
+    "filter_predicates": "count",
+    "exact_dedup": "count",
+    "minhash_dedup": "count",
+    "simhash_dedup": "count",
+    "ngram_jaccard": "count",
+    "embedding_near_dup": "count",
+    "embed_text": "count",
+    "text_stats": "count",
+    "lang_id": "count",
+    "json_extract": "count",
+    "stream_window_agg": "count",
+}
+
+
+def main() -> None:
+    from tripgogo_vector_search_spark.plans.registry import QUERIES
+    from tripgogo_vector_search_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warmup: touch the fact table + codegen path once
+    QUERIES["knn_topk"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name, action in HEADLINE.items():
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        if action == "collect":
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""ANN property tests: determinism, candidate pruning, recall vs exact KNN."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECTNESS
+from tripgogo_vector_search_spark.operators import ann as ANN
+from tripgogo_vector_search_spark.operators.knn import knn_topk
+from tripgogo_vector_search_spark.plans.flagship import QUERY_VEC
+from tripgogo_vector_search_spark.sources.tables import load_table
+
+
+def test_lsh_bucket_pruning_and_determinism(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    idx = ANN.build_lsh_index(emb)
+    total = emb.count()
+    bucket = ANN.py_lsh_bucket(QUERY_VEC, ANN.lsh_planes())
+    cand = idx.filter(idx.bucket == bucket).count()
+    assert 0 < cand < total / 4  # 8 planes => ~total/256 expected
+    r1 = [r.vec_id for r in ANN.lsh_search(idx, QUERY_VEC, k=3).collect()]
+    r2 = [r.vec_id for r in ANN.lsh_search(idx, QUERY_VEC, k=3).collect()]
+    assert r1 == r2 and len(r1) <= 3
+
+
+def test_ivf_partition_and_recall(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    idx = ANN.build_ivf_index(emb, n_cells=16)
+    # every vector assigned exactly one cell
+    assert idx.count() == emb.count()
+    assert idx.select("cid").distinct().count() <= 16
+    # recall@10 with wide probing: probe half the cells, expect >= 50%
+    exact = {r.vec_id for r in knn_topk(emb, QUERY_VEC, k=10,
+                                        tiebreak="vec_id").collect()}
+    approx = {r.vec_id for r in ANN.ivf_search(emb, QUERY_VEC, k=10,
+                                               n_cells=16, nprobe=8).collect()}
+    assert len(approx & exact) >= 5, (exact, approx)

@@ -1,0 +1,106 @@
+"""Embedding backends agree; ingest pipeline + golden flagship; RAG
+retry/backoff contract; multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tripgogo_vector_search_spark.functions.embed import (
+    hash_embed_expr, hash_embed_py, hash_embed_udf)
+from tripgogo_vector_search_spark.operators.knn import knn_topk, with_match_score
+from tripgogo_vector_search_spark.plans import rag
+from tripgogo_vector_search_spark.plans.ingest import ingest_hotels
+from tripgogo_vector_search_spark.sources.hotels_fixture import write_hotels_csv
+
+
+def test_embed_expr_udf_py_agree(spark):
+    texts = ["hello world foo", "a b a b a", "single", "x y z w v u t"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    out = (df.withColumn("e_expr", hash_embed_expr("text"))
+             .withColumn("e_udf", hash_embed_udf()("text"))
+             .collect())
+    for row in out:
+        py = hash_embed_py(texts[row["id"]])
+        assert row["e_expr"] == row["e_udf"] == py, texts[row["id"]]
+        n = math.sqrt(sum(x * x for x in row["e_expr"]))
+        assert abs(n - 1.0) < 1e-9
+
+
+def test_ingest_and_golden_flagship(spark, tmp_path):
+    csv = write_hotels_csv(str(tmp_path / "hotels.csv"))
+    hotels = ingest_hotels(spark, csv, str(tmp_path / "hotels.parquet"))
+    assert hotels.count() == 40
+    # norms ~1 after float32 storage
+    norm = hotels.select(
+        F.aggregate(F.transform("addr_vec", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda a, x: a + x).alias("n2")).collect()
+    assert all(abs(r["n2"] - 1.0) < 1e-5 for r in norm)
+
+    # golden flagship: embed a query exactly like the app (streamlit_app.py:52)
+    qvec = hash_embed_py("Beach Road near Goa center resort quarter")
+    top = with_match_score(knn_topk(hotels, qvec, k=3, vec_col="addr_vec",
+                                    tiebreak="name"))
+    rows = top.select("name", "city", "match_score").collect()
+    assert len(rows) == 3
+    assert all(r["city"] == "Goa" for r in rows)
+    assert rows[0]["match_score"] >= rows[-1]["match_score"]
+    # deterministic across runs
+    again = with_match_score(knn_topk(hotels, qvec, k=3, vec_col="addr_vec",
+                                      tiebreak="name")).collect()
+    assert [r["name"] for r in again] == [r["name"] for r in rows]
+
+
+def test_ingest_udf_backend_matches_expr(spark, tmp_path):
+    csv = write_hotels_csv(str(tmp_path / "h.csv"))
+    a = ingest_hotels(spark, csv, str(tmp_path / "pa"), use_udf=False)
+    b = ingest_hotels(spark, csv, str(tmp_path / "pb"), use_udf=True)
+    ra = {r["name"]: r["addr_vec"] for r in a.collect()}
+    rb = {r["name"]: r["addr_vec"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_rag_retry_backoff_contract():
+    sleeps = []
+    calls = []
+
+    def flaky(payload, fail_times=[2]):
+        calls.append(1)
+        if len(calls) <= fail_times[0]:
+            raise ConnectionError("boom")
+        return rag.stub_transport(payload)
+
+    out = rag.generate_summary([{"name": "A", "match_score": 99.0}], "q",
+                               transport=flaky, sleeper=sleeps.append)
+    assert out.startswith("Summary[")
+    assert sleeps == [1, 2]  # 2^0, 2^1 — streamlit_app.py:168
+
+    # exhaustion -> fallback, 4 attempts, backoff 1,2,4 (no sleep after last)
+    sleeps2, calls2 = [], []
+    def always_fail(payload):
+        calls2.append(1)
+        raise ConnectionError("down")
+    out2 = rag.generate_summary([], "q", transport=always_fail, sleeper=sleeps2.append)
+    assert out2 == rag.FALLBACK_MSG
+    assert len(calls2) == rag.MAX_RETRIES == 4
+    assert sleeps2 == [1, 2, 4]
+
+    # deterministic stub end-to-end
+    s1 = rag.generate_summary([{"name": "A"}], "query x", sleeper=lambda s: None)
+    s2 = rag.generate_summary([{"name": "A"}], "query x", sleeper=lambda s: None)
+    assert s1 == s2
+
+
+def test_multimodal_frame_sample(spark):
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        MEDIA_SCHEMA, frame_sample, resize_images)
+    rows = [(1, b"\x00\x01", "video/mp4", (None, None, 3500, None)),
+            (2, b"\x00", "image/png", (8, 8, None, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = frame_sample(media, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ms"]) for r in frames] == \
+        [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, 32, 32)

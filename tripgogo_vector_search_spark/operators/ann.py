@@ -1,0 +1,118 @@
+"""Approximate nearest-neighbor search — the scale path past exact KNN.
+
+The reference has no ANN index (SURVEY.md §0: no CREATE VECTOR INDEX
+anywhere), so exact KNN (operators/knn.py) is the semantic default;
+these are the opt-in engine patterns a 100 TB corpus needs. Both are
+*materialized-index* designs: an index DataFrame is computed once
+(one scan), persisted/bucketed by its key, and queries prune to a few
+buckets instead of scanning the corpus.
+
+* **LSH (random hyperplanes)** — sign bits of `dot(v, plane_j)` form a
+  bucket key; a query searches only its own bucket. Write the indexed
+  corpus bucketed/partitioned by `bucket` and a query becomes a
+  partition-pruned scan of ~corpus/2^bits rows.
+* **IVF (inverted file)** — corpus assigned to nearest of `n_cells`
+  centroids; a query probes the `nprobe` nearest cells. Centroids here
+  are seed-sampled (first `n_cells` vectors) for full determinism; a
+  production build would run k-means (MLlib KMeans) and the search
+  plan is unchanged.
+
+Hyperplanes are generated from a fixed closed-form (sin-based) sequence
+rounded to 6 dp, so the exact same literals are embeddable in oracle SQL.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from ..functions.vector import cosine_distance, dot, vector_lit
+
+DEFAULT_PLANES = 8
+
+
+def lsh_planes(n_planes: int = DEFAULT_PLANES, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (closed form, 6-dp rounded
+    — reproducible in SQL, independent of any RNG library)."""
+    return [
+        [round(math.sin(0.731 * (p * dim + i + 1)), 6) for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def py_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    return sum(x * y for x, y in zip(a, b))
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key, e.g. '01101001'."""
+    bits = [
+        F.when(dot(F.col(vec_col), vector_lit(p)) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def py_lsh_bucket(vec: Sequence[float], planes: list[list[float]]) -> str:
+    return "".join("1" if py_dot(vec, p) >= 0 else "0" for p in planes)
+
+
+def build_lsh_index(corpus: DataFrame, vec_col: str = "embedding",
+                    planes: list[list[float]] | None = None) -> DataFrame:
+    """The materialized LSH index: corpus + bucket key. Persist with
+    `.write.partitionBy('bucket')` so queries prune to one partition."""
+    planes = planes or lsh_planes()
+    return corpus.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
+
+
+def lsh_search(index: DataFrame, query_vec: Sequence[float], k: int = 3,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               planes: list[list[float]] | None = None) -> DataFrame:
+    """Search the query's bucket only (single-probe). The bucket equality
+    filter is a plain predicate — pushed down to the partitioned index."""
+    planes = planes or lsh_planes()
+    qbucket = py_lsh_bucket(query_vec, planes)
+    cand = index.filter(F.col("bucket") == qbucket)
+    scored = cand.withColumn(
+        "distance_score", cosine_distance(F.col(vec_col), vector_lit(query_vec)))
+    return (scored.orderBy(F.col("distance_score").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("distance_score", 6).alias("distance_score")))
+
+
+def build_ivf_index(corpus: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_cells: int = 16) -> DataFrame:
+    """Assign every vector to its nearest centroid (deterministic argmin:
+    distance then centroid id). Centroids = the `n_cells` smallest-id
+    vectors — swap in k-means centroids for production quality."""
+    cents = (corpus.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", cosine_distance(F.col(vec_col), F.col("cvec")))
+    w = W.partitionBy(id_col).orderBy(F.col("cdist").asc(), F.col("cid").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, "cid"))
+
+
+def ivf_search(corpus: DataFrame, query_vec: Sequence[float], k: int = 3,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               n_cells: int = 16, nprobe: int = 2) -> DataFrame:
+    """Probe the `nprobe` centroids nearest the query; exact search within
+    those cells. At scale the index is written partitioned by `cid`, so
+    this reads nprobe/n_cells of the data."""
+    index = build_ivf_index(corpus, vec_col, id_col, n_cells)
+    cents = (corpus.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
+    probes = (cents.withColumn("qdist", cosine_distance(F.col("cvec"),
+                                                        vector_lit(query_vec)))
+              .orderBy(F.col("qdist").asc(), F.col("cid").asc())
+              .limit(nprobe).select("cid"))
+    cand = index.join(F.broadcast(probes), "cid")
+    scored = cand.withColumn(
+        "distance_score", cosine_distance(F.col(vec_col), vector_lit(query_vec)))
+    return (scored.orderBy(F.col("distance_score").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "cid", F.round("distance_score", 6).alias("distance_score")))

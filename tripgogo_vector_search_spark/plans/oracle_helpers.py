@@ -75,3 +75,19 @@ def sql_simhash32(words: str) -> str:
 def sql_stopword_hits(words_lower: str, stopwords: Sequence[str]) -> str:
     inlist = ", ".join(f"'{w}'" for w in stopwords)
     return f"len(list_filter({words_lower}, t -> t IN ({inlist})))"
+
+
+def sql_hash_bucket(h: str, bits: int = 6) -> str:
+    """6-bit feature-hash bucket from the high bits of the first `bits`
+    md5 hex nibbles (functions/embed.py)."""
+    terms = " + ".join(
+        f"(CASE WHEN substring({h}, {i + 1}, 1) IN {HEX_HIGH_SQL} "
+        f"THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def sql_hash_sign(h: str, bits: int = 6) -> str:
+    return (f"(CASE WHEN substring({h}, {bits + 1}, 1) IN {HEX_HIGH_SQL} "
+            f"THEN 1 ELSE -1 END)")

@@ -1,0 +1,100 @@
+"""RAG summary generation (SURVEY.md §2.F `llm_generate`).
+
+Reference contract (streamlit_app.py:109-186): serialize the top-k result
+frame to a markdown table (:238), build system+user prompts (:116-131),
+POST to an LLM API with <=4 attempts and 2^n-second exponential backoff
+(:145,168,180), extract ``candidates[0].content.parts[0].text`` null-safely
+(:154), and degrade to fixed apology strings on exhaustion (:181-186).
+
+This module keeps that exact retry/backoff/fallback contract with an
+injectable transport: the default is a deterministic offline stub (tests
+and air-gapped runs); a real HTTP transport slots in unchanged. k <= 10
+rows (streamlit_app.py:209), so collecting to the driver before the call
+is the correct distributed design — for *batch* RAG over millions of rows,
+run the same ``generate_summary`` per group via ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+MAX_RETRIES = 4       # streamlit_app.py:145
+BACKOFF_BASE = 2      # seconds; 2^n at :168,180
+
+SYSTEM_PROMPT = ("You are a travel assistant. Summarize the retrieved "
+                 "results for the user's query, citing names and scores.")
+FALLBACK_MSG = ("Sorry, the summary service is unavailable right now; "
+                "here are the raw top results instead.")
+
+
+def rows_to_markdown(rows: list[dict]) -> str:
+    """Minimal to_markdown(index=False) analogue (streamlit_app.py:238)."""
+    if not rows:
+        return "(no rows)"
+    cols = list(rows[0].keys())
+    lines = ["| " + " | ".join(cols) + " |",
+             "| " + " | ".join("---" for _ in cols) + " |"]
+    lines += ["| " + " | ".join(str(r[c]) for c in cols) + " |" for r in rows]
+    return "\n".join(lines)
+
+
+def build_payload(rows: list[dict], query: str) -> dict:
+    """The JSON payload shape of streamlit_app.py:133-136."""
+    user_prompt = (f"User query: {query}\n\nTop results:\n{rows_to_markdown(rows)}"
+                   f"\n\nWrite a short comparative summary.")
+    return {
+        "contents": [{"parts": [{"text": user_prompt}]}],
+        "systemInstruction": {"parts": [{"text": SYSTEM_PROMPT}]},
+    }
+
+
+def stub_transport(payload: dict) -> dict:
+    """Deterministic offline LLM: response digest derived from the payload,
+    wrapped in the provider's nested response shape (so the extraction
+    path of streamlit_app.py:154 is exercised for real)."""
+    text = payload["contents"][0]["parts"][0]["text"]
+    digest = hashlib.md5(text.encode()).hexdigest()[:8]
+    n_rows = max(text.count("\n| ") - 1, 0)
+    body = f"Summary[{digest}]: compared {n_rows} results for the query."
+    return {"candidates": [{"content": {"parts": [{"text": body}]}}]}
+
+
+def extract_text(response: dict) -> str | None:
+    """Null-safe nested extraction (streamlit_app.py:154)."""
+    try:
+        return response["candidates"][0]["content"]["parts"][0]["text"]
+    except (KeyError, IndexError, TypeError):
+        return None
+
+
+def generate_summary(rows: list[dict], query: str,
+                     transport: Callable[[dict], dict] = stub_transport,
+                     sleeper: Callable[[float], None] = time.sleep,
+                     max_retries: int = MAX_RETRIES) -> str:
+    """Retry loop with the reference's exact semantics: up to
+    ``max_retries`` attempts, exponential ``2^attempt`` backoff between
+    them, fixed fallback string on exhaustion or unextractable response."""
+    payload = build_payload(rows, query)
+    for attempt in range(max_retries):
+        try:
+            text = extract_text(transport(payload))
+            if text is not None:
+                return text
+        except Exception:
+            pass
+        if attempt < max_retries - 1:
+            sleeper(BACKOFF_BASE ** attempt)
+    return FALLBACK_MSG
+
+
+def rag_summarize(topk_df: DataFrame, query: str,
+                  transport: Callable[[dict], dict] = stub_transport,
+                  sleeper: Callable[[float], None] = time.sleep) -> str:
+    """End of the flagship pipeline: collect the (<=10-row) top-k and
+    summarize (streamlit_app.py:221-238)."""
+    rows = [r.asDict() for r in topk_df.collect()]
+    return generate_summary(rows, query, transport, sleeper)

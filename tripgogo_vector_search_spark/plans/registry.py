@@ -492,3 +492,129 @@ def doc_fingerprint_q(spark, sf_dir):
 def lang_dist_q(spark, sf_dir):
     """Language distribution of the corpus."""
     return TS.lang_distribution(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Embedding + multimodal (§2.C embed_text / north-star multimodal)
+# --------------------------------------------------------------------------
+
+from .oracle_helpers import sql_hash_bucket, sql_hash_sign  # noqa: E402
+
+
+@query("embed_text",
+       f"""WITH w AS (SELECT doc_id,
+                             list_transform({sql_words('text')}, t -> md5(t)) AS hs
+                      FROM documents)
+           SELECT doc_id,
+                  list_transform(generate_series(0, 63), b ->
+                    list_sum(list_transform(hs, h ->
+                      CASE WHEN {sql_hash_bucket('h')} = b
+                           THEN {sql_hash_sign('h')} ELSE 0 END))::BIGINT) AS vec
+           FROM w""")
+def embed_text_q(spark, sf_dir):
+    """Deterministic hash embedder (raw signed-count signature) as a pure
+    Catalyst expression — the JVM-side form of §2.C embed_text. The
+    normalized pandas-UDF form is pinned equal in tests."""
+    from ..functions.embed import hash_embed_expr
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    hash_embed_expr("text", normalized=False)
+                    .cast("array<bigint>").alias("vec"))
+
+
+@query("multimodal_features",
+       """SELECT doc_id AS media_id,
+                 list_transform(generate_series(0, 63), b ->
+                   list_sum(list_transform(generate_series(1, length(text)), i ->
+                     CASE WHEN ascii(substring(text, i, 1)) % 64 = b
+                          THEN 1 ELSE 0 END))::BIGINT) AS feat
+          FROM documents""")
+def multimodal_features_q(spark, sf_dir):
+    """Binary-column feature extraction: UTF-8 payloads flow as Arrow
+    binary batches through mapInPandas; features are an exact byte
+    histogram so the oracle (ascii() over ASCII text) matches."""
+    from ..operators.multimodal import documents_as_media, extract_features
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(d))
+
+
+# --------------------------------------------------------------------------
+# Streaming (§2.G extension)
+# --------------------------------------------------------------------------
+
+@query("stream_window_agg",
+       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, count(*) AS n_events,
+                 CAST(round(SUM(CAST(value AS DECIMAL(20,4))), 2) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2""")
+def stream_window_agg_q(spark, sf_dir):
+    """Structured Streaming tumbling-window agg driven to completion on
+    the finite events source; oracle is the equivalent batch date_trunc."""
+    from ..streaming.ingest import (run_stream_to_table, stream_events,
+                                    windowed_event_agg)
+    agg = windowed_event_agg(stream_events(spark, sf_dir))
+    return run_stream_to_table(spark, agg, mode="complete")
+
+
+@query("stream_embed", ORACLES["embed_text"])
+def stream_embed_q(spark, sf_dir):
+    """Embed-on-arrival via readStream; must equal the batch embed_text
+    oracle exactly."""
+    from ..streaming.ingest import run_stream_to_table, stream_embed_documents
+    return run_stream_to_table(spark, stream_embed_documents(spark, sf_dir),
+                               mode="append")
+
+
+# --------------------------------------------------------------------------
+# ANN (opt-in approximate path; exact KNN stays the default)
+# --------------------------------------------------------------------------
+
+from ..operators import ann as ANN  # noqa: E402
+
+_PLANES = ANN.lsh_planes()
+_QBUCKET = ANN.py_lsh_bucket(QUERY_VEC, _PLANES)
+_BUCKET_SQL = "(" + " || ".join(
+    f"(CASE WHEN {sql_dot('embedding', sql_double_list(p))} >= 0 "
+    "THEN '1' ELSE '0' END)"
+    for p in _PLANES) + ")"
+
+@query("ann_lsh",
+       f"""SELECT vec_id, round({sql_cosine_distance('embedding', _QV)}, 6)
+                    AS distance_score
+           FROM embeddings
+           WHERE {_BUCKET_SQL} = '{_QBUCKET}'
+           ORDER BY {sql_cosine_distance('embedding', _QV)} ASC, vec_id ASC
+           LIMIT 3""")
+def ann_lsh_q(spark, sf_dir):
+    """LSH random-hyperplane ANN: search only the query's sign-bit bucket
+    (single probe); ~corpus/2^8 candidates instead of a full scan."""
+    idx = ANN.build_lsh_index(_t(spark, sf_dir, "embeddings"), planes=_PLANES)
+    return ANN.lsh_search(idx, QUERY_VEC, k=3, planes=_PLANES)
+
+
+@query("ann_ivf",
+       f"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                      FROM embeddings WHERE vec_id < 16),
+           a AS (SELECT e.vec_id, e.embedding, c.cid,
+                        row_number() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY {sql_cosine_distance('e.embedding', 'c.cvec')} ASC,
+                                   c.cid ASC) AS rn
+                 FROM embeddings e CROSS JOIN c),
+           assign AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+           probes AS (SELECT cid FROM (
+                        SELECT cid, row_number() OVER (
+                          ORDER BY {sql_cosine_distance('cvec', _QV)} ASC,
+                                   cid ASC) AS rn
+                        FROM c)
+                      WHERE rn <= 2),
+           scored AS (SELECT s.vec_id, s.cid,
+                             {sql_cosine_distance('s.embedding', _QV)} AS d
+                      FROM assign s JOIN probes p ON s.cid = p.cid)
+           SELECT vec_id, cid, round(d, 6) AS distance_score
+           FROM scored ORDER BY d ASC, vec_id ASC LIMIT 3""")
+def ann_ivf_q(spark, sf_dir):
+    """IVF ANN: nearest-centroid cell assignment (seed-sampled centroids),
+    probe the 2 cells nearest the query, exact search within."""
+    return ANN.ivf_search(_t(spark, sf_dir, "embeddings"), QUERY_VEC,
+                          k=3, n_cells=16, nprobe=2)

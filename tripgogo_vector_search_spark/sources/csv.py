@@ -1,0 +1,12 @@
+"""CSV source (reference `csv_scan`: pd.read_csv of the hotel corpus,
+ingest_hotels.py:9) — schema-declared, no inference in production paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import HOTELS_CSV
+
+
+def read_hotels_csv(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.csv(path, header=True, schema=HOTELS_CSV)
