@@ -18,26 +18,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# name -> terminal action ("collect" for top-k-sized outputs, else count)
+# name -> terminal action: "collect" for top-k-sized outputs; "noop" =
+# df.write.format("noop") — forces FULL evaluation of every column
+# (count() would let Catalyst prune projection-only plans to a bare scan
+# and time nothing).
 HEADLINE = {
     "knn_topk": "collect",
-    "cosine_distance": "count",
+    "cosine_distance": "noop",
     "sim_join": "collect",
     "ann_lsh": "collect",
     "ann_ivf": "collect",
     "groupby_agg": "collect",
     "window_topk": "collect",
-    "filter_predicates": "count",
-    "exact_dedup": "count",
-    "minhash_dedup": "count",
-    "simhash_dedup": "count",
-    "ngram_jaccard": "count",
-    "embedding_near_dup": "count",
-    "embed_text": "count",
-    "text_stats": "count",
-    "lang_id": "count",
-    "json_extract": "count",
-    "stream_window_agg": "count",
+    "filter_predicates": "noop",
+    "exact_dedup": "noop",
+    "minhash_dedup": "noop",
+    "simhash_dedup": "noop",
+    "ngram_jaccard": "noop",
+    "embedding_near_dup": "noop",
+    "embed_text": "noop",
+    "text_stats": "noop",
+    "lang_id": "noop",
+    "json_extract": "noop",
+    "stream_window_agg": "noop",
 }
 
 
@@ -56,7 +59,7 @@ def main() -> None:
         if action == "collect":
             df.collect()
         else:
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -83,12 +83,17 @@ def hash_embed_expr(col: ColumnOrName, dim: int = DEFAULT_DIM,
     def sign(h: Column) -> Column:
         return F.when(h.substr(BUCKET_BITS + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
 
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda bkt: F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(bucket(h) == bkt, sign(h)).otherwise(0),
-        ),
+    # Single pass with an array accumulator: md5 runs once per token.
+    # (A per-bucket outer transform would re-evaluate the md5 array once
+    # per bucket — dim x the hashing work.)
+    pairs = F.transform(hashes, lambda h: F.struct(bucket(h).alias("b"),
+                                                   sign(h).alias("s")))
+    counts = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0), dim),
+        lambda acc, p: F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda a, i: a + F.when(p["b"] == i, p["s"]).otherwise(0)),
     )
     return l2_normalize(counts) if normalized else counts
 

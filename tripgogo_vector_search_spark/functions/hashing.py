@@ -40,22 +40,33 @@ def lsh_band_keys(sig_col: ColumnOrName, bands: int, rows_per_band: int) -> Colu
     ])
 
 
+def simhash_from_hashes(hashes_col: ColumnOrName) -> Column:
+    """SimHash bits from an md5-array expression, computed in a single
+    aggregate pass with a 32-counter array accumulator — each token's md5
+    is evaluated once (a per-bit outer transform would re-evaluate the
+    hash array 32x)."""
+    hashes = _c(hashes_col)
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc, F.sequence(F.lit(1), F.lit(32)),
+            lambda a, j: a + F.when(h.substr(j, F.lit(1)).isin(*HEX_HIGH), 1).otherwise(-1)),
+    )
+    bits = F.transform(counts, lambda c: F.when(c > 0, "1").otherwise("0"))
+    return F.array_join(bits, "")
+
+
 def simhash32(tokens_col: ColumnOrName) -> Column:
     """32-bit SimHash as a '0'/'1' bitstring.
 
     Bit j is set when sum over tokens of (+1 if the high bit of md5 hex
     nibble j is set else -1) is positive. String output keeps the oracle
-    exact (no hex->int parsing needed on either engine)."""
-    hashes = F.transform(_c(tokens_col), F.md5)
-    bits = F.transform(
-        F.sequence(F.lit(1), F.lit(32)),
-        lambda j: F.when(
-            F.aggregate(
-                hashes, F.lit(0),
-                lambda acc, h: acc + F.when(h.substr(j, F.lit(1)).isin(*HEX_HIGH), 1).otherwise(-1),
-            ) > 0, "1").otherwise("0"),
-    )
-    return F.array_join(bits, "")
+    exact (no hex->int parsing needed on either engine).
+
+    NB: prefer materializing the md5 array first (see
+    ``simhash_from_hashes``) in hot paths."""
+    return simhash_from_hashes(F.transform(_c(tokens_col), F.md5))
 
 
 def hamming_distance_bits(a: ColumnOrName, b: ColumnOrName) -> Column:

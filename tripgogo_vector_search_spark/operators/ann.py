@@ -87,10 +87,15 @@ def build_ivf_index(corpus: DataFrame, vec_col: str = "embedding",
     """Assign every vector to its nearest centroid (deterministic argmin:
     distance then centroid id). Centroids = the `n_cells` smallest-id
     vectors — swap in k-means centroids for production quality."""
+    from ..functions.vector import dot, l2_norm
     cents = (corpus.filter(F.col(id_col) < n_cells)
-             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
-    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
-        "cdist", cosine_distance(F.col(vec_col), F.col("cvec")))
+             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+                     l2_norm(vec_col).alias("cnorm")))
+    scored = (corpus.withColumn("vnorm", l2_norm(vec_col))
+              .crossJoin(F.broadcast(cents))
+              .withColumn("cdist",
+                          F.lit(1.0) - dot(F.col(vec_col), F.col("cvec"))
+                          / (F.col("vnorm") * F.col("cnorm"))))
     w = W.partitionBy(id_col).orderBy(F.col("cdist").asc(), F.col("cid").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

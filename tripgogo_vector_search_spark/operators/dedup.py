@@ -69,11 +69,18 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
     """Per-doc near-dup verdict: is_dup + canonical_id (smallest doc
     sharing any LSH band)."""
     b = minhash_bands(df, text_col, id_col, shingle_n, num_hashes, bands)
-    left = b.withColumnsRenamed({id_col: "dup_id"})
-    right = b.withColumnsRenamed({id_col: "src_id"})
-    pairs = (left.join(right, "band_key")
-             .filter(F.col("src_id") < F.col("dup_id"))
-             .select("dup_id", "src_id").distinct())
+    # Posting-list pair generation (same pattern as ngram_jaccard_pairs):
+    # one shuffle on the uniformly-distributed band key; a self-join would
+    # shuffle twice and recompute the whole signature pipeline per side.
+    posts = b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+    pair_arr = F.flatten(F.transform(
+        "ids",
+        lambda a: F.transform(F.filter("ids", lambda x: x > a),
+                              lambda x: F.struct(x.alias("dup_id"),
+                                                 a.alias("src_id"))),
+    ))
+    pairs = (posts.select(F.explode(pair_arr).alias("p"))
+             .select("p.*").distinct())
     mins = pairs.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
     return (df.select(id_col)
             .join(mins, df[id_col] == mins.dup_id, "left")
@@ -84,8 +91,15 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) — exact-match grouping on the 32-bit signature; a
-    banded hamming-radius variant is the scale path for radius > 0."""
-    return df.select(F.col(id_col), simhash32(words(text_col)).alias("simhash"))
+    banded hamming-radius variant is the scale path for radius > 0.
+
+    Two projection steps so each token is md5-hashed exactly once (the
+    inlined form re-evaluates md5 for each of the 32 bit positions)."""
+    from ..functions.hashing import simhash_from_hashes
+    hashed = df.select(F.col(id_col),
+                       F.transform(words(text_col), F.md5).alias("_hashes"))
+    return hashed.select(F.col(id_col),
+                         simhash_from_hashes("_hashes").alias("simhash"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -110,11 +124,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
           .filter(F.size("sh") > 0)
           .withColumn("n_sh", F.size("sh")))
     inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    a = inv.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})
-    b = inv.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})
-    inter = (a.join(b, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b", "n_a", "n_b")
+    # Posting-list pair generation: one shuffle (groupBy shingle), then
+    # per-posting pair expansion as an expression — beats a self-join,
+    # which would shuffle the inverted index twice AND recompute the
+    # shingle pipeline for both sides.
+    posts = inv.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
+    pair_arr = F.flatten(F.transform(
+        "ds",
+        lambda a: F.transform(
+            F.filter("ds", lambda b: b["id"] > a["id"]),
+            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
+                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
+        ),
+    ))
+    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
+    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
              .agg(F.count(F.lit(1)).alias("inter")))
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
