@@ -618,3 +618,299 @@ def ann_ivf_q(spark, sf_dir):
     probe the 2 cells nearest the query, exact search within."""
     return ANN.ivf_search(_t(spark, sf_dir, "embeddings"), QUERY_VEC,
                           k=3, n_cells=16, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Wider relational surface: joins, set ops, pivot/rollup, sessionization,
+# as-of join, scalar-function batteries (§2.B/2.E extensions)
+# --------------------------------------------------------------------------
+
+from ..operators.temporal import asof_join, sessionize  # noqa: E402
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query("project_subset",
+       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+          FROM lineitem""")
+def project_subset(spark, sf_dir):
+    """Narrow projection for downstream context (streamlit_app.py:234)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@query("project_display",
+       """SELECT o_orderpriority, o_orderstatus, o_totalprice, o_orderkey
+          FROM orders""")
+def project_display(spark, sf_dir):
+    """Reordered display projection (streamlit_app.py:256-258)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice", "o_orderkey")
+
+
+@query("lob_to_string",
+       """SELECT doc_id, CAST(text AS VARCHAR) AS text_str,
+                 TRY_CAST(source AS BIGINT) AS source_num,
+                 TRY_CAST(CAST(doc_id AS VARCHAR) AS BIGINT) AS id_roundtrip
+          FROM documents""")
+def lob_to_string(spark, sf_dir):
+    """Null-safe type coercion (the reference's LOB->string fallback,
+    streamlit_app.py:82-99): try_cast yields NULL on error instead of
+    failing the row."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").cast("string").alias("text_str"),
+        F.col("source").try_cast("bigint").alias("source_num"),
+        F.col("doc_id").cast("string").try_cast("bigint").alias("id_roundtrip"))
+
+
+@query("join_agg",
+       """SELECT l.l_orderkey,
+                 strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+                 CAST(round(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                     AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2
+          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")
+def join_agg(spark, sf_dir):
+    """TPC-H Q3-style join + aggregate + top-k. Catalyst/AQE picks
+    broadcast for the filtered customer side; revenue uses exact DECIMAL
+    accumulation."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+            .agg(F.round(F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                               .cast("decimal(24,6)")), 2)
+                  .cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+@query("join_multi",
+       """SELECT r.r_name, n.n_name,
+                 CAST(round(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                     AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_items
+          FROM region r
+          JOIN nation n ON n.n_regionkey = r.r_regionkey
+          JOIN customer c ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2""")
+def join_multi(spark, sf_dir):
+    """TPC-H Q5-style star join: dims (region/nation/customer) broadcast
+    so the only shuffle is the final aggregate on (region, nation)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("c_custkey", "n_name", "r_name"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                               .cast("decimal(24,6)")), 2)
+                  .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@query("semi_anti_join",
+       """SELECT c.c_custkey, c.c_name,
+                 EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                   AS has_orders
+          FROM customer c""")
+def semi_anti_join(spark, sf_dir):
+    """EXISTS/NOT EXISTS as semi/anti joins: customers flagged by whether
+    they have orders (semi-join union anti-join, no row multiplication)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", F.lit(True).alias("has_orders")))
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", F.lit(False).alias("has_orders")))
+    return semi.unionByName(anti)
+
+
+@query("set_ops",
+       """SELECT k, 'both' AS tag FROM
+             (SELECT DISTINCT c_nationkey AS k FROM customer
+              INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT k, 'customer_only' AS tag FROM
+             (SELECT DISTINCT c_nationkey AS k FROM customer
+              EXCEPT SELECT DISTINCT s_nationkey FROM supplier)""")
+def set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL in one result."""
+    ck = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    sk = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    both = ck.intersect(sk).withColumn("tag", F.lit("both"))
+    only = ck.exceptAll(sk).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+@query("distinct_vals",
+       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def distinct_vals(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query("pivot_agg",
+       """SELECT l_returnflag,
+                 CAST(round(SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(l_quantity AS DECIMAL(20,4)) END), 2) AS DOUBLE) AS O,
+                 CAST(round(SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(l_quantity AS DECIMAL(20,4)) END), 2) AS DOUBLE) AS F
+          FROM lineitem GROUP BY l_returnflag""")
+def pivot_agg(spark, sf_dir):
+    """Pivot on linestatus (declared value list => no extra distinct-scan
+    job; exact DECIMAL sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)")), 2)
+                 .cast("double")))
+
+
+@query("rollup_agg",
+       """SELECT l_returnflag, l_linestatus, count(*) AS n
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+def rollup_agg(spark, sf_dir):
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("having_agg",
+       """SELECT l_partkey, count(*) AS n_lines
+          FROM lineitem GROUP BY l_partkey HAVING count(*) >= 5""")
+def having_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_lines"))
+            .filter(F.col("n_lines") >= 5))
+
+
+@query("count_distinct",
+       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+                 COUNT(DISTINCT l_suppkey) AS n_supps
+          FROM lineitem GROUP BY l_returnflag""")
+def count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_distinct("l_partkey").alias("n_parts"),
+                 F.count_distinct("l_suppkey").alias("n_supps")))
+
+
+@query("scalar_funcs",
+       """SELECT o_orderkey,
+                 EXTRACT(year FROM o_orderdate) AS yr,
+                 EXTRACT(month FROM o_orderdate) AS mon,
+                 upper(o_orderpriority) AS prio_upper,
+                 substring(o_orderstatus, 1, 1) AS status_c,
+                 length(o_orderpriority) AS prio_len,
+                 round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+                 o_orderkey % 7 AS key_mod
+          FROM orders""")
+def scalar_funcs(spark, sf_dir):
+    """String/date/math scalar battery (extract, upper, substring, length,
+    abs, mod)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        (F.col("o_orderkey") % 7).alias("key_mod"))
+
+
+@query("case_when",
+       """SELECT o_orderkey,
+                 CASE WHEN o_totalprice < 50000 THEN 'low'
+                      WHEN o_totalprice < 150000 THEN 'mid'
+                      ELSE 'high' END AS price_band,
+                 coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm
+          FROM orders""")
+def case_when(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "low")
+         .when(F.col("o_totalprice") < 150000, "mid")
+         .otherwise("high").alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN"))
+         .alias("status_norm"))
+
+
+@query("sessionize",
+       """WITH x AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+          SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+          FROM x GROUP BY user_id""")
+def sessionize_q(spark, sf_dir):
+    """Sessionization: lag-gap detection (30 min) + per-user session
+    counts; one shuffle on user_id."""
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+@query("asof_join",
+       f"""WITH p AS (SELECT user_id, ts, 0 AS is_ref, event_id FROM events
+                      WHERE event_type = 'error'),
+           r AS (SELECT user_id, ts, 1 AS is_ref, NULL::BIGINT AS event_id
+                 FROM events WHERE event_type = 'signup'),
+           u AS (SELECT * FROM p UNION ALL SELECT * FROM r),
+           c AS (SELECT *, max(CASE WHEN is_ref = 1 THEN ts END) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, is_ref DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+                 FROM u)
+           SELECT event_id, strftime(asof_ts, '{_TS_FMT_DUCK}') AS asof_signup
+           FROM c WHERE is_ref = 0""")
+def asof_join_q(spark, sf_dir):
+    """As-of join via the sorted-union window trick: each 'error' event
+    matched to the latest same-user 'signup' at or before it. One shuffle,
+    no range join."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "error")
+    ref = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(probe, ref, key="user_id", ts_col="ts",
+                    probe_cols=["event_id"], ref_ts_as="asof_ts")
+    return out.select("event_id",
+                      F.date_format("asof_ts", _TS_FMT_SPARK).alias("asof_signup"))
+
+
+@query("median_agg",
+       """SELECT l_returnflag,
+                 round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+                 round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+          FROM lineitem GROUP BY l_returnflag""")
+def median_agg(spark, sf_dir):
+    """Exact interpolated percentiles (the approx variant,
+    percentile_approx, is the 100 TB path — not oracle-comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6)
+                 .alias("median_price"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6)
+                 .alias("p90_price")))
