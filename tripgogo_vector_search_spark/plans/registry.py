@@ -914,3 +914,387 @@ def median_agg(spark, sf_dir):
                  .alias("median_price"),
                  F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6)
                  .alias("p90_price")))
+
+
+# --------------------------------------------------------------------------
+# Window-function battery, CUBE, statistical aggregates, subqueries,
+# range join, explode/collect, time-bucket rollup (§2.E extensions)
+# --------------------------------------------------------------------------
+
+@query("window_funcs",
+       """SELECT o_orderkey,
+                 rank()       OVER w AS rnk,
+                 dense_rank() OVER w AS drnk,
+                 row_number() OVER w AS rn,
+                 lag(o_orderkey)  OVER w AS prev_key,
+                 lead(o_orderkey) OVER w AS next_key
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC)""")
+def window_funcs(spark, sf_dir):
+    """rank / dense_rank / row_number / lag / lead over a deterministic
+    per-customer order. One shuffle on o_custkey serves all five."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(),
+                                           F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"))
+
+
+@query("running_agg",
+       """SELECT o_orderkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE)
+                   AS running_spend,
+                 COUNT(*) OVER w AS n_so_far
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+def running_agg(spark, sf_dir):
+    """Running per-customer spend (cumulative frame). DECIMAL accumulation
+    keeps the running sum independent of engine float ordering."""
+    o = _t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(w)
+         .cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"))
+
+
+@query("window_frame",
+       """SELECT o_orderkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE)
+                   AS spend_3,
+                 COUNT(*) OVER w AS n_3
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+def window_frame(spark, sf_dir):
+    """Sliding 3-row frame (moving sum) — bounded-memory window state."""
+    o = _t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(-2, W.currentRow))
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(w)
+         .cast("double").alias("spend_3"),
+        F.count(F.lit(1)).over(w).alias("n_3"))
+
+
+@query("ntile_bands",
+       """SELECT o_orderkey,
+                 ntile(4) OVER w AS quartile,
+                 round(percent_rank() OVER w, 6) AS pct_rank,
+                 round(cume_dist() OVER w, 6) AS cdist
+          FROM orders
+          WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)""")
+def ntile_bands(spark, sf_dir):
+    """Global quartiles + distribution ranks. Single-partition window —
+    at 100 TB this becomes a two-pass rank (count + range partitioner);
+    kept as the semantic reference implementation."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+
+
+@query("cube_agg",
+       """SELECT l_returnflag, l_linestatus,
+                 CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                 CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                 count(*) AS n
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")
+def cube_agg(spark, sf_dir):
+    """CUBE grouping sets with GROUPING() disambiguation of real NULLs
+    vs subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("stats_agg",
+       """SELECT l_returnflag,
+                 n,
+                 round(CAST(sx  AS DOUBLE) / n, 6) AS mean_price,
+                 round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                       / (n - 1), 4) AS var_price,
+                 round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                       / (n - 1)), 6) AS std_price,
+                 round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+                       / (n - 1), 6) AS cov_price_qty
+          FROM (SELECT l_returnflag,
+                       SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sx,
+                       SUM(CAST(l_extendedprice * l_extendedprice
+                                AS DECIMAL(38,6))) AS sxx,
+                       SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sy,
+                       SUM(CAST(l_extendedprice * l_quantity
+                                AS DECIMAL(38,6))) AS sxy,
+                       COUNT(*) AS n
+                FROM lineitem GROUP BY l_returnflag)""")
+def stats_agg(spark, sf_dir):
+    """Mean / sample variance / stddev / covariance from exact DECIMAL
+    moment sums (sum, sum-of-squares, cross-sum) — the two-pass-free,
+    partition-order-independent formulation. The built-in stddev_samp /
+    covar_samp are float-order dependent, so moments are accumulated
+    exactly and the final double math is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    px = F.col("l_extendedprice")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.sum(px.cast("decimal(30,6)")).alias("sx"),
+              F.sum((px * px).cast("decimal(38,6)")).alias("sxx"),
+              F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("sy"),
+              F.sum((px * F.col("l_quantity")).cast("decimal(38,6)")).alias("sxy"),
+              F.count(F.lit(1)).alias("n")))
+    sx, sxx, sy, sxy = (F.col(c).cast("double") for c in ("sx", "sxx", "sy", "sxy"))
+    n = F.col("n")
+    return m.select(
+        "l_returnflag", "n",
+        F.round(sx / n, 6).alias("mean_price"),
+        F.round((sxx - sx * sx / n) / (n - 1), 4).alias("var_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("cov_price_qty"))
+
+
+@query("array_funcs",
+       """SELECT vec_id,
+                 CAST(len(embedding) AS BIGINT) AS dim,
+                 CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                 round(list_reduce(list_transform(embedding,
+                                                  x -> CAST(x AS DOUBLE)),
+                                   (a, x) -> a + x), 4) AS vec_sum,
+                 round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS vmin,
+                 round(CAST(list_sort(embedding)[-1] AS DOUBLE), 6) AS vmax,
+                 list_transform(list_slice(embedding, 1, 3),
+                                x -> round(CAST(x AS DOUBLE), 6)) AS head3
+          FROM embeddings""")
+def array_funcs(spark, sf_dir):
+    """Higher-order array battery: size, filter+count, left-fold sum,
+    sort/min/max, slice — all codegen'd JVM expressions, no Python."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
+        F.transform(F.slice(emb, 1, 3),
+                    lambda x: F.round(x.cast("double"), 6)).alias("head3"))
+
+
+@query("string_funcs",
+       """SELECT c_custkey,
+                 upper(c_name) AS name_upper,
+                 replace(c_name, 'Customer', 'Cust') AS name_short,
+                 reverse(c_name) AS name_rev,
+                 lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+                 split_part(c_name, '#', 2) AS name_num,
+                 CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+                 regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+                 CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_bld
+          FROM customer""")
+def string_funcs(spark, sf_dir):
+    """String battery: case, replace, reverse, pad, split_part, position,
+    regexp extraction, edit distance."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.reverse("c_name").alias("name_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_pad"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("bigint").alias("lev_bld"))
+
+
+@query("date_funcs",
+       f"""SELECT o_orderkey,
+                 strftime(date_trunc('month', o_orderdate), '{_TS_FMT_DUCK}') AS month_start,
+                 CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+                 CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+                 CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+                 CAST(EXTRACT(hour FROM o_orderdate) AS BIGINT) AS hod,
+                 date_diff('day', TIMESTAMP '1997-01-01', o_orderdate) AS days_since
+          FROM orders""")
+def date_funcs(spark, sf_dir):
+    """Temporal scalar battery: truncation, boundary snapping, field
+    extraction, day arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), _TS_FMT_SPARK)
+         .alias("month_start"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.hour("o_orderdate").cast("bigint").alias("hod"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1997-01-01").cast("timestamp")).cast("bigint")
+         .alias("days_since"))
+
+
+@query("scalar_subquery",
+       """SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE CAST(o_totalprice AS DECIMAL(24,6))
+                  * (SELECT COUNT(*) FROM orders)
+                > (SELECT SUM(CAST(o_totalprice AS DECIMAL(24,6))) FROM orders)""")
+def scalar_subquery(spark, sf_dir):
+    """Orders above the global mean price. The mean comparison is
+    cross-multiplied (price*n > sum) so it's exact DECIMAL arithmetic —
+    no division rounding. Spark plans the two scalar aggregates as
+    broadcast subquery results."""
+    o = _t(spark, sf_dir, "orders")
+    tot = (o.agg(F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    return (o.crossJoin(F.broadcast(tot))
+            .filter(F.col("o_totalprice").cast("decimal(24,6)") * F.col("n")
+                    > F.col("s"))
+            .select("o_orderkey", "o_totalprice"))
+
+
+@query("correlated_subquery",
+       """SELECT l_orderkey, l_linenumber, l_quantity
+          FROM lineitem l
+          WHERE CAST(l_quantity AS DECIMAL(20,6))
+                  * (SELECT COUNT(*) FROM lineitem l2
+                     WHERE l2.l_orderkey = l.l_orderkey)
+                > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(20,6)))
+                   FROM lineitem l2 WHERE l2.l_orderkey = l.l_orderkey)""")
+def correlated_subquery(spark, sf_dir):
+    """Line items above their own order's mean quantity — the correlated
+    scalar subquery decorrelated into groupBy + equi-join (what Catalyst
+    does to the SQL form). Exact via cross-multiplication."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = (li.groupBy(F.col("l_orderkey").alias("k"))
+           .agg(F.sum(F.col("l_quantity").cast("decimal(20,6)")).alias("s"),
+                F.count(F.lit(1)).alias("cnt")))
+    return (li.join(per, li.l_orderkey == per.k)
+            .filter(F.col("l_quantity").cast("decimal(20,6)") * F.col("cnt")
+                    > F.col("s"))
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+@query("in_subquery",
+       """SELECT s_suppkey, s_name
+          FROM supplier
+          WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey = 2)
+            AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                                  WHERE l_quantity > 49 AND l_discount > 0.09)""")
+def in_subquery(spark, sf_dir):
+    """IN / NOT IN membership subqueries as broadcast semi/anti joins."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    big = (_t(spark, sf_dir, "lineitem")
+           .filter((F.col("l_quantity") > 49) & (F.col("l_discount") > 0.09))
+           .select("l_suppkey").distinct())
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+            .join(F.broadcast(big), s.s_suppkey == big.l_suppkey, "left_anti")
+            .select("s_suppkey", "s_name"))
+
+
+@query("range_join",
+       """SELECT p.event_id, COUNT(c.event_id) AS n_clicks_10m
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON c.user_id = p.user_id
+           AND c.ts > p.ts - INTERVAL 10 MINUTE
+           AND c.ts <= p.ts
+          GROUP BY p.event_id""")
+def range_join(spark, sf_dir):
+    """Time-range join: clicks in the 10 minutes before each purchase,
+    per user. Equi-join on user_id carries the shuffle; the range
+    predicate is evaluated post-join, so no cross product. At 100 TB the
+    scale path buckets both sides by (user_id, time_bucket) to bound the
+    pairing window."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")))
+    return (p.join(c, cond, "left")
+            .groupBy(F.col("p_id").alias("event_id"))
+            .agg(F.count("c_id").alias("n_clicks_10m")))
+
+
+@query("explode_tokens",
+       """SELECT word, COUNT(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> ''
+          GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""")
+def explode_tokens(spark, sf_dir):
+    """Explode + aggregate: global top-20 word counts. Partial (map-side)
+    aggregation absorbs the explode blow-up before the shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.explode(TX.words("text")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("word").asc())
+            .limit(20))
+
+
+@query("collect_agg",
+       """SELECT c_nationkey, COUNT(*) AS n_cust,
+                 list(c_name ORDER BY c_name) FILTER (c_acctbal > 9000)
+                   AS rich_names
+          FROM customer GROUP BY c_nationkey""")
+def collect_agg(spark, sf_dir):
+    """Ordered list aggregation with a filter: per-nation sorted names of
+    high-balance customers (collect_list is unordered in a distributed
+    engine — sort_array pins the order deterministically)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("c_acctbal") > 9000, F.col("c_name"))))
+                 .alias("rich_names")))
+
+
+@query("time_bucket_rollup",
+       f"""SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS day,
+                 event_type,
+                 COUNT(*) AS n,
+                 CAST(round(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)
+                   AS value_sum,
+                 round(MIN(value), 6) AS value_min,
+                 round(MAX(value), 6) AS value_max
+          FROM events GROUP BY 1, 2""")
+def time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: daily buckets × event_type
+    with count / exact sum / min / max. This is the batch form of the
+    streaming tumbling-window rollup; at scale the output is small
+    (days × types) so the shuffle is trivial after map-side combine."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), _TS_FMT_SPARK).alias("day"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(24,6)")), 2)
+                  .cast("double").alias("value_sum"),
+                 F.round(F.min("value"), 6).alias("value_min"),
+                 F.round(F.max("value"), 6).alias("value_max")))
