@@ -1298,3 +1298,71 @@ def time_bucket_rollup(spark, sf_dir):
                   .cast("double").alias("value_sum"),
                  F.round(F.min("value"), 6).alias("value_min"),
                  F.round(F.max("value"), 6).alias("value_max")))
+
+
+# --------------------------------------------------------------------------
+# §2.A remaining scans/sinks + §2.F llm_generate
+# --------------------------------------------------------------------------
+
+def _cache_dir(sf_dir, leaf):
+    """Scratch dir inside the repo (never under /root/testdata), keyed by
+    scale factor so sf0.01 and sf0.1 runs don't collide."""
+    import os
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".cache", os.path.basename(sf_dir), leaf)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query("csv_scan", "SELECT * FROM nation")
+def csv_scan(spark, sf_dir):
+    """CSV source roundtrip (reference `csv_scan`: pd.read_csv of the hotel
+    corpus, ingest_hotels.py:9): write `nation` as quoted CSV, read it back
+    with the declared schema (schema-on-read, zero inference), and verify
+    value-exact parity against the parquet original."""
+    from ..sources.csv import read_csv_with_schema
+    src = _t(spark, sf_dir, "nation")
+    path = _cache_dir(sf_dir, "csv_scan")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return read_csv_with_schema(spark, path, src.schema)
+
+
+@query("jdbc_sink", "SELECT * FROM supplier")
+def jdbc_sink(spark, sf_dir):
+    """Batch sink parity for the reference's row-by-row INSERT loop with a
+    single final commit (ingest_hotels.py:21-36). One distributed write job
+    replaces 40 network round-trips; atomicity comes from the job-commit
+    protocol instead of conn.commit(). JDBC targets use the same batched
+    writer (`sources.sinks.write_jdbc`, batchsize>=10k) — verified here via
+    the parquet sink since no JDBC driver jar ships in this environment."""
+    from ..sources.sinks import write_parquet
+    src = _t(spark, sf_dir, "supplier")
+    path = _cache_dir(sf_dir, "jdbc_sink")
+    write_parquet(src, path, mode="overwrite")
+    return spark.read.parquet(path)
+
+
+@query("result_fetch", "SELECT * FROM region")
+def result_fetch(spark, sf_dir):
+    """Edge materialization (streamlit_app.py:77-78: cursor.fetchall + schema
+    from cursor.description). The distributed analogue: collect() the final
+    small result to the driver, with the schema carried by df.schema instead
+    of cursor metadata; re-created as a local DataFrame to prove the
+    roundtrip is lossless."""
+    src = _t(spark, sf_dir, "region")
+    rows = src.collect()                     # fetchall
+    return spark.createDataFrame(rows, src.schema)   # cursor.description
+
+
+@query("llm_generate")  # rows-only: stub transport, not SQL-expressible
+def llm_generate(spark, sf_dir):
+    """RAG summary over the flagship top-k (streamlit_app.py:109-186) with
+    the deterministic offline stub transport and a no-op sleeper; keeps the
+    reference's exact retry(<=4)/2^n-backoff/fallback contract. Returns the
+    summary as a 1-row DataFrame so the driver can smoke-check it."""
+    from .rag import rag_summarize
+    top = flagship_query(spark, sf_dir)
+    summary = rag_summarize(top, "best match for the flagship query",
+                            sleeper=lambda s: None)
+    return spark.createDataFrame(
+        [(summary, top.count())], "summary string, n_rows bigint")
