@@ -1,0 +1,90 @@
+"""Arrow-batched Pandas-UDF kernels for the hash-sketch hot paths.
+
+These compute byte-identical values to the pure-SQL expressions in
+``functions/hashing.py`` (which remain the executable spec and the source
+of the DuckDB oracle SQL), but run ~5x faster: Spark's ``md5`` expression
+costs tens of microseconds per call (MessageDigest churn inside a huge
+codegen'd higher-order expression), while CPython's ``hashlib.md5`` is a
+sub-microsecond C call. The oracle parity tests are the proof of
+equivalence — any drift from the SQL spec fails sf0.01 hash comparison.
+
+Tokenization contract (must match functions/text.py exactly):
+``text.split(" ")`` — literal single-space split, keeping empty tokens
+from runs of spaces; shingles are ``n`` consecutive tokens joined by a
+single space, empty for docs shorter than ``n`` words.
+
+Scale: scalar pandas_udf => per-partition Arrow batches, embarrassingly
+parallel, no shuffle, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+from .vector import ColumnOrName, _c
+
+_HEX_HIGH = set("89abcdef")
+
+
+def _shingle_list(text: str | None, n: int) -> list[str]:
+    if not text:
+        return []
+    ws = text.split(" ")
+    if len(ws) < n:
+        return []
+    return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+
+def minhash_signature_udf(text_col: ColumnOrName, shingle_n: int = 3,
+                          num_hashes: int = 16) -> Column:
+    """array<string> minhash signature of the text's word shingles;
+    NULL for docs with no shingles. Element i is
+    ``min(md5(f"{i}|" + s))`` over shingles — identical to
+    ``hashing.minhash_signature(text.shingles(...))``."""
+    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
+
+    @pandas_udf("array<string>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            shs = set(_shingle_list(t, shingle_n))
+            if not shs:
+                out.append(None)
+                continue
+            enc = [s.encode() for s in shs]
+            out.append([min(md5(p + e).hexdigest() for e in enc)
+                        for p in prefixes])
+        return pd.Series(out)
+
+    return _sig(_c(text_col))
+
+
+def simhash_udf(text_col: ColumnOrName) -> Column:
+    """32-char '0'/'1' SimHash bitstring over whitespace tokens —
+    identical to ``hashing.simhash32(text.words(...))``: bit j set when
+    the sum over tokens of (+1 if md5-hex digit j has its high bit set,
+    else -1) is positive."""
+
+    @pandas_udf("string")
+    def _sim(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            if t is None:        # expression spec: NULL text -> NULL hash
+                out.append(None)
+                continue
+            toks = t.split(" ")
+            counts = [0] * 32
+            for tok in toks:
+                h = md5(tok.encode()).hexdigest()
+                for j in range(32):
+                    counts[j] += 1 if h[j] in _HEX_HIGH else -1
+            out.append("".join("1" if c > 0 else "0" for c in counts))
+        return pd.Series(out)
+
+    return _sim(_c(text_col))

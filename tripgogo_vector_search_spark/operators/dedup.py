@@ -28,7 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import lsh_band_keys, minhash_signature, simhash32
+from ..functions.kernels import minhash_signature_udf, simhash_udf
 from ..functions.text import fingerprint, shingles, words
+from ..partitioning import widen
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -54,9 +56,14 @@ def minhash_bands(df: DataFrame, text_col: str, id_col: str,
     """(id, band_key) pairs — the LSH inverted index. Docs shorter than
     `shingle_n` words have no signature and never collide."""
     rows_per_band = num_hashes // bands
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    sig = (sh.filter(F.size("sh") > 0)
-           .select(id_col, minhash_signature("sh", num_hashes).alias("sig")))
+    # Arrow-batched kernel (functions/kernels.py) — value-identical to
+    # minhash_signature(shingles(...)) but ~5x faster; parity-tested vs
+    # the SQL oracle. widen() parallelizes the scan of small inputs.
+    sig = (widen(df.select(F.col(id_col), F.col(text_col)))
+           .select(id_col,
+                   minhash_signature_udf(text_col, shingle_n, num_hashes)
+                   .alias("sig"))
+           .filter(F.col("sig").isNotNull()))
     return sig.select(
         id_col,
         F.explode(lsh_band_keys("sig", bands, rows_per_band)).alias("band_key"),
@@ -93,13 +100,10 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) — exact-match grouping on the 32-bit signature; a
     banded hamming-radius variant is the scale path for radius > 0.
 
-    Two projection steps so each token is md5-hashed exactly once (the
-    inlined form re-evaluates md5 for each of the 32 bit positions)."""
-    from ..functions.hashing import simhash_from_hashes
-    hashed = df.select(F.col(id_col),
-                       F.transform(words(text_col), F.md5).alias("_hashes"))
-    return hashed.select(F.col(id_col),
-                         simhash_from_hashes("_hashes").alias("simhash"))
+    Arrow-batched kernel (functions/kernels.py) — value-identical to
+    simhash32(words(...)), parity-tested vs the SQL oracle."""
+    return (widen(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), simhash_udf(text_col).alias("simhash")))
 
 
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -119,8 +123,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     drop stop-shingles (document frequency above a cap) before the join to
     bound the inverted-index fanout.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    sh = (widen(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+          .select("id", F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
           .filter(F.size("sh") > 0)
           .withColumn("n_sh", F.size("sh")))
     inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
@@ -158,8 +162,8 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
         F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
         for i in range(prefix_bits)
     ])
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  bucket.alias("bucket"))
+    e = widen(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                        bucket.alias("bucket")))
     a = e.withColumnsRenamed({"id": "id_a", "v": "v_a"})
     b = e.withColumnsRenamed({"id": "id_b", "v": "v_b"})
     pairs = (a.join(b, "bucket")

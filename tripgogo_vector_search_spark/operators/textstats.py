@@ -10,12 +10,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import (STOPWORDS, fingerprint, lang_scores, quality_score,
                               token_count, word_count)
+from ..partitioning import widen
 
 
 def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """char / word / lexer-token counts + mean word length."""
     wc = word_count(text_col)
-    return df.select(
+    return widen(df).select(
         F.col(id_col),
         F.length(text_col).alias("char_count"),
         wc.alias("word_count"),
@@ -34,7 +35,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         others = [scores[o] for o in ordered if o != lang]
         cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return df.select(F.col(id_col), pred.otherwise(F.lit("unknown")).alias("lang_pred"))
+    return widen(df).select(F.col(id_col), pred.otherwise(F.lit("unknown")).alias("lang_pred"))
 
 
 def doc_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

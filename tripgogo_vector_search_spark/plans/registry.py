@@ -512,13 +512,15 @@ from .oracle_helpers import sql_hash_bucket, sql_hash_sign  # noqa: E402
                            THEN {sql_hash_sign('h')} ELSE 0 END))::BIGINT) AS vec
            FROM w""")
 def embed_text_q(spark, sf_dir):
-    """Deterministic hash embedder (raw signed-count signature) as a pure
-    Catalyst expression — the JVM-side form of §2.C embed_text. The
-    normalized pandas-UDF form is pinned equal in tests."""
-    from ..functions.embed import hash_embed_expr
-    d = _t(spark, sf_dir, "documents")
+    """Deterministic hash embedder (raw signed-count signature), §2.C
+    embed_text. Arrow-batched UDF — the exact batching shape a real
+    model backend needs; `hash_embed_expr` is the equivalent pure-SQL
+    spec (pinned equal in tests and used verbatim by the oracle)."""
+    from ..functions.embed import hash_embed_udf
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
-                    hash_embed_expr("text", normalized=False)
+                    hash_embed_udf(normalized=False)(F.col("text"))
                     .cast("array<bigint>").alias("vec"))
 
 
