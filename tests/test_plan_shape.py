@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the properties that make these queries
+survive a 100x scale-up. Wall-clock at sf0.01 proves nothing about a
+1000-executor cluster; the plan shape does — so pin it.
+
+Each test asserts on `.explain("formatted")` output:
+* top-k compiles to TakeOrderedAndProject (per-partition heap + driver
+  merge, never a global sort);
+* filters reach the parquet scan (PushedFilters), projections prune the
+  read schema (ReadSchema);
+* dimension joins broadcast (no shuffle of the big side);
+* groupBy aggregates are partial+final (map-side combine);
+* the vector distance hot path contains no Python eval node.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECTNESS
+from tripgogo_vector_search_spark.operators.knn import knn_topk
+from tripgogo_vector_search_spark.plans.flagship import QUERY_VEC
+from tripgogo_vector_search_spark.plans.registry import QUERIES
+from tripgogo_vector_search_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_is_take_ordered_not_global_sort(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    plan = plan_of(knn_topk(emb, QUERY_VEC, k=3, tiebreak="vec_id"))
+    assert "TakeOrderedAndProject" in plan
+    # no full exchange+sort of the corpus for a top-k
+    assert "Sort [" not in plan
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    li = load_table(spark, SF_CORRECTNESS, "lineitem")
+    plan = plan_of(li.filter(F.col("l_quantity") > 45)
+                     .select("l_orderkey", "l_quantity"))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    c = load_table(spark, SF_CORRECTNESS, "customer")
+    plan = plan_of(c.select("c_custkey", "c_name"))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in read and "c_name" in read
+    assert "c_acctbal" not in read and "c_mktsegment" not in read
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = plan_of(QUERIES["join_agg"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_has_partial_aggregation(spark):
+    plan = plan_of(QUERIES["groupby_agg"](spark, SF_CORRECTNESS))
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_distance_hot_path_is_jvm_only(spark):
+    plan = plan_of(QUERIES["cosine_distance"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
+    # single-stage: scan -> project, nothing else (no exchange, no python)
+    assert "Exchange" not in plan
+    # higher-order distance exprs aren't whole-stage-codegen'd, but the
+    # scan pipeline is (the `* ` prefix marks codegen'd nodes)
+    assert "* ColumnarToRow" in plan
+
+
+def test_explode_agg_has_mapside_combine(spark):
+    plan = plan_of(QUERIES["explode_tokens"](spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_anti_membership_joins_broadcast(spark):
+    plan = plan_of(QUERIES["in_subquery"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftAnti" in plan
