@@ -1368,3 +1368,36 @@ def llm_generate(spark, sf_dir):
                             sleeper=lambda s: None)
     return spark.createDataFrame(
         [(summary, top.count())], "summary string, n_rows bigint")
+
+
+@query("stream_sessionize",
+       f"""WITH x AS (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+           s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM x),
+           g AS (SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end,
+                        COUNT(*) AS n_events
+                 FROM s GROUP BY user_id, sid)
+           SELECT user_id,
+                  strftime(s_start, '{_TS_FMT_DUCK}') AS session_start,
+                  strftime(s_end, '{_TS_FMT_DUCK}') AS session_end,
+                  n_events
+           FROM g
+           WHERE s_end + INTERVAL 30 MINUTE < (SELECT max(ts) FROM events)""")
+def stream_sessionize_q(spark, sf_dir):
+    """Custom stateful streaming operator: per-user gap-sessionization via
+    applyInPandasWithState (state = one open session per user, bounded;
+    sessions emit when the watermark proves them closed). The oracle is the
+    batch sessionization restricted to sessions closed by the final
+    watermark (end + gap strictly before max event time — the event-time
+    timeout fires only when the watermark passes the timeout timestamp)."""
+    from ..streaming.ingest import run_stream_to_table, stream_sessionize
+    return run_stream_to_table(spark, stream_sessionize(spark, sf_dir),
+                               mode="append")

@@ -88,3 +88,74 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id",
                        hash_embed_expr("text", normalized=False)
                        .cast("array<bigint>").alias("vec"))
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: streaming gap-sessionization
+# (applyInPandasWithState — the extension point for operators Spark's
+# built-in streaming aggregates can't express)
+# --------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start string, "
+                      "session_end string, n_events bigint")
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matching the batch sessionize
+
+
+def _fmt_us(us: int) -> str:
+    """Microsecond-precision UTC render, same shape as the registry's
+    _TS_FMT_SPARK/_TS_FMT_DUCK pair."""
+    from datetime import datetime, timezone
+    sec, frac = divmod(us, 1_000_000)
+    base = datetime.fromtimestamp(sec, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S")
+    return f"{base}.{frac:06d}"
+
+
+def _session_fn(key, pdfs, state):
+    """Per-user session state machine. In-batch events are sorted by
+    (ts, event_id) — the same deterministic order as the batch SQL; a
+    session closes in-batch when the next event is > gap away, and the
+    trailing open session closes via event-time timeout once the
+    watermark passes session_end + gap."""
+    import pandas as pd
+
+    user_id = key[0]
+    closed: list[tuple] = []
+    if state.hasTimedOut:
+        s0, e0, n0 = state.get
+        closed.append((user_id, _fmt_us(s0), _fmt_us(e0), n0))
+        state.remove()
+    else:
+        parts = [pdf[["ts", "event_id"]] for pdf in pdfs]
+        ev = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts_us = (ev["ts"].astype("int64") // 1000).tolist()
+        s0 = e0 = n0 = None
+        if state.exists:
+            s0, e0, n0 = state.get
+        for t in ts_us:
+            if e0 is None:
+                s0, e0, n0 = t, t, 1
+            elif t - e0 > _GAP_US:
+                closed.append((user_id, _fmt_us(s0), _fmt_us(e0), n0))
+                s0, e0, n0 = t, t, 1
+            else:
+                e0, n0 = t, n0 + 1
+        state.update((s0, e0, n0))
+        state.setTimeoutTimestamp((e0 + _GAP_US) // 1000)  # ms epoch
+    yield pd.DataFrame(closed, columns=["user_id", "session_start",
+                                        "session_end", "n_events"])
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization (30 min) per user — the custom
+    stateful operator the built-in window aggregate can't express. State
+    per user is one open session (three longs), bounded regardless of
+    stream length; sessions emit as soon as the watermark proves them
+    closed. Equals the batch sessionize semantics for every session whose
+    end + gap is behind the final watermark."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "0 seconds")
+    return (ev.groupBy("user_id").applyInPandasWithState(
+        _session_fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "append", "EventTimeTimeout"))
