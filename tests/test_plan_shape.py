@@ -87,3 +87,28 @@ def test_semi_anti_membership_joins_broadcast(spark):
     plan = plan_of(QUERIES["in_subquery"](spark, SF_CORRECTNESS))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located joins: bucketBy on the join key lets two fact tables
+    join with zero Exchange — the 100 TB pattern for repeated big-big
+    joins (bucket once at write time, never shuffle at read time)."""
+    o = load_table(spark, SF_CORRECTNESS, "orders")
+    li = load_table(spark, SF_CORRECTNESS, "lineitem")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable("orders_b"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable("lineitem_b"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (spark.table("lineitem_b")
+                  .join(spark.table("orders_b"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .select("l_orderkey", "o_totalprice", "l_quantity"))
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan   # bucketing = pre-shuffled at rest
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

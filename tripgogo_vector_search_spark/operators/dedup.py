@@ -177,3 +177,56 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
             .select(F.col(id_col),
                     F.col("min_src").isNotNull().alias("is_dup"),
                     F.coalesce("min_src", F.col(id_col)).alias("canonical_id")))
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iter: int = 25) -> DataFrame:
+    """Transitive-closure dedup groups: iterative min-label propagation
+    over the duplicate-pair graph until fixpoint — the closure variant of
+    the single-pass min-id canonical assignment above.
+
+    Converges in O(component diameter) rounds (near-dup components are
+    shallow in practice); each round is one shuffle-on-node join plus an
+    aggregate, the standard distributed-CC pattern. Labels are cached per
+    round and the loop exits on a zero-changes count — an iterative
+    driver loop, but every round's data stays distributed.
+    """
+    sym = (edges.selectExpr("a", "b")
+           .union(edges.selectExpr("b AS a", "a AS b")).distinct())
+    lab = nodes.select(F.col(id_col).alias("node"),
+                       F.col(id_col).alias("lbl")).cache()
+    for _ in range(max_iter):
+        nbr_min = (sym.join(lab, sym["b"] == lab["node"])
+                   .groupBy("a").agg(F.min("lbl").alias("nbr_lbl")))
+        new = (lab.join(nbr_min, lab["node"] == nbr_min["a"], "left")
+               .select(lab["node"],
+                       F.least(lab["lbl"],
+                               F.coalesce("nbr_lbl", lab["lbl"])).alias("lbl"))
+               .cache())
+        changed = (new.alias("n").join(lab.alias("o"), "node")
+                   .filter(F.col("n.lbl") < F.col("o.lbl")).count())
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            break
+    return lab.select(F.col("node").alias(id_col),
+                      F.col("lbl").alias("component_id"))
+
+
+def minhash_components(df: DataFrame, text_col: str, id_col: str,
+                       shingle_n: int = 3, num_hashes: int = 16,
+                       bands: int = 4) -> DataFrame:
+    """Full near-dup grouping: MinHash LSH candidate pairs -> connected
+    components, so transitively-linked docs share one canonical group id
+    (A~B, B~C => A,B,C together even when A,C never collide)."""
+    b = minhash_bands(df, text_col, id_col, shingle_n, num_hashes, bands)
+    posts = b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+    pair_arr = F.flatten(F.transform(
+        "ids",
+        lambda x: F.transform(F.filter("ids", lambda y: y > x),
+                              lambda y: F.struct(x.alias("a"), y.alias("b"))),
+    ))
+    pairs = (posts.select(F.explode(pair_arr).alias("p"))
+             .select("p.*").distinct())
+    return connected_components(pairs, df.select(id_col), id_col)

@@ -1401,3 +1401,49 @@ def stream_sessionize_q(spark, sf_dir):
     from ..streaming.ingest import run_stream_to_table, stream_sessionize
     return run_stream_to_table(spark, stream_sessionize(spark, sf_dir),
                                mode="append")
+
+
+@query("salted_agg",
+       """SELECT event_type, COUNT(*) AS n,
+                 CAST(round(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)
+                   AS value_sum
+          FROM events GROUP BY event_type""")
+def salted_agg(spark, sf_dir):
+    """Skew-resistant two-stage aggregation: pre-aggregate on
+    (key, salt) so one hot key spreads over 16 reducers, then combine
+    partials per key. Identical result to the one-stage groupBy (DECIMAL
+    sums are associative); at 100 TB this is the pattern for power-law
+    keys that overflow a single reducer — AQE skew-join handles joins,
+    salting handles aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+               .groupBy("event_type", "_salt")
+               .agg(F.count(F.lit(1)).alias("pn"),
+                    F.sum(F.col("value").cast("decimal(24,6)")).alias("ps")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("pn").alias("n"),
+                 F.round(F.sum("ps"), 2).cast("double").alias("value_sum")))
+
+
+_CC_CTE = _MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, edges AS (SELECT dup_id AS a, src_id AS b FROM pairs
+            UNION SELECT src_id AS a, dup_id AS b FROM pairs),
+  reach AS (
+    SELECT doc_id AS node, doc_id AS lbl FROM documents
+    UNION
+    SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+  )
+"""
+
+
+@query("dedup_components",
+       _CC_CTE + """
+       SELECT node AS doc_id, min(lbl) AS component_id
+       FROM reach GROUP BY node""")
+def dedup_components_q(spark, sf_dir):
+    """Transitive near-dup grouping: MinHash LSH pairs -> iterative
+    min-label connected components (A~B, B~C puts A,C in one group even
+    without a direct collision). Oracle: recursive-CTE reachability over
+    the same pair graph."""
+    return DD.minhash_components(_t(spark, sf_dir, "documents"),
+                                 "text", "doc_id")
