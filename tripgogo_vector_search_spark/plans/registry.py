@@ -1447,3 +1447,156 @@ def dedup_components_q(spark, sf_dir):
     the same pair graph."""
     return DD.minhash_components(_t(spark, sf_dir, "documents"),
                                  "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics classics (the canonical OLAP shapes, exact-DECIMAL)
+# --------------------------------------------------------------------------
+
+@query("tpch_q1",
+       """SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(38,14))) AS DOUBLE) AS sum_charge,
+                 round(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                       / COUNT(*), 6) AS avg_qty,
+                 round(CAST(SUM(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE)
+                       / COUNT(*), 6) AS avg_disc,
+                 COUNT(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""")
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report): the canonical wide-aggregate
+    scan. One shuffle of 6 partial aggregates; DECIMAL accumulation makes
+    every sum partition-order independent; avgs derive from the exact
+    sums. The shipdate filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    px, dc, tx, qt = (F.col(c) for c in
+                      ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qt.cast("decimal(20,6)")).cast("double").alias("sum_qty"),
+                 F.sum(px.cast("decimal(24,6)")).cast("double").alias("sum_base_price"),
+                 F.sum((px * (F.lit(1) - dc)).cast("decimal(30,10)"))
+                  .cast("double").alias("sum_disc_price"),
+                 F.sum((px * (F.lit(1) - dc) * (F.lit(1) + tx)).cast("decimal(38,14)"))
+                  .cast("double").alias("sum_charge"),
+                 F.round(F.sum(qt.cast("decimal(20,6)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_qty"),
+                 F.round(F.sum(dc.cast("decimal(20,6)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@query("tpch_q3",
+       """SELECT l_orderkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+                 CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-03-15'
+            AND l_shipdate > TIMESTAMP '1998-03-15'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(30,10))) DESC, l_orderkey ASC
+          LIMIT 10""")
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): filtered customer dim broadcasts
+    into orders, the survivors broadcast into the lineitem scan, one
+    aggregate shuffle, top-10 by exact DECIMAL revenue (deterministic
+    orderkey tiebreak) via TakeOrderedAndProject."""
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,10)")
+    return (li.join(F.broadcast(o.join(F.broadcast(c),
+                                       o.o_custkey == c.c_custkey)),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("rev_exact"))
+            .orderBy(F.col("rev_exact").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+            .select("l_orderkey",
+                    F.col("rev_exact").cast("double").alias("revenue"),
+                    F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                    "o_orderpriority"))
+
+
+@query("tpch_q6",
+       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07
+            AND l_quantity < 24""")
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure filter+scan+global
+    sum — every predicate pushes to the parquet scan, zero shuffle
+    beyond the final single-row combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24))
+            .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                       .cast("decimal(30,10)"))
+                 .cast("double").alias("revenue")))
+
+
+@query("group_zscore",
+       """WITH q AS (SELECT event_id, event_type,
+                            CAST(value AS DECIMAL(24,6)) AS v
+                     FROM events),
+           m AS (SELECT event_type, COUNT(*) AS n,
+                        SUM(v) AS s,
+                        SUM(CAST(v * v AS DECIMAL(38,12))) AS ss
+                 FROM q GROUP BY event_type)
+          SELECT event_id,
+                 round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                       / sqrt((CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n),
+                       6) AS z
+          FROM q JOIN m USING (event_type)""")
+def group_zscore(spark, sf_dir):
+    """Per-group standardization as a grouped-map ``applyInPandas`` — the
+    operator class for per-group Python logic (normalization, per-entity
+    model scoring) that has no single-expression form. Exactness: values
+    quantize to DECIMAL(24,6) (same HALF_UP the engines apply), moments
+    accumulate as exact integers, and the final float formula is evaluated
+    in the same operation order as the oracle — so results are independent
+    of row order and partition count. One shuffle on the group key."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        micro = [int(Decimal(float(v)).quantize(Decimal("0.000001"),
+                                                rounding=ROUND_HALF_UP)
+                     .scaleb(6)) for v in pdf["value"]]
+        n = len(micro)
+        s, ss = sum(micro), sum(m * m for m in micro)
+        mean = (s / 1e6) / n
+        var = ((ss / 1e12) - (s / 1e6) * (s / 1e6) / n) / n
+        sd = math.sqrt(var)
+        z = [round(((m / 1e6) - mean) / sd, 6) for m in micro]
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        standardize, schema="event_id bigint, z double")
