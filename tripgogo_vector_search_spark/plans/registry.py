@@ -1600,3 +1600,75 @@ def group_zscore(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return ev.groupBy("event_type").applyInPandas(
         standardize, schema="event_id bigint, z double")
+
+
+@query("set_ops_all",
+       """SELECT k, 'common' AS tag FROM
+             (SELECT c_nationkey AS k FROM customer
+              INTERSECT ALL SELECT s_nationkey FROM supplier)
+          UNION ALL
+          SELECT k, 'cust_extra' AS tag FROM
+             (SELECT c_nationkey AS k FROM customer
+              EXCEPT ALL SELECT s_nationkey FROM supplier)""")
+def set_ops_all(spark, sf_dir):
+    """Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving set
+    algebra — count-based semantics, one shuffle each)."""
+    ck = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    sk = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (ck.intersectAll(sk).withColumn("tag", F.lit("common"))
+            .unionByName(ck.exceptAll(sk).withColumn("tag", F.lit("cust_extra"))))
+
+
+@query("null_funcs",
+       """SELECT l_orderkey, l_linenumber,
+                 NULLIF(l_linestatus, 'O') AS status_or_null,
+                 COALESCE(NULLIF(l_linestatus, 'O'), 'OPEN') AS status_filled,
+                 (NULLIF(l_linestatus, 'O') IS NOT DISTINCT FROM
+                  NULLIF(l_returnflag, 'N')) AS same_marker,
+                 CASE WHEN NULLIF(l_linestatus, 'O') IS NULL
+                      THEN -1 ELSE l_linenumber END AS nvl2_style
+          FROM lineitem""")
+def null_funcs(spark, sf_dir):
+    """Null-handling battery: nullif / coalesce / null-safe equality
+    (<=>) / conditional defaulting — the safe-cast family around the
+    reference's null-on-error LOB coercion (streamlit_app.py:97-99)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s_null = F.nullif(F.col("l_linestatus"), F.lit("O"))
+    r_null = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        s_null.alias("status_or_null"),
+        F.coalesce(s_null, F.lit("OPEN")).alias("status_filled"),
+        s_null.eqNullSafe(r_null).alias("same_marker"),
+        F.when(s_null.isNull(), F.lit(-1)).otherwise(F.col("l_linenumber"))
+         .cast("bigint").alias("nvl2_style"))
+
+
+@query("global_sort",
+       """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS VARCHAR) AS od
+          FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey ASC""")
+def global_sort(spark, sf_dir):
+    """Full distributed sort: Spark samples the key distribution and
+    range-partitions, so each partition sorts independently and the
+    output is globally ordered without any single-node sort. (The
+    compare gate is order-insensitive; this entry pins the operator.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .select("o_orderkey", "o_totalprice",
+                    F.col("o_orderdate").cast("string").alias("od")))
+
+
+@query("stream_dedup",
+       "SELECT DISTINCT user_id, event_type FROM events")
+def stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: dropDuplicates over the stream keeps
+    one state entry per distinct key and suppresses re-occurrences across
+    micro-batches. On the finite source this equals batch DISTINCT; on an
+    unbounded stream add withWatermark + event-time in the key to bound
+    state."""
+    from ..streaming.ingest import run_stream_to_table, stream_events
+    ev = stream_events(spark, sf_dir)
+    dedup = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type")
+    return run_stream_to_table(spark, dedup, mode="append")
