@@ -112,3 +112,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout: writing partitionBy(key) makes a key
+    filter a PartitionFilter — pruned directories, zero data read from
+    other partitions. At 100 TB this is the first-order scan reducer for
+    time/type-sliced workloads."""
+    ev = load_table(spark, SF_CORRECTNESS, "events")
+    path = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    import re
+    plan = plan_of(df.select("event_id", "value"))
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert re.search(r"\(event_type#\d+ = click\)", plan)  # attr ids vary
+    # pruned scan reads only the projected data columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "event_type" not in read and "props" not in read

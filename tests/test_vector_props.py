@@ -88,3 +88,14 @@ def test_match_score_contract(spark):
     df = spark.createDataFrame([(0.0,), (0.123456,), (2.0,)], "d double")
     rows = df.select(V.match_score("d").alias("m")).collect()
     assert [r["m"] for r in rows] == [100.0, 87.65, -100.0]
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """Sketch aggregates are the 100 TB path for distinct counts (HLL++:
+    fixed memory, one pass, mergeable across partitions). Exactness is
+    oracle-gated elsewhere (count_distinct); here pin the sketch's error
+    envelope vs exact."""
+    o = load_table(spark, SF_CORRECTNESS, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05, (exact, approx)

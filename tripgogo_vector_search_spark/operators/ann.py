@@ -121,3 +121,45 @@ def ivf_search(corpus: DataFrame, query_vec: Sequence[float], k: int = 3,
     return (scored.orderBy(F.col("distance_score").asc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "cid", F.round("distance_score", 6).alias("distance_score")))
+
+
+def build_ivf_index_kmeans(corpus: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", n_cells: int = 16,
+                           seed: int = 7):
+    """Production-quality IVF: MLlib KMeans centroids (fixed seed) instead
+    of seed-sampled vectors. Returns (index_df, centroids); the index is
+    written partitioned by `cid` exactly like the seed-sampled variant —
+    only centroid quality changes, the search plan is identical."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "_fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv",
+                   predictionCol="cid").fit(feat)
+    idx = model.transform(feat).select(id_col, vec_col, "cid")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return idx, centroids
+
+
+def ivf_search_kmeans(index: DataFrame, centroids: list[list[float]],
+                      query_vec: Sequence[float], k: int = 3,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      nprobe: int = 2) -> DataFrame:
+    """Probe the `nprobe` nearest KMeans cells (driver-side argsort over
+    n_cells centroids — tiny), exact-search inside them. Reads
+    nprobe/n_cells of a cid-partitioned index."""
+    def cos_dist(a: Sequence[float], b: Sequence[float]) -> float:
+        na = math.sqrt(py_dot(a, a)) or 1.0
+        nb = math.sqrt(py_dot(b, b)) or 1.0
+        return 1.0 - py_dot(a, b) / (na * nb)
+
+    order = sorted(range(len(centroids)),
+                   key=lambda c: (cos_dist(query_vec, centroids[c]), c))
+    probes = order[:nprobe]
+    cand = index.filter(F.col("cid").isin(probes))
+    scored = cand.withColumn(
+        "distance_score", cosine_distance(F.col(vec_col), vector_lit(query_vec)))
+    return (scored.orderBy(F.col("distance_score").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "cid", F.round("distance_score", 6).alias("distance_score")))

@@ -1032,12 +1032,15 @@ def cube_agg(spark, sf_dir):
 @query("stats_agg",
        """SELECT l_returnflag,
                  n,
-                 round(CAST(sx  AS DOUBLE) / n, 6) AS mean_price,
-                 round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                 round(CAST(round(sx, 2) AS DOUBLE) / n, 6) AS mean_price,
+                 round((CAST(round(sxx, 2) AS DOUBLE)
+                        - CAST(round(sx, 2) AS DOUBLE)*CAST(round(sx, 2) AS DOUBLE)/n)
                        / (n - 1), 4) AS var_price,
-                 round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                 round(sqrt((CAST(round(sxx, 2) AS DOUBLE)
+                        - CAST(round(sx, 2) AS DOUBLE)*CAST(round(sx, 2) AS DOUBLE)/n)
                        / (n - 1)), 6) AS std_price,
-                 round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+                 round((CAST(round(sxy, 2) AS DOUBLE)
+                        - CAST(round(sx, 2) AS DOUBLE)*CAST(round(sy, 2) AS DOUBLE)/n)
                        / (n - 1), 6) AS cov_price_qty
           FROM (SELECT l_returnflag,
                        SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sx,
@@ -1062,7 +1065,10 @@ def stats_agg(spark, sf_dir):
               F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("sy"),
               F.sum((px * F.col("l_quantity")).cast("decimal(38,6)")).alias("sxy"),
               F.count(F.lit(1)).alias("n")))
-    sx, sxx, sy, sxy = (F.col(c).cast("double") for c in ("sx", "sxx", "sy", "sxy"))
+    # round-to-2dp in DECIMAL before the double cast (see tpch_q1: wide
+    # decimal -> double double-rounds in DuckDB past 2^53)
+    sx, sxx, sy, sxy = (F.round(F.col(c), 2).cast("double")
+                        for c in ("sx", "sxx", "sy", "sxy"))
     n = F.col("n")
     return m.select(
         "l_returnflag", "n",
@@ -1455,15 +1461,17 @@ def dedup_components_q(spark, sf_dir):
 
 @query("tpch_q1",
        """SELECT l_returnflag, l_linestatus,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          AS DECIMAL(38,14))) AS DOUBLE) AS sum_charge,
-                 round(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                 CAST(round(SUM(CAST(l_quantity AS DECIMAL(20,6))), 2)
+                      AS DOUBLE) AS sum_qty,
+                 CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(24,6))), 2)
+                      AS DOUBLE) AS sum_base_price,
+                 CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                AS DECIMAL(38,14))), 2) AS DOUBLE) AS sum_charge,
+                 round(CAST(round(SUM(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE)
                        / COUNT(*), 6) AS avg_qty,
-                 round(CAST(SUM(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE)
+                 round(CAST(round(SUM(CAST(l_discount AS DECIMAL(20,6))), 2) AS DOUBLE)
                        / COUNT(*), 6) AS avg_disc,
                  COUNT(*) AS count_order
           FROM lineitem
@@ -1473,29 +1481,38 @@ def tpch_q1(spark, sf_dir):
     """TPC-H Q1 (pricing summary report): the canonical wide-aggregate
     scan. One shuffle of 6 partial aggregates; DECIMAL accumulation makes
     every sum partition-order independent; avgs derive from the exact
-    sums. The shipdate filter pushes to the parquet scan."""
+    sums. The shipdate filter pushes to the parquet scan.
+
+    Sums round to 2dp in DECIMAL *before* the double cast: a wide decimal
+    whose scaled integer exceeds 2^53 converts to double with two
+    roundings in DuckDB (int128 -> double -> divide) vs one in the JVM,
+    so the last ULP can disagree. Rounding first keeps the scaled value
+    inside exact-double range on both engines."""
     li = _t(spark, sf_dir, "lineitem")
     px, dc, tx, qt = (F.col(c) for c in
                       ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    sum_qty = F.round(F.sum(qt.cast("decimal(20,6)")), 2)
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(qt.cast("decimal(20,6)")).cast("double").alias("sum_qty"),
-                 F.sum(px.cast("decimal(24,6)")).cast("double").alias("sum_base_price"),
-                 F.sum((px * (F.lit(1) - dc)).cast("decimal(30,10)"))
+            .agg(sum_qty.cast("double").alias("sum_qty"),
+                 F.round(F.sum(px.cast("decimal(24,6)")), 2)
+                  .cast("double").alias("sum_base_price"),
+                 F.round(F.sum((px * (F.lit(1) - dc)).cast("decimal(30,10)")), 2)
                   .cast("double").alias("sum_disc_price"),
-                 F.sum((px * (F.lit(1) - dc) * (F.lit(1) + tx)).cast("decimal(38,14)"))
+                 F.round(F.sum((px * (F.lit(1) - dc) * (F.lit(1) + tx))
+                               .cast("decimal(38,14)")), 2)
                   .cast("double").alias("sum_charge"),
-                 F.round(F.sum(qt.cast("decimal(20,6)")).cast("double")
+                 F.round(sum_qty.cast("double")
                          / F.count(F.lit(1)), 6).alias("avg_qty"),
-                 F.round(F.sum(dc.cast("decimal(20,6)")).cast("double")
+                 F.round(F.round(F.sum(dc.cast("decimal(20,6)")), 2).cast("double")
                          / F.count(F.lit(1)), 6).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
 @query("tpch_q3",
        """SELECT l_orderkey,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+                 CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue,
                  CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
           FROM customer
           JOIN orders ON c_custkey = o_custkey
@@ -1530,14 +1547,14 @@ def tpch_q3(spark, sf_dir):
             .orderBy(F.col("rev_exact").desc(), F.col("l_orderkey").asc())
             .limit(10)
             .select("l_orderkey",
-                    F.col("rev_exact").cast("double").alias("revenue"),
+                    F.round(F.col("rev_exact"), 4).cast("double").alias("revenue"),
                     F.col("o_orderdate").cast("string").alias("o_orderdate"),
                     "o_orderpriority"))
 
 
 @query("tpch_q6",
-       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
-                         AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+       """SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
             AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1553,8 +1570,8 @@ def tpch_q6(spark, sf_dir):
                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
                 & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
                 & (F.col("l_quantity") < 24))
-            .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
-                       .cast("decimal(30,10)"))
+            .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                               .cast("decimal(30,10)")), 4)
                  .cast("double").alias("revenue")))
 
 
@@ -1567,9 +1584,10 @@ def tpch_q6(spark, sf_dir):
                         SUM(CAST(v * v AS DECIMAL(38,12))) AS ss
                  FROM q GROUP BY event_type)
           SELECT event_id,
-                 round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
-                       / sqrt((CAST(ss AS DOUBLE)
-                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n),
+                 round((CAST(v AS DOUBLE) - CAST(round(s, 4) AS DOUBLE) / n)
+                       / sqrt((CAST(round(ss, 4) AS DOUBLE)
+                               - CAST(round(s, 4) AS DOUBLE)
+                                 * CAST(round(s, 4) AS DOUBLE) / n) / n),
                        6) AS z
           FROM q JOIN m USING (event_type)""")
 def group_zscore(spark, sf_dir):
@@ -1585,14 +1603,23 @@ def group_zscore(spark, sf_dir):
 
     import pandas as pd
 
+    def half_away(num: int, div: int) -> int:
+        q, r = divmod(abs(num), div)
+        q += (2 * r >= div)
+        return q if num >= 0 else -q
+
     def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
         micro = [int(Decimal(float(v)).quantize(Decimal("0.000001"),
                                                 rounding=ROUND_HALF_UP)
                      .scaleb(6)) for v in pdf["value"]]
         n = len(micro)
-        s, ss = sum(micro), sum(m * m for m in micro)
-        mean = (s / 1e6) / n
-        var = ((ss / 1e12) - (s / 1e6) * (s / 1e6) / n) / n
+        # moments rounded to 4dp in exact integer space before any float —
+        # mirrors the oracle's round(s,4)/round(ss,4) DECIMAL->DOUBLE path
+        # (wide decimals double-round past 2^53 otherwise, see tpch_q1)
+        s4 = half_away(sum(micro), 100)                     # 1e6 -> 1e4 scale
+        ss4 = half_away(sum(m * m for m in micro), 10**8)   # 1e12 -> 1e4 scale
+        mean = (s4 / 1e4) / n
+        var = ((ss4 / 1e4) - (s4 / 1e4) * (s4 / 1e4) / n) / n
         sd = math.sqrt(var)
         z = [round(((m / 1e6) - mean) / sd, 6) for m in micro]
         return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
@@ -1672,3 +1699,23 @@ def stream_dedup(spark, sf_dir):
     dedup = ev.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type")
     return run_stream_to_table(spark, dedup, mode="append")
+
+
+@query("like_filter",
+       """SELECT p_partkey, p_name, p_brand, p_size
+          FROM part
+          WHERE p_name LIKE '%widget%'
+            AND p_brand LIKE 'Brand#1%'
+            AND p_type NOT LIKE '%PROMO%'
+            AND p_size BETWEEN 10 AND 40""")
+def like_filter(spark, sf_dir):
+    """LIKE-pattern predicates on the part dimension: contains /
+    prefix / negated-contains compile to StringContains/StartsWith scan
+    filters, pushed into the parquet reader alongside the numeric
+    range (see test_plan_shape: PushedFilters)."""
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_name").contains("widget")
+                     & F.col("p_brand").startswith("Brand#1")
+                     & ~F.col("p_type").contains("PROMO")
+                     & F.col("p_size").between(10, 40))
+            .select("p_partkey", "p_name", "p_brand", "p_size"))
