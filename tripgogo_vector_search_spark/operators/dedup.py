@@ -86,8 +86,9 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
                               lambda x: F.struct(x.alias("dup_id"),
                                                  a.alias("src_id"))),
     ))
-    pairs = (posts.select(F.explode(pair_arr).alias("p"))
-             .select("p.*").distinct())
+    # no distinct: a pair surfacing from several bands is harmless under
+    # the min-aggregate, and dropping it saves a full shuffle
+    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
     mins = pairs.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
     return (df.select(id_col)
             .join(mins, df[id_col] == mins.dup_id, "left")
@@ -230,3 +231,42 @@ def minhash_components(df: DataFrame, text_col: str, id_col: str,
     pairs = (posts.select(F.explode(pair_arr).alias("p"))
              .select("p.*").distinct())
     return connected_components(pairs, df.select(id_col), id_col)
+
+
+def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
+                         radius: int = 3) -> DataFrame:
+    """Hamming-radius SimHash near-dup — the scale path past
+    exact-signature grouping: split the 32-bit signature into 4 bands of
+    8; any pair within hamming distance <= 3 must agree exactly on at
+    least one band (pigeonhole), so the band-key join finds every such
+    pair with no quadratic scan; candidates then verify the full hamming
+    distance. Signatures ride inside the posting lists, so verification
+    needs no extra join back to the corpus."""
+    from ..functions.hashing import hamming_distance_bits
+
+    sigs = simhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), F.substring("simhash", 1 + 8 * b, 8))
+            for b in range(4)
+        ])).alias("band_key"))
+    posts = bands.groupBy("band_key").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                F.col("simhash").alias("sig"))).alias("ds"))
+    pair_arr = F.flatten(F.transform(
+        "ds",
+        lambda a: F.transform(
+            F.filter("ds", lambda b: b["id"] > a["id"]),
+            lambda b: F.struct(b["id"].alias("dup_id"), a["id"].alias("src_id"),
+                               b["sig"].alias("dup_sig"), a["sig"].alias("src_sig")),
+        ),
+    ))
+    pairs = (posts.select(F.explode(pair_arr).alias("p")).select("p.*")
+             .filter(hamming_distance_bits("dup_sig", "src_sig") <= radius))
+    mins = pairs.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
+    return (df.select(id_col)
+            .join(mins, df[id_col] == mins.dup_id, "left")
+            .select(F.col(id_col),
+                    F.col("min_src").isNotNull().alias("is_dup"),
+                    F.coalesce("min_src", F.col(id_col)).alias("canonical_id")))

@@ -1719,3 +1719,57 @@ def like_filter(spark, sf_dir):
                      & ~F.col("p_type").contains("PROMO")
                      & F.col("p_size").between(10, 40))
             .select("p_partkey", "p_name", "p_brand", "p_size"))
+
+
+@query("rolling_fingerprint",
+       """SELECT doc_id,
+                 list_reduce(
+                   list_transform(string_split(text, ' '),
+                     w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)),
+                   (a, x) -> (a * 131 + x) % 1000000007) AS rhash
+          FROM documents""")
+def rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: Rabin-Karp polynomial rolling
+    hash over the word-hash sequence (base 131, mod 1e9+7) — unlike the
+    bag-of-words md5 fingerprint, any reordering changes the hash. Left
+    fold keeps intermediate values < 2^63 (no overflow on either
+    engine)."""
+    d = _t(spark, sf_dir, "documents")
+    wh = F.transform(TX.words("text"),
+                     lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
+                     .cast("bigint"))
+    rh = F.aggregate(wh, F.lit(0).cast("bigint"),
+                     lambda a, x: (a * 131 + x) % 1000000007)
+    return d.select("doc_id", rh.alias("rhash"))
+
+
+_SIMHASH_BANDS_CTE = f"""
+WITH s AS (SELECT doc_id, {sql_simhash32(sql_words('text'))} AS sig
+           FROM documents),
+b AS (SELECT doc_id, sig, concat(CAST(i AS VARCHAR), ':',
+                                 substring(sig, 1 + i * 8, 8)) AS band_key
+      FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+pairs AS (SELECT a.doc_id AS dup_id, b2.doc_id AS src_id,
+                 a.sig AS dup_sig, b2.sig AS src_sig
+          FROM b a JOIN b b2
+            ON a.band_key = b2.band_key AND b2.doc_id < a.doc_id),
+ham AS (SELECT DISTINCT dup_id, src_id FROM pairs
+        WHERE len(list_filter(generate_series(1, 32),
+                  i -> substring(dup_sig, i, 1) <> substring(src_sig, i, 1)))
+              <= 3),
+mins AS (SELECT dup_id, min(src_id) AS min_src FROM ham GROUP BY dup_id)
+"""
+
+
+@query("simhash_hamming_dedup",
+       _SIMHASH_BANDS_CTE + """
+       SELECT d.doc_id, (m.min_src IS NOT NULL) AS is_dup,
+              coalesce(m.min_src, d.doc_id) AS canonical_id
+       FROM documents d LEFT JOIN mins m ON d.doc_id = m.dup_id""")
+def simhash_hamming_dedup_q(spark, sf_dir):
+    """Banded SimHash near-dup within hamming radius 3: 4 bands of 8 bits
+    guarantee (pigeonhole) every radius-3 pair shares a band, so candidate
+    generation is a linear band-key join, then the full hamming check
+    verifies."""
+    return DD.simhash_banded_dedup(_t(spark, sf_dir, "documents"),
+                                   "text", "doc_id", radius=3)
