@@ -1773,3 +1773,92 @@ def simhash_hamming_dedup_q(spark, sf_dir):
     verifies."""
     return DD.simhash_banded_dedup(_t(spark, sf_dir, "documents"),
                                    "text", "doc_id", radius=3)
+
+
+@query("vector_distances",
+       f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round({sql_dot('a.embedding', 'b.embedding')}, 6) AS dot_ab,
+                  round(sqrt(list_reduce(
+                      list_transform(generate_series(1, len(a.embedding)),
+                          i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+                               * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
+                      (acc, x) -> acc + x)), 6) AS euclid_ab,
+                  round(list_reduce(
+                      list_transform(generate_series(1, len(a.embedding)),
+                          i -> abs(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
+                      (acc, x) -> acc + x), 6) AS manhattan_ab
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+           WHERE a.vec_id % 10 = 0""")
+def vector_distances(spark, sf_dir):
+    """Distance-function battery beyond cosine: dot product, euclidean,
+    manhattan — each a sequential-fold higher-order expression (JVM-side,
+    deterministic order). Computed over consecutive-id vector pairs."""
+    from ..functions.vector import dot, euclidean_distance
+    e = _t(spark, sf_dir, "embeddings")
+    a = (e.filter(F.col("vec_id") % 10 == 0)
+         .select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    manhattan = F.aggregate(
+        F.zip_with("va", "vb",
+                   lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("id_b") == F.col("id_a") + 1)
+            .select("id_a", "id_b",
+                    F.round(dot("va", "vb"), 6).alias("dot_ab"),
+                    F.round(euclidean_distance("va", "vb"), 6).alias("euclid_ab"),
+                    F.round(manhattan, 6).alias("manhattan_ab")))
+
+
+@query("map_funcs",
+       """SELECT o_orderkey,
+                 CAST(len(map_entries(m)) AS BIGINT) AS n_keys,
+                 CAST(m['priority'][1] AS VARCHAR) AS prio,
+                 CAST(m['status'][1] AS VARCHAR) AS status,
+                 list_sort(map_keys(m)) AS keys_sorted
+          FROM (SELECT o_orderkey,
+                       MAP {'priority': o_orderpriority,
+                            'status': o_orderstatus} AS m
+                FROM orders)""")
+def map_funcs(spark, sf_dir):
+    """Map-typed column battery: construction, size, key lookup, sorted
+    key list. The map stays internal; outputs are scalars/arrays so the
+    cross-engine compare is type-stable."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(F.lit("priority"), F.col("o_orderpriority"),
+                     F.lit("status"), F.col("o_orderstatus"))
+    return (o.select("o_orderkey", m.alias("m"))
+            .select("o_orderkey",
+                    F.size("m").cast("bigint").alias("n_keys"),
+                    F.col("m")["priority"].alias("prio"),
+                    F.element_at("m", "status").alias("status"),
+                    F.sort_array(F.map_keys("m")).alias("keys_sorted")))
+
+
+@query("udtf_ngrams",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+           s AS (SELECT doc_id, {sql_shingles('ws', 3)} AS sh FROM w),
+           u AS (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(sh)),
+                            i -> struct_pack(pos := i - 1, ngram := sh[i]))) AS e
+                 FROM s)
+           SELECT doc_id, CAST(e.pos AS INT) AS pos, e.ngram AS ngram FROM u""")
+def udtf_ngrams(spark, sf_dir):
+    """Python UDTF (table function) surface: a lateral generator yielding
+    (pos, ngram) rows per document — the UDTF class for set-returning
+    per-row logic where explode(expr) can't express the generation. Runs
+    Arrow-batched executor-side via LATERAL; results equal the expression
+    shingles, which is also the oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NGrams:
+        def eval(self, text: str):
+            ws = text.split(" ") if text is not None else []
+            for i in range(max(len(ws) - 2, 0)):
+                yield i, " ".join(ws[i:i + 3])
+
+    spark.udtf.register("gen_ngrams", NGrams)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM _docs_udtf d, LATERAL gen_ngrams(d.text) g""")
