@@ -104,3 +104,29 @@ def test_multimodal_frame_sample(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         resize_images(media, 32, 32)
+
+
+def test_stream_parquet_sink_checkpointed(spark, tmp_path):
+    """Durable streaming sink: embed-on-arrival written to parquet with a
+    checkpoint (exactly-once file sink). Restarting from the same
+    checkpoint reprocesses nothing."""
+    from tripgogo_vector_search_spark.streaming.ingest import stream_embed_documents
+    from tests.conftest import SF_SMOKE
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (stream_embed_documents(spark, SF_SMOKE)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    run_once()  # same checkpoint: no duplicate output
+    assert spark.read.parquet(out).count() == n1

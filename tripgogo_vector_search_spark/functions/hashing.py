@@ -22,12 +22,19 @@ HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
 def minhash_signature(shingles_col: ColumnOrName, num_hashes: int = 16) -> Column:
     """array<string> of length ``num_hashes``; element i is
-    ``min(md5(i || '|' || s) for s in shingles)`` (NULL for empty docs)."""
+    ``min(md5(i || '|' || s) for s in shingles)`` (NULL for empty docs).
+
+    NB: the seed must be captured via a closure factory, NOT a
+    ``lambda x, i=i`` default argument — a two-parameter lambda is
+    PySpark's (element, index) binary transform form, which silently
+    rebinds ``i`` to the index column."""
     s = _c(shingles_col)
-    return F.array(*[
-        F.array_min(F.transform(s, lambda x, i=i: F.md5(F.concat(F.lit(f"{i}|"), x))))
-        for i in range(num_hashes)
-    ])
+
+    def seeded_min(prefix: str) -> Column:
+        return F.array_min(
+            F.transform(s, lambda x: F.md5(F.concat(F.lit(prefix), x))))
+
+    return F.array(*[seeded_min(f"{i}|") for i in range(num_hashes)])
 
 
 def lsh_band_keys(sig_col: ColumnOrName, bands: int, rows_per_band: int) -> Column:
