@@ -1862,3 +1862,46 @@ def udtf_ngrams(spark, sf_dir):
     return spark.sql("""
         SELECT d.doc_id, g.pos, g.ngram
         FROM _docs_udtf d, LATERAL gen_ngrams(d.text) g""")
+
+
+@query("deterministic_sample",
+       """SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                IN ('0', '1', '2', '3')""")
+def deterministic_sample(spark, sf_dir):
+    """Reproducible ~25% sample via content hashing (first md5 nibble in
+    a 4/16 range) — the scale-sane sampling pattern: engine-independent,
+    stable across reruns and repartitions, and sliceable per key (unlike
+    TABLESAMPLE, whose output depends on partition layout and RNG)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+                     .isin("0", "1", "2", "3"))
+            .select("o_orderkey", "o_totalprice"))
+
+
+@query("window_first_last",
+       """SELECT o_orderkey,
+                 first_value(o_orderkey) OVER w AS first_key,
+                 last_value(o_orderkey) OVER w2 AS last_key,
+                 nth_value(o_orderkey, 2) OVER w2 AS second_key
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC),
+                 w2 AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)""")
+def window_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over deterministic per-customer
+    order; last/nth use the full-partition frame (the default
+    running frame makes last_value just the current row)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(),
+                                           F.col("o_orderkey").asc())
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w2).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w2).alias("second_key"))
