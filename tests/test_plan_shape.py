@@ -130,3 +130,17 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruned scan reads only the projected data columns
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "event_type" not in read and "props" not in read
+
+
+def test_cached_corpus_reused_across_queries(spark):
+    """df.cache(): repeated queries over the same hot corpus read the
+    in-memory columnar form, not the file scan — the pattern for
+    iterative/self-join workloads (connected components, ANN probing)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").cache()
+    try:
+        emb.count()  # materialize
+        p1 = plan_of(emb.select("vec_id"))
+        p2 = plan_of(emb.groupBy("label").count())
+        assert "InMemoryTableScan" in p1 and "InMemoryTableScan" in p2
+    finally:
+        emb.unpersist()
