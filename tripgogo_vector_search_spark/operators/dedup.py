@@ -79,7 +79,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
     # Posting-list pair generation (same pattern as ngram_jaccard_pairs):
     # one shuffle on the uniformly-distributed band key; a self-join would
     # shuffle twice and recompute the whole signature pipeline per side.
-    posts = b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+    posts = (b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+             .filter(F.size("ids") >= 2))  # singleton buckets pair with nothing
     pair_arr = F.flatten(F.transform(
         "ids",
         lambda a: F.transform(F.filter("ids", lambda x: x > a),
@@ -133,8 +134,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # per-posting pair expansion as an expression — beats a self-join,
     # which would shuffle the inverted index twice AND recompute the
     # shingle pipeline for both sides.
-    posts = inv.groupBy("shingle").agg(
+    posts = (inv.groupBy("shingle").agg(
         F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2))  # most shingles are unique to one doc
     pair_arr = F.flatten(F.transform(
         "ds",
         lambda a: F.transform(
