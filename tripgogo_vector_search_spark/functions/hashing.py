@@ -34,7 +34,10 @@ def minhash_signature(shingles_col: ColumnOrName, num_hashes: int = 16) -> Colum
         return F.array_min(
             F.transform(s, lambda x: F.md5(F.concat(F.lit(prefix), x))))
 
-    return F.array(*[seeded_min(f"{i}|") for i in range(num_hashes)])
+    sig = F.array(*[seeded_min(f"{i}|") for i in range(num_hashes)])
+    # Empty shingle set -> NULL (not a 16-element array of NULLs), matching
+    # minhash_signature_udf so isNotNull() filters work on either form.
+    return F.when(F.size(s) > 0, sig)
 
 
 def lsh_band_keys(sig_col: ColumnOrName, bands: int, rows_per_band: int) -> Column:

@@ -74,22 +74,28 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, num_hashes: int = 16,
                       bands: int = 4) -> DataFrame:
     """Per-doc near-dup verdict: is_dup + canonical_id (smallest doc
-    sharing any LSH band)."""
+    sharing any LSH band).
+
+    Scale note: the per-bucket work is **star-linking to the bucket min**,
+    not all-pairs expansion. Under the downstream min-aggregate the two
+    are exactly equivalent — for any doc, the smallest colliding id across
+    its buckets IS the smallest bucket-min below it — but star-linking is
+    O(|bucket|) where pair expansion is O(|bucket|^2), so one hot band key
+    (degenerate corpus: near-identical boilerplate docs) can no longer
+    produce a quadratic single-task array."""
     b = minhash_bands(df, text_col, id_col, shingle_n, num_hashes, bands)
-    # Posting-list pair generation (same pattern as ngram_jaccard_pairs):
-    # one shuffle on the uniformly-distributed band key; a self-join would
+    # One shuffle on the uniformly-distributed band key; a self-join would
     # shuffle twice and recompute the whole signature pipeline per side.
     posts = (b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
              .filter(F.size("ids") >= 2))  # singleton buckets pair with nothing
-    pair_arr = F.flatten(F.transform(
-        "ids",
-        lambda a: F.transform(F.filter("ids", lambda x: x > a),
-                              lambda x: F.struct(x.alias("dup_id"),
-                                                 a.alias("src_id"))),
-    ))
-    # no distinct: a pair surfacing from several bands is harmless under
+    edge_arr = F.transform(
+        F.filter("ids", lambda x: x > F.array_min("ids")),
+        lambda x: F.struct(x.alias("dup_id"),
+                           F.array_min("ids").alias("src_id")),
+    )
+    # no distinct: an edge surfacing from several bands is harmless under
     # the min-aggregate, and dropping it saves a full shuffle
-    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
+    pairs = posts.select(F.explode(edge_arr).alias("p")).select("p.*")
     mins = pairs.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
     return (df.select(id_col)
             .join(mins, df[id_col] == mins.dup_id, "left")
@@ -116,14 +122,22 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
+                        shingle_n: int = 3, min_jaccard: float = 0.0,
+                        df_cap: int = 1024) -> DataFrame:
     """N-gram Jaccard similarity join via an inverted shingle index:
     explode distinct shingles, self-join on shingle (each match is one
     element of |A ∩ B|), then jaccard = inter / (|A| + |B| - inter).
 
-    Integer arithmetic until the final division — deterministic. At scale,
-    drop stop-shingles (document frequency above a cap) before the join to
-    bound the inverted-index fanout.
+    Integer arithmetic until the final division — deterministic.
+
+    ``df_cap`` bounds the inverted-index fanout: a shingle whose document
+    frequency exceeds the cap is a stop-shingle (boilerplate) and is
+    dropped *from the index only* before pair expansion — per-doc shingle
+    counts (the union denominator) still include it, so jaccard for pairs
+    sharing a dropped shingle is slightly underestimated, the standard
+    stop-word trade. Without the cap one hot shingle in n docs expands to
+    an n^2 in-memory pair array inside a single task; with it a posting
+    list is at most df_cap^2/2 pairs (~0.5M at the default).
     """
     sh = (widen(df.select(F.col(id_col).alias("id"), F.col(text_col)))
           .select("id", F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
@@ -136,7 +150,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # shingle pipeline for both sides.
     posts = (inv.groupBy("shingle").agg(
         F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
-        .filter(F.size("ds") >= 2))  # most shingles are unique to one doc
+        # singleton postings pair with nothing; stop-shingles are capped
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
     pair_arr = F.flatten(F.transform(
         "ds",
         lambda a: F.transform(
@@ -154,12 +169,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
-                       prefix_bits: int = 8, threshold: float = 0.95) -> DataFrame:
+                       prefix_bits: int | None = None, threshold: float = 0.95,
+                       target_bucket: int = 64) -> DataFrame:
     """Embedding-cosine near-dup: bucket by the sign pattern of the first
     `prefix_bits` dimensions, pair-join within buckets, keep cosine >=
     threshold. Two near-identical vectors almost surely share the sign
-    prefix; bucket width tunes recall vs cost (longer prefix at scale)."""
+    prefix; bucket width tunes recall vs cost.
+
+    ``prefix_bits=None`` (the default) derives the width from the corpus
+    size so expected bucket occupancy stays ~``target_bucket`` as the
+    corpus grows — ceil(log2(n / target_bucket)), floored at 8 and capped
+    at the vector dimension. A fixed 8-bit prefix means O(n^2/256)
+    in-bucket pairs, fine at sf0.1 and fatal at 100 TB; the adaptive width
+    keeps in-bucket cost ~n * target_bucket. Recall trade-off: each extra
+    bit risks splitting a true near-dup pair whose signs differ on a
+    near-zero dimension — acceptable for near-*identical* vectors (the
+    operator's contract), and the residual hot bucket is a skewed *join*
+    key, which AQE skew-join splits at runtime (no single-task array
+    blowup anywhere in this plan)."""
+    import math
+
     from ..functions.vector import cosine_similarity
+
+    if prefix_bits is None:
+        n = df.count()
+        head = df.select(vec_col).first()
+        dim = len(head[0]) if head and head[0] is not None else 8
+        grown = math.ceil(math.log2(max(n, 1) / target_bucket)) if n > target_bucket else 0
+        prefix_bits = max(8, min(dim, grown))
 
     bucket = F.concat_ws("", *[
         F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
@@ -222,28 +259,41 @@ def minhash_components(df: DataFrame, text_col: str, id_col: str,
                        bands: int = 4) -> DataFrame:
     """Full near-dup grouping: MinHash LSH candidate pairs -> connected
     components, so transitively-linked docs share one canonical group id
-    (A~B, B~C => A,B,C together even when A,C never collide)."""
+    (A~B, B~C => A,B,C together even when A,C never collide).
+
+    Edges are the star graph per bucket (every id linked to the bucket
+    min) — same connected components as the full per-bucket clique, but
+    O(|bucket|) edges instead of O(|bucket|^2), so a hot band key cannot
+    blow up a single task."""
     b = minhash_bands(df, text_col, id_col, shingle_n, num_hashes, bands)
-    posts = b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
-    pair_arr = F.flatten(F.transform(
-        "ids",
-        lambda x: F.transform(F.filter("ids", lambda y: y > x),
-                              lambda y: F.struct(x.alias("a"), y.alias("b"))),
-    ))
-    pairs = (posts.select(F.explode(pair_arr).alias("p"))
+    posts = (b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+             .filter(F.size("ids") >= 2))
+    edge_arr = F.transform(
+        F.filter("ids", lambda y: y > F.array_min("ids")),
+        lambda y: F.struct(F.array_min("ids").alias("a"), y.alias("b")),
+    )
+    pairs = (posts.select(F.explode(edge_arr).alias("p"))
              .select("p.*").distinct())
     return connected_components(pairs, df.select(id_col), id_col)
 
 
 def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
-                         radius: int = 3) -> DataFrame:
+                         radius: int = 3, posting_cap: int = 1024) -> DataFrame:
     """Hamming-radius SimHash near-dup — the scale path past
     exact-signature grouping: split the 32-bit signature into 4 bands of
     8; any pair within hamming distance <= 3 must agree exactly on at
     least one band (pigeonhole), so the band-key join finds every such
     pair with no quadratic scan; candidates then verify the full hamming
     distance. Signatures ride inside the posting lists, so verification
-    needs no extra join back to the corpus."""
+    needs no extra join back to the corpus.
+
+    Pair verification (unlike the min-aggregate in minhash_lsh_dedup)
+    genuinely needs the pairs, so a hot band bucket is bounded by
+    ``posting_cap``: buckets larger than the cap collapse to exact-
+    signature star edges (identical signatures are trivially within any
+    radius), skipping cross-signature verification inside that bucket —
+    a documented recall trade on degenerate corpora in exchange for a
+    bounded per-task pair array."""
     from ..functions.hashing import hamming_distance_bits
 
     sigs = simhash_signatures(df, text_col, id_col)
@@ -253,9 +303,12 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
             F.concat(F.lit(f"{b}:"), F.substring("simhash", 1 + 8 * b, 8))
             for b in range(4)
         ])).alias("band_key"))
-    posts = bands.groupBy("band_key").agg(
+    posts = (bands.groupBy("band_key").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
                                 F.col("simhash").alias("sig"))).alias("ds"))
+        .filter(F.size("ds") >= 2))
+    oversized = posts.filter(F.size("ds") > posting_cap)
+    posts = posts.filter(F.size("ds") <= posting_cap)
     pair_arr = F.flatten(F.transform(
         "ds",
         lambda a: F.transform(
@@ -266,7 +319,17 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
     ))
     pairs = (posts.select(F.explode(pair_arr).alias("p")).select("p.*")
              .filter(hamming_distance_bits("dup_sig", "src_sig") <= radius))
-    mins = pairs.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
+    # Oversized buckets: linear exact-signature star edges (explode to
+    # rows, min per signature) instead of quadratic pair expansion.
+    over_rows = (oversized.select(F.col("band_key"), F.explode("ds").alias("d"))
+                 .select("band_key", F.col("d.id").alias("id"),
+                         F.col("d.sig").alias("sig")))
+    over_min = over_rows.groupBy("band_key", "sig").agg(F.min("id").alias("src_id"))
+    over_edges = (over_rows.join(over_min, ["band_key", "sig"])
+                  .filter(F.col("id") > F.col("src_id"))
+                  .select(F.col("id").alias("dup_id"), F.col("src_id")))
+    edges = pairs.select("dup_id", "src_id").unionByName(over_edges)
+    mins = edges.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
     return (df.select(id_col)
             .join(mins, df[id_col] == mins.dup_id, "left")
             .select(F.col(id_col),

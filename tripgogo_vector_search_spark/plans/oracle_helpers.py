@@ -91,3 +91,29 @@ def sql_hash_bucket(h: str, bits: int = 6) -> str:
 def sql_hash_sign(h: str, bits: int = 6) -> str:
     return (f"(CASE WHEN substring({h}, {bits + 1}, 1) IN {HEX_HIGH_SQL} "
             f"THEN 1 ELSE -1 END)")
+
+
+# ---- driver-safe array serialization ------------------------------------
+#
+# The driver's pandas canonicalizer sorts result columns, which raises
+# `TypeError: unhashable type: 'list'` on array-typed cells. Queries whose
+# *output* is a vector therefore serialize it to a deterministic string on
+# both sides; arrays stay arrays internally.
+
+def sql_arr_int_str(a: str) -> str:
+    """Integer list -> comma-joined string (matches Spark's
+    ``array_join(cast(a as array<string>), ',')`` for integral types)."""
+    return f"array_to_string({a}, ',')"
+
+
+def sql_arr_num6_str(a: str) -> str:
+    """Float list -> comma-joined fixed-point string. The DECIMAL(18,6)
+    pivot makes the rendering engine-independent (double repr is not)."""
+    return (f"array_to_string(list_transform({a}, "
+            f"x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) "
+            f"AS VARCHAR)), ',')")
+
+
+def sql_arr_str_str(a: str, sep: str = "|") -> str:
+    """String list -> joined string ('|' avoids commas inside values)."""
+    return f"array_to_string({a}, '{sep}')"

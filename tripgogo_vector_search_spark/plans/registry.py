@@ -24,10 +24,11 @@ from ..operators.simjoin import similarity_join
 from ..session import prepare
 from ..sources.tables import load_table
 from .flagship import DIM, QUERY_VEC, flagship_query
-from .oracle_helpers import (sql_cosine_distance, sql_dot, sql_double_list,
-                             sql_lsh_band_keys, sql_minhash_signature,
-                             sql_norm, sql_shingles, sql_simhash32,
-                             sql_stopword_hits, sql_words)
+from .oracle_helpers import (sql_arr_int_str, sql_arr_num6_str,
+                             sql_arr_str_str, sql_cosine_distance, sql_dot,
+                             sql_double_list, sql_lsh_band_keys,
+                             sql_minhash_signature, sql_norm, sql_shingles,
+                             sql_simhash32, sql_stopword_hits, sql_words)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -47,6 +48,28 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
+
+
+# Driver-safe array serialization (Spark side of oracle_helpers'
+# sql_arr_*_str): the driver's pandas canonicalizer cannot sort/hash
+# list-valued cells, so vector-valued *outputs* are joined to strings.
+# Arrays remain arrays everywhere internal to a plan.
+
+def arr_int_str(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(c.cast("array<string>"), ",")
+
+
+def arr_num6_str(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(c, lambda x: F.round(x.cast("double"), 6)
+                    .cast("decimal(18,6)").cast("string")), ",")
+
+
+def arr_str_str(col, sep: str = "|") -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(c, sep)
 
 
 # --------------------------------------------------------------------------
@@ -172,33 +195,37 @@ def sort_desc(spark, sf_dir):
 _QV = sql_double_list(QUERY_VEC)
 
 @query("to_vector",
-       "SELECT vec_id, embedding AS vec FROM embeddings")
+       f"SELECT vec_id, {sql_arr_num6_str('embedding')} AS vec FROM embeddings")
 def to_vector(spark, sf_dir):
     """TO_VECTOR parity (streamlit_app.py:66): serialize each stored vector
     to its bracketed string literal form, parse it back with the engine's
     `to_vector`. Float->string is shortest-round-trip in Spark, so the
-    round trip is the identity — the oracle is the raw column."""
+    round trip is the identity — the oracle is the raw column, rendered
+    through the driver-safe fixed-point string serializer."""
     e = _t(spark, sf_dir, "embeddings")
     as_str = F.concat(
         F.lit("["),
         F.array_join(F.transform("embedding", lambda x: x.cast("string")), ","),
         F.lit("]"),
     )
-    return e.select("vec_id", V.to_vector(as_str, dim=DIM).alias("vec"))
+    return e.select("vec_id",
+                    arr_num6_str(V.to_vector(as_str, dim=DIM)).alias("vec"))
 
 
 @query("l2_normalize",
        f"""SELECT vec_id,
-                  list_transform(generate_series(1, len(embedding)),
-                      i -> round(embedding[i]::DOUBLE / sqrt({sql_dot('embedding', 'embedding')}), 6))
+                  {sql_arr_num6_str(
+                      "list_transform(generate_series(1, len(embedding)), "
+                      "i -> embedding[i]::DOUBLE / sqrt("
+                      + sql_dot('embedding', 'embedding') + "))")}
                     AS unit_vec
            FROM embeddings""")
 def l2_normalize(spark, sf_dir):
     """Unit-normalization (ingest_hotels.py:23 `normalize_embeddings=True`),
-    elements rounded to 6 dp for cross-engine float comparison."""
+    elements rendered at 6 dp for cross-engine float comparison."""
     e = _t(spark, sf_dir, "embeddings")
-    unit = F.transform(V.l2_normalize("embedding"), lambda x: F.round(x, 6))
-    return e.select("vec_id", unit.alias("unit_vec"))
+    return e.select("vec_id",
+                    arr_num6_str(V.l2_normalize("embedding")).alias("unit_vec"))
 
 
 @query("cosine_distance",
@@ -396,9 +423,10 @@ _SIGN_BUCKET = ("array_to_string(list_transform(generate_series(1, 8), "
            FROM embeddings v LEFT JOIN mins m ON v.vec_id = m.dup_id""")
 def embedding_near_dup_q(spark, sf_dir):
     """Embedding-cosine near-dedup: sign-prefix bucketing bounds the pair
-    join; cosine >= 0.95 within buckets."""
+    join; cosine >= 0.95 within buckets. prefix_bits adapts to corpus size
+    (resolves to the oracle's 8 bits at every test SF; grows at scale)."""
     return DD.embedding_near_dup(_t(spark, sf_dir, "embeddings"), "embedding",
-                                 "vec_id", prefix_bits=8, threshold=0.95)
+                                 "vec_id", prefix_bits=None, threshold=0.95)
 
 
 # --------------------------------------------------------------------------
@@ -506,10 +534,12 @@ from .oracle_helpers import sql_hash_bucket, sql_hash_sign  # noqa: E402
                              list_transform({sql_words('text')}, t -> md5(t)) AS hs
                       FROM documents)
            SELECT doc_id,
-                  list_transform(generate_series(0, 63), b ->
-                    list_sum(list_transform(hs, h ->
-                      CASE WHEN {sql_hash_bucket('h')} = b
-                           THEN {sql_hash_sign('h')} ELSE 0 END))::BIGINT) AS vec
+                  {sql_arr_int_str(
+                      "list_transform(generate_series(0, 63), b -> "
+                      "list_sum(list_transform(hs, h -> "
+                      "CASE WHEN " + sql_hash_bucket('h') + " = b "
+                      "THEN " + sql_hash_sign('h') + " ELSE 0 END))::BIGINT)")}
+                    AS vec
            FROM w""")
 def embed_text_q(spark, sf_dir):
     """Deterministic hash embedder (raw signed-count signature), §2.C
@@ -520,16 +550,17 @@ def embed_text_q(spark, sf_dir):
     from ..partitioning import widen
     d = widen(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
-                    hash_embed_udf(normalized=False)(F.col("text"))
-                    .cast("array<bigint>").alias("vec"))
+                    arr_int_str(hash_embed_udf(normalized=False)(F.col("text"))
+                                .cast("array<bigint>")).alias("vec"))
 
 
 @query("multimodal_features",
-       """SELECT doc_id AS media_id,
-                 list_transform(generate_series(0, 63), b ->
-                   list_sum(list_transform(generate_series(1, length(text)), i ->
-                     CASE WHEN ascii(substring(text, i, 1)) % 64 = b
-                          THEN 1 ELSE 0 END))::BIGINT) AS feat
+       f"""SELECT doc_id AS media_id,
+                 {sql_arr_int_str(
+                     "list_transform(generate_series(0, 63), b -> "
+                     "list_sum(list_transform(generate_series(1, length(text)), i -> "
+                     "CASE WHEN ascii(substring(text, i, 1)) % 64 = b "
+                     "THEN 1 ELSE 0 END))::BIGINT)")} AS feat
           FROM documents""")
 def multimodal_features_q(spark, sf_dir):
     """Binary-column feature extraction: UTF-8 payloads flow as Arrow
@@ -537,7 +568,8 @@ def multimodal_features_q(spark, sf_dir):
     histogram so the oracle (ascii() over ASCII text) matches."""
     from ..operators.multimodal import documents_as_media, extract_features
     d = _t(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(d))
+    out = extract_features(documents_as_media(d))
+    return out.withColumn("feat", arr_int_str("feat"))
 
 
 # --------------------------------------------------------------------------
@@ -561,10 +593,11 @@ def stream_window_agg_q(spark, sf_dir):
 @query("stream_embed", ORACLES["embed_text"])
 def stream_embed_q(spark, sf_dir):
     """Embed-on-arrival via readStream; must equal the batch embed_text
-    oracle exactly."""
+    oracle exactly (same driver-safe string serialization)."""
     from ..streaming.ingest import run_stream_to_table, stream_embed_documents
-    return run_stream_to_table(spark, stream_embed_documents(spark, sf_dir),
-                               mode="append")
+    out = run_stream_to_table(spark, stream_embed_documents(spark, sf_dir),
+                              mode="append")
+    return out.withColumn("vec", arr_int_str(F.col("vec").cast("array<bigint>")))
 
 
 # --------------------------------------------------------------------------
@@ -869,7 +902,8 @@ def case_when(spark, sf_dir):
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
-          SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+          SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                 COUNT(*) AS n_events
           FROM x GROUP BY user_id""")
 def sessionize_q(spark, sf_dir):
     """Sessionization: lag-gap detection (30 min) + per-user session
@@ -1079,7 +1113,7 @@ def stats_agg(spark, sf_dir):
 
 
 @query("array_funcs",
-       """SELECT vec_id,
+       f"""SELECT vec_id,
                  CAST(len(embedding) AS BIGINT) AS dim,
                  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
                  round(list_reduce(list_transform(embedding,
@@ -1087,8 +1121,7 @@ def stats_agg(spark, sf_dir):
                                    (a, x) -> a + x), 4) AS vec_sum,
                  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS vmin,
                  round(CAST(list_sort(embedding)[-1] AS DOUBLE), 6) AS vmax,
-                 list_transform(list_slice(embedding, 1, 3),
-                                x -> round(CAST(x AS DOUBLE), 6)) AS head3
+                 {sql_arr_num6_str('list_slice(embedding, 1, 3)')} AS head3
           FROM embeddings""")
 def array_funcs(spark, sf_dir):
     """Higher-order array battery: size, filter+count, left-fold sum,
@@ -1103,8 +1136,7 @@ def array_funcs(spark, sf_dir):
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
         F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
         F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
-        F.transform(F.slice(emb, 1, 3),
-                    lambda x: F.round(x.cast("double"), 6)).alias("head3"))
+        arr_num6_str(F.slice(emb, 1, 3)).alias("head3"))
 
 
 @query("string_funcs",
@@ -1268,18 +1300,22 @@ def explode_tokens(spark, sf_dir):
 
 @query("collect_agg",
        """SELECT c_nationkey, COUNT(*) AS n_cust,
-                 list(c_name ORDER BY c_name) FILTER (c_acctbal > 9000)
-                   AS rich_names
+                 coalesce(array_to_string(
+                   list(c_name ORDER BY c_name) FILTER (c_acctbal > 9000),
+                   '|'), '') AS rich_names
           FROM customer GROUP BY c_nationkey""")
 def collect_agg(spark, sf_dir):
     """Ordered list aggregation with a filter: per-nation sorted names of
     high-balance customers (collect_list is unordered in a distributed
-    engine — sort_array pins the order deterministically)."""
+    engine — sort_array pins the order deterministically). Serialized with
+    '|' and coalesced to '' so a group with no qualifying rows compares
+    equal across engines (Spark collect_list gives [], DuckDB FILTER gives
+    NULL)."""
     c = _t(spark, sf_dir, "customer")
     return (c.groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("n_cust"),
-                 F.sort_array(F.collect_list(
-                     F.when(F.col("c_acctbal") > 9000, F.col("c_name"))))
+                 arr_str_str(F.sort_array(F.collect_list(
+                     F.when(F.col("c_acctbal") > 9000, F.col("c_name")))))
                  .alias("rich_names")))
 
 
@@ -1814,7 +1850,7 @@ def vector_distances(spark, sf_dir):
                  CAST(len(map_entries(m)) AS BIGINT) AS n_keys,
                  CAST(m['priority'][1] AS VARCHAR) AS prio,
                  CAST(m['status'][1] AS VARCHAR) AS status,
-                 list_sort(map_keys(m)) AS keys_sorted
+                 array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted
           FROM (SELECT o_orderkey,
                        MAP {'priority': o_orderpriority,
                             'status': o_orderstatus} AS m
@@ -1831,7 +1867,8 @@ def map_funcs(spark, sf_dir):
                     F.size("m").cast("bigint").alias("n_keys"),
                     F.col("m")["priority"].alias("prio"),
                     F.element_at("m", "status").alias("status"),
-                    F.sort_array(F.map_keys("m")).alias("keys_sorted")))
+                    arr_str_str(F.sort_array(F.map_keys("m")))
+                    .alias("keys_sorted")))
 
 
 @query("udtf_ngrams",
