@@ -1,0 +1,199 @@
+"""Worst-case guards for the dedup family (VERDICT r1 items 3-4): one hot
+shingle / band key / bucket must never expand to a quadratic single-task
+array, and the guards must not change output on well-behaved corpora.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripgogo_vector_search_spark.operators import dedup as DD
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard df_cap
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_stop_shingle_capped(spark):
+    # 40 docs all sharing one boilerplate shingle ("the same header"),
+    # plus per-doc unique tails. Uncapped, the hot shingle's posting list
+    # expands to 40*39/2 pairs; with df_cap below 40 it is dropped from
+    # the index and only genuinely-overlapping docs pair.
+    rows = [(i, f"the same header unique{i} tail{i} word{i}")
+            for i in range(40)]
+    # docs 100/101 share their whole tail -> survive the cap via their
+    # non-stop shingles
+    rows += [(100, "the same header shared tail text here"),
+             (101, "the same header shared tail text here")]
+    df = _docs(spark, rows)
+
+    capped = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
+                                    min_jaccard=0.5, df_cap=10)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert set(got) == {(100, 101)}
+    # the shared stop-shingle is dropped from the intersection but kept in
+    # the union denominator: 4 surviving shared shingles / (5+5-4) — the
+    # documented underestimation, not 1.0
+    assert got[(100, 101)] == pytest.approx(4 / 6, abs=1e-6)
+
+    # uncapped counts the boilerplate shingle too: identical docs -> 1.0
+    uncapped = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
+                                      min_jaccard=0.5, df_cap=10_000)
+    ug = {(r.id_a, r.id_b): r.jaccard for r in uncapped.collect()}
+    assert ug[(100, 101)] == 1.0
+
+
+def test_ngram_jaccard_cap_above_max_df_is_identity(spark):
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    a = DD.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.4,
+                               df_cap=1024)
+    b = DD.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.4,
+                               df_cap=10**9)
+    ra = sorted((r.id_a, r.id_b, r.jaccard) for r in a.collect())
+    rb = sorted((r.id_a, r.id_b, r.jaccard) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+
+
+# ---------------------------------------------------------------------------
+# minhash star-linking == pair expansion under the min-aggregate
+# ---------------------------------------------------------------------------
+
+def test_minhash_star_linking_matches_bruteforce(spark):
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    got = {r.doc_id: (r.is_dup, r.canonical_id)
+           for r in DD.minhash_lsh_dedup(docs, "text", "doc_id").collect()}
+
+    # brute force: full collision sets from the band index
+    bands = DD.minhash_bands(docs, "text", "doc_id").collect()
+    by_key: dict[str, list[int]] = {}
+    for r in bands:
+        by_key.setdefault(r.band_key, []).append(r.doc_id)
+    collide: dict[int, set[int]] = {}
+    for ids in by_key.values():
+        for a in ids:
+            collide.setdefault(a, set()).update(ids)
+    for r in docs.select("doc_id").collect():
+        i = r.doc_id
+        below = {x for x in collide.get(i, set()) if x < i}
+        want = (True, min(below)) if below else (False, i)
+        assert got[i] == want, f"doc {i}: got {got[i]}, want {want}"
+
+
+def test_minhash_components_star_edges_same_components(spark):
+    # Star edges (everyone -> bucket min) must yield the same connected
+    # components as the full per-bucket clique: compare against a
+    # brute-force union-find over the complete collision sets.
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    got = {r.doc_id: r.component_id
+           for r in DD.minhash_components(docs, "text", "doc_id").collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_key: dict[str, list[int]] = {}
+    for r in DD.minhash_bands(docs, "text", "doc_id").collect():
+        by_key.setdefault(r.band_key, []).append(r.doc_id)
+    for ids in by_key.values():
+        for x in ids[1:]:
+            union(ids[0], x)
+    n_dup_groups = 0
+    for r in docs.select("doc_id").collect():
+        i = r.doc_id
+        assert got[i] == find(i), f"doc {i}: got {got[i]}, want {find(i)}"
+        n_dup_groups += got[i] != i
+    assert n_dup_groups > 0  # the corpus does contain near-dups
+
+
+# ---------------------------------------------------------------------------
+# simhash banded posting_cap
+# ---------------------------------------------------------------------------
+
+def test_simhash_banded_oversized_bucket_still_groups_identical(spark):
+    # 30 byte-identical docs -> identical signatures -> every band bucket
+    # has 30 entries. posting_cap=8 forces ALL buckets onto the oversized
+    # path, which must still star-link identical signatures.
+    rows = [(i, "identical boilerplate document body text") for i in range(30)]
+    rows += [(90, "a completely unrelated piece of writing")]
+    df = _docs(spark, rows)
+    out = {r.doc_id: (r.is_dup, r.canonical_id)
+           for r in DD.simhash_banded_dedup(df, "text", "doc_id",
+                                            posting_cap=8).collect()}
+    assert out[0] == (False, 0)
+    for i in range(1, 30):
+        assert out[i] == (True, 0)
+    assert out[90] == (False, 90)
+
+
+def test_simhash_banded_cap_above_bucket_size_is_identity(spark):
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    a = DD.simhash_banded_dedup(docs, "text", "doc_id", posting_cap=1024)
+    b = DD.simhash_banded_dedup(docs, "text", "doc_id", posting_cap=10**9)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dup adaptive prefix
+# ---------------------------------------------------------------------------
+
+def test_adaptive_prefix_bits_schedule():
+    # small corpora resolve to the floor (oracle parity at every test SF)
+    assert DD.adaptive_prefix_bits(50, dim=64) == 8
+    assert DD.adaptive_prefix_bits(5_000, dim=64) == 8
+    # growth: expected occupancy n / 2^bits stays <= target_bucket
+    for n in (10**6, 10**8, 10**10):
+        bits = DD.adaptive_prefix_bits(n, dim=64)
+        assert n / 2 ** bits <= 64
+        assert bits == math.ceil(math.log2(n / 64))
+    # never exceeds the vector dimension
+    assert DD.adaptive_prefix_bits(10**12, dim=16) == 16
+
+
+def test_embedding_near_dup_adaptive_equals_fixed_at_test_sf(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    auto = DD.embedding_near_dup(emb, "embedding", "vec_id", prefix_bits=None)
+    fixed = DD.embedding_near_dup(emb, "embedding", "vec_id", prefix_bits=8)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
+
+
+def test_embedding_near_dup_recall_on_scaled_copies(spark):
+    # Positive scaling preserves every sign and cosine==1, so recall must
+    # be exact regardless of prefix width — the operator's contract is
+    # near-*identical* vectors.
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows += [(100 + i, [float(x) * 2.5 for x in base[i]]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: (r.is_dup, r.canonical_id)
+           for r in DD.embedding_near_dup(emb, "embedding", "vec_id",
+                                          prefix_bits=12,
+                                          threshold=0.999).collect()}
+    for i in range(10):
+        assert out[100 + i] == (True, i)
+    dup_flags = [out[i][0] for i in range(40)]
+    assert not any(dup_flags)  # random gaussians are not near-dups

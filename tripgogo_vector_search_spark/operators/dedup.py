@@ -168,6 +168,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("jaccard") >= min_jaccard))
 
 
+def adaptive_prefix_bits(n: int, dim: int, target_bucket: int = 64) -> int:
+    """Sign-prefix width for `embedding_near_dup`: wide enough that the
+    expected bucket occupancy n / 2^bits stays ~target_bucket, floored at
+    8 (the sf-test resolution) and capped at the vector dimension."""
+    import math
+    grown = (math.ceil(math.log2(max(n, 1) / target_bucket))
+             if n > target_bucket else 0)
+    return max(8, min(dim, grown))
+
+
 def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
                        prefix_bits: int | None = None, threshold: float = 0.95,
                        target_bucket: int = 64) -> DataFrame:
@@ -187,16 +197,13 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
     operator's contract), and the residual hot bucket is a skewed *join*
     key, which AQE skew-join splits at runtime (no single-task array
     blowup anywhere in this plan)."""
-    import math
-
     from ..functions.vector import cosine_similarity
 
     if prefix_bits is None:
         n = df.count()
         head = df.select(vec_col).first()
         dim = len(head[0]) if head and head[0] is not None else 8
-        grown = math.ceil(math.log2(max(n, 1) / target_bucket)) if n > target_bucket else 0
-        prefix_bits = max(8, min(dim, grown))
+        prefix_bits = adaptive_prefix_bits(n, dim, target_bucket)
 
     bucket = F.concat_ws("", *[
         F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
