@@ -132,6 +132,26 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "event_type" not in read and "props" not in read
 
 
+def test_ann_lsh_search_is_partition_pruned(spark):
+    """The materialized LSH index is bucket-partitioned at rest; a search
+    must show the bucket equality as a PartitionFilter (directories
+    pruned), not a post-scan Filter over the whole corpus."""
+    import re
+    plan = plan_of(QUERIES["ann_lsh"](spark, SF_CORRECTNESS))
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    assert re.search(r"\(bucket#\d+ = b[01]{8}\)", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivf_search_is_partition_pruned(spark):
+    """IVF probes are chosen driver-side from the centroid set; the cid
+    IN-filter must prune the cid-partitioned index statically."""
+    import re
+    plan = plan_of(QUERIES["ann_ivf"](spark, SF_CORRECTNESS))
+    assert re.search(r"PartitionFilters: \[cid#\d+ IN \(\d+,\d+\)\]", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cached_corpus_reused_across_queries(spark):
     """df.cache(): repeated queries over the same hot corpus read the
     in-memory columnar form, not the file scan — the pattern for

@@ -50,15 +50,29 @@ def minhash_signature_udf(text_col: ColumnOrName, shingle_n: int = 3,
     @pandas_udf("array<string>")
     def _sig(texts: pd.Series) -> pd.Series:
         md5 = hashlib.md5
+        # Near-dup corpora repeat shingles across docs by construction;
+        # memoizing the 16-hash vector per distinct shingle within the
+        # Arrow batch turns the dominant cost (16 md5 calls per shingle
+        # *occurrence*) into one lookup. Per-batch scope bounds memory.
+        memo: dict[str, list[str]] = {}
         out = []
         for t in texts:
             shs = set(_shingle_list(t, shingle_n))
             if not shs:
                 out.append(None)
                 continue
-            enc = [s.encode() for s in shs]
-            out.append([min(md5(p + e).hexdigest() for e in enc)
-                        for p in prefixes])
+            mins: list[str] | None = None
+            for s in shs:
+                v = memo.get(s)
+                if v is None:
+                    e = s.encode()
+                    v = [md5(p + e).hexdigest() for p in prefixes]
+                    memo[s] = v
+                if mins is None:
+                    mins = list(v)
+                else:
+                    mins = [a if a < b else b for a, b in zip(mins, v)]
+            out.append(mins)
         return pd.Series(out)
 
     return _sig(_c(text_col))
@@ -73,17 +87,23 @@ def simhash_udf(text_col: ColumnOrName) -> Column:
     @pandas_udf("string")
     def _sim(texts: pd.Series) -> pd.Series:
         md5 = hashlib.md5
+        # token -> per-bit +/-1 vector, memoized per batch (natural-text
+        # token vocabularies are tiny relative to token occurrences)
+        memo: dict[str, list[int]] = {}
         out = []
         for t in texts:
             if t is None:        # expression spec: NULL text -> NULL hash
                 out.append(None)
                 continue
-            toks = t.split(" ")
             counts = [0] * 32
-            for tok in toks:
-                h = md5(tok.encode()).hexdigest()
+            for tok in t.split(" "):
+                v = memo.get(tok)
+                if v is None:
+                    h = md5(tok.encode()).hexdigest()
+                    v = [1 if h[j] in _HEX_HIGH else -1 for j in range(32)]
+                    memo[tok] = v
                 for j in range(32):
-                    counts[j] += 1 if h[j] in _HEX_HIGH else -1
+                    counts[j] += v[j]
             out.append("".join("1" if c > 0 else "0" for c in counts))
         return pd.Series(out)
 

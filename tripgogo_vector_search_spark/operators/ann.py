@@ -47,16 +47,19 @@ def py_dot(a: Sequence[float], b: Sequence[float]) -> float:
 
 
 def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket key, e.g. '01101001'."""
+    """Sign-bit bucket key, e.g. 'b01101001'. The 'b' prefix keeps the
+    key a *string* through Hive-partitioned round trips — bare bitstrings
+    get type-inferred to integers (leading zeros dropped) when the index
+    is written partitionBy(bucket)."""
     bits = [
         F.when(dot(F.col(vec_col), vector_lit(p)) >= 0, "1").otherwise("0")
         for p in planes
     ]
-    return F.concat(*bits)
+    return F.concat(F.lit("b"), *bits)
 
 
 def py_lsh_bucket(vec: Sequence[float], planes: list[list[float]]) -> str:
-    return "".join("1" if py_dot(vec, p) >= 0 else "0" for p in planes)
+    return "b" + "".join("1" if py_dot(vec, p) >= 0 else "0" for p in planes)
 
 
 def build_lsh_index(corpus: DataFrame, vec_col: str = "embedding",
@@ -80,6 +83,75 @@ def lsh_search(index: DataFrame, query_vec: Sequence[float], k: int = 3,
     return (scored.orderBy(F.col("distance_score").asc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, F.round("distance_score", 6).alias("distance_score")))
+
+
+def materialize_lsh_index(corpus: DataFrame, path: str,
+                          vec_col: str = "embedding",
+                          planes: list[list[float]] | None = None) -> None:
+    """Write the LSH index to parquet **partitioned by bucket** — the
+    one-scan build step. Queries against the materialized index become
+    partition-pruned reads of ~corpus/2^n_planes rows (PartitionFilters
+    in the scan node, pinned by tests/test_plan_shape.py)."""
+    (build_lsh_index(corpus, vec_col, planes)
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def lsh_search_materialized(spark, path: str, query_vec: Sequence[float],
+                            k: int = 3, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            planes: list[list[float]] | None = None) -> DataFrame:
+    """Single-probe search against a bucket-partitioned on-disk index:
+    the bucket equality predicate prunes to one partition directory, so
+    the scan reads 1/2^n_planes of the corpus without touching the rest."""
+    planes = planes or lsh_planes()
+    qbucket = py_lsh_bucket(query_vec, planes)
+    cand = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
+    scored = cand.withColumn(
+        "distance_score", cosine_distance(F.col(vec_col), vector_lit(query_vec)))
+    return (scored.orderBy(F.col("distance_score").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("distance_score", 6).alias("distance_score")))
+
+
+def materialize_ivf_index(corpus: DataFrame, path: str,
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          n_cells: int = 16) -> None:
+    """Write the IVF cell assignment to parquet **partitioned by cid**.
+    At query time `nprobe` cells are chosen driver-side from the (tiny)
+    centroid set, so the candidate read is a statically partition-pruned
+    scan of nprobe/n_cells of the data."""
+    (build_ivf_index(corpus, vec_col, id_col, n_cells)
+     .write.mode("overwrite").partitionBy("cid").parquet(path))
+
+
+def ivf_search_materialized(spark, path: str, corpus: DataFrame,
+                            query_vec: Sequence[float], k: int = 3,
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            n_cells: int = 16, nprobe: int = 2) -> DataFrame:
+    """Probe selection runs driver-side over the n_cells centroids (same
+    float-op order as the SQL expression, so ordering ties break
+    identically), then the cid `isin` filter prunes the partitioned index
+    statically — no job touches the unprobed cells."""
+    cents = (corpus.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+             .collect())
+
+    def cos_dist(a: Sequence[float], b: Sequence[float]) -> float:
+        na = math.sqrt(py_dot(a, a)) or 1.0
+        nb = math.sqrt(py_dot(b, b)) or 1.0
+        return 1.0 - py_dot(a, b) / (na * nb)
+
+    order = sorted(cents, key=lambda r: (cos_dist(r.cvec, query_vec), r.cid))
+    probes = [r.cid for r in order[:nprobe]]
+    cand = spark.read.parquet(path).filter(F.col("cid").isin(probes))
+    scored = cand.withColumn(
+        "distance_score", cosine_distance(F.col(vec_col), vector_lit(query_vec)))
+    return (scored.orderBy(F.col("distance_score").asc(), F.col(id_col).asc())
+            .limit(k)
+            # partition-column type inference reads cid back as int;
+            # restore the builder's bigint so the result schema is stable
+            .select(id_col, F.col("cid").cast("bigint").alias("cid"),
+                    F.round("distance_score", 6).alias("distance_score")))
 
 
 def build_ivf_index(corpus: DataFrame, vec_col: str = "embedding",

@@ -608,10 +608,22 @@ from ..operators import ann as ANN  # noqa: E402
 
 _PLANES = ANN.lsh_planes()
 _QBUCKET = ANN.py_lsh_bucket(QUERY_VEC, _PLANES)
-_BUCKET_SQL = "(" + " || ".join(
+_BUCKET_SQL = "('b' || " + " || ".join(
     f"(CASE WHEN {sql_dot('embedding', sql_double_list(p))} >= 0 "
     "THEN '1' ELSE '0' END)"
     for p in _PLANES) + ")"
+
+def _materialized_index(spark, sf_dir, leaf, build) -> str:
+    """Build-once-per-corpus index materialization: `build(path)` runs
+    only when the index directory has no successful write marker. The
+    test corpora are immutable per sf_dir; a real deployment would key
+    this on the corpus snapshot/version."""
+    import os
+    path = _cache_dir(sf_dir, leaf)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build(path)
+    return path
+
 
 @query("ann_lsh",
        f"""SELECT vec_id, round({sql_cosine_distance('embedding', _QV)}, 6)
@@ -621,10 +633,17 @@ _BUCKET_SQL = "(" + " || ".join(
            ORDER BY {sql_cosine_distance('embedding', _QV)} ASC, vec_id ASC
            LIMIT 3""")
 def ann_lsh_q(spark, sf_dir):
-    """LSH random-hyperplane ANN: search only the query's sign-bit bucket
-    (single probe); ~corpus/2^8 candidates instead of a full scan."""
-    idx = ANN.build_lsh_index(_t(spark, sf_dir, "embeddings"), planes=_PLANES)
-    return ANN.lsh_search(idx, QUERY_VEC, k=3, planes=_PLANES)
+    """LSH random-hyperplane ANN against the **materialized** index:
+    built once per corpus (write partitioned by bucket), then every
+    search is a partition-pruned scan of the query's sign-bit bucket —
+    ~corpus/2^8 rows read, the rest never touched (PartitionFilters,
+    pinned in tests/test_plan_shape.py)."""
+    path = _materialized_index(
+        spark, sf_dir, "ann_lsh_index",
+        lambda p: ANN.materialize_lsh_index(
+            _t(spark, sf_dir, "embeddings"), p, planes=_PLANES))
+    return ANN.lsh_search_materialized(spark, path, QUERY_VEC, k=3,
+                                       planes=_PLANES)
 
 
 @query("ann_ivf",
@@ -649,10 +668,16 @@ def ann_lsh_q(spark, sf_dir):
            SELECT vec_id, cid, round(d, 6) AS distance_score
            FROM scored ORDER BY d ASC, vec_id ASC LIMIT 3""")
 def ann_ivf_q(spark, sf_dir):
-    """IVF ANN: nearest-centroid cell assignment (seed-sampled centroids),
-    probe the 2 cells nearest the query, exact search within."""
-    return ANN.ivf_search(_t(spark, sf_dir, "embeddings"), QUERY_VEC,
-                          k=3, n_cells=16, nprobe=2)
+    """IVF ANN against the **materialized** cell-assignment index: built
+    once per corpus (write partitioned by cid), probes chosen driver-side
+    from the 16 centroids, exact search inside the 2 probed cells — a
+    statically partition-pruned read of nprobe/n_cells of the data."""
+    corpus = _t(spark, sf_dir, "embeddings")
+    path = _materialized_index(
+        spark, sf_dir, "ann_ivf_index",
+        lambda p: ANN.materialize_ivf_index(corpus, p, n_cells=16))
+    return ANN.ivf_search_materialized(spark, path, corpus, QUERY_VEC,
+                                       k=3, n_cells=16, nprobe=2)
 
 
 # --------------------------------------------------------------------------
