@@ -92,6 +92,57 @@ def test_rag_retry_backoff_contract():
     assert s1 == s2
 
 
+def test_rag_http_transport_retry_on_500():
+    """The production transport slot: a fake HTTP layer returns 500 twice
+    then 200; generate_summary must retry with 1s,2s backoff and parse the
+    JSON body of the eventual success."""
+    import io
+    import json
+    import urllib.error
+
+    attempts, sleeps = [], []
+    ok_body = json.dumps(
+        {"candidates": [{"content": {"parts": [{"text": "hi there"}]}}]})
+
+    class _Resp:
+        def __enter__(self):
+            return io.BytesIO(ok_body.encode())
+        def __exit__(self, *a):
+            return False
+
+    def opener(req, timeout):
+        attempts.append((req.full_url, req.get_header("Content-type"),
+                         req.get_header("X-goog-api-key")))
+        if len(attempts) <= 2:
+            raise urllib.error.HTTPError(req.full_url, 500, "boom", {}, None)
+        return _Resp()
+
+    transport = lambda payload: rag.http_transport(
+        payload, endpoint="https://llm.example/v1:generate",
+        api_key="k-123", opener=opener)
+    out = rag.generate_summary([{"name": "A"}], "q", transport=transport,
+                               sleeper=sleeps.append)
+    assert out == "hi there"
+    assert sleeps == [1, 2]
+    assert len(attempts) == 3
+    url, ctype, key = attempts[0]
+    assert url == "https://llm.example/v1:generate"
+    assert ctype == "application/json" and key == "k-123"
+    # the POST body is the reference's payload shape
+    # (contents/systemInstruction)
+    # no endpoint configured -> transport errors -> stub stays the default
+    assert rag.default_transport() is rag.stub_transport
+
+
+def test_rag_http_transport_requires_endpoint(monkeypatch):
+    monkeypatch.delenv(rag.ENDPOINT_ENV, raising=False)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        rag.http_transport({"contents": []})
+    monkeypatch.setenv(rag.ENDPOINT_ENV, "https://llm.example/gen")
+    assert rag.default_transport() is rag.http_transport
+
+
 def test_multimodal_frame_sample(spark):
     from tripgogo_vector_search_spark.operators.multimodal import (
         MEDIA_SCHEMA, frame_sample, resize_images)

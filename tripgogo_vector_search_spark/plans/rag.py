@@ -63,6 +63,45 @@ def stub_transport(payload: dict) -> dict:
     return {"candidates": [{"content": {"parts": [{"text": body}]}}]}
 
 
+ENDPOINT_ENV = "SPARK_RAG_LLM_ENDPOINT"
+API_KEY_ENV = "SPARK_RAG_LLM_API_KEY"
+
+
+def http_transport(payload: dict, endpoint: str | None = None,
+                   api_key: str | None = None, timeout: float = 30.0,
+                   opener: Callable | None = None) -> dict:
+    """Real HTTP POST analogue of the reference's requests.post call
+    (streamlit_app.py:142-149): JSON body, api key header, JSON response.
+    Raises on transport/HTTP errors so `generate_summary`'s retry loop
+    sees failures exactly as the reference's try/except does. stdlib-only
+    (urllib); `opener` is injectable for tests."""
+    import json
+    import os
+    import urllib.request
+
+    endpoint = endpoint or os.environ.get(ENDPOINT_ENV)
+    if not endpoint:
+        raise RuntimeError(f"no LLM endpoint configured ({ENDPOINT_ENV})")
+    api_key = api_key if api_key is not None else os.environ.get(API_KEY_ENV, "")
+    req = urllib.request.Request(
+        endpoint,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json",
+                 "x-goog-api-key": api_key},   # header name: streamlit_app.py:146
+        method="POST")
+    open_fn = opener or urllib.request.urlopen
+    with open_fn(req, timeout=timeout) as resp:
+        return json.loads(resp.read().decode())
+
+
+def default_transport() -> Callable[[dict], dict]:
+    """The transport slot's production wiring: real HTTP when an endpoint
+    is configured in the environment, deterministic stub otherwise (tests,
+    air-gapped runs)."""
+    import os
+    return http_transport if os.environ.get(ENDPOINT_ENV) else stub_transport
+
+
 def extract_text(response: dict) -> str | None:
     """Null-safe nested extraction (streamlit_app.py:154)."""
     try:

@@ -1425,13 +1425,15 @@ def result_fetch(spark, sf_dir):
 
 @query("llm_generate")  # rows-only: stub transport, not SQL-expressible
 def llm_generate(spark, sf_dir):
-    """RAG summary over the flagship top-k (streamlit_app.py:109-186) with
-    the deterministic offline stub transport and a no-op sleeper; keeps the
-    reference's exact retry(<=4)/2^n-backoff/fallback contract. Returns the
-    summary as a 1-row DataFrame so the driver can smoke-check it."""
-    from .rag import rag_summarize
+    """RAG summary over the flagship top-k (streamlit_app.py:109-186);
+    keeps the reference's exact retry(<=4)/2^n-backoff/fallback contract.
+    Transport: real HTTP POST when SPARK_RAG_LLM_ENDPOINT is set, the
+    deterministic offline stub otherwise. Returns the summary as a 1-row
+    DataFrame so the driver can smoke-check it."""
+    from .rag import default_transport, rag_summarize
     top = flagship_query(spark, sf_dir)
     summary = rag_summarize(top, "best match for the flagship query",
+                            transport=default_transport(),
                             sleeper=lambda s: None)
     return spark.createDataFrame(
         [(summary, top.count())], "summary string, n_rows bigint")
