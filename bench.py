@@ -76,6 +76,12 @@ def main() -> None:
         timings[name] = run_once(name, action)
     for name, action in HEADLINE.items():
         timings[name] = round(min(timings[name], run_once(name, action)), 3)
+    # third pass for the heavy hitters only: they dominate the total, so
+    # co-tenant noise landing on both of their first two runs moves the
+    # headline number most — one more sample is cheap insurance
+    for name, action in HEADLINE.items():
+        if timings[name] > 2.0:
+            timings[name] = round(min(timings[name], run_once(name, action)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
