@@ -29,6 +29,22 @@ from .vector import ColumnOrName, _c
 
 _HEX_HIGH = set("89abcdef")
 
+# Near-dup corpora repeat shingles/tokens across docs by construction, so
+# the hash kernels memoize per-distinct-key hash vectors. Module scope =
+# python-worker-*process* lifetime (workers are reused across tasks, and
+# module state survives re-deserialization of the UDF closure), capped so
+# a huge vocabulary can't grow the worker heap unboundedly. Digests are
+# memoized and min-merged as *ints*: for equal-length hex strings,
+# lexicographic order equals numeric order of the digest, so the final
+# hex rendering (once per doc) is byte-identical to the string-domain
+# spec in functions/hashing.py.
+_MEMO_CAP = 1 << 16
+_SIG_MEMOS: dict[tuple, dict] = {}
+
+
+def _sig_memo_for(*key) -> dict:
+    return _SIG_MEMOS.setdefault(key, {})
+
 
 def _shingle_list(text: str | None, n: int) -> list[str]:
     if not text:
@@ -50,29 +66,28 @@ def minhash_signature_udf(text_col: ColumnOrName, shingle_n: int = 3,
     @pandas_udf("array<string>")
     def _sig(texts: pd.Series) -> pd.Series:
         md5 = hashlib.md5
-        # Near-dup corpora repeat shingles across docs by construction;
-        # memoizing the 16-hash vector per distinct shingle within the
-        # Arrow batch turns the dominant cost (16 md5 calls per shingle
-        # *occurrence*) into one lookup. Per-batch scope bounds memory.
-        memo: dict[str, list[str]] = {}
+        memo = _sig_memo_for(shingle_n, num_hashes)
         out = []
         for t in texts:
             shs = set(_shingle_list(t, shingle_n))
             if not shs:
                 out.append(None)
                 continue
-            mins: list[str] | None = None
+            mins: list[int] | None = None
             for s in shs:
                 v = memo.get(s)
                 if v is None:
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
                     e = s.encode()
-                    v = [md5(p + e).hexdigest() for p in prefixes]
+                    v = [int.from_bytes(md5(p + e).digest(), "big")
+                         for p in prefixes]
                     memo[s] = v
                 if mins is None:
                     mins = list(v)
                 else:
                     mins = [a if a < b else b for a, b in zip(mins, v)]
-            out.append(mins)
+            out.append([f"{m:032x}" for m in mins])
         return pd.Series(out)
 
     return _sig(_c(text_col))
@@ -87,9 +102,9 @@ def simhash_udf(text_col: ColumnOrName) -> Column:
     @pandas_udf("string")
     def _sim(texts: pd.Series) -> pd.Series:
         md5 = hashlib.md5
-        # token -> per-bit +/-1 vector, memoized per batch (natural-text
-        # token vocabularies are tiny relative to token occurrences)
-        memo: dict[str, list[int]] = {}
+        # token -> per-bit +/-1 vector (natural-text token vocabularies
+        # are tiny relative to token occurrences)
+        memo = _sig_memo_for("simhash")
         out = []
         for t in texts:
             if t is None:        # expression spec: NULL text -> NULL hash
@@ -99,6 +114,8 @@ def simhash_udf(text_col: ColumnOrName) -> Column:
             for tok in t.split(" "):
                 v = memo.get(tok)
                 if v is None:
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
                     h = md5(tok.encode()).hexdigest()
                     v = [1 if h[j] in _HEX_HIGH else -1 for j in range(32)]
                     memo[tok] = v
