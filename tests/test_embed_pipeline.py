@@ -92,6 +92,48 @@ def test_rag_retry_backoff_contract():
     assert s1 == s2
 
 
+def test_model_embed_mapper_with_fake_backend(monkeypatch):
+    """The sentence-transformers slot (reference ingest_hotels.py:6,23),
+    exercised via a fake module: the mapper must load the model ONCE per
+    partition (the @st.cache_resource analogue), call batch encode with
+    normalize_embeddings=True, and append list-valued vectors."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from tripgogo_vector_search_spark.functions.embed import model_embed_mapper
+
+    loads, encodes = [], []
+
+    class FakeVec(list):
+        def tolist(self):
+            return list(self)
+
+    class FakeModel:
+        def __init__(self, name):
+            loads.append(name)
+
+        def encode(self, texts, batch_size, normalize_embeddings):
+            encodes.append((len(texts), batch_size, normalize_embeddings))
+            return [FakeVec([float(len(t)), 1.0]) for t in texts]
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = FakeModel
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    mapper = model_embed_mapper("text", out_col="vec", batch_size=4)
+    batches = [pd.DataFrame({"text": ["ab", "cde"]}),
+               pd.DataFrame({"text": ["f"]})]
+    out = list(mapper(iter(batches)))
+
+    assert loads == ["sentence-transformers/all-MiniLM-L6-v2"]  # once/partition
+    assert encodes == [(2, 4, True), (1, 4, True)]              # per batch
+    assert out[0]["vec"].tolist() == [[2.0, 1.0], [3.0, 1.0]]
+    assert out[1]["vec"].tolist() == [[1.0, 1.0]]
+    assert "vec" not in batches[0].columns  # input batches not mutated
+
+
 def test_rag_http_transport_retry_on_500():
     """The production transport slot: a fake HTTP layer returns 500 twice
     then 200; generate_summary must retry with 1s,2s backoff and parse the
