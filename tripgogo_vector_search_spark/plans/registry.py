@@ -1698,6 +1698,99 @@ def tpch_q3(spark, sf_dir):
                     "o_orderpriority"))
 
 
+@query("tpch_q5",
+       """SELECT n_name,
+                 CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name""")
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the six-table join. Plan shape:
+    region->nation->supplier fold into one broadcast chain (tiny dims),
+    lineitem joins orders on the shuffle-free side only after orders is
+    date-pruned at the parquet scan; the c_nationkey = s_nationkey
+    "local" condition rides the customer broadcast. One aggregate
+    shuffle on n_name; exact DECIMAL revenue."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    sn = (s.join(F.broadcast(n.join(F.broadcast(r),
+                                    n.n_regionkey == r.r_regionkey)),
+                 s.s_nationkey == F.col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name"))
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,10)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .join(F.broadcast(sn),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue")))
+
+
+@query("tpch_q10",
+       """SELECT c_custkey, c_name,
+                 CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue,
+                 c_acctbal, n_name
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-04-01'
+            AND l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+          ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(30,10))) DESC, c_custkey ASC
+          LIMIT 20""")
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item report, adapted to the test schema's
+    customer columns): quarter-pruned orders and returnflag-pruned
+    lineitem join big-to-big on orderkey, customer+nation broadcast in,
+    one aggregate shuffle, exact-DECIMAL top-20 via
+    TakeOrderedAndProject."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,10)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c.join(F.broadcast(n),
+                                     c.c_nationkey == n.n_nationkey)),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev).alias("rev_exact"))
+            .orderBy(F.col("rev_exact").desc(), F.col("c_custkey").asc())
+            .limit(20)
+            .select("c_custkey", "c_name",
+                    F.round("rev_exact", 4).cast("double").alias("revenue"),
+                    "c_acctbal", "n_name"))
+
+
 @query("tpch_q6",
        """SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount
                                AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue
