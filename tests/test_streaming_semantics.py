@@ -1,0 +1,81 @@
+"""Streaming semantics under late data: once the watermark has closed and
+emitted a window, a straggler for that window must be DROPPED — the
+property that bounds state at 100 TB (without it every window lives
+forever) and keeps append-mode output exactly-once.
+
+The file source is driven one file per micro-batch (maxFilesPerTrigger=1,
+mtime-ordered), so the watermark advances between batches exactly like a
+live stream. Note the flip side, also pinned here: a row that is "late"
+but arrives in the SAME batch that finalizes its window still counts —
+Spark drops rows only for windows already evicted from state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+from tripgogo_vector_search_spark.streaming.ingest import windowed_event_agg
+
+SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def _write_batch(spark, path: str, rows: list, mtime: float) -> None:
+    rows = [(datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), et, v)
+            for ts, et, v in rows]
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path)
+    for f in os.listdir(path):
+        os.utime(os.path.join(path, f), (mtime, mtime))
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    base = str(tmp_path / "stream")
+    os.makedirs(base)
+    t0 = time.time()
+    # batch 0: three events in the 10:00 window plus an 11:00 event ->
+    # watermark after the batch = 11:00 - 10min = 10:50.
+    _write_batch(spark, os.path.join(base, "f1"),
+                 [("2024-01-01 10:01:00", "click", 1.0),
+                  ("2024-01-01 10:04:00", "click", 2.0),
+                  ("2024-01-01 10:07:00", "view", 3.0),
+                  ("2024-01-01 11:00:00", "click", 4.0)], t0 - 100)
+    # batch 1: processed under watermark 10:50 -> the 10:00 window
+    # (end 10:10) is finalized, emitted, and evicted; watermark -> 11:50.
+    _write_batch(spark, os.path.join(base, "f2"),
+                 [("2024-01-01 12:00:00", "view", 5.0)], t0 - 50)
+    # batch 2: a straggler for the already-emitted 10:00 window -> must
+    # be dropped (never re-emitted, never a duplicate window row).
+    _write_batch(spark, os.path.join(base, "f3"),
+                 [("2024-01-01 10:03:00", "click", 100.0)], t0 - 10)
+
+    src = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(os.path.join(base, "*")))
+    agg = windowed_event_agg(src, window="10 minutes", watermark="10 minutes")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("wm_out").start())
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    rows = spark.table("wm_out").collect()
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in rows}
+    # the straggler's 100.0 is NOT in the 10:00 click window
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 10:00:00", "view")] == (1, 3.0)
+    # the 11:00 window closed when 12:00 advanced the watermark past it
+    assert got[("2024-01-01 11:00:00", "click")] == (1, 4.0)
+    # exactly one row per (window, type): no duplicate re-emission
+    assert len(rows) == len(got) == 3
+    # the 12:00 window never closed before end-of-stream: append mode
+    # holds it in state, unemitted
+    assert ("2024-01-01 12:00:00", "view") not in got
+    # the engine itself accounted the drop
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in progress)
+    assert dropped == 1
