@@ -152,6 +152,26 @@ def test_ann_ivf_search_is_partition_pruned(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_dedup_plans_bound_shuffles_and_python(spark):
+    """Shuffle-count ceilings for the dedup family (formatted explain
+    prints each node twice — tree + detail — so ceilings are 2x the real
+    node count). Regressions that add a shuffle (e.g. replacing posting
+    lists with a two-sided self-join) or a Python stage trip these."""
+    ceilings = {
+        # (max "Exchange" occurrences, max "EvalPython" occurrences)
+        "exact_dedup": (2, 0),          # 1 shuffle: groupBy(key)
+        "simhash_dedup": (4, 2),        # widen + groupBy; 1 Arrow kernel
+        "ngram_jaccard": (6, 0),        # widen + shingle gby + pair gby
+        "minhash_dedup": (8, 4),        # + mins gby + broadcast back-join
+        "embedding_near_dup": (10, 0),  # bucket SMJ both sides + mins + join
+    }
+    for name, (max_ex, max_py) in ceilings.items():
+        plan = plan_of(QUERIES[name](spark, SF_CORRECTNESS))
+        assert plan.count("Exchange") <= max_ex, f"{name} gained a shuffle"
+        assert plan.count("EvalPython") <= max_py, f"{name} gained a Python stage"
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+
+
 def test_cached_corpus_reused_across_queries(spark):
     """df.cache(): repeated queries over the same hot corpus read the
     in-memory columnar form, not the file scan — the pattern for
