@@ -1479,6 +1479,22 @@ def csv_scan(spark, sf_dir):
     return read_csv_with_schema(spark, path, src.schema)
 
 
+@query("json_scan",
+       """SELECT doc_id, source, lang, text FROM documents""")
+def json_scan(spark, sf_dir):
+    """JSON-lines source roundtrip: write `documents` as JSONL (the
+    arrival format of most scraped corpora), read it back with the
+    declared schema (no inference pass), verify value-exact parity
+    against the parquet original."""
+    from ..sources.csv import read_jsonl_with_schema
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                "lang", "text")
+    path = _cache_dir(sf_dir, "json_scan")
+    src.write.mode("overwrite").json(path)
+    return read_jsonl_with_schema(spark, path, src.schema).select(
+        "doc_id", "source", "lang", "text")
+
+
 @query("jdbc_sink", "SELECT * FROM supplier")
 def jdbc_sink(spark, sf_dir):
     """Batch sink parity for the reference's row-by-row INSERT loop with a

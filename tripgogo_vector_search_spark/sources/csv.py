@@ -18,3 +18,10 @@ def read_csv_with_schema(spark: SparkSession, path: str,
     """Schema-on-read CSV scan with a declared schema — no inference pass
     (inference reads the data twice, which is unacceptable at 100 TB)."""
     return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_jsonl_with_schema(spark: SparkSession, path: str,
+                           schema: StructType) -> DataFrame:
+    """Schema-declared JSON-lines scan (same no-inference policy as CSV;
+    JSONL is the interchange format most scraped/LLM corpora arrive in)."""
+    return spark.read.json(path, schema=schema)
