@@ -172,6 +172,47 @@ def test_dedup_plans_bound_shuffles_and_python(spark):
         assert "CartesianProduct" not in plan, f"{name} went cartesian"
 
 
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The skew story the dedup operators rely on (embedding_near_dup's
+    hot-bucket join, any power-law key join): AQE detects the oversized
+    shuffle partition at runtime and splits it across tasks —
+    SortMergeJoin(skew=true) in the final adaptive plan. Thresholds are
+    lowered so a 190k-row hot key trips the detector at test scale; at
+    production scale the defaults (256MB) do the same job."""
+    import io
+    from contextlib import redirect_stdout
+
+    left = spark.range(200_000).select(
+        F.when(F.col("id") < 190_000, 7).otherwise(F.col("id") % 37).alias("k"),
+        F.col("id").alias("v"))
+    right = spark.range(400).select((F.col("id") % 37).alias("k"),
+                                    (F.col("id") * 10).alias("w"))
+    tuned = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2"}
+    for c, v in tuned.items():
+        spark.conf.set(c, v)
+    try:
+        import collections
+        rk = collections.Counter(i % 37 for i in range(400))
+        expected = 190_000 * rk[7] + sum(
+            rk[i % 37] for i in range(190_000, 200_000))
+        j = left.join(right, "k")
+        assert len(j.collect()) == expected
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain()  # same queryExecution -> final adaptive plan
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for c in tuned:
+            spark.conf.unset(c)
+
+
 def test_cached_corpus_reused_across_queries(spark):
     """df.cache(): repeated queries over the same hot corpus read the
     in-memory columnar form, not the file scan — the pattern for
