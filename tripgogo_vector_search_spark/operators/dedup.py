@@ -84,9 +84,17 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
     (degenerate corpus: near-identical boilerplate docs) can no longer
     produce a quadratic single-task array."""
     b = minhash_bands(df, text_col, id_col, shingle_n, num_hashes, bands)
+    return minhash_lsh_dedup_from_bands(b, df.select(id_col), id_col)
+
+
+def minhash_lsh_dedup_from_bands(bands_df: DataFrame, ids_df: DataFrame,
+                                 id_col: str) -> DataFrame:
+    """The verdict half of `minhash_lsh_dedup`, from a prebuilt
+    (id, band_key) index — the reuse point when the band index is
+    materialized once per corpus and shared across dedup queries."""
     # One shuffle on the uniformly-distributed band key; a self-join would
     # shuffle twice and recompute the whole signature pipeline per side.
-    posts = (b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+    posts = (bands_df.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
              .filter(F.size("ids") >= 2))  # singleton buckets pair with nothing
     edge_arr = F.transform(
         F.filter("ids", lambda x: x > F.array_min("ids")),
@@ -97,11 +105,11 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str, id_col: str,
     # the min-aggregate, and dropping it saves a full shuffle
     pairs = posts.select(F.explode(edge_arr).alias("p")).select("p.*")
     mins = pairs.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
-    return (df.select(id_col)
-            .join(mins, df[id_col] == mins.dup_id, "left")
-            .select(F.col(id_col),
+    return (ids_df
+            .join(mins, ids_df[id_col] == mins.dup_id, "left")
+            .select(ids_df[id_col],
                     F.col("min_src").isNotNull().alias("is_dup"),
-                    F.coalesce("min_src", F.col(id_col)).alias("canonical_id")))
+                    F.coalesce("min_src", ids_df[id_col]).alias("canonical_id")))
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -273,7 +281,14 @@ def minhash_components(df: DataFrame, text_col: str, id_col: str,
     O(|bucket|) edges instead of O(|bucket|^2), so a hot band key cannot
     blow up a single task."""
     b = minhash_bands(df, text_col, id_col, shingle_n, num_hashes, bands)
-    posts = (b.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
+    return minhash_components_from_bands(b, df.select(id_col), id_col)
+
+
+def minhash_components_from_bands(bands_df: DataFrame, ids_df: DataFrame,
+                                  id_col: str) -> DataFrame:
+    """Connected-components half of `minhash_components`, from a prebuilt
+    (id, band_key) index (see `minhash_lsh_dedup_from_bands`)."""
+    posts = (bands_df.groupBy("band_key").agg(F.collect_list(id_col).alias("ids"))
              .filter(F.size("ids") >= 2))
     edge_arr = F.transform(
         F.filter("ids", lambda y: y > F.array_min("ids")),
@@ -281,7 +296,7 @@ def minhash_components(df: DataFrame, text_col: str, id_col: str,
     )
     pairs = (posts.select(F.explode(edge_arr).alias("p"))
              .select("p.*").distinct())
-    return connected_components(pairs, df.select(id_col), id_col)
+    return connected_components(pairs, ids_df, id_col)
 
 
 def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
