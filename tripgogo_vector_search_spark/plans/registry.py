@@ -1528,6 +1528,28 @@ def jdbc_sink(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+@query("partitioned_sink",
+       """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+          FROM events WHERE event_type = 'click'""")
+def partitioned_sink(spark, sf_dir):
+    """Hive-partitioned sink + pruned read-back: events written
+    partitionBy(event_type), then one partition read with the equality
+    filter as a PartitionFilter — the layout/consumption pattern for
+    type- or time-sliced 100 TB corpora (the first-order scan reducer;
+    see test_plan_shape.test_partitioned_write_prunes_partitions)."""
+    from ..sources.sinks import write_parquet
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value"),
+        "event_type")
+    path = _cache_dir(sf_dir, "partitioned_sink")
+    import os
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_parquet(ev, path, partition_by=["event_type"])
+    return (spark.read.parquet(path)
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "value"))
+
+
 @query("result_fetch", "SELECT * FROM region")
 def result_fetch(spark, sf_dir):
     """Edge materialization (streamlit_app.py:77-78: cursor.fetchall + schema
