@@ -25,9 +25,10 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language ID. Deterministic argmax: alphabetical
-    language order wins ties; zero hits everywhere -> 'unknown'."""
+def lang_pred_expr(text_col: str = "text") -> F.Column:
+    """Stopword-hit language ID as a Column. Deterministic argmax:
+    alphabetical language order wins ties; zero hits everywhere ->
+    'unknown'."""
     scores = lang_scores(text_col)
     ordered = sorted(scores)  # first-match-wins CASE ladder => alphabetical tie priority
     pred = None
@@ -35,7 +36,12 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         others = [scores[o] for o in ordered if o != lang]
         cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return widen(df).select(F.col(id_col), pred.otherwise(F.lit("unknown")).alias("lang_pred"))
+    return pred.otherwise(F.lit("unknown"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return widen(df).select(F.col(id_col),
+                            lang_pred_expr(text_col).alias("lang_pred"))
 
 
 def doc_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -488,7 +488,8 @@ def text_stats_q(spark, sf_dir):
     return TS.doc_stats(_t(spark, sf_dir, "documents"))
 
 
-def _lang_id_sql() -> str:
+def _lang_case_sql() -> str:
+    """The stopword-hit language-ID CASE ladder as a SQL expression."""
     wl = f"list_transform({sql_words('text')}, t -> lower(t))"
     hits = {lang: sql_stopword_hits(wl, sw) for lang, sw in TX.STOPWORDS.items()}
     ordered = sorted(hits)
@@ -498,8 +499,11 @@ def _lang_id_sql() -> str:
         cases.append(f"WHEN {hits[lang]} > 0 AND {hits[lang]} >= greatest({others}) "
                      f"THEN '{lang}'")
     ladder = "\n".join(cases)
-    return (f"SELECT doc_id, CASE {ladder} ELSE 'unknown' END AS lang_pred "
-            f"FROM documents")
+    return f"CASE {ladder} ELSE 'unknown' END"
+
+
+def _lang_id_sql() -> str:
+    return f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents"
 
 
 @query("lang_id", _lang_id_sql())
@@ -508,21 +512,57 @@ def lang_id_q(spark, sf_dir):
     return TS.lang_id(_t(spark, sf_dir, "documents"))
 
 
+_QUALITY_SQL = (
+    f"round(least(len({sql_words('text')})::DOUBLE / 20.0, 1.0) "
+    "* greatest(0.0, 1.0 - "
+    "(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE "
+    "/ length(text)) * 4) "
+    f"* CASE WHEN (length(text)::DOUBLE / len({sql_words('text')})) >= 3 "
+    f"AND (length(text)::DOUBLE / len({sql_words('text')})) <= 12 "
+    "THEN 1.0 ELSE 0.5 END, 6)")
+
+
 @query("quality_score",
-       f"""SELECT doc_id,
-                  round(
-                    least(len({sql_words('text')})::DOUBLE / 20.0, 1.0)
-                    * greatest(0.0, 1.0 -
-                        (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-                         / length(text)) * 4)
-                    * CASE WHEN (length(text)::DOUBLE / len({sql_words('text')})) >= 3
-                                AND (length(text)::DOUBLE / len({sql_words('text')})) <= 12
-                           THEN 1.0 ELSE 0.5 END,
-                  6) AS quality
-           FROM documents""")
+       f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents")
 def quality_score_q(spark, sf_dir):
     """Heuristic doc quality: length x punctuation x word-shape factors."""
     return TS.doc_quality(_t(spark, sf_dir, "documents"))
+
+
+@query("corpus_filter",
+       f"""WITH e AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred,
+                             {_QUALITY_SQL} AS quality,
+                             len(regexp_extract_all(text,
+                                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
+                             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                               AS fp
+                      FROM documents),
+           k AS (SELECT *, row_number() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn FROM e)
+           SELECT doc_id, lang_pred, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+           FROM k WHERE rn = 1 AND quality >= 0.5 AND lang_pred = 'en'""")
+def corpus_filter(spark, sf_dir):
+    """The composed training-corpus cleaning pipeline (the C4-recipe
+    shape): language-ID, quality scoring, token counting, and
+    keep-first exact dedup in ONE scan + one fingerprint window — the
+    way these operators actually deploy. Emits the surviving docs:
+    English, quality >= 0.5, first copy of each normalized-text
+    fingerprint."""
+    from ..functions.text import fingerprint, token_count
+    from ..operators.textstats import lang_pred_expr
+    from ..partitioning import widen
+    from pyspark.sql import Window as W
+    d = widen(_t(spark, sf_dir, "documents"))
+    e = d.select("doc_id",
+                 lang_pred_expr("text").alias("lang_pred"),
+                 TX.quality_score("text").alias("quality"),
+                 token_count("text").cast("bigint").alias("n_tokens"),
+                 fingerprint("text").alias("fp"))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5)
+                    & (F.col("lang_pred") == "en"))
+            .select("doc_id", "lang_pred", "quality", "n_tokens"))
 
 
 @query("doc_fingerprint",
