@@ -2134,6 +2134,37 @@ def simhash_hamming_dedup_q(spark, sf_dir):
                                    posting_cap=_SIMHASH_POSTING_CAP)
 
 
+@query("label_centroids",
+       f"""WITH u AS (SELECT label, i, embedding[i]::DOUBLE AS x
+                      FROM embeddings
+                      CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)),
+           a AS (SELECT label, i,
+                        round(CAST(SUM(CAST(x AS DECIMAL(24,10))) / COUNT(*)
+                                   AS DOUBLE), 6) AS m
+                 FROM u GROUP BY label, i)
+           SELECT label, CAST(n AS BIGINT) AS n,
+                  {sql_arr_num6_str("list(m ORDER BY i)")} AS centroid
+           FROM a JOIN (SELECT label AS l2, COUNT(*) AS n
+                        FROM embeddings GROUP BY label) ON label = l2
+           GROUP BY label, n""")
+def label_centroids(spark, sf_dir):
+    """Per-class embedding centroid — the vector aggregation a training
+    pipeline runs for class prototypes / clustering seeds. One pass, one
+    shuffle: dim fixed-width per-component averages as plain columnar
+    aggregates (no posexplode — exploding would shuffle dim x rows).
+    Sums accumulate in DECIMAL so the result is partition-order
+    independent; serialized via the fixed-point contract."""
+    e = _t(spark, sf_dir, "embeddings")
+    comps = [
+        F.round((F.sum(F.element_at("embedding", i + 1).cast("decimal(24,10)"))
+                 / F.count(F.lit(1))).cast("double"), 6)
+        for i in range(DIM)
+    ]
+    return (e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 arr_num6_str(F.array(*comps)).alias("centroid")))
+
+
 @query("vector_distances",
        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   round({sql_dot('a.embedding', 'b.embedding')}, 6) AS dot_ab,
