@@ -41,8 +41,14 @@ _CHECK_FIRST = [
     # red in CORRECTNESS_r01, fixed this round
     "to_vector", "l2_normalize", "embed_text", "multimodal_features",
     "stream_embed", "sessionize",
-    # green in r1 but plan changed this round (caps / star-linking /
-    # adaptive prefix) — re-verify
+    # new this round, never driver-checked (representatives; the round's
+    # plan changes to minhash/ngram/embedding dedup keep their outputs
+    # byte-identical, so re-checking those r1-green keys adds less)
+    "corpus_filter", "approx_distinct", "tpch_q5",
+    # --- 50-key line: everything below is next-in-line if the gate
+    # checks more than 50 ---
+    "approx_quantiles", "hll_union_rollup", "tpch_q10", "json_scan",
+    "partitioned_sink", "label_centroids",
     "minhash_dedup", "ngram_jaccard", "embedding_near_dup",
 ]
 
