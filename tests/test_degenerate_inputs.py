@@ -1,0 +1,74 @@
+"""Degenerate-input robustness: empty corpora, NULL/empty text, and
+single-row inputs must flow through every operator family without
+crashing and with sensible outputs (a 100 TB pipeline always contains
+broken rows; an operator that throws on one poisons the whole job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tripgogo_vector_search_spark.operators import dedup as DD
+from tripgogo_vector_search_spark.operators.knn import knn_topk
+from tripgogo_vector_search_spark.operators.textstats import doc_stats, lang_id
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_family_on_empty_corpus(spark):
+    empty = _corpus(spark, [])
+    assert DD.minhash_lsh_dedup(empty, "text", "doc_id").count() == 0
+    assert DD.simhash_banded_dedup(empty, "text", "doc_id").count() == 0
+    assert DD.ngram_jaccard_pairs(empty, "text", "doc_id").count() == 0
+    assert DD.fingerprint_dedup(empty, "text", "doc_id").count() == 0
+
+
+def test_dedup_family_on_null_and_short_text(spark):
+    rows = [(1, None), (2, ""), (3, "one"), (4, "two words"),
+            (5, "three word doc"), (6, "three word doc")]
+    docs = _corpus(spark, rows)
+    out = {r.doc_id: (r.is_dup, r.canonical_id)
+           for r in DD.minhash_lsh_dedup(docs, "text", "doc_id").collect()}
+    # every input row gets a verdict; docs with no shingles never collide
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    for i in (1, 2, 3, 4):
+        assert out[i] == (False, i)
+    assert out[5] == (False, 5) and out[6] == (True, 5)
+    # jaccard join: unshingleable docs simply produce no pairs
+    pairs = {(r.id_a, r.id_b)
+             for r in DD.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                             min_jaccard=0.9).collect()}
+    assert pairs == {(5, 6)}
+    # banded simhash handles NULL text (NULL signature) without throwing
+    sim = {r.doc_id: r.is_dup
+           for r in DD.simhash_banded_dedup(docs, "text", "doc_id").collect()}
+    assert sim[6] is True
+
+
+def test_text_stats_on_null_and_empty(spark):
+    docs = _corpus(spark, [(1, None), (2, ""), (3, "hello world")])
+    stats = {r.doc_id: r for r in doc_stats(docs).collect()}
+    assert set(stats) == {1, 2, 3}
+    assert stats[3].word_count == 2
+    langs = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert langs[1] == "unknown" and langs[2] == "unknown"
+
+
+def test_knn_on_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert knn_topk(empty, [1.0, 0.0], k=3, tiebreak="vec_id").count() == 0
+    one = spark.createDataFrame([(7, [1.0, 0.0])],
+                                "vec_id bigint, embedding array<double>")
+    got = knn_topk(one, [1.0, 0.0], k=3, tiebreak="vec_id").collect()
+    assert [r.vec_id for r in got] == [7]
+
+
+def test_embedding_near_dup_single_and_empty(spark):
+    one = spark.createDataFrame([(1, [0.5, -0.5])],
+                                "vec_id bigint, embedding array<double>")
+    r = DD.embedding_near_dup(one, "embedding", "vec_id").first()
+    assert (r.is_dup, r.canonical_id) == (False, 1)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert DD.embedding_near_dup(empty, "embedding", "vec_id").count() == 0

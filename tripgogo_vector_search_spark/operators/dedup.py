@@ -183,7 +183,8 @@ def adaptive_prefix_bits(n: int, dim: int, target_bucket: int = 64) -> int:
     import math
     grown = (math.ceil(math.log2(max(n, 1) / target_bucket))
              if n > target_bucket else 0)
-    return max(8, min(dim, grown))
+    # the floor of 8 must itself respect the vector dimension
+    return min(dim, max(8, grown))
 
 
 def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
@@ -213,8 +214,11 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
         dim = len(head[0]) if head and head[0] is not None else 8
         prefix_bits = adaptive_prefix_bits(n, dim, target_bucket)
 
+    # F.get NULL-pads past the end (element_at would throw), so an
+    # explicit prefix_bits wider than some vector's dimension degrades to
+    # '0' sign bits instead of failing the job
     bucket = F.concat_ws("", *[
-        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
+        F.when(F.get(F.col(vec_col), i) >= 0, "1").otherwise("0")
         for i in range(prefix_bits)
     ])
     e = widen(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
