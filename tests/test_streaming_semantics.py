@@ -30,6 +30,57 @@ def _write_batch(spark, path: str, rows: list, mtime: float) -> None:
         os.utime(os.path.join(path, f), (mtime, mtime))
 
 
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the scale-correct streaming dedup:
+    a duplicate key arriving within the watermark horizon is suppressed,
+    but once the watermark passes the first occurrence's expiry its state
+    entry is EVICTED, so a much-later re-occurrence emits again. That
+    re-emission is precisely the bounded-state trade: per-key state lives
+    O(watermark), not O(stream), which is what survives an unbounded
+    100 TB stream (the plain dropDuplicates variant keeps state forever)."""
+    base = str(tmp_path / "dd")
+    os.makedirs(base)
+    t0 = time.time()
+    # batch 0: first A -> emitted; watermark after = 09:50
+    _write_batch(spark, os.path.join(base, "f1"),
+                 [("2024-01-01 10:00:00", "A", 1.0)], t0 - 100)
+    # batch 1: duplicate A within horizon -> suppressed; B emitted;
+    # watermark after = 10:20 (past A's 10:00+10min expiry)
+    _write_batch(spark, os.path.join(base, "f2"),
+                 [("2024-01-01 10:01:00", "A", 2.0),
+                  ("2024-01-01 10:30:00", "B", 3.0)], t0 - 75)
+    # batch 2: A at 11:00. Subtle but pinned: state eviction runs at
+    # batch END, so even though A's entry is past expiry under this
+    # batch's watermark (10:20 > 10:10), the still-present entry
+    # suppresses this record; eviction then removes it. Watermark -> 10:50.
+    _write_batch(spark, os.path.join(base, "f3"),
+                 [("2024-01-01 11:00:00", "A", 4.0)], t0 - 50)
+    # batch 3: A again — state was evicted at the end of batch 2, so this
+    # re-occurrence emits: per-key state lives O(watermark), not O(stream).
+    _write_batch(spark, os.path.join(base, "f4"),
+                 [("2024-01-01 11:30:00", "A", 5.0)], t0 - 25)
+
+    src = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(os.path.join(base, "*")))
+    dedup = (src.withWatermark("ts", "10 minutes")
+             .dropDuplicatesWithinWatermark(["event_type"]))
+    q = (dedup.writeStream.outputMode("append")
+         .format("memory").queryName("ddw_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.event_type, str(r.ts), r.value)
+                 for r in spark.table("ddw_out").collect())
+    assert got == [("A", "2024-01-01 10:00:00", 1.0),   # first occurrence
+                   ("A", "2024-01-01 11:30:00", 5.0),   # post-eviction rerun
+                   ("B", "2024-01-01 10:30:00", 3.0)]
+    # the 10:01 dup (within horizon) and the 11:00 one (same batch as
+    # eviction) were both suppressed: exactly 3 rows
+    assert len(got) == 3
+
+
 def test_watermark_drops_late_event(spark, tmp_path):
     base = str(tmp_path / "stream")
     os.makedirs(base)
