@@ -116,15 +116,22 @@ def lsh_search_materialized(spark, path: str, query_vec: Sequence[float],
 def materialize_ivf_index(corpus: DataFrame, path: str,
                           vec_col: str = "embedding", id_col: str = "vec_id",
                           n_cells: int = 16) -> None:
-    """Write the IVF cell assignment to parquet **partitioned by cid**.
-    At query time `nprobe` cells are chosen driver-side from the (tiny)
-    centroid set, so the candidate read is a statically partition-pruned
-    scan of nprobe/n_cells of the data."""
+    """Write the IVF cell assignment to parquet **partitioned by cid**,
+    plus the (tiny) centroid table under `_centroids` inside the index
+    dir — underscore-prefixed, so index scans skip it. At query time
+    `nprobe` cells are chosen driver-side from the centroids, so the
+    candidate read is a statically partition-pruned scan of
+    nprobe/n_cells of the data, with no dependence on the corpus."""
+    import os
     (build_ivf_index(corpus, vec_col, id_col, n_cells)
      .write.mode("overwrite").partitionBy("cid").parquet(path))
+    (corpus.filter(F.col(id_col) < n_cells)
+     .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(path, "_centroids")))
 
 
-def ivf_search_materialized(spark, path: str, corpus: DataFrame,
+def ivf_search_materialized(spark, path: str,
                             query_vec: Sequence[float], k: int = 3,
                             vec_col: str = "embedding", id_col: str = "vec_id",
                             n_cells: int = 16, nprobe: int = 2) -> DataFrame:
@@ -132,9 +139,8 @@ def ivf_search_materialized(spark, path: str, corpus: DataFrame,
     float-op order as the SQL expression, so ordering ties break
     identically), then the cid `isin` filter prunes the partitioned index
     statically — no job touches the unprobed cells."""
-    cents = (corpus.filter(F.col(id_col) < n_cells)
-             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-             .collect())
+    import os
+    cents = spark.read.parquet(os.path.join(path, "_centroids")).collect()
 
     def cos_dist(a: Sequence[float], b: Sequence[float]) -> float:
         na = math.sqrt(py_dot(a, a)) or 1.0

@@ -730,11 +730,11 @@ def ann_ivf_q(spark, sf_dir):
     once per corpus (write partitioned by cid), probes chosen driver-side
     from the 16 centroids, exact search inside the 2 probed cells — a
     statically partition-pruned read of nprobe/n_cells of the data."""
-    corpus = _t(spark, sf_dir, "embeddings")
     path = _materialized_index(
         spark, sf_dir, "ann_ivf_index",
-        lambda p: ANN.materialize_ivf_index(corpus, p, n_cells=16))
-    return ANN.ivf_search_materialized(spark, path, corpus, QUERY_VEC,
+        lambda p: ANN.materialize_ivf_index(
+            _t(spark, sf_dir, "embeddings"), p, n_cells=16))
+    return ANN.ivf_search_materialized(spark, path, QUERY_VEC,
                                        k=3, n_cells=16, nprobe=2)
 
 
