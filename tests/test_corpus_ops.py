@@ -1,0 +1,130 @@
+"""Invariant tests for the corpus-preparation operators
+(operators/corpus.py) and the batch ANN KNN join (operators/ann.py).
+Oracle parity is covered by test_driver_parity; these pin the semantic
+properties parity alone can't see (reconstruction, recall, bounds)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tripgogo_vector_search_spark.operators import corpus as CP
+from tripgogo_vector_search_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+def test_chunk_docs_reconstruction(spark, docs):
+    """Words at stride offsets of consecutive chunks rebuild the doc:
+    chunk i contributes its first `stride` words (all of them for the
+    last chunk)."""
+    chunks = CP.chunk_documents(docs).collect()
+    originals = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = len(originals[doc_id])
+        assert len(rows) == math.ceil(max(n, 1) / CP.CHUNK_STRIDE)
+        rebuilt: list[str] = []
+        for r in rows[:-1]:
+            assert r.n_words <= CP.CHUNK_WORDS
+            rebuilt.extend(r.chunk_text.split(" ")[:CP.CHUNK_STRIDE])
+        rebuilt.extend(rows[-1].chunk_text.split(" "))
+        assert rebuilt == originals[doc_id], doc_id
+
+
+def test_chunk_overlap(spark, docs):
+    """Consecutive full chunks share exactly size-stride words."""
+    overlap = CP.CHUNK_WORDS - CP.CHUNK_STRIDE
+    chunks = CP.chunk_documents(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.chunk_id)
+        for a, b in zip(rows, rows[1:]):
+            if a.n_words == CP.CHUNK_WORDS:
+                tail = a.chunk_text.split(" ")[CP.CHUNK_STRIDE:]
+                head = b.chunk_text.split(" ")[:overlap]
+                assert tail == head[:len(tail)]
+
+
+def test_repetition_stats_bounds(spark, docs):
+    rows = CP.repetition_stats(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_words
+        assert 0.0 <= r.dup_frac < 1.0
+        # the most frequent word occurs at least avg-many times
+        assert r.top_word_frac >= 1.0 / r.n_distinct - 1e-6
+        assert r.keep == (r.dup_frac <= 0.55)
+
+
+def test_pii_redact_removes_all_matches(spark, docs):
+    synth = F.concat(F.col("text"),
+                     F.lit(" mail a.b@x.io or +1-555-0000 now"))
+    red = docs.select(CP.redact_pii(synth).alias("r")).collect()
+    for r in red:
+        assert "<EMAIL>" in r.r and "<PHONE>" in r.r
+        assert "@" not in r.r
+        assert "555-0000" not in r.r
+    n_e, n_p = CP.pii_counts(synth)
+    counts = docs.select(n_e.alias("e"), n_p.alias("p")).collect()
+    assert all(c.e == 1 and c.p == 1 for c in counts)
+
+
+def test_tfidf_topk_properties(spark, docs):
+    rows = CP.tfidf_topk(docs, k=3).collect()
+    texts = {r.doc_id: set(r.text.split(" ")) for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.tfidf)
+        assert r.word in texts[r.doc_id]
+    for doc_id, scores in by_doc.items():
+        assert 1 <= len(scores) <= 3
+        # corpus-wide words (df == N) get idf 0; everything else > 0
+        assert all(s >= -1e-9 for s in scores)
+
+
+def test_ann_knn_join_self_hit_and_recall(spark, tmp_path):
+    """Every in-corpus query's top hit is itself (distance 0); recall@3
+    vs exact KNN stays useful at nprobe=2."""
+    from tripgogo_vector_search_spark.operators import ann as ANN
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    ANN.materialize_ivf_index(emb, path, n_cells=16)
+    queries = (emb.filter(F.col("vec_id") % 20 == 7)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    got = ANN.ivf_knn_join_materialized(spark, path, queries,
+                                        k=3, nprobe=2).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    qids = [r.qid for r in queries.select("qid").collect()]
+    assert set(by_q) == set(qids)
+    corpus = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a)) or 1.0
+        db = math.sqrt(sum(x * x for x in b)) or 1.0
+        return 1.0 - sum(x * y for x, y in zip(a, b)) / (da * db)
+
+    hits = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: (r.distance_score, r.vec_id))
+        assert rows[0].vec_id == qid and rows[0].distance_score == 0.0
+        dists = [r.distance_score for r in rows]
+        assert dists == sorted(dists)
+        exact = sorted(corpus, key=lambda v: (cos(corpus[qid], corpus[v]), v))[:3]
+        hits += len({r.vec_id for r in rows} & set(exact))
+    recall = hits / (3 * len(by_q))
+    assert recall >= 0.5, recall

@@ -160,6 +160,43 @@ def ivf_search_materialized(spark, path: str,
                     F.round("distance_score", 6).alias("distance_score")))
 
 
+def ivf_knn_join_materialized(spark, path: str, queries: DataFrame,
+                              k: int = 3, vec_col: str = "embedding",
+                              id_col: str = "vec_id", q_id: str = "qid",
+                              q_vec: str = "qvec",
+                              nprobe: int = 2) -> DataFrame:
+    """Batch ANN — every query in `queries` (q_id, q_vec) probed through
+    the cid-partitioned IVF index in ONE plan (the scale path past
+    per-query driver loops and past exact sim_join when the query set is
+    large).
+
+    Plan shape: the n_cells-row centroid table broadcast-crossed with the
+    query set picks `nprobe` cells per query (tiny window); the probe
+    table (n_queries * nprobe rows) then *broadcast*-joins the index on
+    cid — with the index partitioned by cid, only probed cells are read.
+    Final per-query top-k is one window over candidate rows. No
+    driver-side collect: probe selection is part of the distributed plan,
+    unlike the single-query `ivf_search_materialized`.
+    """
+    import os
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    qc = (queries.crossJoin(F.broadcast(cents))
+          .withColumn("cdist", cosine_distance(F.col(q_vec), F.col("cvec"))))
+    wq = W.partitionBy(q_id).orderBy(F.col("cdist").asc(), F.col("cid").asc())
+    probes = (qc.withColumn("prn", F.row_number().over(wq))
+              .filter(F.col("prn") <= nprobe)
+              .select(q_id, q_vec, "cid"))
+    cand = spark.read.parquet(path).join(F.broadcast(probes), "cid")
+    scored = cand.withColumn(
+        "distance_score", cosine_distance(F.col(vec_col), F.col(q_vec)))
+    wk = W.partitionBy(q_id).orderBy(F.col("distance_score").asc(),
+                                     F.col(id_col).asc())
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k)
+            .select(q_id, id_col, F.col("cid").cast("bigint").alias("cid"),
+                    F.round("distance_score", 6).alias("distance_score")))
+
+
 def build_ivf_index(corpus: DataFrame, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_cells: int = 16) -> DataFrame:
     """Assign every vector to its nearest centroid (deterministic argmin:

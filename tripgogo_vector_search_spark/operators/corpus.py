@@ -1,0 +1,112 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+The reference prepares its corpus row-by-row in Python before embedding
+(ingest_hotels.py:14-23 builds the text payload per hotel); these are the
+set-oriented Spark equivalents a 100 TB pre-training corpus needs:
+overlapping chunking (context-window packing), repetition-based quality
+filtering (the Gopher/C4 duplicate-text signals), PII redaction, and
+TF-IDF term scoring. Everything is a Catalyst expression over arrays —
+no Python in the hot path, no shuffle except where the semantics demand
+one (documented per function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from ..functions.text import words
+
+CHUNK_WORDS = 40
+CHUNK_STRIDE = 30
+
+# Redaction patterns — valid and equivalent in both Java regex (Spark)
+# and RE2 (DuckDB oracle): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = CHUNK_WORDS,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Split documents into overlapping word windows (`size` words,
+    `stride` apart) — the context-window packing step before tokenized
+    training shards. Chunk starts are 1, 1+stride, ... <= len(words);
+    the final chunk may be shorter than `size`.
+
+    Scale shape: one projection + explode (flatMap) — embarrassingly
+    parallel, zero shuffles, output rows ~ n_docs * len/stride.
+    """
+    ws = words(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)),
+                        F.lit(stride))
+    chunks = F.transform(starts, lambda i: F.struct(
+        ((i - F.lit(1)) / stride).cast("int").alias("chunk_id"),
+        F.concat_ws(" ", F.slice(ws, i, size)).alias("chunk_text"),
+        F.least(F.size(ws) - i + 1, F.lit(size)).cast("bigint")
+        .alias("n_words")))
+    return (docs.select(id_col, F.explode(chunks).alias("c"))
+            .select(id_col, F.col("c.chunk_id").alias("chunk_id"),
+                    F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.n_words").alias("n_words")))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     keep_max_dup: float = 0.55) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction (1 - distinct/total) and most-frequent-word fraction, with
+    a keep flag at `keep_max_dup`. Per-row array arithmetic only — the
+    O(distinct * total) inner count is bounded by document length, runs
+    JVM-side, and needs no shuffle.
+    """
+    ws = words(text_col)
+    nw = F.size(ws).cast("bigint")
+    nd = F.size(F.array_distinct(ws)).cast("bigint")
+    top = F.array_max(F.transform(
+        F.array_distinct(ws),
+        lambda w: F.size(F.filter(ws, lambda x: x == w)))).cast("bigint")
+    dup_frac = F.round(F.lit(1.0) - nd.cast("double") / nw.cast("double"), 6)
+    top_frac = F.round(top.cast("double") / nw.cast("double"), 6)
+    return docs.select(
+        id_col, nw.alias("n_words"), nd.alias("n_distinct"),
+        dup_frac.alias("dup_frac"), top_frac.alias("top_word_frac"),
+        (dup_frac <= keep_max_dup).alias("keep"))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails then phone numbers with typed placeholder tags."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint"),
+            F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-`k` TF-IDF terms per document (score = tf * ln(N/df)).
+
+    Scale shape: explode is a flatMap (no shuffle); the (doc, word) TF
+    aggregate shuffles once with map-side partial aggregation; the DF
+    table is vocabulary-sized, so it broadcast-joins back; the per-doc
+    top-k window shuffles on doc_id. ln(N/df) is computed inside the
+    join projection — no driver-side collect anywhere.
+    """
+    tokens = docs.select(id_col, F.explode(words(text_col)).alias("word"))
+    tf = tokens.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    score = (F.col("tf").cast("double")
+             * F.log(F.col("nd").cast("double") / F.col("dfc").cast("double")))
+    w = W.partitionBy(id_col).orderBy(score.desc(), F.col("word").asc())
+    return (tf.join(F.broadcast(df_tab), "word")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "word", F.round(score, 6).alias("tfidf")))

@@ -2296,3 +2296,178 @@ def window_first_last(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(w2).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w2).alias("second_key"))
+
+
+# --------------------------------------------------------------------------
+# Corpus-preparation surface: chunking, repetition filtering, PII
+# redaction, TF-IDF (operators/corpus.py) + batch ANN KNN join
+# --------------------------------------------------------------------------
+
+from ..operators import corpus as CP  # noqa: E402
+
+
+@query("chunk_docs",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+           u AS (SELECT doc_id,
+                        unnest(list_transform(
+                            generate_series(1, greatest(len(ws), 1), {CP.CHUNK_STRIDE}),
+                            i -> struct_pack(
+                                chunk_id := CAST((i - 1) // {CP.CHUNK_STRIDE} AS INT),
+                                chunk_text := array_to_string(
+                                    list_slice(ws, i, i + {CP.CHUNK_WORDS - 1}), ' '),
+                                n_words := CAST(least(len(ws) - i + 1,
+                                                      {CP.CHUNK_WORDS}) AS BIGINT))))
+                          AS c
+                 FROM w)
+           SELECT doc_id, c.chunk_id AS chunk_id, c.chunk_text AS chunk_text,
+                  c.n_words AS n_words
+           FROM u""")
+def chunk_docs_q(spark, sf_dir):
+    """Overlapping word-window chunking (40-word windows, stride 30) —
+    the context-window packing pass before tokenized training shards.
+    One projection + explode, zero shuffles."""
+    return CP.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+@query("repetition_filter",
+       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          s AS (SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+                       round(1.0 - len(list_distinct(ws))::DOUBLE
+                                   / len(ws)::DOUBLE, 6) AS dup_frac,
+                       round(list_max(list_transform(list_distinct(ws),
+                                 w2 -> len(list_filter(ws, x -> x = w2))))::DOUBLE
+                             / len(ws)::DOUBLE, 6) AS top_word_frac
+                FROM w)
+          SELECT doc_id, n_words, n_distinct, dup_frac, top_word_frac,
+                 dup_frac <= 0.55 AS keep
+          FROM s""")
+def repetition_filter_q(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-word fraction,
+    top-word fraction) with a keep flag — per-row array arithmetic,
+    JVM-side, no shuffle."""
+    return CP.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("pii_redact",
+       f"""WITH s AS (SELECT doc_id,
+                             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com or call +1-555-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               AS synth
+                      FROM documents)
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(synth, '{CP.EMAIL_RE}')) AS BIGINT)
+                    AS n_emails,
+                  CAST(len(regexp_extract_all(synth, '{CP.PHONE_RE}')) AS BIGINT)
+                    AS n_phones,
+                  regexp_replace(
+                      regexp_replace(synth, '{CP.EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{CP.PHONE_RE}', '<PHONE>', 'g') AS redacted
+           FROM s""")
+def pii_redact_q(spark, sf_dir):
+    """PII redaction over a deterministically PII-seeded corpus (the
+    fixture text has no emails/phones, so each doc gets a synthetic
+    contact line both engines construct identically): email + phone
+    regexes replaced with typed tags, with audit match counts. Pure
+    regexp projection — no shuffle; the patterns are RE2/Java-common."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    n_emails, n_phones = CP.pii_counts(synth)
+    return d.select("doc_id", n_emails.alias("n_emails"),
+                    n_phones.alias("n_phones"),
+                    CP.redact_pii(synth).alias("redacted"))
+
+
+@query("tfidf_topk",
+       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY doc_id, word),
+          dfx AS (SELECT word, count(*) AS dfc FROM tf GROUP BY word),
+          n AS (SELECT count(*) AS nd FROM documents),
+          s AS (SELECT tf.doc_id, tf.word,
+                       tf.tf::DOUBLE * ln(nd::DOUBLE / dfc::DOUBLE) AS sc,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf::DOUBLE * ln(nd::DOUBLE / dfc::DOUBLE)
+                                        DESC,
+                                    tf.word ASC) AS rn
+                FROM tf JOIN dfx USING (word) CROSS JOIN n)
+          SELECT doc_id, word, round(sc, 6) AS tfidf
+          FROM s WHERE rn <= 3""")
+def tfidf_topk_q(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: one token-explode (no shuffle),
+    one (doc,word) partial-agg shuffle, vocabulary-sized DF table
+    broadcast back, per-doc top-k window. No driver-side collect."""
+    return CP.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query("ann_knn_join",
+       f"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                      FROM embeddings WHERE vec_id < 16),
+           q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id % 100 = 7),
+           a AS (SELECT e.vec_id, e.embedding, c.cid,
+                        row_number() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY {sql_cosine_distance('e.embedding', 'c.cvec')} ASC,
+                                   c.cid ASC) AS rn
+                 FROM embeddings e CROSS JOIN c),
+           assign AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+           p AS (SELECT qid, qvec, cid FROM (
+                   SELECT q.qid, q.qvec, c.cid,
+                          row_number() OVER (
+                            PARTITION BY q.qid
+                            ORDER BY {sql_cosine_distance('q.qvec', 'c.cvec')} ASC,
+                                     c.cid ASC) AS rn
+                   FROM q CROSS JOIN c)
+                 WHERE rn <= 2),
+           scored AS (SELECT p.qid, s.vec_id, s.cid,
+                             {sql_cosine_distance('s.embedding', 'p.qvec')} AS d
+                      FROM assign s JOIN p ON s.cid = p.cid),
+           r AS (SELECT qid, vec_id, cid, d,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY d ASC, vec_id ASC) AS rn
+                 FROM scored)
+           SELECT qid, vec_id, CAST(cid AS BIGINT) AS cid,
+                  round(d, 6) AS distance_score
+           FROM r WHERE rn <= 3""")
+def ann_knn_join_q(spark, sf_dir):
+    """Batch ANN KNN join: a query *set* (every 100th vector) probed
+    through the materialized cid-partitioned IVF index in one plan —
+    broadcast centroid probe selection, broadcast probe-to-index join
+    reading only probed cells, one per-query top-k window. The scale
+    path past exact sim_join when the query side is large; shares the
+    ann_ivf index build."""
+    path = _materialized_index(
+        spark, sf_dir, "ann_ivf_index",
+        lambda p: ANN.materialize_ivf_index(
+            _t(spark, sf_dir, "embeddings"), p, n_cells=16))
+    queries = (_t(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") % 100 == 7)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return ANN.ivf_knn_join_materialized(spark, path, queries,
+                                         k=3, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Oracle-side nanosecond truncation (DuckDB-version robustness)
+# --------------------------------------------------------------------------
+# events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
+# 1.0.0) truncates it to microsecond TIMESTAMP on read — matching Spark's
+# explicit floor in sources/tables.load_table — but newer DuckDB preserves
+# TIMESTAMP_NS, which would silently shift gap/trunc/format results.
+# Routing every oracle's events scan through an explicit CAST keeps parity
+# independent of the oracle engine version; on 1.0.0 the cast is a no-op.
+
+_EVENTS_TRUNC = ("FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) "
+                 "FROM events) events")
+
+for _name, _sql in list(ORACLES.items()):
+    if "FROM events" in _sql:
+        ORACLES[_name] = _sql.replace("FROM events", _EVENTS_TRUNC)
