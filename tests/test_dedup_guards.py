@@ -36,20 +36,52 @@ def test_ngram_jaccard_stop_shingle_capped(spark):
              (101, "the same header shared tail text here")]
     df = _docs(spark, rows)
 
-    capped = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
-                                    min_jaccard=0.5, df_cap=10)
+    # base path (min_jaccard=0 -> full inverted index): the stop-shingle
+    # is dropped from the intersection but kept in the union denominator,
+    # so the capped score is the documented 4/6 underestimation, not 1.0
+    capped = (DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
+                                     min_jaccard=0.0, df_cap=10)
+              .filter(F.col("jaccard") >= 0.5))
     got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
     assert set(got) == {(100, 101)}
-    # the shared stop-shingle is dropped from the intersection but kept in
-    # the union denominator: 4 surviving shared shingles / (5+5-4) — the
-    # documented underestimation, not 1.0
     assert got[(100, 101)] == pytest.approx(4 / 6, abs=1e-6)
 
-    # uncapped counts the boilerplate shingle too: identical docs -> 1.0
-    uncapped = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
-                                      min_jaccard=0.5, df_cap=10_000)
-    ug = {(r.id_a, r.id_b): r.jaccard for r in uncapped.collect()}
-    assert ug[(100, 101)] == 1.0
+    # prefix path (min_jaccard>0): the cap only prunes candidate
+    # generation; verification intersects the FULL shingle sets, so the
+    # identical pair scores an exact 1.0 (found via its rare shingles,
+    # which outrank the boilerplate in the rarest-first prefix order)
+    pref = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
+                                  min_jaccard=0.5, df_cap=10)
+    pg = {(r.id_a, r.id_b): r.jaccard for r in pref.collect()}
+    assert set(pg) == {(100, 101)}
+    assert pg[(100, 101)] == 1.0
+
+
+def test_ngram_jaccard_prefix_matches_bruteforce(spark):
+    # Exactness of the prefix-filter path: on a real corpus it must equal
+    # the full inverted-index join post-filtered to the same threshold.
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    for t in (0.3, 0.6, 0.9):
+        pref = DD.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=t)
+        base = (DD.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                       min_jaccard=0.0)
+                .filter(F.col("jaccard") >= t))
+        rp = sorted(map(tuple, pref.collect()))
+        rb = sorted(map(tuple, base.collect()))
+        assert rp == rb, f"threshold {t}: prefix path diverges"
+    assert len(rp) > 0 or t == 0.9  # corpus has pairs at low thresholds
+
+
+def test_ngram_jaccard_prefix_oversized_posting_dropped(spark):
+    # All-boilerplate corpus: every shingle is in every doc, so every
+    # prefix posting list has 30 entries. df_cap=10 drops them all — the
+    # guard trades recall for a bounded task, never a quadratic blowup.
+    rows = [(i, "identical boilerplate document body text") for i in range(30)]
+    df = _docs(spark, rows)
+    out = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3,
+                                 min_jaccard=0.5, df_cap=10)
+    assert out.count() == 0
 
 
 def test_ngram_jaccard_cap_above_max_df_is_identity(spark):

@@ -423,6 +423,38 @@ def ngram_jaccard_q(spark, sf_dir):
                                   shingle_n=3, min_jaccard=0.0)
 
 
+@query("ngram_jaccard_prefix",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+           sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh FROM w),
+           nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+           inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+                    b.n_sh AS n_b, count(*) AS inter
+             FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           SELECT id_a, id_b,
+                  round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+           FROM inter
+           WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.5""")
+def ngram_jaccard_prefix_q(spark, sf_dir):
+    """Thresholded Jaccard join on the prefix-filtered (AllPairs/PPJoin)
+    path: only each doc's rarest n-ceil(t*n)+1 shingles enter the inverted
+    index, candidates pass a length filter, and survivors are verified
+    exactly — same answer as the full join (the oracle), orders of
+    magnitude fewer candidate pairs. The tokenize+rank docset is
+    materialized once per corpus (same pattern as the ANN indexes), so
+    the join's two references to it are cheap parquet scans, not two
+    recomputes of the shingle pipeline. The scale path at 100 TB."""
+    path = _materialized_index(
+        spark, sf_dir, "ngram_docset",
+        lambda p: DD.ngram_docset(_t(spark, sf_dir, "documents"),
+                                  "text", "doc_id", shingle_n=3)
+        .write.mode("overwrite").parquet(p))
+    return DD.ngram_jaccard_prefix_join(spark.read.parquet(path),
+                                        t=0.5)
+
+
 _SIGN_BUCKET = ("array_to_string(list_transform(generate_series(1, 8), "
                 "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')")
 
