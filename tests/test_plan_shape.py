@@ -225,3 +225,72 @@ def test_cached_corpus_reused_across_queries(spark):
         assert "InMemoryTableScan" in p1 and "InMemoryTableScan" in p2
     finally:
         emb.unpersist()
+
+
+def test_decontaminate_broadcasts_benchmark_vocab(spark):
+    plan = plan_of(QUERIES["decontaminate"](spark, SF_CORRECTNESS))
+    # corpus side must meet the benchmark shingle set map-side
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge join allowed is none: corpus rows never
+    # shuffle-join (the final left join keys on doc id after the
+    # hit-count agg, which AQE also broadcasts at this size)
+    assert "EvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle_per_shard_window(spark):
+    import re
+    plan = plan_of(QUERIES["pack_sequences"](spark, SF_CORRECTNESS))
+    # one exchange: hash-partition by shard for the running-sum window;
+    # token counting stays in the scan stage (no second exchange)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+    assert "EvalPython" not in plan
+
+
+def test_embed_quantize_is_scan_only(spark):
+    plan = plan_of(QUERIES["embed_quantize"](spark, SF_CORRECTNESS))
+    # pure per-row expression pipeline: no exchange, no python
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_grouped_agg_udaf_is_arrow_not_rowwise(spark):
+    plan = plan_of(QUERIES["grouped_agg_udaf"](spark, SF_CORRECTNESS))
+    # the custom aggregate runs as an Arrow-batched aggregate node, never
+    # a row-at-a-time Python eval
+    assert "ArrowAggregatePython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """Files written in z-order cover a narrow range in BOTH dimensions,
+    so predicates on either column prune files; a linear sort bounds only
+    its own column (the other spans the full domain in every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tripgogo_vector_search_spark.plans.registry import _interleave_bits
+    ev = (load_table(spark, SF_CORRECTNESS, "events")
+          .select((F.col("user_id") % 256).alias("u"),
+                  (F.col("event_id") % 256).alias("e"))
+          .withColumn("z", _interleave_bits(F.col("u"), F.col("e"))))
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    ev.repartitionByRange(64, "z").write.parquet(zdir)
+    ev.repartitionByRange(64, "e").write.parquet(ldir)
+
+    def mean_range(d, col):
+        spans = []
+        for f in glob.glob(d + "/part-*.parquet"):
+            vals = pq.read_table(f, columns=[col]).column(col).to_pylist()
+            if vals:
+                spans.append(max(vals) - min(vals) + 1)
+        return sum(spans) / len(spans)
+
+    # linear-by-e layout: e prunes, u never does (each file spans
+    # nearly the whole observed u domain)
+    lu, zu, ze = (mean_range(ldir, "u"), mean_range(zdir, "u"),
+                  mean_range(zdir, "e"))
+    assert lu > 120            # observed u domain is ~150 wide at sf0.01
+    # z-order: BOTH dimensions bounded far under the domain
+    assert zu < lu / 2
+    assert ze < 100

@@ -90,3 +90,41 @@ def match_score(dist: ColumnOrName) -> Column:
     """The reference's derived similarity percentage:
     ``round((1 - distance) * 100, 2)`` (streamlit_app.py:221)."""
     return F.round((F.lit(1.0) - _c(dist)) * 100, 2)
+
+
+def quantize_scale(v: ColumnOrName, bits: int = 8) -> Column:
+    """Per-vector symmetric scalar-quantization scale: ``max|x| / qmax``
+    with ``qmax = 2^(bits-1) - 1`` (127 for int8). Zero vectors get a
+    NULL scale (nothing to quantize)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    mx = F.array_max(F.transform(_c(v), lambda x: F.abs(x.cast("double"))))
+    return F.when(mx > 0, mx / qmax)
+
+
+def quantize(v: ColumnOrName, scale: ColumnOrName) -> Column:
+    """Symmetric scalar quantization to integer codes:
+    ``floor(x/scale + 0.5)`` — explicit round-half-up, chosen over
+    engine-native round() so every engine (and the DuckDB oracle)
+    reproduces codes bit-for-bit. NULL scale (zero vector) -> all-zero
+    codes."""
+    s = _c(scale)
+    return F.transform(
+        _c(v),
+        lambda x: F.when(s.isNotNull(),
+                         F.floor(x.cast("double") / s + F.lit(0.5)))
+        .otherwise(F.lit(0)).cast("long"))
+
+
+def dequantize_error(v: ColumnOrName, scale: ColumnOrName) -> Column:
+    """Max absolute reconstruction error ``max|x - q*scale|`` of the
+    round-trip; bounded by scale/2 for in-range values. Zero vectors
+    reconstruct exactly (error 0)."""
+    s = _c(scale)
+    err = F.transform(
+        _c(v),
+        lambda x: F.when(
+            s.isNotNull(),
+            F.abs(x.cast("double")
+                  - F.floor(x.cast("double") / s + F.lit(0.5)) * s))
+        .otherwise(F.lit(0.0)))
+    return F.array_max(err)

@@ -484,3 +484,36 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
             .select(F.col(id_col),
                     F.col("min_src").isNotNull().alias("is_dup"),
                     F.coalesce("min_src", F.col(id_col)).alias("canonical_id")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, shingle_n: int = 3) -> DataFrame:
+    """Benchmark-contamination screen: per corpus document, how many
+    distinct word ``shingle_n``-grams it shares with a held-out benchmark
+    set (the standard pretraining decontamination test — a doc sharing
+    eval n-grams leaks the benchmark into training data).
+
+    Plan shape for 100 TB: the benchmark shingle vocabulary is tiny
+    relative to the corpus (eval sets are thousands of docs, the corpus
+    billions), so it is distinct-ed and **broadcast** — the corpus-side
+    inverted index joins map-side with no shuffle of corpus rows; the
+    only shuffle is the per-doc hit count groupBy. Returns every corpus
+    doc with ``n_shared`` (0 for clean docs) and a ``contaminated`` flag.
+    """
+    b = (widen(benchmark.select(F.col(text_col)))
+         .select(F.explode(F.array_distinct(shingles(text_col, shingle_n)))
+                 .alias("shingle"))
+         .distinct())
+    c = (widen(corpus.select(F.col(id_col).alias("id"), F.col(text_col)))
+         .select("id",
+                 F.explode(F.array_distinct(shingles(text_col, shingle_n)))
+                 .alias("shingle")))
+    hits = (c.join(F.broadcast(b), "shingle")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared")))
+    return (corpus.select(F.col(id_col).alias("id"))
+            .join(hits, "id", "left")
+            .select(F.col("id"),
+                    F.coalesce("n_shared", F.lit(0)).cast("bigint")
+                    .alias("n_shared"),
+                    (F.coalesce("n_shared", F.lit(0)) > 0)
+                    .alias("contaminated")))

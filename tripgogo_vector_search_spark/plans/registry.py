@@ -2487,6 +2487,228 @@ def ann_knn_join_q(spark, sf_dir):
                                          k=3, nprobe=2)
 
 
+_TOK_RE_SQL = "'[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'"
+
+@query("pack_sequences",
+       f"""WITH t AS (SELECT doc_id, source,
+                  len(regexp_extract_all(text, {_TOK_RE_SQL})) AS n_tok
+                  FROM documents),
+           c AS (SELECT doc_id, source, n_tok,
+                  COALESCE(SUM(n_tok) OVER (
+                      PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS start_tok
+                 FROM t)
+           SELECT doc_id AS id, source AS shard,
+                  CAST(n_tok AS BIGINT) AS n_tok,
+                  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+                  CAST(start_tok % 512 AS BIGINT) AS seq_offset
+           FROM c""")
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing (LLM training layout): per-shard
+    token cumsum -> fixed 512-token sequence id + offset per document.
+    One scan + one per-shard window; shards are independent so the
+    operator parallelizes by shard count (callers pick the shard key)."""
+    from ..operators.packing import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                          "source", context_len=512)
+
+
+@query("decontaminate",
+       f"""WITH corp AS (SELECT doc_id, {sql_words('text')} AS ws
+                         FROM documents WHERE doc_id % 97 <> 0),
+           bench AS (SELECT doc_id, {sql_words('text')} AS ws
+                     FROM documents WHERE doc_id % 97 = 0),
+           bs AS (SELECT DISTINCT unnest(list_distinct(
+                      {sql_shingles('ws', 3)})) AS shingle FROM bench),
+           ci AS (SELECT doc_id, unnest(list_distinct(
+                      {sql_shingles('ws', 3)})) AS shingle FROM corp),
+           h AS (SELECT doc_id, count(*) AS n_shared
+                 FROM ci JOIN bs USING (shingle) GROUP BY doc_id)
+           SELECT c.doc_id AS id,
+                  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                  COALESCE(h.n_shared, 0) > 0 AS contaminated
+           FROM corp c LEFT JOIN h ON c.doc_id = h.doc_id""")
+def decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination screen: corpus docs flagged by distinct
+    3-gram overlap with a held-out benchmark split (every 97th doc).
+    The benchmark shingle vocabulary broadcasts; corpus rows never
+    shuffle for the join."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.decontaminate(docs.filter(F.col("doc_id") % 97 != 0),
+                            docs.filter(F.col("doc_id") % 97 == 0),
+                            "text", "doc_id", shingle_n=3)
+
+
+@query("embed_quantize",
+       """WITH m AS (SELECT vec_id,
+                  list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS mx,
+                  embedding
+                 FROM embeddings),
+           s AS (SELECT vec_id, embedding,
+                  CASE WHEN mx > 0 THEN mx / 127 END AS sc FROM m)
+           SELECT vec_id, round(sc, 6) AS scale6,
+                  CAST(COALESCE(list_aggregate(list_transform(embedding,
+                      x -> CASE WHEN sc IS NOT NULL
+                           THEN CAST(floor(CAST(x AS DOUBLE) / sc + 0.5)
+                                     AS BIGINT) ELSE 0 END), 'sum'), 0)
+                    AS BIGINT) AS codes_sum,
+                  round(COALESCE(list_max(list_transform(embedding,
+                      x -> CASE WHEN sc IS NOT NULL
+                           THEN abs(CAST(x AS DOUBLE)
+                                    - floor(CAST(x AS DOUBLE) / sc + 0.5)
+                                      * sc) ELSE 0.0 END)), 0.0), 6)
+                    AS max_err6
+           FROM s""")
+def embed_quantize_q(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column:
+    per-vector scale (max|x|/127), code checksum, and max reconstruction
+    error. Pure Catalyst higher-order functions — the compression pass a
+    100 TB vector corpus runs before indexing; codes pinned exactly via
+    explicit floor(x/s + 0.5) on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sc = V.quantize_scale("embedding")
+    q = V.quantize("embedding", sc)
+    return (emb.select(
+        "vec_id",
+        F.round(sc, 6).alias("scale6"),
+        F.coalesce(F.aggregate(q, F.lit(0).cast("long"),
+                               lambda acc, x: acc + x), F.lit(0))
+        .cast("bigint").alias("codes_sum"),
+        F.round(F.coalesce(V.dequantize_error("embedding", sc), F.lit(0.0)),
+                6).alias("max_err6")))
+
+
+@query("stream_static_join",
+       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+                 n.n_name, count(*) AS n_events,
+                 CAST(round(SUM(CAST(value AS DECIMAL(20,4))), 2) AS DOUBLE)
+                   AS sum_value
+          FROM events JOIN nation n ON events.user_id % 25 = n.n_nationkey
+          GROUP BY 1, 2""")
+def stream_static_join_q(spark, sf_dir):
+    """Stream-static broadcast join driven to completion: streaming
+    events enriched with the nation dimension per micro-batch, tumbling
+    1h window per nation. No stream-side shuffle for the join; state is
+    the watermark-bounded window aggregation only."""
+    from ..streaming.ingest import run_stream_to_table, stream_static_enrich
+    return run_stream_to_table(spark,
+                               stream_static_enrich(spark, sf_dir),
+                               mode="complete")
+
+
+@query("grouped_agg_udaf",
+       """SELECT c_nationkey,
+                 round(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)
+                                * (c_custkey % 10 + 1)) AS DOUBLE)
+                       / SUM(c_custkey % 10 + 1) / 100, 6) AS wavg_acctbal
+          FROM customer GROUP BY c_nationkey""")
+def grouped_agg_udaf_q(spark, sf_dir):
+    """Custom UDAF as a pandas GROUPED_AGG UDF (the Arrow-batched
+    aggregate surface, completing the UDF matrix next to grouped-map /
+    map-iterator / UDTF / stateful): weighted mean account balance per
+    nation. Accumulation is integer cents x integer weights, so the
+    result is independent of row order within the group — the float
+    division happens exactly once at the end, and rounding stays
+    OUTSIDE the UDF (engine round on both sides, the repo's 6-dp
+    contract). Executes as an Arrow-batched aggregate node
+    (ArrowAggregatePython), never row-at-a-time Python."""
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, defeating PySpark's
+    # signature inference
+    def _wavg(cents, w):
+        num = int((cents * w).sum())
+        den = int(w.sum())
+        return num / den / 100.0
+
+    wavg = F.pandas_udf(_wavg, "double", PandasUDFType.GROUPED_AGG)
+
+    c = _t(spark, sf_dir, "customer")
+    return (c.select("c_nationkey",
+                     F.round(F.col("c_acctbal") * 100, 0).cast("long")
+                     .alias("cents"),
+                     (F.col("c_custkey") % 10 + 1).alias("w"))
+            .groupBy("c_nationkey")
+            .agg(F.round(wavg("cents", "w"), 6).alias("wavg_acctbal")))
+
+
+@query("stream_foreach_sink",
+       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, count(*) AS n_events,
+                 CAST(round(SUM(CAST(value AS DECIMAL(20,4))), 2) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2""")
+def stream_foreach_sink_q(spark, sf_dir):
+    """foreachBatch parquet sink with per-batch overwrite (idempotent
+    under micro-batch replay — exactly-once by idempotence) driven to
+    completion, then read back. The read-back must equal the batch
+    aggregate; the sink adds no semantics, only durability."""
+    from ..streaming.ingest import stream_foreach_parquet_sink
+    return stream_foreach_parquet_sink(spark, sf_dir,
+                                       _cache_dir(sf_dir, "stream_sink"))
+
+
+@query("schema_evolution",
+       """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+          FROM customer
+          UNION ALL
+          SELECT c_custkey + 10000000, c_name, c_acctbal FROM customer""")
+def schema_evolution_q(spark, sf_dir):
+    """Schema-evolved parquet source: a v1 write without c_acctbal and a
+    v2 write with it, read together via mergeSchema — old files surface
+    the added column as NULL. The capability a long-lived 100 TB table
+    needs when columns are added without rewriting history."""
+    base = _t(spark, sf_dir, "customer")
+    root = _cache_dir(sf_dir, "evolved_customer")
+    (base.select("c_custkey", "c_name")
+     .write.mode("overwrite").parquet(root + "/v=1"))
+    (base.select((F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                 "c_name", "c_acctbal")
+     .write.mode("overwrite").parquet(root + "/v=2"))
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(root + "/v=1", root + "/v=2")
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+def _interleave_bits(a, b, bits: int = 8):
+    """Morton/Z-value: interleave the low ``bits`` of two ints (a odd
+    positions, b even) as a Catalyst integer expression."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(abit, 2 * i + 1) + F.shiftleft(bbit, 2 * i)
+    return z
+
+def _sql_interleave(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({b}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+@query("zorder_key",
+       f"""SELECT event_id,
+                  CAST({_sql_interleave('user_id % 256', 'event_id % 256')}
+                       AS BIGINT) AS zval
+           FROM events""")
+def zorder_key_q(spark, sf_dir):
+    """Z-order (Morton) clustering key over two dimensions: bit-
+    interleaved bucket of (user_id, event_id). Sorting a table by this
+    key before writing gives every parquet file a narrow min/max range
+    in BOTH dimensions, so point/range predicates on either column prune
+    files — multi-dimensional clustering without a second copy of the
+    data (layout effect pinned in tests/test_plan_shape.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id",
+                     _interleave_bits(F.col("user_id") % 256,
+                                      F.col("event_id") % 256)
+                     .alias("zval"))
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------

@@ -159,3 +159,65 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("user_id").applyInPandasWithState(
         _session_fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
         "append", "EventTimeTimeout"))
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-static join: streaming events enriched against the static
+    nation dimension, then tumbling-window aggregated per nation.
+
+    The static side re-reads per micro-batch and Spark broadcasts it
+    (dimension tables are the canonical broadcast case); the stream side
+    is never shuffled for the join — state exists only in the windowed
+    aggregation, bounded by the watermark. This is the 100 TB shape for
+    "enrich a firehose with reference data": no stream repartition, no
+    state growth from the join itself.
+    """
+    ev = stream_events(spark, sf_dir)
+    nation = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+              .select(F.col("n_nationkey").cast("bigint").alias("nkey"),
+                      "n_name"))
+    joined = (ev.withColumn("nkey", F.col("user_id") % 25)
+              .join(F.broadcast(nation), "nkey"))
+    return (joined
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "n_name")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(20,4)")), 2)
+                  .cast("double").alias("sum_value"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "n_name", "n_events", "sum_value"))
+
+
+def stream_foreach_parquet_sink(spark: SparkSession, sf_dir: str,
+                                out_dir: str) -> DataFrame:
+    """The production streaming-sink pattern: ``foreachBatch`` writing
+    parquet with per-batch overwrite, making the sink idempotent under
+    micro-batch replay (a re-delivered batch id rewrites the same data
+    instead of duplicating it — exactly-once by idempotence, the
+    standard recipe for sinks without transactional commit).
+
+    Complete-mode windowed aggregate: each batch holds the full current
+    result, so the final overwrite IS the answer and equals the batch
+    query. Checkpoint + output are wiped up front so every invocation
+    replays the finite source deterministically.
+    """
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_chk", ignore_errors=True)
+    agg = windowed_event_agg(stream_events(spark, sf_dir))
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (agg.writeStream.outputMode("complete")
+         .option("checkpointLocation", out_dir + "_chk")
+         .foreachBatch(write_batch).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
