@@ -49,6 +49,10 @@ _CHECK_FIRST = [
     # checks more than 50 ---
     "approx_quantiles", "hll_union_rollup", "tpch_q10", "json_scan",
     "partitioned_sink", "label_centroids",
+    "ngram_jaccard_prefix", "pack_sequences", "decontaminate",
+    "embed_quantize", "stream_static_join", "grouped_agg_udaf",
+    "stream_foreach_sink", "schema_evolution", "zorder_key",
+    "salted_join", "incremental_dedup", "cdc_upsert", "sim_join_gemm",
     "minhash_dedup", "ngram_jaccard", "embedding_near_dup",
 ]
 

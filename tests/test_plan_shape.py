@@ -294,3 +294,36 @@ def test_zorder_layout_bounds_both_dims(spark, tmp_path):
     # z-order: BOTH dimensions bounded far under the domain
     assert zu < lu / 2
     assert ze < 100
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-group pruning for selective big-big joins: Spark
+    injects a bloom filter built from the filtered build side into the
+    probe-side scan (BloomFilterMightContain), cutting shuffled probe
+    rows before the join — the AQE-era answer to semi-join pushdown at
+    100 TB. Pinned here so the capability (off by default) stays wired."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = (load_table(spark, SF_CORRECTNESS, "orders")
+             .filter(F.col("o_totalprice") > 500000))
+        li = load_table(spark, SF_CORRECTNESS, "lineitem")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select("l_orderkey", "l_quantity", "o_totalprice"))
+        plan = plan_of(j)
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -47,3 +47,67 @@ def similarity_join(corpus: DataFrame, queries: DataFrame, k: int = 3,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("distance_score", 6).alias("distance_score")))
+
+
+def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                         corpus_vec: str = "embedding",
+                         corpus_id: str = "vec_id",
+                         query_vec: str = "embedding",
+                         query_id: str = "vec_id",
+                         exclude_self: bool = True) -> DataFrame:
+    """Same semantics as :func:`similarity_join`, different physical
+    strategy: the query block is shipped to every corpus partition and
+    each Arrow batch scores against it with one BLAS matrix multiply
+    (``C @ Q.T``), keeping only the partition-local top-k per query;
+    the global top-k reduces the tiny candidate set with a window.
+
+    Per corpus row the expression path folds a 64-element loop per query
+    inside codegen; the GEMM path amortizes it into one vectorized
+    multiply per batch — the right trade when |queries| is large enough
+    that the per-pair loop dominates. Candidate traffic is
+    |queries| x k per partition, independent of corpus size. Distances
+    use float64 BLAS accumulation, which can differ from the sequential
+    fold by ~1 ulp — rounding to 6 dp absorbs it (parity-checked against
+    the same DuckDB oracle as sim_join at both test SFs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+
+    out_schema = ("query_id bigint, neighbor_id bigint, "
+                  "distance_score double")
+
+    def score_partition(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            C = np.array([list(map(float, v)) for v in pdf[corpus_vec]],
+                         dtype=np.float64)
+            cnorm = np.sqrt((C * C).sum(axis=1))
+            dist = 1.0 - (C @ Q.T) / np.outer(cnorm, qnorm)
+            for j in range(len(qids)):
+                col = dist[:, j]
+                mask = ids != qids[j] if exclude_self else np.ones(
+                    len(ids), dtype=bool)
+                cand_ids, cand_d = ids[mask], col[mask]
+                # deterministic partition-local top-k: distance, then id
+                order = np.lexsort((cand_ids, cand_d))[:k]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(order), qids[j]),
+                    "neighbor_id": cand_ids[order],
+                    "distance_score": cand_d[order],
+                })
+
+    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score_partition, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.col("distance_score").asc(),
+                                          F.col("neighbor_id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("distance_score", 6).alias("distance_score")))

@@ -505,6 +505,19 @@ def sim_join_q(spark, sf_dir):
     return similarity_join(e, q, k=3)
 
 
+@query("sim_join_gemm", ORACLES["sim_join"])
+def sim_join_gemm_q(spark, sf_dir):
+    """The same join, GEMM physical strategy: per-Arrow-batch BLAS
+    ``C @ Q.T`` with partition-local top-k, then a tiny global window.
+    Same oracle as sim_join — two physical plans, one semantics; the
+    vectorized path wins when the query set is large (per-pair codegen
+    loop amortized into one matrix multiply per batch)."""
+    from ..operators.simjoin import similarity_join_gemm
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return similarity_join_gemm(e, q, k=3)
+
+
 # --------------------------------------------------------------------------
 # Text analysis (north-star extension)
 # --------------------------------------------------------------------------
@@ -2707,6 +2720,99 @@ def zorder_key_q(spark, sf_dir):
                      _interleave_bits(F.col("user_id") % 256,
                                       F.col("event_id") % 256)
                      .alias("zval"))
+
+
+_SALT = 8
+
+@query("salted_join",
+       """SELECT event_id, user_id,
+                 CAST(round(SUM(CAST(value AS DECIMAL(20,4)))
+                            OVER (PARTITION BY user_id), 2) AS DOUBLE)
+                   AS user_total
+          FROM events""")
+def salted_join_q(spark, sf_dir):
+    """Manual skew-salting for a big-big join (the pre-AQE pattern, still
+    the tool when one key is hot enough to overflow a single AQE split):
+    the dimension side is replicated once per salt value, the fact side
+    salts deterministically (event_id % S), and the join key becomes
+    (user_id, salt) — a hot user's rows spread over S reducers instead
+    of one. Output equals the unsalted join (the oracle computes it as a
+    window); only the physical distribution changes."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.groupBy("user_id")
+           .agg(F.round(F.sum(F.col("value").cast("decimal(20,4)")), 2)
+                .cast("double").alias("user_total")))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
+    fact = ev.select("event_id", "user_id",
+                     (F.col("event_id") % _SALT).cast("int").alias("salt"))
+    return (fact.join(dim_salted, ["user_id", "salt"])
+            .select("event_id", "user_id", "user_total"))
+
+
+@query("incremental_dedup",
+       r"""WITH base AS (SELECT md5(lower(regexp_replace(trim(text),
+                             '\s+', ' ', 'g'))) AS fp
+                         FROM documents WHERE doc_id % 10 <> 7),
+           newb AS (SELECT doc_id, md5(lower(regexp_replace(trim(text),
+                        '\s+', ' ', 'g'))) AS fp
+                    FROM documents WHERE doc_id % 10 = 7)
+           SELECT doc_id FROM newb
+           WHERE fp NOT IN (SELECT fp FROM base)""")
+def incremental_dedup_q(spark, sf_dir):
+    """Delta-batch dedup — the production shape for a continuously-fed
+    corpus: an incoming batch keeps only documents whose normalized-text
+    fingerprint is absent from the existing corpus (anti-join against
+    the distinct fingerprint set; at 100 TB the base side is the
+    materialized fingerprint index, not a rescan, and the anti-join
+    broadcasts whichever side is smaller)."""
+    docs = _t(spark, sf_dir, "documents")
+    base_fp = (docs.filter(F.col("doc_id") % 10 != 7)
+               .select(TX.fingerprint("text").alias("fp")).distinct())
+    newb = (docs.filter(F.col("doc_id") % 10 == 7)
+            .select("doc_id", TX.fingerprint("text").alias("fp")))
+    return newb.join(base_fp, "fp", "left_anti").select("doc_id")
+
+
+@query("cdc_upsert",
+       """WITH upd AS (SELECT c_custkey,
+                              CAST(c_acctbal + 100 AS DOUBLE) AS c_acctbal,
+                              'updated' AS status
+                       FROM customer WHERE c_custkey % 7 = 0
+                       UNION ALL
+                       SELECT c_custkey + 9000000,
+                              CAST(0.0 AS DOUBLE), 'inserted'
+                       FROM customer WHERE c_custkey % 101 = 0)
+           SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+                  COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+                  COALESCE(u.status, 'unchanged') AS status
+           FROM customer b FULL OUTER JOIN upd u
+                ON b.c_custkey = u.c_custkey""")
+def cdc_upsert_q(spark, sf_dir):
+    """MERGE INTO emulated on plain parquet (the CDC-apply pattern when
+    no transactional table format is in play): base FULL OUTER JOIN the
+    change batch on the key, change side wins per column. Matched keys
+    update, unmatched change rows insert, untouched base rows carry
+    through. At 100 TB both sides bucket/partition on the key so the
+    join is co-located; the rewrite targets only affected partitions."""
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("updated").alias("status"))
+    ins = base.filter(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 9_000_000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"), F.lit("inserted").alias("status"))
+    delta = upd.unionByName(ins)
+    b = base.alias("b")
+    u = delta.alias("u")
+    return (b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"),
+                   "full_outer")
+            .select(F.coalesce("u.c_custkey", "b.c_custkey")
+                    .alias("c_custkey"),
+                    F.coalesce("u.c_acctbal", "b.c_acctbal")
+                    .alias("c_acctbal"),
+                    F.coalesce("u.status", F.lit("unchanged"))
+                    .alias("status")))
 
 
 # --------------------------------------------------------------------------
