@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "embed_quantize", "stream_static_join", "grouped_agg_udaf",
     "stream_foreach_sink", "schema_evolution", "zorder_key",
     "salted_join", "incremental_dedup", "cdc_upsert", "sim_join_gemm",
+    "stream_stream_join",
     "minhash_dedup", "ngram_jaccard", "embedding_near_dup",
 ]
 

@@ -114,3 +114,65 @@ def test_quantize_known_codes(spark):
     assert s == pytest.approx(0.01, abs=1e-9)
     assert q == [127, -63, 0]   # floor(-63.5 + 0.5) = -63: round-half-up
     assert out[2] == (None, [0, 0, 0])  # zero vector -> NULL scale, 0 codes
+
+
+# ---------------------------------------------------------------------------
+# property-based: operators vs plain-Python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DOCS = st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+              st.text(alphabet=st.sampled_from(list("ab c!1.")),
+                      min_size=0, max_size=40)),
+    min_size=1, max_size=16)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_DOCS)
+def test_pack_sequences_matches_python_reference(spark, docs):
+    import re
+
+    from tripgogo_vector_search_spark.functions.text import TOKEN_REGEX
+    rows = [(i, t, s) for i, (s, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+    got = {r.id: (r.n_tok, r.seq_id, r.seq_offset)
+           for r in pack_sequences(df, "text", "doc_id", "src",
+                                   context_len=5).collect()}
+    pos: dict[str, int] = {}
+    for i, (s, t) in enumerate(docs):
+        n = len(re.findall(TOKEN_REGEX, t))
+        start = pos.get(s, 0)
+        assert got[i] == (n, start // 5, start % 5), (i, s, t)
+        pos[s] = start + n
+    assert len(got) == len(docs)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-100, max_value=100,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=1, max_size=8),
+    min_size=1, max_size=8))
+def test_quantize_matches_python_reference(spark, vecs):
+    import math
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sc = V.quantize_scale("embedding")
+    got = {r.vec_id: (r.s, list(r.q)) for r in df.select(
+        "vec_id", sc.alias("s"), V.quantize("embedding", sc).alias("q"))
+        .collect()}
+    for i, v in enumerate(vecs):
+        mx = max(abs(float(x)) for x in v)
+        if mx == 0:
+            assert got[i] == (None, [0] * len(v))
+        else:
+            s = mx / 127
+            q = [math.floor(float(x) / s + 0.5) for x in v]
+            gs, gq = got[i]
+            assert gq == q and abs(gs - s) < 1e-12, (i, v)

@@ -2612,6 +2612,27 @@ def stream_static_join_q(spark, sf_dir):
                                mode="complete")
 
 
+@query("stream_stream_join",
+       """WITH e AS (SELECT * FROM events)
+          SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
+                 strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+                 strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_time
+          FROM e a JOIN e b
+               ON a.user_id = b.user_id
+              AND a.event_type = 'view' AND b.event_type = 'purchase'
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""")
+def stream_stream_join_q(spark, sf_dir):
+    """Watermarked stream-stream interval join (view -> purchase within
+    30 min, same user) driven to completion in append mode; the batch
+    interval join is the oracle. The time-bounded predicate makes join
+    state finite — the unbounded-firehose-safe form."""
+    from ..streaming.ingest import (run_stream_to_table,
+                                    stream_stream_interval_join)
+    return run_stream_to_table(spark,
+                               stream_stream_interval_join(spark, sf_dir),
+                               mode="append")
+
+
 @query("grouped_agg_udaf",
        """SELECT c_nationkey,
                  round(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)

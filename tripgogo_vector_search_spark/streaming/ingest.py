@@ -221,3 +221,35 @@ def stream_foreach_parquet_sink(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str,
+                                watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each view pairs with the same user's purchases in the following 30
+    minutes. Both sides carry watermarks and the join predicate bounds
+    the event-time gap, so Spark can size the join state exactly — a
+    view's state is droppable once the watermark passes view_ts + 30min
+    (bounded state, the property that keeps this runnable forever on an
+    unbounded firehose). Inner-join matches emit immediately; the
+    watermark only governs state eviction.
+    """
+    ev = stream_events(spark, sf_dir)
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("buy_user"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", watermark))
+    j = views.join(
+        buys,
+        F.expr("user_id = buy_user AND buy_ts > view_ts "
+               "AND buy_ts <= view_ts + interval 30 minutes"))
+    return j.select(
+        "user_id", "view_id", "buy_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_time"))
