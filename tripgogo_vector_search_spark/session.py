@@ -32,6 +32,41 @@ def get_spark(app_name: str = "tripgogo-vector-search-spark",
     return spark
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers even when
+    the driver process found it via a bare sys.path entry (e.g. a harness
+    running from another cwd). Pandas-UDF kernels are pickled by module
+    reference, so workers must be able to import us; addPyFile ships a
+    zip of the package once per session and extends every worker's path.
+    On a real cluster this is exactly how the package would be deployed
+    (--py-files); in local mode it is a no-op cost after the first call.
+    """
+    if getattr(spark, "_tripgogo_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="tripgogo_pkg_"),
+                            "tripgogo_vector_search_spark.zip")
+    try:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, root))
+        spark.sparkContext.addPyFile(zip_path)
+        spark._tripgogo_pkg_shipped = True
+    except Exception:
+        # Session may forbid addPyFile (e.g. Connect); workers then rely
+        # on the package being installed, which is the normal deployment.
+        spark._tripgogo_pkg_shipped = True
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Runtime confs we depend on, for sessions we did not create.
 
@@ -41,4 +76,5 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
     return spark

@@ -26,7 +26,7 @@ _COUNTER = itertools.count()
 
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) fixture: read as long
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -43,12 +43,29 @@ DOCS_SCHEMA = T.StructType([
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-backed events stream; adapts to either physical `ts` type the
+    fixture has shipped with (TIMESTAMP(NANOS) -> read as long + floor to
+    micros; TIMESTAMP(MICROS) -> read as NTZ + cast). The footer is probed
+    once on the driver — streams need the schema declared up front."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")).field("ts").type
     # file-stream sources require a directory; select the one table file
     # via pathGlobFilter
-    raw = (spark.readStream.format("parquet").schema(EVENTS_RAW_SCHEMA)
+    if getattr(ts_type, "unit", None) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (spark.readStream.format("parquet").schema(EVENTS_RAW_SCHEMA)
+               .option("pathGlobFilter", "events.parquet").load(sf_dir))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+        for f in EVENTS_RAW_SCHEMA.fields])
+    raw = (spark.readStream.format("parquet").schema(schema)
            .option("pathGlobFilter", "events.parquet").load(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_agg(events: DataFrame, window: str = "1 hour",
