@@ -45,6 +45,8 @@ _CHECK_FIRST = [
     # plan changes to minhash/ngram/embedding dedup keep their outputs
     # byte-identical, so re-checking those r1-green keys adds less)
     "corpus_filter", "approx_distinct", "tpch_q5",
+    "unpivot_metrics", "stratified_sample", "argmax_agg", "fuzzy_join",
+    "funnel_stages",
     # --- 50-key line: everything below is next-in-line if the gate
     # checks more than 50 ---
     "approx_quantiles", "hll_union_rollup", "tpch_q10", "json_scan",

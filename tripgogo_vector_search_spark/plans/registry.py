@@ -2837,6 +2837,168 @@ def cdc_upsert_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Reshaping, sampling, arg-extrema, fuzzy matching, funnel analytics
+# --------------------------------------------------------------------------
+
+
+@query("unpivot_metrics",
+       """SELECT l_orderkey, l_linenumber, metric, round(val, 6) AS val
+          FROM (UNPIVOT (SELECT l_orderkey, l_linenumber,
+                                CAST(l_quantity AS DOUBLE) AS l_quantity,
+                                CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                                CAST(l_discount AS DOUBLE) AS l_discount,
+                                CAST(l_tax AS DOUBLE) AS l_tax
+                         FROM lineitem)
+                ON l_quantity, l_extendedprice, l_discount, l_tax
+                INTO NAME metric VALUE val)""")
+def unpivot_metrics(spark, sf_dir):
+    """Wide-to-long reshape (UNPIVOT / melt): the four lineitem measures
+    become (metric, val) rows keyed by line. Narrow-transform only — no
+    shuffle, stays inside whole-stage codegen, output is 4x rows but the
+    scan still prunes to the six referenced columns."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        *[F.col(c).cast("double").alias(c)
+          for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")])
+    return (li.unpivot(["l_orderkey", "l_linenumber"],
+                       ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                       "metric", "val")
+            .select("l_orderkey", "l_linenumber", "metric",
+                    F.round("val", 6).alias("val")))
+
+
+@query("stratified_sample",
+       """SELECT event_id, event_type FROM events
+          WHERE CASE WHEN event_type IN ('view', 'click')
+                     THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                          IN ('0', '1', '2', '3')
+                     ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                          IN ('0', '1', '2', '3', '4', '5', '6', '7') END""")
+def stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: high-volume event types keep
+    4/16 of rows, the rest keep 8/16 — the class-rebalancing pattern for
+    training-set construction. Content-hash thresholds (not sampleBy)
+    make the sample reproducible across engines, reruns and partition
+    layouts; a pure filter, so it pipelines into the scan with no
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    nib = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    keep = (F.when(F.col("event_type").isin("view", "click"),
+                   nib.isin("0", "1", "2", "3"))
+            .otherwise(nib.isin("0", "1", "2", "3", "4", "5", "6", "7")))
+    return ev.filter(keep).select("event_id", "event_type")
+
+
+@query("argmax_agg",
+       """SELECT c_nationkey,
+                 arg_max(c_name, lpad(CAST(CAST(round((c_acctbal + 100000) * 100)
+                                            AS BIGINT) AS VARCHAR), 9, '0')
+                                 || c_name) AS richest,
+                 round(MAX(c_acctbal), 2) AS top_bal,
+                 arg_min(c_name, lpad(CAST(CAST(round((c_acctbal + 100000) * 100)
+                                            AS BIGINT) AS VARCHAR), 9, '0')
+                                 || c_name) AS poorest,
+                 round(MIN(c_acctbal), 2) AS bottom_bal
+          FROM customer GROUP BY c_nationkey""")
+def argmax_agg(spark, sf_dir):
+    """arg-extrema as a single aggregation (max_by/arg_max) — no
+    window-sort pass, just a map-side-combinable agg, which is the shape
+    you want for "top row per key" at 100 TB when k=1. Ties on balance
+    are broken by name via a zero-padded composite sort key (balance
+    offset to non-negative, scaled to integer cents) so both engines
+    pick the same row; balances carry exactly two decimals so the
+    scaling is exact."""
+    c = _t(spark, sf_dir, "customer")
+    key = F.concat(
+        F.lpad(F.round((F.col("c_acctbal") + 100000) * 100)
+               .cast("bigint").cast("string"), 9, "0"),
+        F.col("c_name"))
+    return (c.groupBy("c_nationkey")
+            .agg(F.max_by("c_name", key).alias("richest"),
+                 F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+                 F.min_by("c_name", key).alias("poorest"),
+                 F.round(F.min("c_acctbal"), 2).alias("bottom_bal")))
+
+
+@query("fuzzy_join",
+       """WITH p AS (SELECT p_partkey, p_name,
+                            split_part(p_name, ' ', 2) AS noun,
+                            substr(p_name, 1, 1) AS c1
+                     FROM part)
+          SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                 a.p_name AS name_a, b.p_name AS name_b,
+                 levenshtein(a.p_name, b.p_name) AS dist
+          FROM p a JOIN p b
+            ON a.noun = b.noun AND a.c1 = b.c1
+               AND a.p_partkey < b.p_partkey
+          WHERE levenshtein(a.p_name, b.p_name) <= 3""")
+def fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy (edit-distance) self-join — entity-resolution style.
+    The blocking key (noun + first letter of the modifier) bounds each
+    comparison group, so the quadratic levenshtein stage runs inside
+    blocks instead of all-pairs: one shuffle on the block key, candidate
+    pairs ~ sum of block^2 not n^2. At 100 TB you widen the key (more
+    prefix chars, length band) to keep blocks bounded; the join itself
+    is an equi-join Catalyst plans normally (AQE splits a skewed
+    block)."""
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey", "p_name",
+                 F.split("p_name", " ").getItem(1).alias("noun"),
+                 F.substring("p_name", 1, 1).alias("c1")))
+    a, b = p.alias("a"), p.alias("b")
+    return (a.join(b, (F.col("a.noun") == F.col("b.noun"))
+                   & (F.col("a.c1") == F.col("b.c1"))
+                   & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+            .withColumn("dist", F.levenshtein(F.col("a.p_name"),
+                                              F.col("b.p_name")))
+            .filter(F.col("dist") <= 3)
+            .select(F.col("a.p_partkey").alias("key_a"),
+                    F.col("b.p_partkey").alias("key_b"),
+                    F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"), "dist"))
+
+
+@query("funnel_stages",
+       f"""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                      WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT user_id, MIN(ts) AS t2 FROM events
+                    JOIN v USING (user_id)
+                    WHERE event_type = 'click' AND ts > v.t1
+                    GROUP BY user_id),
+              pu AS (SELECT user_id, MIN(ts) AS t3 FROM events
+                     JOIN c USING (user_id)
+                     WHERE event_type = 'purchase' AND ts > c.t2
+                     GROUP BY user_id)
+           SELECT user_id,
+                  strftime(t1, '{_TS_FMT_DUCK}') AS first_view,
+                  strftime(t2, '{_TS_FMT_DUCK}') AS first_click,
+                  strftime(t3, '{_TS_FMT_DUCK}') AS first_purchase
+           FROM v LEFT JOIN c USING (user_id)
+                  LEFT JOIN pu USING (user_id)""")
+def funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel (view -> later click -> later purchase):
+    each stage is the earliest qualifying event strictly after the prior
+    stage's time. Stage frames collapse to one row per user before any
+    join, so the joins are tiny-by-construction and AQE broadcasts
+    them — per-stage aggregation, not sequence scans, is what keeps
+    funnels tractable on a 100 TB event log."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    pu = (ev.filter(F.col("event_type") == "purchase")
+          .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (v.join(c, "user_id", "left").join(pu, "user_id", "left")
+            .select("user_id",
+                    F.date_format("t1", _TS_FMT_SPARK).alias("first_view"),
+                    F.date_format("t2", _TS_FMT_SPARK).alias("first_click"),
+                    F.date_format("t3", _TS_FMT_SPARK).alias("first_purchase")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
