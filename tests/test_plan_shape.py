@@ -327,3 +327,46 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_unpivot_is_shuffle_free(spark):
+    """Wide-to-long melt is a narrow transform: generator/expand over the
+    scan, no exchange — at 100 TB the reshape costs one pass, zero
+    shuffle."""
+    plan = plan_of(QUERIES["unpivot_metrics"](spark, SF_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_stratified_sample_is_scan_plus_filter(spark):
+    """Per-stratum hash sampling pipelines into the scan: a single filter
+    stage, no shuffle, no Python."""
+    plan = plan_of(QUERIES["stratified_sample"](spark, SF_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_argmax_agg_is_partial_agg_no_sort(spark):
+    """arg-extrema via max_by is a map-side-combinable aggregation — no
+    window sort pass anywhere in the plan."""
+    plan = plan_of(QUERIES["argmax_agg"](spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_fuzzy_join_is_equi_join_not_cartesian(spark):
+    """The blocking key turns fuzzy matching into a plain equi-join;
+    levenshtein runs post-join JVM-side. No nested-loop/cartesian node,
+    no Python."""
+    plan = plan_of(QUERIES["fuzzy_join"](spark, SF_CORRECTNESS))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_funnel_stage_joins_broadcast(spark):
+    """Funnel stage frames collapse to one row per user before joining,
+    so every stage join is a broadcast — the event log itself is never
+    shuffled on user_id more than the per-stage partial aggs require."""
+    plan = plan_of(QUERIES["funnel_stages"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
