@@ -2998,6 +2998,41 @@ def funnel_stages(spark, sf_dir):
                     F.date_format("t3", _TS_FMT_SPARK).alias("first_purchase")))
 
 
+@query("weighted_sample",
+       """WITH h AS (SELECT doc_id, n_chars,
+                            md5(CAST(doc_id AS VARCHAR)) AS hx
+                     FROM documents),
+           u AS (SELECT doc_id, n_chars,
+                        (list_sum(list_transform(generate_series(1, 8),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(hx, i, 1)) - 1)
+                                * 16^(8-i))) + 0.5) / 4294967296.0 AS uu
+                 FROM h)
+          SELECT doc_id, n_chars FROM u
+          ORDER BY round(uu ^ (1.0 / n_chars), 12) DESC, doc_id ASC
+          LIMIT 100""")
+def weighted_sample(spark, sf_dir):
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis A-ES): rank by u^(1/w) with u a content-hash uniform, take
+    the top n — here w = n_chars, the 'sample long documents more'
+    mixture-weighting move in training-set construction. Deterministic
+    across engines/reruns/partitionings because u comes from md5, not an
+    RNG; the rank key is rounded to a 1e-12 grid so both engines' libm
+    pow agree, with doc_id as the tiebreak. Compiles to
+    TakeOrderedAndProject — per-partition heap, no global sort, and the
+    same one-pass mergeability that makes A-ES the distributed weighted
+    reservoir."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h8 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double")
+    u = (h8 + F.lit(0.5)) / F.lit(float(2 ** 32))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 12)
+    return (d.withColumn("_k", key)
+            .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+            .limit(100)
+            .select("doc_id", "n_chars"))
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
