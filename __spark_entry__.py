@@ -46,7 +46,7 @@ _CHECK_FIRST = [
     # byte-identical, so re-checking those r1-green keys adds less)
     "corpus_filter", "approx_distinct", "tpch_q5",
     "unpivot_metrics", "stratified_sample", "argmax_agg", "fuzzy_join",
-    "funnel_stages", "weighted_sample",
+    "funnel_stages", "weighted_sample", "containment_join",
     # --- 50-key line: everything below is next-in-line if the gate
     # checks more than 50 ---
     "approx_quantiles", "hll_union_rollup", "tpch_q10", "json_scan",

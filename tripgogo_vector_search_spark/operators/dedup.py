@@ -200,6 +200,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("jaccard") >= min_jaccard))
 
 
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      shingle_n: int = 3, min_containment: float = 0.8,
+                      df_cap: int = 1024) -> DataFrame:
+    """Asymmetric set containment C(A in B) = |A ∩ B| / |A| over n-gram
+    shingle sets — catches near-*supersets* that symmetric Jaccard
+    misses: a paragraph quoted inside a longer page has high containment
+    but low Jaccard (union is dominated by the big doc). The standard
+    screen for doc-in-doc duplication (quotes, boilerplate wrappers,
+    chunk/full-doc overlap) in training-corpus prep.
+
+    Same inverted-index + posting-list plan as
+    :func:`ngram_jaccard_pairs` (one uniform shuffle, stop-shingle DF
+    cap, singleton pruning — identical scale properties); only the final
+    arithmetic differs: each unordered pair is kept when EITHER
+    direction's containment clears the threshold, with both directions
+    reported."""
+    sh = (widen(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+          .select("id", F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+          .filter(F.size("sh") > 0)
+          .withColumn("n_sh", F.size("sh")))
+    inv = sh.select(
+        "id", "n_sh",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"))
+    posts = (inv.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
+    pair_arr = F.flatten(F.transform(
+        "ds",
+        lambda a: F.transform(
+            F.filter("ds", lambda b: b["id"] > a["id"]),
+            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
+                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
+        ),
+    ))
+    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
+    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    c_ab = F.round(F.col("inter").cast("double") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("inter").cast("double") / F.col("n_b"), 6)
+    return (inter.select("id_a", "id_b",
+                         c_ab.alias("cont_a_in_b"), c_ba.alias("cont_b_in_a"))
+            .filter((F.col("cont_a_in_b") >= min_containment)
+                    | (F.col("cont_b_in_a") >= min_containment)))
+
+
 def ngram_docset(df: DataFrame, text_col: str, id_col: str,
                  shingle_n: int = 3) -> DataFrame:
     """Per-doc ranked shingle sets for the prefix-filtered Jaccard join:

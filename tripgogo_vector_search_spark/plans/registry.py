@@ -2998,6 +2998,31 @@ def funnel_stages(spark, sf_dir):
                     F.date_format("t3", _TS_FMT_SPARK).alias("first_purchase")))
 
 
+@query("containment_join",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+           sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh FROM w),
+           nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+           inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+                    b.n_sh AS n_b, count(*) AS inter
+             FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           SELECT id_a, id_b,
+                  round(inter::DOUBLE / n_a, 6) AS cont_a_in_b,
+                  round(inter::DOUBLE / n_b, 6) AS cont_b_in_a
+           FROM inter
+           WHERE round(inter::DOUBLE / n_a, 6) >= 0.8
+              OR round(inter::DOUBLE / n_b, 6) >= 0.8""")
+def containment_join_q(spark, sf_dir):
+    """Asymmetric containment screen |A∩B|/|A| — doc-in-doc duplication
+    (quotes, boilerplate wrappers, chunk/full-doc overlap) that symmetric
+    Jaccard under-scores. Same posting-list plan as ngram_jaccard."""
+    return DD.containment_pairs(_t(spark, sf_dir, "documents"),
+                                "text", "doc_id", shingle_n=3,
+                                min_containment=0.8)
+
+
 @query("weighted_sample",
        """WITH h AS (SELECT doc_id, n_chars,
                             md5(CAST(doc_id AS VARCHAR)) AS hx
