@@ -1559,12 +1559,33 @@ def time_bucket_rollup(spark, sf_dir):
 # §2.A remaining scans/sinks + §2.F llm_generate
 # --------------------------------------------------------------------------
 
+def _corpus_fingerprint(sf_dir):
+    """8-hex token over (name, size, mtime_ns) of every parquet in the
+    corpus dir. The fixture tables are driver-owned and regenerated
+    between rounds (observed: events.ts physical type changed) — baking
+    the fingerprint into every cache/index path makes regeneration
+    invalidate materialized state automatically instead of silently
+    serving indexes built from the previous corpus. The production
+    analogue is keying an index on the table snapshot/version id."""
+    import glob
+    import hashlib
+    import os
+    parts = []
+    for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+
+
 def _cache_dir(sf_dir, leaf):
     """Scratch dir inside the repo (never under /root/testdata), keyed by
-    scale factor so sf0.01 and sf0.1 runs don't collide."""
+    scale factor AND corpus fingerprint so sf0.01/sf0.1 runs don't
+    collide and regenerated fixtures can't hit stale state."""
     import os
-    d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".cache", os.path.basename(sf_dir), leaf)
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache",
+        f"{os.path.basename(sf_dir)}-{_corpus_fingerprint(sf_dir)}", leaf)
     os.makedirs(d, exist_ok=True)
     return d
 
