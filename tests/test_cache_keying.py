@@ -1,0 +1,39 @@
+"""Materialized state (ANN/band indexes, sink scratch, streaming
+checkpoints) must not survive a fixture regeneration: the cache path is
+keyed on a fingerprint of the corpus parquet files. Pure-Python test —
+no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tripgogo_vector_search_spark.plans.registry import (_cache_dir,
+                                                         _corpus_fingerprint)
+
+
+def _write(path: str, data: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def test_fingerprint_changes_when_a_table_is_rewritten(tmp_path):
+    d = str(tmp_path)
+    _write(os.path.join(d, "events.parquet"), b"v1")
+    _write(os.path.join(d, "documents.parquet"), b"docs")
+    fp1 = _corpus_fingerprint(d)
+    assert fp1 == _corpus_fingerprint(d)  # stable while untouched
+    # regeneration: same name, new content/mtime
+    _write(os.path.join(d, "events.parquet"), b"v2!")
+    assert _corpus_fingerprint(d) != fp1
+
+
+def test_cache_dir_embeds_fingerprint_and_sf_name(tmp_path):
+    d = str(tmp_path / "sf0.42")
+    os.makedirs(d)
+    _write(os.path.join(d, "events.parquet"), b"v1")
+    p1 = _cache_dir(d, "some_index")
+    assert "sf0.42-" in p1 and p1.endswith("some_index")
+    _write(os.path.join(d, "events.parquet"), b"v2!")
+    p2 = _cache_dir(d, "some_index")
+    assert p2 != p1  # a regenerated corpus can never hit the old index
