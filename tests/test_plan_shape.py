@@ -370,3 +370,21 @@ def test_funnel_stage_joins_broadcast(spark):
     plan = plan_of(QUERIES["funnel_stages"](spark, SF_CORRECTNESS))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES weighted sampling is top-n by key: per-partition heap +
+    driver merge (TakeOrderedAndProject), never a global sort of the
+    corpus."""
+    plan = plan_of(QUERIES["weighted_sample"](spark, SF_CORRECTNESS))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_containment_join_single_index_shuffle(spark):
+    """Containment shares ngram_jaccard's posting-list plan: the
+    inverted index shuffles once on the hashed shingle key; no self-join
+    of the index (which would scan and shuffle it twice)."""
+    plan = plan_of(QUERIES["containment_join"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
