@@ -83,16 +83,32 @@ def windowed_event_agg(events: DataFrame, window: str = "1 hour",
 
 
 def run_stream_to_table(spark: SparkSession, stream_df: DataFrame,
-                        mode: str = "complete") -> DataFrame:
+                        mode: str = "complete",
+                        state_partitions: int = 8) -> DataFrame:
     """Drive a finite file-backed stream to completion into a memory sink
-    and return the materialized result."""
+    and return the materialized result.
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    the query (a per-partition state store is created and snapshotted
+    every micro-batch, so this is pure overhead beyond the state's actual
+    cardinality — measured ~0.6 s/run at fixture scale going 32 -> 8).
+    Streaming state partitioning is a deliberate, per-query sizing
+    decision — it is FROZEN into the checkpoint at first start and
+    cannot be changed later, so a real deployment sizes it to peak
+    expected state (keys x windows), not to the batch shuffle default.
+    The batch conf is restored after the run."""
     name = f"stream_out_{next(_COUNTER)}"
-    q = (stream_df.writeStream.outputMode(mode)
-         .format("memory").queryName(name).start())
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (stream_df.writeStream.outputMode(mode)
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
