@@ -3019,6 +3019,85 @@ def funnel_stages(spark, sf_dir):
                     F.date_format("t3", _TS_FMT_SPARK).alias("first_purchase")))
 
 
+@query("time_weighted_avg",
+       """WITH seq AS (
+            SELECT user_id, value, ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS nts
+            FROM events),
+          w AS (SELECT user_id,
+                       CAST(value AS DECIMAL(20,6)) AS v,
+                       date_diff('microsecond', ts, nts) AS dur
+                FROM seq WHERE nts IS NOT NULL)
+          SELECT user_id,
+                 round(CAST(round(SUM(v * CAST(dur AS DECIMAL(18,0))), 4)
+                            AS DOUBLE)
+                       / CAST(SUM(dur) AS DOUBLE), 6) AS twa_value
+          FROM w GROUP BY user_id""")
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of a sampled metric per entity — each
+    reading is held until the next one (duration-weighted mean), the
+    standard aggregation for irregularly-sampled gauges/prices. One
+    window pass for the lead() durations (shuffle on user_id), then a
+    plain partial+final agg on the same key — AQE reuses the
+    partitioning, and weights accumulate as exact DECIMAL x integer
+    microseconds so the result is partition-order independent."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                            "value")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                         F.col("event_id").asc())
+    seq = ev.withColumn("nts", F.lead("ts").over(w)).filter(
+        F.col("nts").isNotNull())
+    # v widened past 18 digits so BOTH engines run the multiply on
+    # 128-bit decimals (DuckDB's int64 decimal path overflows on
+    # multi-day microsecond durations)
+    dur = (F.unix_micros("nts") - F.unix_micros("ts"))
+    wv = (F.col("value").cast("decimal(20,6)")
+          * dur.cast("decimal(18,0)"))
+    return (seq.select("user_id", wv.alias("wv"), dur.alias("dur"))
+            .groupBy("user_id")
+            .agg(F.round(
+                F.round(F.sum("wv"), 4).cast("double")
+                / F.sum("dur").cast("double"), 6).alias("twa_value")))
+
+
+@query("dedup_keep_best",
+       _CC_CTE + """
+       , comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+                  FROM reach GROUP BY node),
+         best AS (SELECT component_id,
+                         arg_max(comp.doc_id,
+                                 lpad(CAST(d.n_chars AS VARCHAR), 8, '0')
+                                 || lpad(CAST(comp.doc_id AS VARCHAR), 12, '0'))
+                           AS best_id
+                  FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+                  GROUP BY component_id)
+       SELECT comp.doc_id, comp.component_id,
+              comp.doc_id = best.best_id AS keep
+       FROM comp JOIN best USING (component_id)""")
+def dedup_keep_best(spark, sf_dir):
+    """Cluster-then-select: near-dup components (shared MinHash band
+    index) + keep the best representative per cluster — here 'best' =
+    longest text (n_chars), doc_id as the deterministic tiebreak, via a
+    single-pass max_by on a zero-padded composite key. This is the
+    full dedup decision a training pipeline actually ships: not 'which
+    pairs collide' but 'which row survives'. The component frame is one
+    row per doc and the best frame one row per cluster, so the final
+    joins broadcast; no window sort anywhere."""
+    comp = DD.minhash_components_from_bands(
+        _minhash_band_index(spark, sf_dir),
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = F.concat(F.lpad(F.col("n_chars").cast("string"), 8, "0"),
+                   F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+    best = (comp.join(docs, "doc_id")
+            .groupBy("component_id")
+            .agg(F.max_by("doc_id", key).alias("best_id")))
+    return (comp.join(best, "component_id")
+            .select("doc_id", "component_id",
+                    (F.col("doc_id") == F.col("best_id")).alias("keep")))
+
+
 @query("containment_join",
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
            sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh FROM w),
