@@ -388,3 +388,21 @@ def test_containment_join_single_index_shuffle(spark):
     plan = plan_of(QUERIES["containment_join"](spark, SF_CORRECTNESS))
     assert "EvalPython" not in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_weighted_avg_reuses_user_partitioning(spark):
+    """The lead() window and the final agg key on the same column; the
+    plan must not re-shuffle between them — one Exchange on user_id
+    total, and no Python."""
+    plan = plan_of(QUERIES["time_weighted_avg"](spark, SF_CORRECTNESS))
+    import re
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1
+    assert "EvalPython" not in plan
+
+
+def test_dedup_keep_best_selection_is_agg_not_window(spark):
+    """Survivor selection is a max_by aggregation per cluster, not a
+    window sort over the corpus."""
+    plan = plan_of(QUERIES["dedup_keep_best"](spark, SF_CORRECTNESS))
+    assert "Window" not in plan
