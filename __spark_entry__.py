@@ -47,7 +47,7 @@ _CHECK_FIRST = [
     "corpus_filter", "approx_distinct", "tpch_q5",
     "unpivot_metrics", "stratified_sample", "argmax_agg", "fuzzy_join",
     "funnel_stages", "weighted_sample", "containment_join",
-    "time_weighted_avg", "dedup_keep_best",
+    "time_weighted_avg", "dedup_keep_best", "normalize_text",
     # --- 50-key line: everything below is next-in-line if the gate
     # checks more than 50 ---
     "approx_quantiles", "hll_union_rollup", "tpch_q10", "json_scan",

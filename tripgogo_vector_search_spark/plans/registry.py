@@ -3019,6 +3019,33 @@ def funnel_stages(spark, sf_dir):
                     F.date_format("t3", _TS_FMT_SPARK).alias("first_purchase")))
 
 
+@query("normalize_text",
+       """SELECT doc_id,
+                 trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')) AS norm_text,
+                 len(string_split(text, ' ')) AS n_words_raw,
+                 len(string_split(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')), ' ')) AS n_words_norm
+          FROM documents""")
+def normalize_text(spark, sf_dir):
+    """Canonical text normalization — lowercase, punctuation to spaces,
+    whitespace collapse, trim — the cleaning step that runs BEFORE
+    shingling/fingerprinting so trivial formatting variants dedup
+    together. Pure codegen expression chain over the scan: zero shuffle,
+    zero Python, linear in input — the shape every per-row corpus
+    transform should have at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return d.select(
+        "doc_id", norm.alias("norm_text"),
+        F.size(F.split("text", " ")).alias("n_words_raw"),
+        F.size(F.split(norm, " ")).alias("n_words_norm"))
+
+
 @query("time_weighted_avg",
        """WITH seq AS (
             SELECT user_id, value, ts,
