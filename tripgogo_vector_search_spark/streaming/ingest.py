@@ -96,7 +96,15 @@ def run_stream_to_table(spark: SparkSession, stream_df: DataFrame,
     decision — it is FROZEN into the checkpoint at first start and
     cannot be changed later, so a real deployment sizes it to peak
     expected state (keys x windows), not to the batch shuffle default.
-    The batch conf is restored after the run."""
+    The batch conf is restored after the run.
+
+    CONCURRENCY: the conf swap temporarily mutates the session-global
+    ``spark.sql.shuffle.partitions``, so any query PLANNED on the same
+    session while this stream is being driven would pick up the
+    streaming value. Safe under this repo's single-threaded harness
+    (queries are driven one at a time); to drive streams concurrently,
+    plan them on separate sessions (``spark.newSession()`` gives each
+    its own conf) rather than sharing this one."""
     name = f"stream_out_{next(_COUNTER)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
