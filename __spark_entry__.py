@@ -41,8 +41,10 @@ _CHECK_FIRST = [
     "unpivot_metrics", "stratified_sample", "argmax_agg", "fuzzy_join",
     "funnel_stages", "normalize_text", "time_weighted_avg",
     "dedup_keep_best", "containment_join", "weighted_sample",
-    # New in round 3, never driver-checked:
-    # (keys appended here as they are registered; 35 + new ≤ 50)
+    # New in round 3, never driver-checked (35 + 10 = 45 ≤ 50):
+    "tpch_q14", "tpch_q4", "pivot_table", "grouping_sets",
+    "mode_agg", "histogram_fixed_bins", "skew_stats", "entropy_score",
+    "bm25_score", "minhash_jaccard_estimate",
     # --- 50-key line: everything below is next-in-line if the gate
     # checks more than 50. All are driver-green in r01 ∪ r02; ordered
     # by how much their implementation changed this round. ---

@@ -406,3 +406,118 @@ def test_dedup_keep_best_selection_is_agg_not_window(spark):
     window sort over the corpus."""
     plan = plan_of(QUERIES["dedup_keep_best"](spark, SF_CORRECTNESS))
     assert "Window" not in plan
+
+
+def test_tpch_q14_broadcasts_part_and_pushes_dates(spark):
+    """Q14: the date filter reaches the lineitem parquet scan and part
+    (the small side) broadcasts — the big side never shuffles for the
+    join; the whole query is join -> one partial+final aggregate."""
+    plan = plan_of(QUERIES["tpch_q14"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_tpch_q4_is_semi_join_plus_single_agg(spark):
+    """Q4's EXISTS must plan as a LEFT SEMI join (probe stops at first
+    match; lineitem's matched rows never materialize — an inner join
+    would multiply orders by their line count and need a distinct), and
+    the date filter must reach the orders parquet scan."""
+    plan = plan_of(QUERIES["tpch_q4"](spark, SF_CORRECTNESS))
+    assert "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_pivot_with_explicit_values_is_single_agg_pass(spark):
+    """With an explicit pivot value list there is no distinct-values
+    pre-job: the pivot is one partial+final aggregate, no join, no
+    Python."""
+    plan = plan_of(QUERIES["pivot_table"](spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_grouping_sets_is_expand_single_shuffle(spark):
+    """ROLLUP plans as one Expand node feeding ONE aggregate shuffle —
+    not a UNION ALL of per-level scans (the scan would repeat per
+    grouping set at 100 TB)."""
+    plan = plan_of(QUERIES["grouping_sets"](spark, SF_CORRECTNESS))
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan  # all three dims broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_mode_agg_minimal_exchanges(spark):
+    """mode = count-then-rank needs exactly two exchanges — one for the
+    (user_id, event_type) count aggregate, one to co-locate each user's
+    counts for the rank window (the first's finer-grained partitioning
+    cannot serve the window) — and no Python stage. Pin that no third
+    shuffle sneaks in."""
+    import re
+    plan = plan_of(QUERIES["mode_agg"](spark, SF_CORRECTNESS))
+    # formatted plans carry partitioning in "Arguments: hashpartitioning(...)"
+    # with attribute ids, e.g. hashpartitioning(user_id#2L, event_type#3, 8)
+    both = re.findall(r"hashpartitioning\(user_id#\d+L?, event_type#", plan)
+    solo = re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan)
+    assert len(both) == 1 and len(solo) == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_histogram_bins_partial_agg_no_python(spark):
+    """Histogram = projection + partial/final aggregate on the bin key;
+    output cardinality is the bin count, so the final exchange carries
+    ~bins rows regardless of input size."""
+    plan = plan_of(QUERIES["histogram_fixed_bins"](spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_skew_stats_two_stage_agg_no_python(spark):
+    plan = plan_of(QUERIES["skew_stats"](spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_entropy_score_is_codegen_aggregates_only(spark):
+    """Entropy = explode + two aggregates, all Catalyst expressions —
+    no Python stage, no join strategy other than the doc_id equi-join."""
+    plan = plan_of(QUERIES["entropy_score"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_corpus_stats_broadcast(spark):
+    """BM25's df and (N, avgdl) frames must broadcast — the corpus
+    shuffles only for the per-doc tf aggregate, never for the stats
+    joins."""
+    plan = plan_of(QUERIES["bm25_score"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_minhash_estimate_pair_frame_is_bounded_broadcast(spark):
+    """The <=20-doc pair frame is an explicitly bounded broadcast
+    nested-loop self-join (inequality condition); the corpus-scale scan
+    is pruned by the doc_id predicate at the parquet reader."""
+    plan = plan_of(QUERIES["minhash_jaccard_estimate"](spark, SF_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)" in plan
+
+
+def test_prefix_candidates_positional_filter_no_extra_shuffle(spark, tmp_path):
+    """The PPJoin positional filter rides the posting structs: over a
+    materialized docset (how the registry query runs it) the candidate
+    stage shuffles the prefix index exactly once on the shingle key —
+    the positional columns add zero exchanges — and stays Python-free."""
+    from tripgogo_vector_search_spark.operators import dedup as DD
+    p = str(tmp_path / "docset")
+    DD.ngram_docset(load_table(spark, SF_CORRECTNESS, "documents"),
+                    "text", "doc_id").write.parquet(p)
+    plan = plan_of(DD.ngram_jaccard_prefix_candidates(
+        spark.read.parquet(p), t=0.5))
+    assert plan.count("hashpartitioning(shingle") == 1, plan
+    assert "EvalPython" not in plan

@@ -454,8 +454,11 @@ def ngram_jaccard_prefix_q(spark, sf_dir):
     materialized once per corpus (same pattern as the ANN indexes), so
     the join's two references to it are cheap parquet scans, not two
     recomputes of the shingle pipeline. The scale path at 100 TB."""
+    # leaf is versioned: the docset's on-disk schema changed (string rk ->
+    # xxhash64 rk) and _materialized_index only rebuilds on a missing
+    # _SUCCESS marker, not on code changes
     path = _materialized_index(
-        spark, sf_dir, "ngram_docset",
+        spark, sf_dir, "ngram_docset_v2",
         lambda p: DD.ngram_docset(_t(spark, sf_dir, "documents"),
                                   "text", "doc_id", shingle_n=3)
         .write.mode("overwrite").parquet(p))
@@ -3247,6 +3250,340 @@ def weighted_sample(spark, sf_dir):
             .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
             .limit(100)
             .select("doc_id", "n_chars"))
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: analytics breadth (TPC-H Q14, semi/anti join, pivot,
+# rollup, mode, histogram, key-skew profiling) + text-analysis scoring
+# (word entropy, BM25) + sketch calibration (MinHash estimate vs exact)
+# --------------------------------------------------------------------------
+
+
+@query("tpch_q14",
+       """SELECT CAST(round(
+                 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,10))
+                                  ELSE CAST(0 AS DECIMAL(30,10)) END)
+                              AS DOUBLE)
+                       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,10))) AS DOUBLE),
+                 6) AS DOUBLE) AS promo_revenue_pct
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'""")
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion revenue share, adapted to the fixture's
+    p_type vocabulary): date-pruned lineitem joins part broadcast on
+    partkey; both revenue sums accumulate in exact DECIMAL so the single
+    float division at the end is partition-order independent."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(30,10)")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(F.round(
+        F.lit(100.0)
+        * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                .otherwise(F.lit(0).cast("decimal(30,10)"))).cast("double")
+        / F.sum(rev).cast("double"), 6).alias("promo_revenue_pct"))
+
+
+@query("tpch_q4",
+       """SELECT o_orderpriority, count(*) AS order_count
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-04-01'
+            AND EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey
+                          AND l_shipdate > o_orderdate)
+          GROUP BY o_orderpriority""")
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking, correlated EXISTS adapted to
+    the fixture schema: `l_shipdate > o_orderdate` stands in for the
+    missing commit/receipt dates). Plans as a LEFT SEMI join on
+    orderkey — lineitem's matched rows never materialize and the probe
+    stops at first hit — followed by one partial+final aggregate on the
+    5-value priority key. The date filter is pushed to the orders scan."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+                  & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return (semi.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+@query("pivot_table",
+       """SELECT o_orderstatus,
+                 count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+                 count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+                 count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                 count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                   AS "4-NOT SPECIFIED",
+                 count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+          FROM orders GROUP BY o_orderstatus""")
+def pivot_table(spark, sf_dir):
+    """Long-to-wide pivot (order counts by status x priority). The pivot
+    value list is EXPLICIT: with it, Spark plans a single partial-agg
+    shuffle exactly like a groupBy; without it, Spark first runs a
+    distinct-values job — a full extra scan at 100 TB. fillna(0) aligns
+    Spark's null-for-absent-cell with SQL's count() = 0."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .pivot("o_orderpriority", _PRIORITIES)
+            .count()
+            .fillna(0, subset=_PRIORITIES))
+
+
+@query("grouping_sets",
+       """SELECT r_name, n_name,
+                 CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 4)
+                      AS DOUBLE) AS revenue,
+                 GROUPING(r_name, n_name) AS gid
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)""")
+def grouping_sets_q(spark, sf_dir):
+    """ROLLUP hierarchy (region -> nation -> grand total) in ONE pass:
+    Spark's Expand node replicates each row once per grouping set before
+    a single aggregate shuffle — vs three separate scans+shuffles for a
+    UNION ALL rewrite. grouping_id() matches SQL GROUPING(a, b) bit
+    order (a = MSB). Dimension joins broadcast; revenue accumulates in
+    exact DECIMAL."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")),
+                         4).cast("double").alias("revenue"),
+                 F.grouping_id().alias("gid")))
+
+
+@query("mode_agg",
+       """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                     FROM events GROUP BY 1, 2),
+           r AS (SELECT user_id, event_type, n,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n DESC, event_type ASC)
+                          AS rk
+                 FROM c)
+          SELECT user_id, event_type AS mode_event, n AS n_occurrences
+          FROM r WHERE rk = 1""")
+def mode_agg(spark, sf_dir):
+    """Deterministic per-key mode (most frequent event type per user).
+    Built-in mode() is tie-nondeterministic on BOTH engines, so this is
+    the production form: count + rank with an explicit total order
+    (count desc, value asc). Two shuffles on the same user_id key — the
+    second reuses the first's partitioning."""
+    e = _t(spark, sf_dir, "events")
+    c = (e.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(),
+                                         F.col("event_type").asc())
+    return (c.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", F.col("event_type").alias("mode_event"),
+                    F.col("n").alias("n_occurrences")))
+
+
+@query("histogram_fixed_bins",
+       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                 count(*) AS n,
+                 CAST(round(SUM(CAST(value AS DECIMAL(20,4))), 2) AS DOUBLE)
+                   AS sum_value
+          FROM events GROUP BY 1""")
+def histogram_fixed_bins(spark, sf_dir):
+    """Fixed-width histogram of a numeric column (the data-profiling
+    primitive): bin = floor(value/width) is a pure projection, so the
+    whole query is one partial-agg shuffle on ~range/width keys —
+    cardinality is bounded by the bin count, not the row count."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.floor(F.col("value") / 50.0).cast("bigint")
+                      .alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(20,4)")), 2)
+                 .cast("double").alias("sum_value")))
+
+
+@query("skew_stats",
+       """WITH c AS (SELECT event_type, user_id, count(*) AS n
+                     FROM events GROUP BY 1, 2)
+          SELECT event_type, count(*) AS n_keys, max(n) AS max_key_rows,
+                 round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6)
+                   AS skew_factor
+          FROM c GROUP BY event_type""")
+def skew_stats(spark, sf_dir):
+    """Join/agg-key skew profile (max key frequency / mean key
+    frequency per group) — the diagnostic you run BEFORE choosing a
+    salting factor or trusting AQE skew-join at 100 TB. Integer
+    arithmetic until one final division, so the 6-dp round is
+    engine-stable."""
+    e = _t(spark, sf_dir, "events")
+    c = (e.groupBy("event_type", "user_id")
+         .agg(F.count(F.lit(1)).alias("n")))
+    return (c.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.max("n").alias("max_key_rows"),
+                 F.round(F.max("n").cast("double") * F.count(F.lit(1))
+                         / F.sum("n"), 6).alias("skew_factor")))
+
+
+@query("entropy_score",
+       f"""WITH w AS (SELECT doc_id, unnest({sql_words('text')}) AS word
+                      FROM documents),
+           c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+           t AS (SELECT doc_id, sum(n) AS tot FROM c GROUP BY 1)
+           SELECT c.doc_id,
+                  round(CAST(SUM(CAST(round(
+                            -(n / CAST(tot AS DOUBLE))
+                            * ln(n / CAST(tot AS DOUBLE)), 12)
+                          AS DECIMAL(24,12))) AS DOUBLE), 6) + 0.0
+                    AS word_entropy
+           FROM c JOIN t ON c.doc_id = t.doc_id
+           GROUP BY c.doc_id""")
+def entropy_score(spark, sf_dir):
+    """Word-distribution Shannon entropy per document — the
+    repetitiveness/diversity quality signal (a near-zero-entropy doc is
+    boilerplate or spam) next to quality_score's surface ratios.
+    Determinism: each -p*ln(p) term is rounded to a 1e-12 grid (absorbs
+    the <=1-ulp libm ln() spread between engines), then summed in exact
+    DECIMAL so partition order can't move the 6-dp result; `+ 0.0`
+    normalizes the single-word-doc -0.0."""
+    d = _t(spark, sf_dir, "documents")
+    c = (d.select("doc_id", F.explode(TX.words("text")).alias("word"))
+         .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    term = F.round(-p * F.log(p), 12).cast("decimal(24,12)")
+    return (c.join(t, "doc_id")
+            .select("doc_id", term.alias("term"))
+            .groupBy("doc_id")
+            .agg((F.round(F.sum("term").cast("double"), 6) + F.lit(0.0))
+                 .alias("word_entropy")))
+
+
+_BM25_TERMS = ["data", "query", "spark"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+@query("bm25_score",
+       f"""WITH dl AS (SELECT doc_id, len({sql_words('text')}) AS dl
+                       FROM documents),
+           stats AS (SELECT count(*) AS n_docs,
+                            CAST(sum(len({sql_words('text')})) AS DOUBLE)
+                              / count(*) AS avgdl
+                     FROM documents),
+           w AS (SELECT doc_id, unnest({sql_words('text')}) AS word
+                 FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+                  WHERE word IN ('data', 'query', 'spark') GROUP BY 1, 2),
+           dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+           SELECT tf.doc_id,
+                  round(CAST(SUM(CAST(round(
+                        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                        * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 12)
+                      AS DECIMAL(24,12))) AS DOUBLE), 6) + 0.0 AS bm25
+           FROM tf JOIN dfreq USING (word)
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN stats
+           GROUP BY tf.doc_id""")
+def bm25_score(spark, sf_dir):
+    """BM25 relevance score (k1=1.2, b=0.75) of every document against a
+    fixed query term set — the classical lexical ranker next to the
+    vector-cosine path. All corpus statistics are computed IN the plan:
+    df is a 3-row broadcast, (N, avgdl) a 1-row broadcast scalar frame —
+    the corpus itself shuffles only for the per-doc tf aggregate. The
+    per-term contribution is rounded to 1e-12 then DECIMAL-summed (same
+    engine-parity scheme as entropy_score). 2.2 = k1+1; the constant
+    folding `1 - b + b*dl/avgdl` = 0.25 + 0.75*dl/avgdl is written
+    identically on both engines so IEEE evaluation order matches."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(TX.words("text"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"),
+                  (F.sum(wc).cast("double")
+                   / F.count(F.lit(1))).alias("avgdl"))
+    tf = (d.select("doc_id", F.explode(TX.words("text")).alias("word"))
+          .filter(F.col("word").isin(_BM25_TERMS))
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select("doc_id", wc.alias("dl"))
+    j = (tf.join(F.broadcast(dfreq), "word")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    frac = ((F.col("tf") * F.lit(2.2))
+            / (F.col("tf") + F.lit(1.2)
+               * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))))
+    term = F.round(idf * frac, 12).cast("decimal(24,12)")
+    return (j.select("doc_id", term.alias("term"))
+            .groupBy("doc_id")
+            .agg((F.round(F.sum("term").cast("double"), 6) + F.lit(0.0))
+                 .alias("bm25")))
+
+
+@query("minhash_jaccard_estimate",
+       f"""WITH d AS (SELECT doc_id,
+                             list_distinct({sql_shingles(sql_words('text'), 3)})
+                               AS sh
+                      FROM documents WHERE doc_id < 20),
+           nz AS (SELECT doc_id, sh, {sql_minhash_signature('sh')} AS sig
+                  FROM d WHERE len(sh) > 0),
+           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sh AS sa, b.sh AS sb, a.sig AS ga, b.sig AS gb
+                 FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+           SELECT id_a, id_b,
+                  round(list_sum(list_transform(generate_series(1, 16),
+                          i -> CASE WHEN ga[i] = gb[i] THEN 1 ELSE 0 END))
+                        / 16.0, 6) AS est_jaccard,
+                  round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                        / (len(sa) + len(sb) - len(list_intersect(sa, sb))),
+                        6) AS exact_jaccard
+           FROM p""")
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch calibration: MinHash-estimated Jaccard (matching signature
+    slots / 16) side-by-side with exact shingle Jaccard for a bounded
+    doc subset — how you validate a sketch's error BEFORE trusting it to
+    dedup 100 TB (at scale, run it on a sampled pair set). The pair
+    frame is a broadcast self-join over <=20 docs (bounded by the filter,
+    not data volume); both metrics are one integer-ratio division, so
+    6-dp rounding is engine-stable."""
+    from ..functions.hashing import minhash_signature
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 20)
+         .select("doc_id",
+                 F.array_distinct(TX.shingles("text", 3)).alias("sh"))
+         .filter(F.size("sh") > 0)
+         .withColumn("sig", minhash_signature("sh", 16)))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"),
+                 F.col("sig").alias("ga"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"),
+                 F.col("sig").alias("gb"))
+    p = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    matches = F.size(F.filter(
+        F.zip_with("ga", "gb", lambda x, y: x == y), lambda v: v))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return p.select(
+        "id_a", "id_b",
+        F.round(matches / F.lit(16.0), 6).alias("est_jaccard"),
+        F.round(inter.cast("double")
+                / (F.size("sa") + F.size("sb") - inter), 6)
+        .alias("exact_jaccard"))
 
 
 # --------------------------------------------------------------------------
