@@ -41,10 +41,13 @@ _CHECK_FIRST = [
     "unpivot_metrics", "stratified_sample", "argmax_agg", "fuzzy_join",
     "funnel_stages", "normalize_text", "time_weighted_avg",
     "dedup_keep_best", "containment_join", "weighted_sample",
-    # New in round 3, never driver-checked (35 + 10 = 45 ≤ 50):
+    # New in round 3, never driver-checked (35 + 15 = 50, filling the
+    # gate window exactly):
     "tpch_q14", "tpch_q4", "pivot_table", "grouping_sets",
     "mode_agg", "histogram_fixed_bins", "skew_stats", "entropy_score",
     "bm25_score", "minhash_jaccard_estimate",
+    "tpch_q18", "quartile_agg", "jaccard_topk_per_doc", "regex_funcs",
+    "event_gap_stats",
     # --- 50-key line: everything below is next-in-line if the gate
     # checks more than 50. All are driver-green in r01 ∪ r02; ordered
     # by how much their implementation changed this round. ---

@@ -521,3 +521,59 @@ def test_prefix_candidates_positional_filter_no_extra_shuffle(spark, tmp_path):
         spark.read.parquet(p), t=0.5))
     assert plan.count("hashpartitioning(shingle") == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_tpch_q18_semi_join_before_wide_join_topk(spark):
+    """Q18: the HAVING survivors semi-join into lineitem BEFORE the
+    orders/customer joins (the wide join only sees qualifying orders),
+    customer broadcasts, and the top-100 is TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["tpch_q18"](spark, SF_CORRECTNESS))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quartile_agg_single_group_exchange(spark):
+    """Rank window and the final aggregate share the c_nationkey key:
+    exactly one exchange on it, no Python."""
+    plan = plan_of(QUERIES["quartile_agg"](spark, SF_CORRECTNESS))
+    assert plan.count("hashpartitioning(c_nationkey") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_jaccard_topk_reads_materialized_index_not_corpus(spark):
+    """The neighbor-list query must be served from the materialized
+    shingle index (a parquet scan of (id, n_sh, shingle)), never
+    re-tokenizing the documents corpus: no scan of the documents table
+    appears in the plan."""
+    plan = plan_of(QUERIES["jaccard_topk_per_doc"](spark, SF_CORRECTNESS))
+    assert "shingle_inv_index" in plan
+    assert "documents.parquet" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_regex_funcs_is_scan_project_only(spark):
+    """Regex battery is a pure projection: no exchange, no Python, scan
+    pipeline whole-stage-codegen'd."""
+    plan = plan_of(QUERIES["regex_funcs"](spark, SF_CORRECTNESS))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "* ColumnarToRow" in plan
+
+
+def test_event_gap_stats_agg_reuses_window_partitioning(spark):
+    """lead() window and the gap aggregate both key on user_id — one
+    exchange total (the aggregate consumes the window's partitioning
+    with only a partial/final split, no re-shuffle)."""
+    plan = plan_of(QUERIES["event_gap_stats"](spark, SF_CORRECTNESS))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_ngram_jaccard_and_containment_share_materialized_index(spark):
+    """Both shingle-set queries read the SAME materialized inverted
+    index — neither re-tokenizes the corpus per invocation."""
+    for q in ("ngram_jaccard", "containment_join"):
+        plan = plan_of(QUERIES[q](spark, SF_CORRECTNESS))
+        assert "shingle_inv_index" in plan, q
+        assert "documents.parquet" not in plan, q

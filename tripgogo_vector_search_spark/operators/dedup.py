@@ -129,6 +129,79 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                  F.count(F.lit(1)).alias("dup_count")))
 
 
+def shingle_inverted_index(df: DataFrame, text_col: str, id_col: str,
+                           shingle_n: int = 3,
+                           hash_shingle_key: bool = True) -> DataFrame:
+    """``(id, n_sh, shingle)`` exploded inverted index over distinct word
+    n-gram shingles — the shared build stage of ngram_jaccard_pairs and
+    containment_pairs, exposed so it can be materialized ONCE per corpus
+    and served to every shingle-set query (the registry does exactly
+    that): the tokenize+distinct+explode pass over the corpus is the
+    dominant per-query cost, and at 100 TB it is the pass you persist
+    beside the corpus, not recompute per threshold."""
+    sh = (widen(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+          .select("id",
+                  F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+          .filter(F.size("sh") > 0)
+          .withColumn("n_sh", F.size("sh")))
+    return sh.select(
+        "id", "n_sh",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))
+                  if hash_shingle_key else F.col("sh")).alias("shingle"))
+
+
+def ngram_jaccard_pairs_from_inv(inv: DataFrame, min_jaccard: float = 0.0,
+                                 df_cap: int = 1024) -> DataFrame:
+    """Posting-list half of :func:`ngram_jaccard_pairs`, from a prebuilt
+    (id, n_sh, shingle) inverted index — the reuse point when the index
+    is materialized per corpus."""
+    posts = (inv.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
+    pair_arr = F.flatten(F.transform(
+        "ds",
+        lambda a: F.transform(
+            F.filter("ds", lambda b: b["id"] > a["id"]),
+            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
+                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
+        ),
+    ))
+    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
+    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = (F.col("inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+    return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard))
+
+
+def containment_pairs_from_inv(inv: DataFrame,
+                               min_containment: float = 0.8,
+                               df_cap: int = 1024) -> DataFrame:
+    """Posting-list half of :func:`containment_pairs`, from a prebuilt
+    (id, n_sh, shingle) inverted index."""
+    posts = (inv.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
+    pair_arr = F.flatten(F.transform(
+        "ds",
+        lambda a: F.transform(
+            F.filter("ds", lambda b: b["id"] > a["id"]),
+            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
+                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
+        ),
+    ))
+    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
+    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    c_ab = F.round(F.col("inter").cast("double") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("inter").cast("double") / F.col("n_b"), 6)
+    return (inter.select("id_a", "id_b",
+                         c_ab.alias("cont_a_in_b"), c_ba.alias("cont_b_in_a"))
+            .filter((F.col("cont_a_in_b") >= min_containment)
+                    | (F.col("cont_b_in_a") >= min_containment)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_n: int = 3, min_jaccard: float = 0.0,
                         df_cap: int = 1024,
@@ -162,10 +235,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         return ngram_jaccard_prefix_join(
             ngram_docset(df, text_col, id_col, shingle_n),
             t=min_jaccard, df_cap=df_cap)
-    sh = (widen(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-          .select("id", F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
-          .filter(F.size("sh") > 0)
-          .withColumn("n_sh", F.size("sh")))
     # Shuffle the inverted index on a 64-bit shingle hash, not the shingle
     # string: intersection counting only needs equality, and an 8-byte key
     # cuts shuffle bytes ~2-3x vs ~25-char shingle text (measured ~30%
@@ -174,32 +243,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # P ~ d^2/2^65 — ~1e-8 at 1M distinct shingles, and parity vs the
     # string-keyed oracle is pinned at fixture scale. For exact counting
     # at extreme d, pass hash_shingle_key=False (string key, same plan).
-    inv = sh.select(
-        "id", "n_sh",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))
-                  if hash_shingle_key else F.col("sh")).alias("shingle"))
     # Posting-list pair generation: one shuffle (groupBy shingle), then
     # per-posting pair expansion as an expression — beats a self-join,
     # which would shuffle the inverted index twice AND recompute the
     # shingle pipeline for both sides.
-    posts = (inv.groupBy("shingle").agg(
-        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
-        # singleton postings pair with nothing; stop-shingles are capped
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
-    pair_arr = F.flatten(F.transform(
-        "ds",
-        lambda a: F.transform(
-            F.filter("ds", lambda b: b["id"] > a["id"]),
-            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
-                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
-        ),
-    ))
-    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
-    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= min_jaccard))
+    inv = shingle_inverted_index(df, text_col, id_col, shingle_n,
+                                 hash_shingle_key)
+    return ngram_jaccard_pairs_from_inv(inv, min_jaccard, df_cap)
 
 
 def containment_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -219,34 +269,9 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     arithmetic differs: each unordered pair is kept when EITHER
     direction's containment clears the threshold, with both directions
     reported."""
-    sh = (widen(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-          .select("id", F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
-          .filter(F.size("sh") > 0)
-          .withColumn("n_sh", F.size("sh")))
-    inv = sh.select(
-        "id", "n_sh",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))
-                  if hash_shingle_key else F.col("sh")).alias("shingle"))
-    posts = (inv.groupBy("shingle").agg(
-        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
-    pair_arr = F.flatten(F.transform(
-        "ds",
-        lambda a: F.transform(
-            F.filter("ds", lambda b: b["id"] > a["id"]),
-            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
-                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
-        ),
-    ))
-    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
-    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    c_ab = F.round(F.col("inter").cast("double") / F.col("n_a"), 6)
-    c_ba = F.round(F.col("inter").cast("double") / F.col("n_b"), 6)
-    return (inter.select("id_a", "id_b",
-                         c_ab.alias("cont_a_in_b"), c_ba.alias("cont_b_in_a"))
-            .filter((F.col("cont_a_in_b") >= min_containment)
-                    | (F.col("cont_b_in_a") >= min_containment)))
+    inv = shingle_inverted_index(df, text_col, id_col, shingle_n,
+                                 hash_shingle_key)
+    return containment_pairs_from_inv(inv, min_containment, df_cap)
 
 
 def ngram_docset(df: DataFrame, text_col: str, id_col: str,

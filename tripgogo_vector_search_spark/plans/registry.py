@@ -364,6 +364,20 @@ pairs AS (SELECT DISTINCT a.doc_id AS dup_id, b.doc_id AS src_id
 mins AS (SELECT dup_id, min(src_id) AS min_src FROM pairs GROUP BY dup_id)
 """
 
+def _shingle_inv_index(spark, sf_dir):
+    """The (id, n_sh, shingle-xxhash64) exploded inverted index over the
+    documents corpus, materialized once and shared by ngram_jaccard and
+    containment_join — the tokenize+distinct+explode pass is the
+    dominant per-query cost of the shingle-set family. Same build-once
+    pattern as the MinHash band index below."""
+    path = _materialized_index(
+        spark, sf_dir, "shingle_inv_index",
+        lambda p: DD.shingle_inverted_index(
+            _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3)
+        .write.mode("overwrite").parquet(p))
+    return spark.read.parquet(path)
+
+
 def _minhash_band_index(spark, sf_dir):
     """The (doc_id, band_key) LSH inverted index, materialized once per
     corpus and shared by every minhash-based dedup query (the signature
@@ -426,9 +440,11 @@ def simhash_dedup_q(spark, sf_dir):
            FROM inter""")
 def ngram_jaccard_q(spark, sf_dir):
     """N-gram Jaccard similarity join via inverted shingle index (candidate
-    pairs = docs sharing >= 1 shingle)."""
-    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                                  shingle_n=3, min_jaccard=0.0)
+    pairs = docs sharing >= 1 shingle). Reads the shared materialized
+    shingle index (built on first use per corpus, also serving
+    containment_join) — the tokenize+explode corpus pass is paid once."""
+    return DD.ngram_jaccard_pairs_from_inv(
+        _shingle_inv_index(spark, sf_dir), min_jaccard=0.0)
 
 
 @query("ngram_jaccard_prefix",
@@ -3211,10 +3227,10 @@ def dedup_keep_best(spark, sf_dir):
 def containment_join_q(spark, sf_dir):
     """Asymmetric containment screen |A∩B|/|A| — doc-in-doc duplication
     (quotes, boilerplate wrappers, chunk/full-doc overlap) that symmetric
-    Jaccard under-scores. Same posting-list plan as ngram_jaccard."""
-    return DD.containment_pairs(_t(spark, sf_dir, "documents"),
-                                "text", "doc_id", shingle_n=3,
-                                min_containment=0.8)
+    Jaccard under-scores. Same posting-list plan as ngram_jaccard, served
+    from the same shared materialized shingle index."""
+    return DD.containment_pairs_from_inv(
+        _shingle_inv_index(spark, sf_dir), min_containment=0.8)
 
 
 @query("weighted_sample",
@@ -3584,6 +3600,199 @@ def minhash_jaccard_estimate(spark, sf_dir):
         F.round(inter.cast("double")
                 / (F.size("sa") + F.size("sb") - inter), 6)
         .alias("exact_jaccard"))
+
+
+@query("tpch_q18",
+       """WITH big AS (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+          SELECT c_name, c_custkey, o_orderkey,
+                 CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice,
+                 CAST(round(SUM(CAST(l_quantity AS DECIMAL(20,4))), 2)
+                      AS DOUBLE) AS total_qty
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 100""")
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): the HAVING subquery becomes a
+    partial+final aggregate whose survivors semi-join (IN) back into the
+    fact scan — the big table is filtered BEFORE the customer join, so
+    the wide join only sees qualifying orders; customer broadcasts;
+    top-100 via TakeOrderedAndProject on (o_totalprice, o_orderkey)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("s"))
+           .filter(F.col("s") > 250)
+           .select("l_orderkey"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = F.col("l_quantity").cast("decimal(20,4)")
+    j = (li.join(big.withColumnsRenamed({"l_orderkey": "b_orderkey"}),
+                 F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice")
+            .agg(F.sum(qty).alias("q_exact"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                    "o_totalprice",
+                    F.round("q_exact", 2).cast("double").alias("total_qty")))
+
+
+_QUARTILES = (0.25, 0.5, 0.75)
+
+@query("quartile_agg",
+       """WITH r AS (SELECT c_nationkey, c_acctbal,
+                            row_number() OVER (PARTITION BY c_nationkey
+                                               ORDER BY c_acctbal, c_custkey)
+                              AS rn,
+                            count(*) OVER (PARTITION BY c_nationkey) AS n
+                     FROM customer)
+          SELECT c_nationkey,
+                 min(CASE WHEN rn >= ceil(0.25 * n) THEN c_acctbal END) AS q25,
+                 min(CASE WHEN rn >= ceil(0.5 * n) THEN c_acctbal END) AS q50,
+                 min(CASE WHEN rn >= ceil(0.75 * n) THEN c_acctbal END) AS q75
+          FROM r GROUP BY c_nationkey""")
+def quartile_agg(spark, sf_dir):
+    """Exact discrete quartiles per group WITHOUT an engine quantile
+    function: rank rows per group and take the value at rank
+    ceil(q*n) — the one definition both engines compute identically
+    (built-in percentile/quantile functions disagree on interpolation
+    across engines, and approx variants are nondeterministic by
+    design). One window over the group key + one aggregate; at scale
+    this is the exact-but-heavier fallback behind approx_quantiles
+    (already in the registry) — you run it on samples or small groups,
+    the sketch on the full corpus."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = c.select("c_nationkey", "c_acctbal",
+                 F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(W.partitionBy("c_nationkey"))
+                 .alias("n"))
+    aggs = [F.min(F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("n")),
+                         F.col("c_acctbal")))
+            .alias(f"q{int(q * 100)}") for q in _QUARTILES]
+    return r.groupBy("c_nationkey").agg(*aggs)
+
+
+@query("jaccard_topk_per_doc",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+           sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh
+                  FROM w),
+           nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh
+                  WHERE len(sh) > 0),
+           inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+           inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+                    b.n_sh AS n_b, count(*) AS inter
+             FROM inv a JOIN inv b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4),
+           pairs AS (
+             SELECT id_a, id_b,
+                    round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+             FROM inter),
+           sym AS (SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard
+                   FROM pairs
+                   UNION ALL
+                   SELECT id_b, id_a, jaccard FROM pairs),
+           rk AS (SELECT doc_id, neighbor_id, jaccard,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY jaccard DESC,
+                                                     neighbor_id ASC) AS rank
+                  FROM sym)
+           SELECT doc_id, neighbor_id, rank, jaccard
+           FROM rk WHERE rank <= 3""")
+def jaccard_topk_per_doc(spark, sf_dir):
+    """Per-document nearest-neighbor list by n-gram Jaccard (top-3) —
+    the lexical neighbor-list artifact next to the vector KNN path
+    (near-dup auditing ships 'what are this doc's closest texts', not
+    just pair verdicts). Reuses the shared materialized shingle index;
+    the pair frame is symmetrized (each undirected pair serves both
+    endpoints) and ranked with a deterministic (jaccard desc,
+    neighbor_id asc) window per doc."""
+    pairs = DD.ngram_jaccard_pairs_from_inv(
+        _shingle_inv_index(spark, sf_dir), min_jaccard=0.0)
+    sym = (pairs.selectExpr("id_a AS doc_id", "id_b AS neighbor_id",
+                            "jaccard")
+           .unionByName(pairs.selectExpr("id_b AS doc_id",
+                                         "id_a AS neighbor_id", "jaccard")))
+    w = W.partitionBy("doc_id").orderBy(F.col("jaccard").desc(),
+                                        F.col("neighbor_id").asc())
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "neighbor_id", "rank", "jaccard"))
+
+
+@query("regex_funcs",
+       """SELECT doc_id,
+                 len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+                 len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+                 CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END
+                   AS mentions_spark,
+                 length(regexp_replace(text, '[aeiou]', '', 'g'))
+                   AS len_no_vowels
+          FROM documents""")
+def regex_funcs(spark, sf_dir):
+    """Regex function battery (extract-all counts, boolean match, global
+    replace) — pure codegen projections, zero shuffle. Patterns are
+    POSIX-basic ASCII classes on purpose: Java regex (Spark) and RE2-ish
+    (DuckDB) dialects agree on this subset, which is the portable core a
+    cross-engine pipeline can rely on."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .alias("n_number_tokens"),
+        F.when(F.col("text").rlike("spark"), 1).otherwise(0)
+        .alias("mentions_spark"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .alias("len_no_vowels"))
+
+
+@query("event_gap_stats",
+       """WITH g AS (SELECT user_id, ts,
+                            lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+                     FROM events),
+           d AS (SELECT user_id, epoch_us(nxt - ts) AS gap_us FROM g
+                 WHERE nxt IS NOT NULL)
+          SELECT user_id, count(*) AS n_gaps,
+                 max(gap_us) AS max_gap_us,
+                 round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+                   AS avg_gap_sec
+          FROM d GROUP BY user_id""")
+def event_gap_stats(spark, sf_dir):
+    """Inter-event gap profile per user (count / max / mean gap) — the
+    measurement that SIZES streaming decisions: session gap thresholds,
+    watermark lag, and state TTLs come from these distributions, not
+    guesses. Gaps are integer microseconds end to end (one float
+    division at the very end), so 6-dp parity is engine-stable; the
+    lead() window orders by (ts, event_id) so simultaneous events
+    tie-break deterministically. One shuffle on user_id; the aggregate
+    reuses the window's partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (e.select("user_id", "ts", F.lead("ts").over(w).alias("nxt"))
+         .filter(F.col("nxt").isNotNull())
+         .select("user_id",
+                 (F.unix_micros("nxt") - F.unix_micros("ts"))
+                 .alias("gap_us")))
+    return (g.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.max("gap_us").alias("max_gap_us"),
+                 F.round(F.sum("gap_us").cast("double")
+                         / F.count(F.lit(1)) / F.lit(1000000.0), 6)
+                 .alias("avg_gap_sec")))
 
 
 # --------------------------------------------------------------------------
