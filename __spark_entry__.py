@@ -49,8 +49,11 @@ _CHECK_FIRST = [
     "tpch_q18", "quartile_agg", "jaccard_topk_per_doc", "regex_funcs",
     "event_gap_stats",
     # --- 50-key line: everything below is next-in-line if the gate
-    # checks more than 50. All are driver-green in r01 ∪ r02; ordered
-    # by how much their implementation changed this round. ---
+    # checks more than 50. First the round-3 additions that exceeded
+    # the 50-key window (locally oracle-green; driver row next round),
+    # then r01∪r02-green keys ordered by how much their implementation
+    # changed this round. ---
+    "tpch_q7", "tpch_q8",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

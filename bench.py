@@ -53,6 +53,16 @@ HEADLINE_R2 = {
     "sim_join_gemm": "collect",
 }
 
+# Round-3 additions worth perf-tracking (text scoring over the full
+# corpus, the neighbor-list artifact, and the widest TPC-H joins).
+HEADLINE_R3 = {
+    "entropy_score": "noop",
+    "bm25_score": "noop",
+    "jaccard_topk_per_doc": "noop",
+    "tpch_q18": "collect",
+    "tpch_q8": "collect",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -81,7 +91,7 @@ def main() -> None:
 
     # min of two passes: steady-state cost, robust to co-tenant noise
     # (single-pass numbers on a shared host swing 3-5x run to run)
-    all_queries = HEADLINE | HEADLINE_R2
+    all_queries = HEADLINE | HEADLINE_R2 | HEADLINE_R3
     timings: dict[str, float] = {}
     for name, action in all_queries.items():
         timings[name] = run_once(name, action)

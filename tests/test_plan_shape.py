@@ -577,3 +577,14 @@ def test_ngram_jaccard_and_containment_share_materialized_index(spark):
         plan = plan_of(QUERIES[q](spark, SF_CORRECTNESS))
         assert "shingle_inv_index" in plan, q
         assert "documents.parquet" not in plan, q
+
+
+def test_tpch_q7_q8_only_fact_joins_shuffle(spark):
+    """Q7/Q8: every dimension side (nation/region/supplier/customer/
+    filtered part) broadcasts; the only sort-merge (shuffle) joins are
+    the fact-fact lineitem-orders joins. No Python anywhere."""
+    for q in ("tpch_q7", "tpch_q8"):
+        plan = plan_of(QUERIES[q](spark, SF_CORRECTNESS))
+        assert "BroadcastHashJoin" in plan, q
+        assert plan.count("SortMergeJoin") <= 2, q
+        assert "EvalPython" not in plan, q

@@ -3795,6 +3795,124 @@ def event_gap_stats(spark, sf_dir):
                  .alias("avg_gap_sec")))
 
 
+@query("tpch_q7",
+       """SELECT supp_nation, cust_nation, l_year,
+                 CAST(round(SUM(vol), 4) AS DOUBLE) AS revenue
+          FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,10)) AS vol
+                FROM supplier
+                JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                  AND l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+          GROUP BY supp_nation, cust_nation, l_year""")
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): the two nation
+    dims broadcast into supplier/customer, the date filter is pushed to
+    the lineitem scan, and the two big-side joins (lineitem-orders on
+    orderkey) are the only shuffles before one aggregate on the tiny
+    (nation, nation, year) key. Revenue accumulates in exact DECIMAL."""
+    n1 = (_t(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+          .select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (_t(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+          .select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation")))
+    s = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")))
+    c = (_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(30,10)")
+    j = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.select("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"), vol.alias("vol"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum("vol"), 4).cast("double").alias("revenue")))
+
+
+@query("tpch_q8",
+       """SELECT o_year,
+                 round(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN vol
+                                ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                       / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+          FROM (SELECT year(o_orderdate) AS o_year,
+                       CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,10)) AS vol,
+                       n2.n_name AS nation
+                FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01') all_nations
+          GROUP BY o_year""")
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): an 8-table join where every
+    dimension (part filtered to one type, supplier+nation, customer+
+    nation+region) broadcasts — the only shuffle joins are
+    lineitem-orders; the share ratio divides two exact-DECIMAL sums per
+    year. The p_type filter prunes the part scan, the region filter the
+    customer side, the date window the orders scan."""
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+         .select("p_partkey"))
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    r = (_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+         .select("r_regionkey"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    s = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")))
+    c = (_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(30,10)")
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    zero = F.lit(0).cast("decimal(30,10)")
+    return (j.select(F.year("o_orderdate").alias("o_year"),
+                     vol.alias("vol"), "nation")
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1",
+                             F.col("vol")).otherwise(zero)).cast("double")
+                / F.sum("vol").cast("double"), 6).alias("mkt_share")))
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
