@@ -53,7 +53,8 @@ _CHECK_FIRST = [
     # the 50-key window (locally oracle-green; driver row next round),
     # then r01∪r02-green keys ordered by how much their implementation
     # changed this round. ---
-    "tpch_q7", "tpch_q8",
+    "tpch_q7", "tpch_q8", "group_sample_balanced",
+    "near_dup_cluster_stats", "event_rate_profile",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -588,3 +588,30 @@ def test_tpch_q7_q8_only_fact_joins_shuffle(spark):
         assert "BroadcastHashJoin" in plan, q
         assert plan.count("SortMergeJoin") <= 2, q
         assert "EvalPython" not in plan, q
+
+
+def test_group_sample_balanced_one_class_shuffle(spark):
+    """Balanced per-class sampling is one window shuffle on the class
+    key — no RNG, no Python, no join."""
+    plan = plan_of(QUERIES["group_sample_balanced"](spark, SF_CORRECTNESS))
+    assert plan.count("hashpartitioning(lang") == 1, plan
+    assert "EvalPython" not in plan and "Join" not in plan
+
+
+def test_near_dup_cluster_stats_cascaded_aggs_shrink(spark):
+    """Cluster histogram: the only corpus touch is an id-only read (the
+    component node list) — every documents ReadSchema in the plan
+    carries doc_id alone, never text; the label frames arrive cached
+    from the CC loop (InMemoryTableScan), and no Python stage runs."""
+    plan = plan_of(QUERIES["near_dup_cluster_stats"](spark, SF_CORRECTNESS))
+    reads = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "doc_id" in ln]
+    assert reads and all("text" not in ln for ln in reads), plan
+    assert "InMemoryTableScan" in plan
+    assert "EvalPython" not in plan
+
+
+def test_event_rate_profile_cascaded_aggs(spark):
+    plan = plan_of(QUERIES["event_rate_profile"](spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "EvalPython" not in plan

@@ -3913,6 +3913,79 @@ def tpch_q8(spark, sf_dir):
                 / F.sum("vol").cast("double"), 6).alias("mkt_share")))
 
 
+@query("group_sample_balanced",
+       """WITH r AS (SELECT doc_id, lang,
+                            row_number() OVER (
+                              PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rk
+                     FROM documents)
+          SELECT doc_id, lang FROM r WHERE rk <= 20""")
+def group_sample_balanced(spark, sf_dir):
+    """Class-balanced sampling: exactly k=20 docs per language, chosen
+    by content-hash order (md5 of the id) so the draw is uniform,
+    deterministic across engines/reruns/partitionings, and incremental
+    (re-running on a grown corpus keeps a stable prefix per class). The
+    training-set rebalancing move when one language dominates the crawl.
+    One window shuffle on the class key; no RNG anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (d.select("doc_id", "lang",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 20)
+            .select("doc_id", "lang"))
+
+
+@query("near_dup_cluster_stats",
+       _CC_CTE + """
+       , comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+                  FROM reach GROUP BY node),
+         sizes AS (SELECT component_id, count(*) AS cluster_size
+                   FROM comp GROUP BY component_id)
+       SELECT cluster_size, count(*) AS n_clusters
+       FROM sizes GROUP BY cluster_size""")
+def near_dup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size histogram (how many singletons, pairs,
+    triples, ... the MinHash threshold produces) — the artifact you
+    inspect BEFORE committing a dedup threshold at 100 TB: a fat tail
+    of giant clusters means the bands are too permissive and the
+    keep-best stage will delete most of the corpus. Three aggregates
+    (components -> sizes -> histogram), each output smaller than the
+    last; shares the materialized band index."""
+    comp = DD.minhash_components_from_bands(
+        _minhash_band_index(spark, sf_dir),
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    sizes = (comp.groupBy("component_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+@query("event_rate_profile",
+       """WITH m AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+                            count(*) AS n
+                     FROM events GROUP BY 1, 2)
+          SELECT event_type, count(*) AS n_minutes, max(n) AS peak_per_min,
+                 round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_per_min
+          FROM m GROUP BY event_type""")
+def event_rate_profile(spark, sf_dir):
+    """Per-type arrival-rate burstiness (peak vs mean events/minute) —
+    the capacity measurement behind micro-batch sizing: a stream
+    provisioned for the mean rate falls behind by (peak/mean)x during
+    bursts, so trigger intervals and maxOffsetsPerTrigger come from
+    THIS profile's peaks. Two cascaded aggregates, second output one
+    row per type; integer counts until one final division."""
+    e = _t(spark, sf_dir, "events")
+    m = (e.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    return (m.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_minutes"),
+                 F.max("n").alias("peak_per_min"),
+                 F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_per_min")))
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
