@@ -72,3 +72,57 @@ def test_embedding_near_dup_single_and_empty(spark):
     assert (r.is_dup, r.canonical_id) == (False, 1)
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert DD.embedding_near_dup(empty, "embedding", "vec_id").count() == 0
+
+
+def test_entropy_single_word_doc_is_positive_zero(spark):
+    # one distinct word -> H = 0 exactly, normalized to +0.0 (not -0.0:
+    # the driver canonicalizer hashes bit patterns, and -p*ln(p) at p=1
+    # produces IEEE -0.0 before the engine contract's `+ 0.0`)
+    import math
+    from tripgogo_vector_search_spark.plans import registry as R
+    one = spark.createDataFrame([(1, "word word word")],
+                                "doc_id bigint, text string")
+    # drive the same expression pipeline as the registry query
+    from pyspark.sql import functions as F
+    c = (one.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+         .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    term = F.round(-p * F.log(p), 12).cast("decimal(24,12)")
+    [row] = (c.join(t, "doc_id").select("doc_id", term.alias("term"))
+             .groupBy("doc_id")
+             .agg((F.round(F.sum("term").cast("double"), 6) + F.lit(0.0))
+                  .alias("e")).collect())
+    assert row.e == 0.0 and math.copysign(1.0, row.e) == 1.0
+
+
+def test_bm25_doc_without_query_terms_absent(spark):
+    # docs containing none of the query terms must not appear (score 0
+    # rows would claim relevance the ranker doesn't assign)
+    from tests.conftest import SF_CORRECTNESS
+    from tripgogo_vector_search_spark.plans import registry as R
+    out = {r.doc_id for r in
+           R.QUERIES["bm25_score"](spark, SF_CORRECTNESS).collect()}
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+    from pyspark.sql import functions as F
+    has = {r.doc_id for r in docs.filter(
+        F.col("text").rlike(r"\b(data|query|spark)\b")).collect()}
+    assert out == has
+
+
+def test_quartile_agg_group_of_one(spark):
+    # n=1: every quartile is the single value (ceil(q*1)=1)
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    one = spark.createDataFrame([(7, 1, 42.5)],
+                                "c_nationkey int, c_custkey int, c_acctbal double")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = one.select("c_nationkey", "c_acctbal",
+                   F.row_number().over(w).alias("rn"),
+                   F.count(F.lit(1)).over(W.partitionBy("c_nationkey"))
+                   .alias("n"))
+    aggs = [F.min(F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("n")),
+                         F.col("c_acctbal"))).alias(f"q{int(q*100)}")
+            for q in (0.25, 0.5, 0.75)]
+    [row] = r.groupBy("c_nationkey").agg(*aggs).collect()
+    assert (row.q25, row.q50, row.q75) == (42.5, 42.5, 42.5)

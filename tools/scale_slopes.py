@@ -89,6 +89,28 @@ def run(spark, op: str, k: int) -> dict:
              .select("doc_id", "component_id",
                      (F.col("doc_id") == F.col("best_id")).alias("keep")))
         elapsed = time.perf_counter() - t0
+    elif op == "entropy_score":
+        c = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+             .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n")))
+        t = c.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+        pr = F.col("n") / F.col("tot").cast("double")
+        term = F.round(-pr * F.log(pr), 12).cast("decimal(24,12)")
+        noop(c.join(t, "doc_id").select("doc_id", term.alias("term"))
+             .groupBy("doc_id")
+             .agg(F.round(F.sum("term").cast("double"), 6).alias("e")))
+        elapsed = time.perf_counter() - t0
+    elif op == "jaccard_topk":
+        from pyspark.sql import Window as W
+        inv = DD.shingle_inverted_index(docs, "text", "doc_id")
+        pairs = DD.ngram_jaccard_pairs_from_inv(inv, min_jaccard=0.0)
+        sym = (pairs.selectExpr("id_a AS d", "id_b AS nb", "jaccard")
+               .unionByName(pairs.selectExpr("id_b AS d", "id_a AS nb",
+                                             "jaccard")))
+        w = W.partitionBy("d").orderBy(F.col("jaccard").desc(),
+                                       F.col("nb").asc())
+        noop(sym.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3))
+        elapsed = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown op {op}")
     return {"op": op, "scale": k, "sec": round(elapsed, 2), **extra}
@@ -96,7 +118,8 @@ def run(spark, op: str, k: int) -> dict:
 
 def main() -> None:
     ops = sys.argv[1:] or ["ngram_jaccard_prefix", "containment_join",
-                           "dedup_keep_best"]
+                           "dedup_keep_best", "entropy_score",
+                           "jaccard_topk"]
     spark = get_spark("scale-slopes")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: fork pandas workers once
