@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     # changed this round. ---
     "tpch_q7", "tpch_q8", "group_sample_balanced",
     "near_dup_cluster_stats", "event_rate_profile",
+    "tpch_q9", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -615,3 +615,69 @@ def test_event_rate_profile_cascaded_aggs(spark):
     plan = plan_of(QUERIES["event_rate_profile"](spark, SF_CORRECTNESS))
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
     assert "EvalPython" not in plan
+
+
+def test_tpch_q9_q19_broadcast_filtered_part(spark):
+    """Q9/Q19: the LIKE/brand-size-filtered part sliver (and Q9's
+    supplier+nation) broadcasts; at most one shuffle join remains
+    (lineitem-orders in Q9, none in Q19). The part-side predicate is
+    pushed into its scan, not evaluated post-join only."""
+    for q, max_smj in (("tpch_q9", 1), ("tpch_q19", 0)):
+        plan = plan_of(QUERIES[q](spark, SF_CORRECTNESS))
+        assert "BroadcastHashJoin" in plan, q
+        assert plan.count("SortMergeJoin") <= max_smj, q
+        assert "EvalPython" not in plan, q
+    q19 = plan_of(QUERIES["tpch_q19"](spark, SF_CORRECTNESS))
+    part_scans = [ln for ln in q19.splitlines()
+                  if "PushedFilters" in ln and "p_brand" in ln]
+    assert part_scans, q19
+
+
+def test_tpch_q13_left_join_keeps_condition_out_of_where(spark):
+    """Q13: the priority exclusion prunes the orders scan (pushed
+    filter), the join stays LEFT OUTER so zero-order customers keep
+    count 0, and the histogram is two cascaded aggregates."""
+    plan = plan_of(QUERIES["tpch_q13"](spark, SF_CORRECTNESS))
+    assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 4
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "o_orderpriority" in ln]
+    assert pushed, plan
+
+
+def test_tpch_q15_single_lineitem_scan(spark):
+    """Q15: the argmax-over-aggregate formulation scans lineitem
+    exactly once (a scalar-subquery formulation would scan it twice —
+    Catalyst shares no DataFrame subplans); the supplier join
+    broadcasts."""
+    plan = plan_of(QUERIES["tpch_q15"](spark, SF_CORRECTNESS))
+    li_scans = [ln for ln in plan.splitlines()
+                if "Location" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q17_windowed_stats_over_filtered_sliver(spark):
+    """Q17: per-part quantity stats are computed by one window shuffle
+    over the brand-filtered broadcast-join output — not a second
+    full-lineitem aggregate — and no float average exists anywhere
+    (exact-DECIMAL cross-multiplication)."""
+    plan = plan_of(QUERIES["tpch_q17"](spark, SF_CORRECTNESS))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+    li_scans = [ln for ln in plan.splitlines()
+                if "Location" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1, plan
+
+
+def test_tpch_q22_anti_join_and_broadcast_stats(spark):
+    """Q22: the (count, sum) scalar frame broadcasts into the customer
+    scan; inactive-customer selection is a LEFT ANTI join on the
+    date-pruned orders side (matched rows never materialize)."""
+    plan = plan_of(QUERIES["tpch_q22"](spark, SF_CORRECTNESS))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert pushed, plan

@@ -3987,6 +3987,253 @@ def event_rate_profile(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TPC-H batch 3: q9/q13/q15/q17/q19/q22 (adapted to the fixture schema —
+# no partsupp table, no p_container / c_phone / l_shipmode columns)
+# --------------------------------------------------------------------------
+
+@query("tpch_q9",
+       """SELECT nation, o_year,
+                 CAST(round(CAST(SUM(amount) AS DOUBLE), 4) AS DOUBLE)
+                   AS sum_profit
+          FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                       CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,10)) AS amount
+                FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE p_name LIKE '%red%') profit
+          GROUP BY nation, o_year""")
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit by supplier nation and year,
+    adapted: the fixture has no partsupp, so profit omits the
+    ps_supplycost*l_quantity term and the part filter matches the
+    fixture's color-adjective p_name vocabulary). Part (LIKE-filtered),
+    supplier and nation all broadcast; lineitem-orders on orderkey is
+    the only shuffle join before one aggregate on the tiny
+    (nation, year) key. Profit accumulates in exact DECIMAL."""
+    p = (_t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+         .select("p_partkey"))
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    s = (_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              ).cast("decimal(30,10)")
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+    return (j.select("nation", F.year("o_orderdate").alias("o_year"),
+                     amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount").cast("double"), 4)
+                 .alias("sum_profit")))
+
+
+@query("tpch_q13",
+       """SELECT c_count, count(*) AS custdist
+          FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey) c_orders
+          GROUP BY c_count""")
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution; the original's
+    o_comment NOT LIKE filter becomes an o_orderpriority exclusion —
+    the fixture has no comment column). The join-side predicate lives
+    in the LEFT JOIN condition, not WHERE, so order-less customers
+    survive with count 0. Two cascaded aggregates, each output smaller
+    than the last: per-customer counts (shuffle on custkey — at 100 TB
+    orders shuffles once, customers co-partition), then the tiny
+    histogram on c_count."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "5-LOW")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query("tpch_q15",
+       """WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,10))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name,
+                 CAST(round(CAST(total_rev AS DOUBLE), 4) AS DOUBLE)
+                   AS total_revenue
+          FROM supplier JOIN revenue ON s_suppkey = supplier_no
+          WHERE total_rev = (SELECT max(total_rev) FROM revenue)""")
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue). The per-supplier
+    revenue aggregate runs ONCE; the argmax is a max-over-unpartitioned-
+    window on the aggregate's output — |suppliers| rows, orders of
+    magnitude below the lineitem input, so the single-task window is
+    bounded — rather than a second scan of lineitem for a scalar
+    subquery (Catalyst does not share DataFrame subplans, so the
+    subquery formulation would scan the fact table twice at 100 TB).
+    Revenue compares in exact DECIMAL, so the ties-keep-all semantics
+    of the spec survive float-free."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (li.select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,10)").alias("v"))
+        .groupBy("l_suppkey").agg(F.sum("v").alias("total_rev")))
+    top = (rev.withColumn("mx", F.max("total_rev").over(W.partitionBy()))
+           .filter(F.col("total_rev") == F.col("mx")))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (top.join(F.broadcast(s),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total_rev").cast("double"), 4)
+                    .alias("total_revenue")))
+
+
+@query("tpch_q17",
+       """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                            AS DOUBLE) / 7.0, 6) AS avg_yearly
+          FROM (SELECT l_extendedprice, l_quantity,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                         OVER (PARTITION BY l_partkey) AS part_qty,
+                       COUNT(*) OVER (PARTITION BY l_partkey) AS part_cnt
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#1' AND p_type = 'MEDIUM') q
+          WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * part_cnt
+                < part_qty""")
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue; p_type stands in for
+    the missing p_container). The correlated `l_quantity <
+    0.2*avg(l_quantity per part)` becomes the float-free cross-
+    multiplication `qty * 5 * count < sum(qty)` with exact-DECIMAL
+    quantities — no engine-dependent float average anywhere near the
+    comparison boundary. One window shuffle on l_partkey over the
+    brand-filtered join output (the filter broadcasts via part, so the
+    per-part stats are computed over ~0.1% of lineitem, not all of
+    it), then a scalar DECIMAL sum."""
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#1")
+                 & (F.col("p_type") == "MEDIUM"))
+         .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    w = W.partitionBy("l_partkey")
+    q = (j.select("l_extendedprice", "l_quantity",
+                  F.sum(qty).over(w).alias("part_qty"),
+                  F.count(F.lit(1)).over(w).alias("part_cnt"))
+         .filter(qty * 5 * F.col("part_cnt") < F.col("part_qty")))
+    return q.agg(F.round(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+        .cast("double") / 7.0, 6).alias("avg_yearly"))
+
+
+@query("tpch_q19",
+       """SELECT CAST(round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                          AS DECIMAL(30,10))) AS DOUBLE), 4)
+                      AS DOUBLE) AS revenue
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30
+                 AND l_quantity BETWEEN 20 AND 30)""")
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue under a 3-arm disjunctive
+    predicate; brand+size arms replace the missing container/shipmode
+    columns). The disjunction spans both join sides, so neither scan
+    could prune on it naively — the plan therefore pushes the DERIVED
+    union predicate (brand IN the 3 arms AND size <= the widest bound)
+    into the part scan, broadcasts the surviving sliver of part, and
+    evaluates the exact disjunction post-join. At 100 TB that derived
+    pushdown is the difference between broadcasting 2000 rows and
+    broadcasting the whole part table."""
+    arms = [("Brand#7", 1, 10, 1, 11),
+            ("Brand#13", 1, 20, 10, 20),
+            ("Brand#20", 1, 30, 20, 30)]
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin([a[0] for a in arms])
+                 & (F.col("p_size") >= 1)
+                 & (F.col("p_size") <= max(a[2] for a in arms)))
+         .select("p_partkey", "p_brand", "p_size"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    disj = None
+    for brand, slo, shi, qlo, qhi in arms:
+        arm = ((F.col("p_brand") == brand)
+               & F.col("p_size").between(slo, shi)
+               & F.col("l_quantity").between(qlo, qhi))
+        disj = arm if disj is None else (disj | arm)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(30,10)")
+    return (j.filter(disj)
+            .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue")))
+
+
+@query("tpch_q22",
+       """SELECT c_mktsegment, count(*) AS numcust,
+                 CAST(round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                 AS DOUBLE), 2) AS DOUBLE) AS totacctbal
+          FROM customer c
+          WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+                > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                   FROM customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY c_mktsegment""")
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global-sales-opportunity: well-funded customers gone
+    quiet; c_mktsegment stands in for the missing phone country code,
+    and 'no orders in 7 years' becomes 'no orders since 2000' on the
+    fixture's date range). The `acctbal > avg(positive acctbal)`
+    comparison cross-multiplies to `bal * n > sum` in exact DECIMAL —
+    no float average at the boundary. Plan: one scalar agg over
+    customer broadcasts (count, sum) into the main scan; the
+    date-filtered orders side anti-joins on custkey (LEFT ANTI —
+    matched customers never materialize); one final aggregate on the
+    5-value segment key."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
+    stats = (cust.filter(F.col("bal") > 0)
+             .agg(F.count(F.lit(1)).alias("n_pos"),
+                  F.sum("bal").alias("sum_pos")))
+    rich = (cust.crossJoin(F.broadcast(stats))
+            .filter(F.col("bal") * F.col("n_pos") > F.col("sum_pos")))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate")
+                 >= F.lit("2000-01-01").cast("timestamp"))
+         .select("o_custkey"))
+    quiet = rich.join(o, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+    return (quiet.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("bal").cast("double"), 2)
+                 .alias("totacctbal")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
