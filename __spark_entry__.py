@@ -56,6 +56,10 @@ _CHECK_FIRST = [
     "tpch_q7", "tpch_q8", "group_sample_balanced",
     "near_dup_cluster_stats", "event_rate_profile",
     "tpch_q9", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
+    "vocab_topk", "lang_confusion", "quality_gate",
+    "token_count_histogram", "corr_pairs", "lang_distinctive_terms",
+    "ann_recall_eval", "kmeans_assign", "user_retention_cohorts",
+    "orders_rfm", "dedup_rate_by_source",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -681,3 +681,127 @@ def test_tpch_q22_anti_join_and_broadcast_stats(spark):
     pushed = [ln for ln in plan.splitlines()
               if "PushedFilters" in ln and "o_orderdate" in ln]
     assert pushed, plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Vocab head: the top-50 cut is TakeOrderedAndProject over the
+    token aggregate (never a global sort), the corpus count arrives as
+    a broadcast scalar (no driver-side job), and no Python runs."""
+    plan = plan_of(QUERIES["vocab_topk"](spark, SF_CORRECTNESS))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "SortMergeJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_lang_confusion_single_agg_pruned_scan(spark):
+    """Confusion matrix: one partial+final aggregate pair; the scan
+    reads only (text, lang) — never doc_id/source/n_chars."""
+    plan = plan_of(QUERIES["lang_confusion"](spark, SF_CORRECTNESS))
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("HashAggregate") == 4, plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("doc_id" not in ln for ln in reads), plan
+    assert "EvalPython" not in plan
+
+
+def test_quality_gate_one_lang_window_broadcast_back(spark):
+    """Median gate: exactly one window shuffle on the language key;
+    the per-lang threshold frame joins back as a broadcast."""
+    plan = plan_of(QUERIES["quality_gate"](spark, SF_CORRECTNESS))
+    assert plan.count("hashpartitioning(lang") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_token_count_histogram_single_agg(spark):
+    """Doubling-bucket histogram: one partial+final aggregate on the
+    8-value bucket key, integer CASE ladder only (no float log2)."""
+    plan = plan_of(QUERIES["token_count_histogram"](spark, SF_CORRECTNESS))
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("HashAggregate") == 4, plan
+    assert "LOG2" not in plan.upper() or "log2" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_corr_pairs_one_scan_one_scalar_agg(spark):
+    """Correlation matrix: a single lineitem scan feeds one scalar
+    aggregate; the three correlations are projection arithmetic over
+    that one row (no per-pair re-aggregation, no Python)."""
+    plan = plan_of(QUERIES["corr_pairs"](spark, SF_CORRECTNESS))
+    li_scans = [ln for ln in plan.splitlines()
+                if "Location" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1, plan
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("HashAggregate") == 4, plan
+    assert "EvalPython" not in plan
+
+
+def test_lang_distinctive_terms_broadcast_totals(spark):
+    """Distinctive terms: the per-lang and corpus totals broadcast;
+    the only wide shuffles are the token-keyed aggregates/join; the
+    top-5 is one window on the 4-value lang key."""
+    plan = plan_of(QUERIES["lang_distinctive_terms"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar total
+    # Spark 4 rewrites the rank<=5 filter into WindowGroupLimit: the
+    # top-5 is pre-pruned per partition before the window shuffle
+    assert "WindowGroupLimit" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_ann_recall_eval_reads_only_probed_cells(spark):
+    """Recall eval: the approx side reads the cid-partitioned index
+    with partition filters (only probed cells), the exact side
+    broadcasts the query block; the comparison join broadcasts the
+    tiny approx top-k frame."""
+    plan = plan_of(QUERIES["ann_recall_eval"](spark, SF_CORRECTNESS))
+    assert "PartitionFilters" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_kmeans_assign_broadcast_centroids_single_agg(spark):
+    """Lloyd step: the 4-row centroid frame broadcasts (nested-loop
+    cross join), the argmin window keys on the corpus id, and one
+    partial+final aggregate pair lands on the 4-value cid key."""
+    plan = plan_of(QUERIES["kmeans_assign"](spark, SF_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("hashpartitioning(vec_id") >= 1
+    assert "EvalPython" not in plan
+
+
+def test_user_retention_cohorts_copartitioned_aggs(spark):
+    """Cohort triangle: the per-user min reuses the distinct's
+    user-keyed partitioning (no second user_id exchange), and the
+    final aggregate lands on the tiny (cohort, offset) key."""
+    plan = plan_of(QUERIES["user_retention_cohorts"](spark, SF_CORRECTNESS))
+    # distinct + cohort-min + self-join may each hash on user_id, but
+    # the join must NOT re-shuffle a side already partitioned on it:
+    # formatted explain prints nodes twice, so <= 2 real exchanges
+    assert plan.count("Exchange hashpartitioning(user_id") <= 4, plan
+    assert "EvalPython" not in plan
+
+
+def test_orders_rfm_window_over_aggregate_output(spark):
+    """RFM: the ntile window consumes the custkey AGGREGATE's output
+    (|customers| rows), never raw orders; the reference date arrives
+    as a broadcast scalar."""
+    plan = plan_of(QUERIES["orders_rfm"](spark, SF_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one orders scan feeds both the agg and the max-date
+    li_scans = [ln for ln in plan.splitlines()
+                if "Location" in ln and "orders" in ln]
+    assert len(li_scans) == 2, plan  # agg scan + scalar-max scan
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dedup_rate_by_source_single_agg(spark):
+    """Dup-rate triage: one scan, fingerprint projection, one
+    aggregate on the source key (expand for the distinct-count)."""
+    plan = plan_of(QUERIES["dedup_rate_by_source"](spark, SF_CORRECTNESS))
+    # single distinct-agg rewrite: pre-aggregate on (source, fp), then
+    # final on source — two hash exchanges, no Expand, no join
+    assert plan.count("hashpartitioning(source") == 2, plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan

@@ -4234,6 +4234,486 @@ def tpch_q22(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3f: corpus-level vocabulary / calibration / data-quality artifacts
+# --------------------------------------------------------------------------
+
+@query("vocab_topk",
+       """WITH tok AS (SELECT doc_id,
+                              lower(unnest(string_split(text, ' '))) AS token
+                       FROM documents),
+            agg AS (SELECT token, count(*) AS tf,
+                           count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT token, tf, df,
+                 round(ln(n_docs::DOUBLE / df), 6) AS idf
+          FROM agg, n
+          ORDER BY tf DESC, token ASC LIMIT 50""")
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by term frequency with
+    document frequency and idf — the artifact a tokenizer/vocab build
+    starts from. One explode + one (tf, df) aggregate on the token key;
+    the corpus row count broadcasts as a scalar frame (no driver-side
+    count() job); the top-50 cut is TakeOrderedAndProject on the
+    deterministic (tf DESC, token ASC) total order, never a global
+    sort. At 100 TB the token aggregate is the only wide shuffle and
+    combines map-side."""
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    tok = d.select("doc_id",
+                   F.explode(F.transform(TX.words("text"), F.lower))
+                   .alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (agg.crossJoin(F.broadcast(n))
+            .select("token", "tf", "df",
+                    F.round(F.log(F.col("n_docs").cast("double")
+                                  / F.col("df")), 6).alias("idf"))
+            .orderBy(F.col("tf").desc(), F.col("token").asc())
+            .limit(50))
+
+
+@query("lang_confusion",
+       f"""SELECT lang, {_lang_case_sql()} AS lang_pred, count(*) AS n
+           FROM documents GROUP BY lang, lang_pred""")
+def lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: labeled lang x stopword-heuristic
+    prediction with counts — the calibration artifact that decides
+    whether the cheap classifier is good enough to gate a 100 TB crawl
+    or needs replacing. Single scan, one partial+final aggregate on a
+    bounded (|langs| x |langs|) key."""
+    from ..operators.textstats import lang_pred_expr
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    return (d.groupBy("lang", lang_pred_expr("text").alias("lang_pred"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("quality_gate",
+       f"""WITH q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality
+                      FROM documents),
+             r AS (SELECT *,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY quality, doc_id) AS rk,
+                          count(*) OVER (PARTITION BY lang) AS n
+                   FROM q),
+             med AS (SELECT lang, max(CASE WHEN rk = (n + 1) // 2
+                                      THEN quality END) AS median_q
+                     FROM r GROUP BY lang)
+           SELECT q.doc_id, q.lang, q.quality
+           FROM q JOIN med USING (lang)
+           WHERE q.quality >= med.median_q""")
+def quality_gate(spark, sf_dir):
+    """Per-language median quality gate: keep docs at or above their
+    language's median quality score — the relative-threshold filter
+    that survives corpora where absolute quality scales differ by
+    language. The median is the EXACT lower median by rank (value at
+    position (n+1)/2 of the (quality, doc_id) order) — engine-agnostic
+    discrete selection, no interpolation, no float percentile — found
+    with one window shuffle on the language key; the resulting
+    per-language threshold frame is tiny and broadcasts back. At
+    100 TB you'd persist the scored column from the corpus-prep pass
+    and pay the ranking window once, not per gate."""
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    q = d.select("doc_id", "lang",
+                 TX.quality_score("text").alias("quality"))
+    wl = W.partitionBy("lang")
+    r = q.select("lang", "quality",
+                 F.row_number().over(wl.orderBy("quality", "doc_id"))
+                 .alias("rk"),
+                 F.count(F.lit(1)).over(wl).alias("n"))
+    med = (r.filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+           .select("lang", F.col("quality").alias("median_q")))
+    return (q.join(F.broadcast(med), "lang")
+            .filter(F.col("quality") >= F.col("median_q"))
+            .select("doc_id", "lang", "quality"))
+
+
+_TC_BOUNDS = [16, 32, 64, 128, 256, 512, 1024]
+
+def _tc_bucket_spark(tc):
+    expr = F.when(tc < _TC_BOUNDS[0], F.lit(f"<{_TC_BOUNDS[0]}"))
+    for lo, hi in zip(_TC_BOUNDS, _TC_BOUNDS[1:]):
+        expr = expr.when(tc < hi, F.lit(f"{lo}-{hi - 1}"))
+    return expr.otherwise(F.lit(f">={_TC_BOUNDS[-1]}"))
+
+def _tc_bucket_sql(tc: str) -> str:
+    cases = [f"WHEN {tc} < {_TC_BOUNDS[0]} THEN '<{_TC_BOUNDS[0]}'"]
+    cases += [f"WHEN {tc} < {hi} THEN '{lo}-{hi - 1}'"
+              for lo, hi in zip(_TC_BOUNDS, _TC_BOUNDS[1:])]
+    return ("CASE " + " ".join(cases)
+            + f" ELSE '>={_TC_BOUNDS[-1]}' END")
+
+@query("token_count_histogram",
+       f"""WITH t AS (SELECT len(regexp_extract_all(text,
+                          '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS tc
+                      FROM documents)
+           SELECT {_tc_bucket_sql('tc')} AS bucket,
+                  count(*) AS n_docs,
+                  CAST(SUM(tc) AS BIGINT) AS total_tokens
+           FROM t GROUP BY bucket""")
+def token_count_histogram(spark, sf_dir):
+    """Doubling-bucket histogram of per-doc token counts — the layout
+    artifact that sizes sequence packing (how much padding a given
+    max_len costs) and flags truncation exposure before a training
+    run. The bucket ladder is fixed integer CASE arithmetic (no float
+    log2 whose exactness at power-of-two boundaries differs by libm).
+    One scan, one aggregate on a 8-value key."""
+    from ..functions.text import token_count
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    tc = token_count("text").alias("tc")
+    return (d.select(tc)
+            .groupBy(_tc_bucket_spark(F.col("tc")).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tc").cast("bigint").alias("total_tokens")))
+
+
+_CORR_PAIRS = [("l_quantity", "l_extendedprice"),
+               ("l_quantity", "l_discount"),
+               ("l_extendedprice", "l_discount")]
+
+@query("corr_pairs",
+       """WITH i AS (SELECT """ + ", ".join(
+           f"CAST(round({c} * 100) AS BIGINT) AS i_{c}"
+           for c in ["l_quantity", "l_extendedprice", "l_discount"])
+       + """ FROM lineitem),
+            s AS (SELECT count(*) AS n, """ + ", ".join(
+           f"SUM(CAST(i_{c} AS HUGEINT)) AS s_{c}, "
+           f"SUM(CAST(i_{c} * i_{c} AS HUGEINT)) AS ss_{c}"
+           for c in ["l_quantity", "l_extendedprice", "l_discount"]) + ", "
+       + ", ".join(
+           f"SUM(CAST(i_{a} * i_{b} AS HUGEINT)) AS sp_{a}_{b}"
+           for a, b in _CORR_PAIRS)
+       + """ FROM i)
+          SELECT pair, round(corr_val, 6) AS corr FROM (
+       """ + " UNION ALL ".join(
+           f"""SELECT '{a}~{b}' AS pair,
+                 (n::DOUBLE * sp_{a}_{b}::DOUBLE
+                  - s_{a}::DOUBLE * s_{b}::DOUBLE)
+                 / (sqrt(n::DOUBLE * ss_{a}::DOUBLE
+                         - s_{a}::DOUBLE * s_{a}::DOUBLE)
+                    * sqrt(n::DOUBLE * ss_{b}::DOUBLE
+                           - s_{b}::DOUBLE * s_{b}::DOUBLE)) AS corr_val
+               FROM s""" for a, b in _CORR_PAIRS) + ") pairs")
+def corr_pairs(spark, sf_dir):
+    """Pearson correlation matrix over the lineitem numeric columns,
+    computed from EXACT integer-cent moment sums (n, Σx, Σx², Σxy over
+    x*100 as int64, summed in 128-bit) so the result is independent of
+    partition order — Spark's built-in corr() accumulates in floats
+    and would drift against any other engine at the 6th decimal, and
+    correlation is scale-invariant so the x100 never needs undoing.
+    One scan, one scalar aggregate; the three correlations are
+    arithmetic over that single broadcast row. The feature-selection
+    sanity check before a numeric column enters a training mix."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    dec = {c: F.round(F.col(c) * 100).cast("long") for c in cols}
+    wide = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c].cast(wide)).alias(f"s_{c}"))
+        aggs.append(F.sum((dec[c] * dec[c]).cast(wide)).alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum((dec[a] * dec[b]).cast(wide))
+                    .alias(f"sp_{a}_{b}"))
+    s = li.agg(*aggs)
+    def corr_col(a, b):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = (F.col(f"ss_{a}").cast("double"),
+                    F.col(f"ss_{b}").cast("double"))
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        return ((n * sp - sa * sb)
+                / (F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)))
+    pairs = F.array(*[
+        F.struct(F.lit(f"{a}~{b}").alias("pair"),
+                 F.round(corr_col(a, b), 6).alias("corr"))
+        for a, b in _CORR_PAIRS])
+    return (s.select(F.explode(pairs).alias("p"))
+            .select("p.pair", "p.corr"))
+
+
+@query("lang_distinctive_terms",
+       """WITH tok AS (SELECT lang,
+                              lower(unnest(string_split(text, ' '))) AS token
+                       FROM documents),
+            lt AS (SELECT lang, token, count(*) AS tf_lang
+                   FROM tok GROUP BY lang, token),
+            tot_l AS (SELECT lang, count(*) AS n_lang
+                      FROM tok GROUP BY lang),
+            ct AS (SELECT token, count(*) AS tf_all FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS n_all FROM tok),
+            j AS (SELECT lt.lang, lt.token, lt.tf_lang
+                  FROM lt JOIN tot_l USING (lang) JOIN ct USING (token)
+                       CROSS JOIN tot
+                  WHERE lt.tf_lang * n_all > 2 * ct.tf_all * tot_l.n_lang
+                    AND lt.tf_lang >= 5),
+            r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                           ORDER BY tf_lang DESC, token) AS rk FROM j)
+          SELECT lang, token, tf_lang FROM r WHERE rk <= 5""")
+def lang_distinctive_terms(spark, sf_dir):
+    """Top-5 distinctive tokens per language: tokens whose share within
+    the language is more than 2x their corpus-wide share (the lift
+    test cross-multiplies to pure-integer `tf_lang * n_all > 2 *
+    tf_all * n_lang` — no float ratio anywhere near a rank boundary)
+    and tf >= 5, ranked by in-language frequency. The drift/probe
+    artifact that surfaces boilerplate or mislabeled subcorpora. Plan:
+    one explode, one (lang, token) aggregate, a token-key join against
+    the corpus-wide counts, tiny broadcast totals, and a per-lang
+    top-5 window over the filtered survivors."""
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    tok = d.select("lang",
+                   F.explode(F.transform(TX.words("text"), F.lower))
+                   .alias("token"))
+    lt = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("tf_lang"))
+    tot_l = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    ct = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf_all"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_all"))
+    j = (lt.join(F.broadcast(tot_l), "lang")
+         .join(ct, "token")
+         .crossJoin(F.broadcast(tot))
+         .filter((F.col("tf_lang") * F.col("n_all")
+                  > 2 * F.col("tf_all") * F.col("n_lang"))
+                 & (F.col("tf_lang") >= 5)))
+    w = W.partitionBy("lang").orderBy(F.col("tf_lang").desc(), "token")
+    return (j.select("lang", "token", "tf_lang",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 5)
+            .select("lang", "token", "tf_lang"))
+
+
+# --------------------------------------------------------------------------
+# Round-3g: index self-evaluation, clustering, behavioral analytics
+# --------------------------------------------------------------------------
+
+@query("ann_recall_eval",
+       f"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                      FROM embeddings WHERE vec_id < 16),
+           q AS (SELECT vec_id AS qid, embedding AS qvec
+                 FROM embeddings WHERE vec_id % 100 = 7),
+           a AS (SELECT e.vec_id, e.embedding, c.cid,
+                        row_number() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY {sql_cosine_distance('e.embedding', 'c.cvec')} ASC,
+                                   c.cid ASC) AS rn
+                 FROM embeddings e CROSS JOIN c),
+           assign AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+           p AS (SELECT qid, qvec, cid FROM (
+                   SELECT q.qid, q.qvec, c.cid,
+                          row_number() OVER (
+                            PARTITION BY q.qid
+                            ORDER BY {sql_cosine_distance('q.qvec', 'c.cvec')} ASC,
+                                     c.cid ASC) AS rn
+                   FROM q CROSS JOIN c)
+                 WHERE rn <= 2),
+           approx AS (SELECT qid, vec_id FROM (
+                        SELECT p.qid, s.vec_id,
+                               row_number() OVER (PARTITION BY p.qid
+                                 ORDER BY {sql_cosine_distance('s.embedding', 'p.qvec')} ASC,
+                                          s.vec_id ASC) AS rn
+                        FROM assign s JOIN p ON s.cid = p.cid)
+                      WHERE rn <= 3),
+           exact AS (SELECT qid, vec_id FROM (
+                       SELECT q.qid, e.vec_id,
+                              row_number() OVER (PARTITION BY q.qid
+                                ORDER BY {sql_cosine_distance('e.embedding', 'q.qvec')} ASC,
+                                         e.vec_id ASC) AS rn
+                       FROM embeddings e CROSS JOIN q)
+                     WHERE rn <= 3)
+           SELECT exact.qid, count(approx.vec_id) AS matched,
+                  round(count(approx.vec_id) / 3.0, 6) AS recall_at_3
+           FROM exact LEFT JOIN approx
+             ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+           GROUP BY exact.qid""")
+def ann_recall_eval(spark, sf_dir):
+    """Measured recall@3 of the IVF index against exact brute force,
+    per query — the self-evaluation artifact that decides nprobe/
+    n_cells BEFORE an index ships: at 100 TB you run this on a sampled
+    query set, not a feeling. Reuses the materialized cid-partitioned
+    index for the approx side (only probed cells read) and the
+    broadcast-query exact top-k for ground truth; the comparison is a
+    per-(qid, vec_id) join of two tiny top-k frames."""
+    path = _materialized_index(
+        spark, sf_dir, "ann_ivf_index",
+        lambda p: ANN.materialize_ivf_index(
+            _t(spark, sf_dir, "embeddings"), p, n_cells=16))
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") % 100 == 7)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    approx = (ANN.ivf_knn_join_materialized(spark, path, queries,
+                                            k=3, nprobe=2)
+              .select("qid", F.col("vec_id").alias("a_vec")))
+    exact = (similarity_join(emb, queries.withColumnRenamed("qid", "vec_id")
+                             .withColumnRenamed("qvec", "embedding"),
+                             k=3, exclude_self=False)
+             .select(F.col("query_id").alias("qid"),
+                     F.col("neighbor_id").alias("vec_id")))
+    return (exact.join(F.broadcast(approx),
+                       (exact["qid"] == approx["qid"])
+                       & (exact["vec_id"] == approx["a_vec"]), "left")
+            .groupBy(exact["qid"].alias("qid"))
+            .agg(F.count("a_vec").alias("matched"),
+                 F.round(F.count("a_vec") / 3.0, 6).alias("recall_at_3")))
+
+
+@query("kmeans_assign",
+       f"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+                      FROM embeddings WHERE vec_id < 4),
+           a AS (SELECT e.vec_id, c.cid,
+                        {sql_cosine_distance('e.embedding', 'c.cvec')} AS d,
+                        row_number() OVER (
+                          PARTITION BY e.vec_id
+                          ORDER BY {sql_cosine_distance('e.embedding', 'c.cvec')} ASC,
+                                   c.cid ASC) AS rn
+                 FROM embeddings e CROSS JOIN c)
+           SELECT cid, count(*) AS n_vecs,
+                  round(CAST(SUM(CAST(round(d, 6) AS DECIMAL(18,6)))
+                             AS DOUBLE) / count(*), 6) AS mean_dist
+           FROM a WHERE rn = 1 GROUP BY cid""")
+def kmeans_assign(spark, sf_dir):
+    """One Lloyd assignment step with deterministic seed centroids (the
+    first 4 vectors by id): every vector assigned to its nearest
+    centroid (argmin cosine, cid tie-break), emitting cluster sizes
+    and mean in-cluster distance — the per-iteration convergence
+    statistic of distributed k-means. Plan: 4-row centroid frame
+    broadcast-crossed with the corpus, per-vector argmin window keyed
+    on the corpus id (co-partitioned with the cross join, cheap), one
+    final aggregate on the 4-value cid key. Per-cluster distance sums
+    accumulate in exact DECIMAL over pre-rounded distances so the mean
+    is partition-order independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    d = V.cosine_distance(F.col("embedding"), F.col("cvec"))
+    crossed = (emb.crossJoin(F.broadcast(cents))
+               .select("vec_id", "cid", d.alias("d")))
+    w = W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    assigned = (crossed.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1))
+    return (assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(
+                     F.sum(F.round(F.col("d"), 6).cast("decimal(18,6)"))
+                     .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_dist")))
+
+
+@query("user_retention_cohorts",
+       """WITH act AS (SELECT DISTINCT user_id,
+                              CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                                   AS TIMESTAMP) AS wk
+                       FROM events),
+            f AS (SELECT user_id, min(wk) AS cohort_week
+                  FROM act GROUP BY user_id)
+          SELECT cohort_week,
+                 CAST((epoch(wk) - epoch(cohort_week)) / 604800 AS BIGINT)
+                   AS week_offset,
+                 count(*) AS n_users
+          FROM act JOIN f USING (user_id)
+          GROUP BY cohort_week, week_offset""")
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted in each subsequent active week — the engagement artifact
+    behind any 'is the corpus/product getting stickier' question. The
+    week offset is pure integer epoch arithmetic on week-truncated
+    timestamps (no engine-specific week-diff semantics). Plan: one
+    distinct on (user, week), a per-user min aggregate co-partitioned
+    on user_id (the distinct already hashed on it), and a final
+    aggregate on the tiny (cohort, offset) key."""
+    ev = _t(spark, sf_dir, "events")
+    act = (ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+           .distinct())
+    f = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    off = ((F.unix_timestamp("wk") - F.unix_timestamp("cohort_week"))
+           / 604800).cast("bigint")
+    return (act.join(f, "user_id")
+            .select("cohort_week", off.alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query("orders_rfm",
+       """WITH mx AS (SELECT max(o_orderdate) AS ref FROM orders),
+            r AS (SELECT o_custkey AS c_custkey,
+                         max(o_orderdate) AS last_order,
+                         count(*) AS frequency,
+                         SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS monetary_d
+                  FROM orders GROUP BY o_custkey)
+          SELECT c_custkey,
+                 CAST(date_diff('day', last_order, ref) AS BIGINT)
+                   AS recency_days,
+                 frequency,
+                 CAST(round(CAST(monetary_d AS DOUBLE), 2) AS DOUBLE)
+                   AS monetary,
+                 ntile(4) OVER (ORDER BY monetary_d DESC, c_custkey)
+                   AS value_band
+          FROM r CROSS JOIN mx""")
+def orders_rfm(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation with
+    a 4-band value quartile — the canonical behavioral-feature build.
+    One aggregate on custkey; the reference date broadcasts as a
+    scalar frame; monetary accumulates in exact DECIMAL so the
+    quartile band ordering (monetary DESC, custkey) is engine-exact.
+    The ntile window is unpartitioned but runs on the AGGREGATE's
+    output — |customers| rows, not |orders|; at 100 TB you'd band
+    within segments (partitioned ntile) or on a sampled CDF instead."""
+    o = _t(spark, sf_dir, "orders")
+    r = (o.groupBy(F.col("o_custkey").alias("c_custkey"))
+         .agg(F.max("o_orderdate").alias("last_order"),
+              F.count(F.lit(1)).alias("frequency"),
+              F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .alias("monetary_d")))
+    mx = o.agg(F.max("o_orderdate").alias("ref"))
+    w = W.orderBy(F.col("monetary_d").desc(), F.col("c_custkey"))
+    return (r.crossJoin(F.broadcast(mx))
+            .select("c_custkey",
+                    F.datediff("ref", "last_order").cast("bigint")
+                    .alias("recency_days"),
+                    "frequency",
+                    F.round(F.col("monetary_d").cast("double"), 2)
+                    .alias("monetary"),
+                    F.ntile(4).over(w).alias("value_band")))
+
+
+@query("dedup_rate_by_source",
+       r"""WITH f AS (SELECT source,
+                             md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                      'g'))) AS fp
+                      FROM documents)
+           SELECT source, count(*) AS n_docs,
+                  count(*) - count(DISTINCT fp) AS dup_docs,
+                  round((count(*) - count(DISTINCT fp))
+                        / count(*)::DOUBLE, 6) AS dup_pct
+           FROM f GROUP BY source""")
+def dedup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per source — the triage artifact that says
+    WHICH feed is polluting the corpus before any dedup job runs (a
+    90%-dup source gets fixed upstream, not filtered downstream
+    forever). One scan, one fingerprint projection, one aggregate on
+    the source key with a distinct-count."""
+    from ..functions.text import fingerprint
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    f = d.select("source", fingerprint("text").alias("fp"))
+    return (f.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.count(F.lit(1)) - F.countDistinct("fp"))
+                 .alias("dup_docs"),
+                 F.round((F.count(F.lit(1)) - F.countDistinct("fp"))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("dup_pct")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
