@@ -54,13 +54,17 @@ HEADLINE_R2 = {
 }
 
 # Round-3 additions worth perf-tracking (text scoring over the full
-# corpus, the neighbor-list artifact, and the widest TPC-H joins).
+# corpus, the neighbor-list artifact, the widest TPC-H joins, and the
+# corpus-vocabulary / index-self-eval operators).
 HEADLINE_R3 = {
     "entropy_score": "noop",
     "bm25_score": "noop",
     "jaccard_topk_per_doc": "noop",
     "tpch_q18": "collect",
     "tpch_q8": "collect",
+    "vocab_topk": "collect",
+    "lang_distinctive_terms": "collect",
+    "ann_recall_eval": "collect",
 }
 
 

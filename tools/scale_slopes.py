@@ -111,6 +111,44 @@ def run(spark, op: str, k: int) -> dict:
         noop(sym.withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") <= 3))
         elapsed = time.perf_counter() - t0
+    elif op == "vocab_topk":
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.transform(F.split("text", " "),
+                                  lambda c: F.lower(c))).alias("token"))
+        agg = tok.groupBy("token").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"))
+        n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        noop(agg.crossJoin(F.broadcast(n))
+             .select("token", "tf", "df",
+                     F.round(F.log(F.col("n_docs").cast("double")
+                                   / F.col("df")), 6).alias("idf"))
+             .orderBy(F.col("tf").desc(), F.col("token").asc()).limit(50))
+        elapsed = time.perf_counter() - t0
+    elif op == "lang_distinctive_terms":
+        from pyspark.sql import Window as W
+        # replicas carry no lang column; a synthetic 4-value class key
+        # preserves the plan shape (per-class aggregate + token join)
+        tok = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("string").alias("lang"),
+            F.explode(F.transform(F.split("text", " "),
+                                  lambda c: F.lower(c))).alias("token"))
+        lt = tok.groupBy("lang", "token").agg(
+            F.count(F.lit(1)).alias("tf_lang"))
+        tot_l = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+        ct = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf_all"))
+        tot = tok.agg(F.count(F.lit(1)).alias("n_all"))
+        j = (lt.join(F.broadcast(tot_l), "lang").join(ct, "token")
+             .crossJoin(F.broadcast(tot))
+             .filter((F.col("tf_lang") * F.col("n_all")
+                      > 2 * F.col("tf_all") * F.col("n_lang"))
+                     & (F.col("tf_lang") >= 5)))
+        w = W.partitionBy("lang").orderBy(F.col("tf_lang").desc(), "token")
+        noop(j.select("lang", "token", "tf_lang",
+                      F.row_number().over(w).alias("rk"))
+             .filter(F.col("rk") <= 5).select("lang", "token", "tf_lang"))
+        elapsed = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown op {op}")
     return {"op": op, "scale": k, "sec": round(elapsed, 2), **extra}

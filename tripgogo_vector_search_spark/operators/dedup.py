@@ -485,8 +485,14 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
         F.when(F.get(F.col(vec_col), i) >= 0, "1").otherwise("0")
         for i in range(prefix_bits)
     ])
-    e = widen(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                        bucket.alias("bucket")))
+    # Partition each side ON THE JOIN KEY in one exchange: a round-robin
+    # widen() here would pay a second full shuffle of the vector payload
+    # per side (widen -> join-key exchange); repartition(bucket) both
+    # parallelizes a narrow scan and co-locates the self-join, and AQE's
+    # skew-join split still applies to the downstream join stage.
+    e = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   bucket.alias("bucket"))
+         .repartition(F.col("bucket")))
     a = e.withColumnsRenamed({"id": "id_a", "v": "v_a"})
     b = e.withColumnsRenamed({"id": "id_b", "v": "v_b"})
     pairs = (a.join(b, "bucket")
