@@ -60,6 +60,8 @@ _CHECK_FIRST = [
     "token_count_histogram", "corr_pairs", "lang_distinctive_terms",
     "ann_recall_eval", "kmeans_assign", "user_retention_cohorts",
     "orders_rfm", "dedup_rate_by_source",
+    "schema_profile", "value_outlier_iqr", "novelty_by_source",
+    "stream_quality_filter",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -805,3 +805,35 @@ def test_dedup_rate_by_source_single_agg(spark):
     assert plan.count("hashpartitioning(source") == 2, plan
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_schema_profile_single_pass(spark):
+    """Profile: all five columns' stats come from ONE events scan (the
+    distinct-counts Expand it 5-way in the same pass); the long-format
+    output is a projection, not a union of per-column jobs."""
+    plan = plan_of(QUERIES["schema_profile"](spark, SF_CORRECTNESS))
+    ev_scans = [ln for ln in plan.splitlines()
+                if "Location" in ln and "events" in ln]
+    assert len(ev_scans) == 1, plan
+    assert "Expand" in plan
+    assert "EvalPython" not in plan
+
+
+def test_value_outlier_iqr_broadcast_fences(spark):
+    """Tukey fences: one window shuffle on event_type computes the
+    exact rank quartiles; the tiny fence frame broadcasts back."""
+    plan = plan_of(QUERIES["value_outlier_iqr"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(event_type") >= 1
+    assert "EvalPython" not in plan
+
+
+def test_novelty_by_source_reuses_index_no_reshingle(spark):
+    """Novelty: served from the materialized shingle index — no
+    split/explode of raw text anywhere in the plan; the
+    first-appearance aggregate co-partitions with the index join on
+    the shingle key."""
+    plan = plan_of(QUERIES["novelty_by_source"](spark, SF_CORRECTNESS))
+    assert "shingle_inv_index" in plan, plan  # index parquet, not raw docs
+    assert "Generate" not in plan  # no explode: shingles pre-exploded
+    assert "EvalPython" not in plan

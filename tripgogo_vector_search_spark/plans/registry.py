@@ -4714,6 +4714,190 @@ def dedup_rate_by_source(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3h: profiling, anomaly screening, novelty, streaming gate
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("event_id", "CAST({m} AS VARCHAR)"),
+    ("ts", f"strftime({{m}}, '{_TS_FMT_DUCK}')"),
+    ("user_id", "CAST({m} AS VARCHAR)"),
+    ("event_type", "{m}"),
+    ("value", "CAST(CAST(round({m}, 6) AS DECIMAL(18,6)) AS VARCHAR)"),
+]
+
+def _profile_sql() -> str:
+    parts = []
+    for c, fmt in _PROFILE_COLS:
+        parts.append(f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+            count(*) - count({c}) AS n_null,
+            count(DISTINCT {c}) AS n_distinct,
+            {fmt.format(m=f'min({c})')} AS min_val,
+            {fmt.format(m=f'max({c})')} AS max_val
+          FROM events""")
+    return " UNION ALL ".join(parts)
+
+@query("schema_profile", _profile_sql())
+def schema_profile(spark, sf_dir):
+    """Per-column data profile of the events table (row/null/distinct
+    counts, min/max) — the first artifact any ingestion run publishes;
+    at 100 TB it is how you notice a feed silently went all-NULL or a
+    cardinality exploded. One scan computes every column's stats in a
+    single scalar aggregate (distinct counts expand the scan 5-way,
+    map-side combined); the long-format result is a projection over
+    that one row. Min/max serialize through type-stable formats
+    (explicit timestamp pattern, fixed-point decimals) so the profile
+    is engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    aggs, rows = [], []
+    spark_fmt = {
+        "event_id": lambda m: m.cast("string"),
+        "ts": lambda m: F.date_format(m, _TS_FMT_SPARK),
+        "user_id": lambda m: m.cast("string"),
+        "event_type": lambda m: m,
+        "value": lambda m: F.round(m, 6).cast("decimal(18,6)")
+        .cast("string"),
+    }
+    for c, _ in _PROFILE_COLS:
+        f = spark_fmt[c]
+        aggs += [F.count(F.lit(1)).alias(f"rows_{c}"),
+                 (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+                 F.countDistinct(c).alias(f"nd_{c}"),
+                 f(F.min(c)).alias(f"min_{c}"),
+                 f(F.max(c)).alias(f"max_{c}")]
+    s = ev.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"rows_{c}").alias("n_rows"),
+                 F.col(f"null_{c}").alias("n_null"),
+                 F.col(f"nd_{c}").alias("n_distinct"),
+                 F.col(f"min_{c}").alias("min_val"),
+                 F.col(f"max_{c}").alias("max_val"))
+        for c, _ in _PROFILE_COLS])
+    return (s.select(F.explode(rows).alias("p")).select("p.*"))
+
+
+@query("value_outlier_iqr",
+       """WITH r AS (SELECT event_type, value,
+                            row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM events),
+            qs AS (SELECT event_type,
+                          max(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+                              THEN value END) AS q1,
+                          max(CASE WHEN rk = CAST(ceil(0.75 * n) AS BIGINT)
+                              THEN value END) AS q3
+                   FROM r GROUP BY event_type)
+          SELECT event_type, count(*) AS n_events,
+                 CAST(SUM(CASE WHEN value < qs.q1 - 1.5 * (qs.q3 - qs.q1)
+                            OR value > qs.q3 + 1.5 * (qs.q3 - qs.q1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                 round(SUM(CASE WHEN value < qs.q1 - 1.5 * (qs.q3 - qs.q1)
+                                  OR value > qs.q3 + 1.5 * (qs.q3 - qs.q1)
+                                THEN 1 ELSE 0 END)
+                       / count(*)::DOUBLE, 6) AS outlier_pct
+          FROM events JOIN qs USING (event_type)
+          GROUP BY event_type""")
+def value_outlier_iqr(spark, sf_dir):
+    """Tukey-fence (1.5x IQR) outlier screen per event type — the
+    anomaly triage an ingestion pipeline runs before values feed a
+    training mix. Quartiles are EXACT discrete rank selections (value
+    at ceil(q*n) of the (value, event_id) order — engine-agnostic, no
+    interpolation), found with one window shuffle on the type key; the
+    per-type fence frame is tiny and broadcasts back over a second
+    scan. The fence comparison is plain IEEE arithmetic on exactly-
+    selected values, so the verdict is bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id",
+                                            "value")
+    wt = W.partitionBy("event_type")
+    r = ev.select("event_type", "value",
+                  F.row_number().over(wt.orderBy("value", "event_id"))
+                  .alias("rk"),
+                  F.count(F.lit(1)).over(wt).alias("n"))
+    qs = (r.groupBy("event_type")
+          .agg(F.max(F.when(F.col("rk") == F.ceil(0.25 * F.col("n"))
+                            .cast("bigint"), F.col("value"))).alias("q1"),
+               F.max(F.when(F.col("rk") == F.ceil(0.75 * F.col("n"))
+                            .cast("bigint"), F.col("value"))).alias("q3")))
+    iqr = F.col("q3") - F.col("q1")
+    is_out = ((F.col("value") < F.col("q1") - 1.5 * iqr)
+              | (F.col("value") > F.col("q3") + 1.5 * iqr))
+    return (ev.join(F.broadcast(qs), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(is_out.cast("int")).alias("n_outliers"),
+                 F.round(F.sum(is_out.cast("int"))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("outlier_pct")))
+
+
+@query("novelty_by_source",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+            sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)})
+                     AS sh FROM w),
+            nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM nz),
+            fst AS (SELECT shingle, min(doc_id) AS first_id
+                    FROM inv GROUP BY shingle)
+           SELECT d.source, count(*) AS total_shingles,
+                  CAST(SUM(CASE WHEN i.doc_id = f.first_id THEN 1 ELSE 0 END)
+                       AS BIGINT) AS novel_shingles,
+                  round(SUM(CASE WHEN i.doc_id = f.first_id
+                                 THEN 1 ELSE 0 END)
+                        / count(*)::DOUBLE, 6) AS novelty_pct
+           FROM inv i JOIN fst f USING (shingle)
+                JOIN documents d ON d.doc_id = i.doc_id
+           GROUP BY d.source""")
+def novelty_by_source(spark, sf_dir):
+    """Content novelty per feed: the fraction of each source's shingles
+    whose FIRST appearance (min doc_id) is in that source's doc — the
+    'is this feed adding new content or re-serving the crawl' artifact
+    that, with dedup_rate_by_source, decides which feeds are worth
+    their ingest cost. Reuses the shared materialized shingle inverted
+    index (no re-shingling); first-appearance is one aggregate on the
+    shingle key co-partitioned with the index join; the doc->source
+    attach is an id-keyed join; integer counts end-to-end."""
+    inv = _shingle_inv_index(spark, sf_dir).select("id", "shingle")
+    fst = inv.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    novel = (F.col("id") == F.col("first_id")).cast("int")
+    j = (inv.join(fst, "shingle")
+         .join(docs, F.col("id") == F.col("doc_id")))
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("total_shingles"),
+                 F.sum(novel).alias("novel_shingles"),
+                 F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("novelty_pct")))
+
+
+@query("stream_quality_filter",
+       f"""WITH e AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred,
+                             {_QUALITY_SQL} AS quality
+                      FROM documents)
+           SELECT doc_id, lang_pred, quality FROM e
+           WHERE quality >= 0.5 AND lang_pred = 'en'""")
+def stream_quality_filter(spark, sf_dir):
+    """The corpus quality gate applied ON ARRIVAL: language-ID +
+    quality scoring + threshold filter over a document stream — the
+    same Catalyst expressions as the batch `corpus_filter` pipeline
+    (minus its cross-batch dedup window), proving the scoring layer is
+    stream/batch-portable. Stateless streaming: no watermark, no
+    state store, per-batch codegen projection + filter; must equal the
+    batch oracle exactly."""
+    from ..operators.textstats import lang_pred_expr
+    from ..streaming.ingest import DOCS_SCHEMA, run_stream_to_table
+    docs = (spark.readStream.format("parquet").schema(DOCS_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    scored = (docs.select("doc_id",
+                          lang_pred_expr("text").alias("lang_pred"),
+                          TX.quality_score("text").alias("quality"))
+              .filter((F.col("quality") >= 0.5)
+                      & (F.col("lang_pred") == "en")))
+    return run_stream_to_table(spark, scored, mode="append")
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
