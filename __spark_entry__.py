@@ -62,6 +62,8 @@ _CHECK_FIRST = [
     "orders_rfm", "dedup_rate_by_source",
     "schema_profile", "value_outlier_iqr", "novelty_by_source",
     "stream_quality_filter",
+    "minhash_threshold_sweep", "kmv_distinct_sketch",
+    "shingle_df_histogram",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

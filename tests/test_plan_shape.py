@@ -837,3 +837,35 @@ def test_novelty_by_source_reuses_index_no_reshingle(spark):
     assert "shingle_inv_index" in plan, plan  # index parquet, not raw docs
     assert "Generate" not in plan  # no explode: shingles pre-exploded
     assert "EvalPython" not in plan
+
+
+def test_minhash_threshold_sweep_one_pass_counts(spark):
+    """Threshold sweep: the estimate pairs are counted at every
+    threshold in ONE aggregate (conditional sums exploded after), not
+    one job per threshold; the self-join broadcasts the bounded
+    sample."""
+    plan = plan_of(QUERIES["minhash_threshold_sweep"](spark, SF_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan
+    # one scalar agg pair (partial+final, printed twice) over the pairs
+    assert plan.count("HashAggregate") == 4, plan
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "doc_id" in ln]
+    assert pushed, plan  # sample bound reaches the scan
+
+
+def test_kmv_sketch_one_lang_window(spark):
+    """KMV: distinct hashes, one rank window on the language key, and
+    the kth-row filter — no joins, no Python."""
+    plan = plan_of(QUERIES["kmv_distinct_sketch"](spark, SF_CORRECTNESS))
+    assert plan.count("hashpartitioning(lang") >= 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_shingle_df_histogram_reuses_index(spark):
+    """df histogram: served from the materialized shingle index (no
+    re-shingling / no explode of raw text); two cascaded aggregates."""
+    plan = plan_of(QUERIES["shingle_df_histogram"](spark, SF_CORRECTNESS))
+    assert "shingle_inv_index" in plan, plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan

@@ -192,3 +192,82 @@ def test_orders_rfm_matches_pandas(spark):
                          r.value_band)
            for r in QUERIES["orders_rfm"](spark, SF).collect()}
     assert got == want
+
+
+def test_kmv_distinct_sketch_matches_python(spark):
+    import hashlib
+    by_lang = collections.defaultdict(set)
+    for text, lang in _docs("text", "lang"):
+        for w in text.split(" "):
+            by_lang[lang].add(
+                hashlib.md5(w.lower().encode()).hexdigest())
+    got = {r.lang: (r.true_distinct, r.est_distinct, r.rel_err)
+           for r in QUERIES["kmv_distinct_sketch"](spark, SF).collect()}
+    for lang, hashes in by_lang.items():
+        if len(hashes) < 64:
+            assert lang not in got
+            continue
+        kth = sorted(hashes)[63]
+        est = 63 * 4294967296.0 / int(kth[:8], 16)
+        n = len(hashes)
+        assert got[lang][0] == n, lang
+        assert got[lang][1] == pytest.approx(round(est, 6), abs=1e-6)
+        assert got[lang][2] == pytest.approx(
+            round(abs(est - n) / n, 6), abs=1e-6)
+        # a k=64 KMV sketch has ~1/sqrt(k-1) ~ 13% std error; 50% is a
+        # broken-sketch tripwire, not a tolerance
+        assert got[lang][2] < 0.5, (lang, got[lang])
+
+
+def test_minhash_threshold_sweep_matches_python(spark):
+    import hashlib
+
+    def sig(shingles):
+        return [min(hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                    for s in shingles) for i in range(16)]
+
+    sigs = {}
+    for doc_id, text in _docs("doc_id", "text"):
+        if doc_id >= 200:
+            continue
+        ws = text.split(" ")
+        sh = list(dict.fromkeys(
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)))
+        if sh:
+            sigs[doc_id] = sig(sh)
+    ids = sorted(sigs)
+    ests = [round(sum(a == b for a, b in zip(sigs[x], sigs[y])) / 16.0, 6)
+            for i, x in enumerate(ids) for y in ids[i + 1:]]
+    got = {r.threshold: r.n_pairs
+           for r in QUERIES["minhash_threshold_sweep"](spark, SF).collect()}
+    for t in (0.3, 0.5, 0.7, 0.9):
+        assert got[t] == sum(1 for e in ests if e >= t), t
+    # monotone non-increasing S-curve
+    assert got[0.3] >= got[0.5] >= got[0.7] >= got[0.9]
+
+
+def test_shingle_df_histogram_matches_python(spark):
+    df = collections.Counter()
+    for doc_id, text in _docs("doc_id", "text"):
+        ws = text.split(" ")
+        for s in set(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)):
+            df[s] += 1
+    bounds = [2, 4, 8, 16, 64, 256, 1024]
+
+    def bucket(n):
+        if n < bounds[0]:
+            return f"<{bounds[0]}"
+        for lo, hi in zip(bounds, bounds[1:]):
+            if n < hi:
+                return f"{lo}-{hi - 1}"
+        return f">={bounds[-1]}"
+
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for n in df.values():
+        b = agg[bucket(n)]
+        b[0] += 1
+        b[1] += n
+        b[2] += n * (n - 1) // 2
+    got = {r.bucket: (r.n_shingles, r.n_postings, r.n_pairs)
+           for r in QUERIES["shingle_df_histogram"](spark, SF).collect()}
+    assert got == {k: tuple(v) for k, v in agg.items()}

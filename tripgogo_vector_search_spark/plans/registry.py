@@ -4898,6 +4898,161 @@ def stream_quality_filter(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3i: sketch calibration / index-parameter tuning artifacts
+# --------------------------------------------------------------------------
+
+_SWEEP_TS = [0.3, 0.5, 0.7, 0.9]
+
+@query("minhash_threshold_sweep",
+       f"""WITH d AS (SELECT doc_id,
+                             list_distinct({sql_shingles(sql_words('text'), 3)})
+                               AS sh
+                      FROM documents WHERE doc_id < 200),
+           nz AS (SELECT doc_id, {sql_minhash_signature('sh')} AS sig
+                  FROM d WHERE len(sh) > 0),
+           p AS (SELECT round(list_sum(list_transform(generate_series(1, 16),
+                          i -> CASE WHEN a.sig[i] = b.sig[i]
+                               THEN 1 ELSE 0 END)) / 16.0, 6) AS est
+                 FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+          SELECT threshold, CAST(count(*) FILTER (WHERE est >= threshold)
+                                 AS BIGINT) AS n_pairs
+          FROM p CROSS JOIN (SELECT unnest([{", ".join(map(str, _SWEEP_TS))}]
+                                           ::DOUBLE[])
+                             AS threshold) t
+          GROUP BY threshold""")
+def minhash_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning curve: how many candidate pairs the
+    MinHash estimate admits at each threshold, over a bounded doc
+    sample — the S-curve you read BEFORE choosing the (bands, rows)
+    config and threshold for a 100 TB dedup run (a cliff between 0.5
+    and 0.7 means the corpus separates cleanly; a smooth slope means
+    band tuning will trade real recall). One signature pass, one
+    broadcast self-join over the sample, one grouped count; at scale
+    the sample is drawn with deterministic_sample, not doc_id<200."""
+    from ..functions.hashing import minhash_signature
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 200)
+         .select("doc_id",
+                 F.array_distinct(TX.shingles("text", 3)).alias("sh"))
+         .filter(F.size("sh") > 0)
+         .select("doc_id", minhash_signature("sh", 16).alias("sig")))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("ga"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("gb"))
+    est = F.round(F.size(F.filter(
+        F.zip_with("ga", "gb", lambda x, y: x == y), lambda v: v))
+        / F.lit(16.0), 6)
+    p = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+         .select(est.alias("est")))
+    counts = F.array(*[
+        F.struct(F.lit(t).alias("threshold"),
+                 F.sum(F.when(F.col("est") >= t, 1).otherwise(0))
+                 .cast("bigint").alias("n_pairs"))
+        for t in _SWEEP_TS])
+    return (p.agg(counts.alias("c"))
+            .select(F.explode("c").alias("r")).select("r.*"))
+
+
+_KMV_K = 64
+_HEXVAL_SQL = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+
+def _hex8_int_sql(h: str) -> str:
+    terms = " + ".join(
+        f"{_HEXVAL_SQL.format(h=h, i=i + 1)} * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"({terms})"
+
+@query("kmv_distinct_sketch",
+       f"""WITH tok AS (SELECT DISTINCT lang,
+                               md5(lower(unnest(string_split(text, ' '))))
+                                 AS h
+                        FROM documents),
+            r AS (SELECT lang, h,
+                         row_number() OVER (PARTITION BY lang ORDER BY h)
+                           AS rk,
+                         count(*) OVER (PARTITION BY lang) AS n_true
+                  FROM tok),
+            kth AS (SELECT lang, n_true,
+                           {_hex8_int_sql('h')} AS kth_int
+                    FROM r WHERE rk = {_KMV_K})
+          SELECT lang, n_true AS true_distinct,
+                 round(({_KMV_K} - 1) * 4294967296.0 / kth_int, 6)
+                   AS est_distinct,
+                 round(abs(({_KMV_K} - 1) * 4294967296.0 / kth_int - n_true)
+                       / n_true, 6) AS rel_err
+          FROM kth""")
+def kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch with its measured
+    error: per language, the k=64th-smallest md5 of the distinct
+    tokens yields est = (k-1)/U_(k) — the mergeable sketch you'd keep
+    per partition at 100 TB where exact distinct counts of a
+    quadrillion tokens don't fit anywhere — reported side-by-side with
+    the exact count and relative error, because a sketch you haven't
+    measured is a rumor. Deterministic end-to-end: md5 on both
+    engines, the hash-order rank window, integer hex arithmetic."""
+    tok = (_t(spark, sf_dir, "documents")
+           .select("lang",
+                   F.explode(F.transform(TX.words("text"), F.lower))
+                   .alias("token"))
+           .select("lang", F.md5("token").alias("h")).distinct())
+    wl = W.partitionBy("lang")
+    r = tok.select("lang", "h",
+                   F.row_number().over(wl.orderBy("h")).alias("rk"),
+                   F.count(F.lit(1)).over(wl).alias("n_true"))
+    kth_int = F.conv(F.substring("h", 1, 8), 16, 10).cast("double")
+    est = (_KMV_K - 1) * 4294967296.0 / kth_int
+    return (r.filter(F.col("rk") == _KMV_K)
+            .select("lang", F.col("n_true").alias("true_distinct"),
+                    F.round(est, 6).alias("est_distinct"),
+                    F.round(F.abs(est - F.col("n_true"))
+                            / F.col("n_true"), 6).alias("rel_err")))
+
+
+_DF_BOUNDS = [2, 4, 8, 16, 64, 256, 1024]
+
+def _df_bucket_sql(c: str) -> str:
+    cases = [f"WHEN {c} < {_DF_BOUNDS[0]} THEN '<{_DF_BOUNDS[0]}'"]
+    cases += [f"WHEN {c} < {hi} THEN '{lo}-{hi - 1}'"
+              for lo, hi in zip(_DF_BOUNDS, _DF_BOUNDS[1:])]
+    return "CASE " + " ".join(cases) + f" ELSE '>={_DF_BOUNDS[-1]}' END"
+
+def _df_bucket_spark(c):
+    expr = F.when(c < _DF_BOUNDS[0], F.lit(f"<{_DF_BOUNDS[0]}"))
+    for lo, hi in zip(_DF_BOUNDS, _DF_BOUNDS[1:]):
+        expr = expr.when(c < hi, F.lit(f"{lo}-{hi - 1}"))
+    return expr.otherwise(F.lit(f">={_DF_BOUNDS[-1]}"))
+
+@query("shingle_df_histogram",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+            sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)})
+                     AS sh FROM w),
+            nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM nz),
+            dfs AS (SELECT shingle, count(*) AS df FROM inv
+                    GROUP BY shingle)
+           SELECT {_df_bucket_sql('df')} AS bucket,
+                  count(*) AS n_shingles,
+                  CAST(SUM(df) AS BIGINT) AS n_postings,
+                  CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS n_pairs
+           FROM dfs GROUP BY bucket""")
+def shingle_df_histogram(spark, sf_dir):
+    """Posting-list length histogram of the shingle inverted index —
+    the artifact that JUSTIFIES the df_cap=1024 stop-shingle cutoff the
+    dedup family relies on: n_pairs per bucket is the exact pair-join
+    work each frequency band would generate, so you read off how much
+    work the cap discards and how much the survivors cost. Served from
+    the shared materialized index (no re-shingling); one aggregate on
+    the shingle key, one on the 8-value bucket key."""
+    inv = _shingle_inv_index(spark, sf_dir).select("id", "shingle")
+    dfs = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (dfs.groupBy(_df_bucket_spark(F.col("df")).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum("df").cast("bigint").alias("n_postings"),
+                 F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("bigint")
+                 .alias("n_pairs")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
