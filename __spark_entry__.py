@@ -63,7 +63,7 @@ _CHECK_FIRST = [
     "schema_profile", "value_outlier_iqr", "novelty_by_source",
     "stream_quality_filter",
     "minhash_threshold_sweep", "kmv_distinct_sketch",
-    "shingle_df_histogram",
+    "shingle_df_histogram", "filtered_knn", "hybrid_search_rrf",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -869,3 +869,26 @@ def test_shingle_df_histogram_reuses_index(spark):
     assert "shingle_inv_index" in plan, plan
     assert "Generate" not in plan
     assert "EvalPython" not in plan
+
+
+def test_filtered_knn_pushes_filter_and_takeordered(spark):
+    """Pre-filtered KNN: the label predicate reaches the parquet scan
+    (PushedFilters) and the top-5 is TakeOrderedAndProject over the
+    filtered sliver — never a global sort, never post-filtering."""
+    plan = plan_of(QUERIES["filtered_knn"](spark, SF_CORRECTNESS))
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "label" in ln]
+    assert pushed, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_hybrid_search_rrf_both_arms_take_ordered(spark):
+    """Hybrid RRF: both ranker arms cut to top-20 via
+    TakeOrderedAndProject (two nodes), and no Python runs anywhere —
+    the hash embedder is a codegen expression."""
+    plan = plan_of(QUERIES["hybrid_search_rrf"](spark, SF_CORRECTNESS))
+    # tree + detail: 3 TakeOrdered nodes (lex20, vec20, final) x2
+    assert plan.count("TakeOrderedAndProject") >= 6, plan
+    assert "FullOuter" in plan
+    assert "EvalPython" not in plan

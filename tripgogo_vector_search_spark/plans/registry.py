@@ -5053,6 +5053,148 @@ def shingle_df_histogram(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3j: filtered & hybrid search (the vector-search product surface)
+# --------------------------------------------------------------------------
+
+@query("filtered_knn",
+       f"""SELECT vec_id, label,
+                  round({sql_cosine_distance('embedding', _QV)}, 6)
+                    AS distance_score
+           FROM embeddings
+           WHERE label IN (2, 5)
+           ORDER BY {sql_cosine_distance('embedding', _QV)} ASC, vec_id ASC
+           LIMIT 5""")
+def filtered_knn(spark, sf_dir):
+    """Metadata-prefiltered exact KNN: top-5 by cosine among vectors
+    whose label passes the filter — the 'hotels in THIS city' shape
+    every vector-search product needs (reference: the unfiltered
+    variant, streamlit_app.py:55-73). Pre-filter beats post-filter
+    structurally: the label predicate is PUSHED TO THE SCAN (row
+    groups with no matching label never decompress) and the top-k is
+    TakeOrderedAndProject over the surviving sliver, so k results are
+    guaranteed — a post-filtered ANN would return <k whenever the
+    filter is selective inside the probed buckets."""
+    from ..functions.vector import cosine_distance
+    emb = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("label").isin(2, 5)))
+    d = cosine_distance(F.col("embedding"),
+                        F.array(*[F.lit(v) for v in QUERY_VEC]))
+    return (emb.select("vec_id", "label", d.alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+            .limit(5)
+            .select("vec_id", "label",
+                    F.round("dist", 6).alias("distance_score")))
+
+
+_HYBRID_Q = "data query spark"
+_RRF_K = 60
+
+def _hybrid_qvec():
+    from ..functions.embed import hash_embed_py
+    return hash_embed_py(_HYBRID_Q, normalized=False)
+
+def _hybrid_sql() -> str:
+    from .oracle_helpers import sql_hash_bucket, sql_hash_sign
+    qv = sql_double_list(_hybrid_qvec())
+    docvec = ("list_transform(generate_series(0, 63), b -> "
+              "list_sum(list_transform(hs, h -> "
+              "CASE WHEN " + sql_hash_bucket('h') + " = b THEN "
+              + sql_hash_sign('h') + " ELSE 0 END))::DOUBLE)")
+    bm25 = f"""WITH dl AS (SELECT doc_id, len({sql_words('text')}) AS dl
+                       FROM documents),
+           stats AS (SELECT count(*) AS n_docs,
+                            CAST(sum(len({sql_words('text')})) AS DOUBLE)
+                              / count(*) AS avgdl
+                     FROM documents),
+           w AS (SELECT doc_id, unnest({sql_words('text')}) AS word
+                 FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+                  WHERE word IN ('data', 'query', 'spark') GROUP BY 1, 2),
+           dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+           lexs AS (SELECT tf.doc_id,
+                  round(CAST(SUM(CAST(round(
+                        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                        * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 12)
+                      AS DECIMAL(24,12))) AS DOUBLE), 6) + 0.0 AS bm25
+           FROM tf JOIN dfreq USING (word)
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN stats
+           GROUP BY tf.doc_id),
+           lex AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS r_lex
+                   FROM (SELECT * FROM lexs
+                         ORDER BY bm25 DESC, doc_id LIMIT 20)),
+           hv AS (SELECT doc_id,
+                         list_transform({sql_words('text')}, t -> md5(t))
+                           AS hs
+                  FROM documents),
+           dv AS (SELECT doc_id, {docvec} AS v FROM hv),
+           vs AS (SELECT doc_id,
+                         round({sql_cosine_distance('v', qv)}, 6) AS dist
+                  FROM dv
+                  WHERE {sql_dot('v', 'v')} > 0),
+           vec AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY dist ASC, doc_id)
+                            AS r_vec
+                   FROM (SELECT * FROM vs
+                         ORDER BY dist ASC, doc_id LIMIT 20)),
+           fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                            round(COALESCE(1.0 / ({_RRF_K} + r_lex), 0)
+                                  + COALESCE(1.0 / ({_RRF_K} + r_vec), 0),
+                                  6) AS rrf_score
+                     FROM lex FULL OUTER JOIN vec USING (doc_id))
+           SELECT doc_id, rrf_score FROM fused
+           ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+    return bm25
+
+@query("hybrid_search_rrf", _hybrid_sql())
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    top-20 and the embedding-cosine top-20 (hash embedder on both the
+    docs and the query string — the engine's model-free spec), fused
+    as sum of 1/(60+rank) — the retrieval shape RAG systems actually
+    ship, where either ranker alone misses. Determinism comes from
+    ranking on ROUNDED scores with doc_id tie-breaks, so rank integers
+    match across engines even at float boundaries. Both top-20 cuts
+    are TakeOrderedAndProject (never a global sort); the rank windows
+    and the full-outer fuse run on <=20-row frames."""
+    from ..functions.vector import cosine_distance
+    from ..functions.embed import hash_embed_expr
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    lex20 = (QUERIES["bm25_score"](spark, sf_dir)
+             .orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20))
+    lex = lex20.select(
+        "doc_id", F.row_number().over(
+            W.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("r_lex"))
+    qv = F.array(*[F.lit(v) for v in _hybrid_qvec()])
+    dv = hash_embed_expr("text", normalized=False)
+    from ..functions.vector import dot
+    vs = (d.select("doc_id", dv.alias("v"))
+          .filter(dot("v", "v") > 0)
+          .select("doc_id",
+                  F.round(cosine_distance(F.col("v"), qv), 6)
+                  .alias("dist")))
+    vec20 = vs.orderBy(F.col("dist").asc(), F.col("doc_id")).limit(20)
+    vec = vec20.select(
+        "doc_id", F.row_number().over(
+            W.orderBy(F.col("dist").asc(), F.col("doc_id")))
+        .alias("r_vec"))
+    fused = (lex.join(vec, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.round(
+                         F.coalesce(1.0 / (_RRF_K + F.col("r_lex")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")),
+                                      F.lit(0.0)), 6).alias("rrf_score")))
+    return (fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+            .limit(10))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
