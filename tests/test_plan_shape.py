@@ -892,3 +892,26 @@ def test_hybrid_search_rrf_both_arms_take_ordered(spark):
     assert plan.count("TakeOrderedAndProject") >= 6, plan
     assert "FullOuter" in plan
     assert "EvalPython" not in plan
+
+
+def test_multimodal_frame_sample_reads_no_payload(spark):
+    """Frame sampling is metadata math: the work-list plan must not
+    read the binary payload column (text) — duration metadata only."""
+    plan = plan_of(QUERIES["multimodal_frame_sample"](spark, SF_CORRECTNESS))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln for ln in reads), plan
+    assert "Generate" in plan  # the per-offset explode
+    assert "EvalPython" not in plan
+
+
+def test_pipeline_funnel_single_scan_single_agg(spark):
+    """Funnel: one documents scan, one fingerprint window, ONE
+    conditional aggregate produces every stage count (no per-stage
+    jobs / unions of scans)."""
+    plan = plan_of(QUERIES["pipeline_funnel"](spark, SF_CORRECTNESS))
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "documents" in ln]
+    assert len(scans) == 1, plan
+    assert plan.count("Window") >= 1
+    assert "Union" not in plan
+    assert "EvalPython" not in plan

@@ -5195,6 +5195,107 @@ def hybrid_search_rrf(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3k: multimodal frame sampling, end-to-end pipeline funnel
+# --------------------------------------------------------------------------
+
+@query("multimodal_frame_sample",
+       """SELECT doc_id AS media_id,
+                 unnest(generate_series(0, CAST(n_chars * 10 AS BIGINT),
+                                        1000)) AS frame_ms
+          FROM documents""")
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling as metadata math: one row per 1000 ms
+    offset within each media item's duration — the decode-free half of
+    a frame-extraction pipeline (the codec decode of each sampled
+    offset is the environment-bounded stub; THIS plan — explode over
+    duration metadata, no payload read — is what runs at 100 TB to
+    build the work list). Durations are synthesized deterministically
+    from n_chars (10 ms/char) since the fixture media are UTF-8
+    payloads."""
+    from ..operators.multimodal import documents_as_media, frame_sample
+    d = _t(spark, sf_dir, "documents")
+    media = (documents_as_media(d)
+             .join(d.select(F.col("doc_id").alias("media_id"),
+                            F.struct(
+                                F.lit(None).cast("int").alias("width"),
+                                F.lit(None).cast("int").alias("height"),
+                                (F.col("n_chars") * 10).cast("int")
+                                .alias("duration_ms"),
+                                F.lit(None).cast("int")
+                                .alias("sample_rate")).alias("meta")),
+                   "media_id"))
+    return (frame_sample(media, every_ms=1000)
+            .select("media_id", F.col("frame_ms").cast("bigint")
+                    .alias("frame_ms")))
+
+
+_FUNNEL_STAGES = ["raw_docs", "quality_pass", "exact_dedup_pass",
+                  "tokens_shipped"]
+
+@query("pipeline_funnel",
+       f"""WITH e AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred,
+                             {_QUALITY_SQL} AS quality,
+                             len(regexp_extract_all(text,
+                                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                               AS n_tokens,
+                             md5(lower(regexp_replace(trim(text), '\\s+',
+                                                      ' ', 'g'))) AS fp
+                      FROM documents),
+            q AS (SELECT *, (quality >= 0.5 AND lang_pred = 'en')
+                              AS qpass FROM e),
+            k AS (SELECT *, CASE WHEN qpass THEN
+                              row_number() OVER (PARTITION BY fp, qpass
+                                                 ORDER BY doc_id)
+                            END AS rn FROM q)
+          SELECT stage, n FROM (
+            SELECT 'raw_docs' AS stage, count(*) AS n, 0 AS ord FROM k
+            UNION ALL
+            SELECT 'quality_pass', count(*) FILTER (WHERE qpass), 1 FROM k
+            UNION ALL
+            SELECT 'exact_dedup_pass', count(*) FILTER (WHERE rn = 1), 2
+            FROM k
+            UNION ALL
+            SELECT 'tokens_shipped',
+                   CAST(COALESCE(SUM(n_tokens) FILTER (WHERE rn = 1), 0)
+                        AS BIGINT), 3
+            FROM k) s""")
+def pipeline_funnel(spark, sf_dir):
+    """The training-corpus funnel in one number per stage: raw docs ->
+    quality+language survivors -> first-copy-per-fingerprint survivors
+    -> total tokens shipped. This is THE summary artifact a pipeline
+    run publishes (every stage's loss rate is an alarm threshold).
+    One scan computes scores/fingerprints, one window ranks copies
+    within the quality-passing cohort, and every stage count comes
+    from a single conditional aggregate over that frame — not one job
+    per stage."""
+    from ..functions.text import fingerprint, token_count
+    from ..operators.textstats import lang_pred_expr
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    e = d.select("doc_id",
+                 lang_pred_expr("text").alias("lang_pred"),
+                 TX.quality_score("text").alias("quality"),
+                 token_count("text").cast("bigint").alias("n_tokens"),
+                 fingerprint("text").alias("fp"))
+    q = e.withColumn("qpass", (F.col("quality") >= 0.5)
+                     & (F.col("lang_pred") == "en"))
+    w = W.partitionBy("fp", "qpass").orderBy("doc_id")
+    k = q.withColumn("rn", F.when(F.col("qpass"),
+                                  F.row_number().over(w)))
+    kept = F.col("rn") == 1
+    agg = k.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum(F.col("qpass").cast("long")).alias("quality_pass"),
+        F.sum(kept.cast("long")).alias("exact_dedup_pass"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint").alias("tokens_shipped"))
+    rows = F.array(*[
+        F.struct(F.lit(s).alias("stage"), F.col(s).alias("n"))
+        for s in _FUNNEL_STAGES])
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
