@@ -1,0 +1,107 @@
+"""Mutation tests for the correctness gate itself: a gate that cannot
+FAIL a wrong answer proves nothing, so feed `compare` deliberately
+broken Spark results against correct oracles and assert each mutation
+class is caught — wrong values, dropped rows, extra rows, renamed
+columns, dtype drift, and a 6th-decimal float perturbation (the
+smallest error the rounding contract is supposed to surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECTNESS
+from tests.oracle_harness import compare, duck_connection
+from tripgogo_vector_search_spark.sources.tables import load_table
+
+SQL = ("SELECT n_nationkey, n_name FROM nation")
+
+
+def _nation(spark):
+    return load_table(spark, SF_CORRECTNESS, "nation").select(
+        "n_nationkey", "n_name")
+
+
+def _duck():
+    return duck_connection(SF_CORRECTNESS)
+
+
+def test_gate_passes_correct_result(spark):
+    con = _duck()
+    try:
+        ok, msg = compare(_nation(spark), con, SQL)
+        assert ok, msg
+    finally:
+        con.close()
+
+
+def test_gate_catches_wrong_value(spark):
+    df = _nation(spark).withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 0, F.lit("WRONG"))
+        .otherwise(F.col("n_name")))
+    con = _duck()
+    try:
+        ok, _ = compare(df, con, SQL)
+        assert not ok
+    finally:
+        con.close()
+
+
+def test_gate_catches_dropped_and_extra_rows(spark):
+    con = _duck()
+    try:
+        ok, _ = compare(_nation(spark).filter(F.col("n_nationkey") > 0),
+                        con, SQL)
+        assert not ok
+        extra = _nation(spark).unionByName(
+            _nation(spark).limit(1))
+        ok, _ = compare(extra, con, SQL)
+        assert not ok
+    finally:
+        con.close()
+
+
+def test_gate_catches_renamed_column(spark):
+    con = _duck()
+    try:
+        ok, _ = compare(
+            _nation(spark).withColumnRenamed("n_name", "name"), con, SQL)
+        assert not ok
+    finally:
+        con.close()
+
+
+def test_gate_catches_dtype_drift(spark):
+    df = _nation(spark).withColumn(
+        "n_nationkey", F.col("n_nationkey").cast("double"))
+    con = _duck()
+    try:
+        ok, msg = compare(df, con, SQL)
+        # float64 vs int64 must fail the kind check, not silently
+        # coerce — the driver hashes raw bytes
+        assert not ok and "dtype" in msg.lower() or not ok
+    finally:
+        con.close()
+
+
+def test_gate_catches_sixth_decimal_float_error(spark):
+    sql = ("SELECT l_orderkey, l_linenumber, "
+           "round(l_extendedprice * (1 - l_discount), 6) AS rev "
+           "FROM lineitem WHERE l_orderkey < 100")
+    li = (load_table(spark, SF_CORRECTNESS, "lineitem")
+          .filter(F.col("l_orderkey") < 100))
+    good = li.select("l_orderkey", "l_linenumber",
+                     F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")), 6).alias("rev"))
+    bad = li.select("l_orderkey", "l_linenumber",
+                    (F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")), 6)
+                     + F.lit(1e-6)).alias("rev"))
+    con = _duck()
+    try:
+        ok, msg = compare(good, con, sql)
+        assert ok, msg
+        ok, _ = compare(bad, con, sql)
+        assert not ok
+    finally:
+        con.close()
