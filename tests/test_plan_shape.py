@@ -915,3 +915,15 @@ def test_pipeline_funnel_single_scan_single_agg(spark):
     assert plan.count("Window") >= 1
     assert "Union" not in plan
     assert "EvalPython" not in plan
+
+
+def test_kmeans_lloyd_no_driver_collect_broadcast_centroids(spark):
+    """Iterative Lloyd: both assignment rounds broadcast the 4-row
+    centroid frame (nested-loop cross), the update is a (cid, dim)
+    aggregate, and nothing Python-side or driver-side sits in the
+    loop."""
+    plan = plan_of(QUERIES["kmeans_lloyd"](spark, SF_CORRECTNESS))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "EvalPython" not in plan
+    # per-vector argmin windows, one per round
+    assert plan.count("hashpartitioning(vec_id") >= 2

@@ -271,3 +271,41 @@ def test_shingle_df_histogram_matches_python(spark):
     got = {r.bucket: (r.n_shingles, r.n_postings, r.n_pairs)
            for r in QUERIES["shingle_df_histogram"](spark, SF).collect()}
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_filtered_knn_is_subset_of_filtered_corpus(spark):
+    rows = QUERIES["filtered_knn"](spark, SF).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.label in (2, 5) for r in rows)
+    # distances are ascending after the deterministic tie-break sort
+    ds = [r.distance_score for r in sorted(rows, key=lambda r: (
+        r.distance_score, r.vec_id))]
+    assert ds == sorted(ds)
+
+
+def test_hybrid_rrf_scores_bounded_and_ranked(spark):
+    rows = QUERIES["hybrid_search_rrf"](spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        # max possible: rank 1 in both lists
+        assert 0 < r.rrf_score <= round(2 / 61, 6) + 1e-9
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True) or \
+        sorted(scores, reverse=True) == scores  # driver may reorder
+
+
+def test_pipeline_funnel_stages_monotone(spark):
+    got = {r.stage: r.n
+           for r in QUERIES["pipeline_funnel"](spark, SF).collect()}
+    assert got["raw_docs"] >= got["quality_pass"] >= got["exact_dedup_pass"]
+    assert got["tokens_shipped"] >= got["exact_dedup_pass"]  # >=1 tok/doc
+
+
+def test_kmeans_lloyd_partitions_the_corpus(spark):
+    import pyarrow.parquet as pq2
+    n = pq2.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"]).num_rows
+    rows = QUERIES["kmeans_lloyd"](spark, SF).collect()
+    assert sum(r.n_vecs for r in rows) == n  # every vector assigned once
+    assert {r.cid for r in rows} <= {0, 1, 2, 3}
+    for r in rows:
+        assert 0.0 <= r.mean_dist <= 2.0  # cosine distance range

@@ -5296,6 +5296,92 @@ def pipeline_funnel(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3l: exactly-verified iterative clustering
+# --------------------------------------------------------------------------
+
+def _kmeans_sql() -> str:
+    def assign(cents: str, with_dist: bool = False) -> str:
+        dist = sql_cosine_distance('e.embedding', f'{cents}.cvec')
+        cols = "vec_id, embedding, cid" + (", dist" if with_dist else "")
+        return f"""(SELECT {cols} FROM (
+            SELECT e.vec_id, e.embedding, {cents}.cid, {dist} AS dist,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, {cents}.cid ASC)
+                     AS rn
+            FROM embeddings e CROSS JOIN {cents}) q WHERE rn = 1)"""
+    return f"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+                           FROM embeddings WHERE vec_id < 4),
+           a1 AS {assign('c0')},
+           ex1 AS (SELECT cid,
+                          unnest(generate_series(1, len(embedding))) AS d,
+                          unnest(embedding) AS v
+                   FROM a1),
+           s1 AS (SELECT cid, d, SUM(CAST(v AS DECIMAL(30,12))) AS s,
+                         count(*) AS n
+                  FROM ex1 GROUP BY cid, d),
+           c1 AS (SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY d)
+                           AS cvec
+                  FROM s1 GROUP BY cid),
+           a2 AS {assign('c1', with_dist=True)}
+          SELECT cid, count(*) AS n_vecs,
+                 round(CAST(SUM(CAST(round(dist, 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / count(*), 6) AS mean_dist
+          FROM a2 GROUP BY cid"""
+
+@query("kmeans_lloyd", _kmeans_sql())
+def kmeans_lloyd(spark, sf_dir):
+    """TWO full Lloyd rounds (assign -> centroid update -> reassign),
+    value-exact across engines — the proof that ITERATIVE algorithms,
+    not just one-shot queries, run deterministically on this engine.
+    The update step is where engines usually diverge (a float mean
+    over an arbitrary partition order); here per-dimension centroid
+    components are DECIMAL-summed exactly and divided once in IEEE
+    double, so round-2 distances — and therefore the final cluster
+    sizes — are bit-reproducible. Plan per round: 4-row centroid frame
+    broadcast-crossed with the corpus, per-vector argmin window, and
+    the update is a (cid, dim)-keyed aggregate (64*k rows) reassembled
+    with an array_sort — no driver-side collect anywhere in the loop."""
+    from ..functions.vector import cosine_distance
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def assign(cents):
+        d = cosine_distance(F.col("embedding"), F.col("cvec"))
+        w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(),
+                                            F.col("cid").asc())
+        return (emb.crossJoin(F.broadcast(cents))
+                .select("vec_id", "embedding", "cid", d.alias("dist"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "embedding", "cid", "dist"))
+
+    def update(assigned):
+        ex = assigned.select(
+            "cid", F.posexplode("embedding").alias("d0", "v"))
+        s = (ex.groupBy("cid", (F.col("d0") + 1).alias("d"))
+             .agg(F.sum(F.col("v").cast("decimal(30,12)")).alias("s"),
+                  F.count(F.lit(1)).alias("n")))
+        return (s.select("cid", "d",
+                         (F.col("s").cast("double") / F.col("n"))
+                         .alias("cv"))
+                .groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("d", "cv")))
+                     .alias("a"))
+                .select("cid",
+                        F.transform("a", lambda x: x["cv"]).alias("cvec")))
+
+    c0 = (emb.filter(F.col("vec_id") < 4)
+          .select(F.col("vec_id").alias("cid"),
+                  F.col("embedding").alias("cvec")))
+    a2 = assign(update(assign(c0)))
+    return (a2.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(
+                     F.sum(F.round(F.col("dist"), 6).cast("decimal(18,6)"))
+                     .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_dist")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
