@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     "minhash_threshold_sweep", "kmv_distinct_sketch",
     "shingle_df_histogram", "filtered_knn", "hybrid_search_rrf",
     "multimodal_frame_sample", "pipeline_funnel", "kmeans_lloyd",
+    "near_dup_cross_source", "embedding_drift",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -927,3 +927,26 @@ def test_kmeans_lloyd_no_driver_collect_broadcast_centroids(spark):
     assert "EvalPython" not in plan
     # per-vector argmin windows, one per round
     assert plan.count("hashpartitioning(vec_id") >= 2
+
+
+def test_near_dup_cross_source_no_pair_expansion(spark):
+    """Contamination matrix: pair counts come from per-(component,
+    source) COUNT PRODUCTS (n_a * n_b), never an all-pairs expansion of
+    cluster members — a giant dup cluster costs |sources| rows, not
+    |cluster|^2. (Generate nodes upstream belong to the shared band
+    index build, which is member-linear.)"""
+    plan = plan_of(QUERIES["near_dup_cross_source"](spark, SF_CORRECTNESS))
+    assert "n_a" in plan and "n_b" in plan, plan  # the count product path
+    assert "CartesianProduct" not in plan
+    # membership frames arrive cached from the components loop
+    assert "InMemoryTableScan" in plan
+    assert "EvalPython" not in plan
+
+
+def test_embedding_drift_decimal_centroids_no_python(spark):
+    """Drift monitor: the exploded (label, half, dim) aggregate and the
+    centroid reassembly run JVM-side; the final join is on the tiny
+    per-label centroid frames (broadcast)."""
+    plan = plan_of(QUERIES["embedding_drift"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

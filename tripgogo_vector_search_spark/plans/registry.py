@@ -5382,6 +5382,109 @@ def kmeans_lloyd(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3m: provenance contamination, embedding drift monitoring
+# --------------------------------------------------------------------------
+
+@query("near_dup_cross_source",
+       _CC_CTE + """
+       , comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+                  FROM reach GROUP BY node),
+         cs AS (SELECT component_id, source, count(*) AS n
+                FROM comp JOIN documents USING (doc_id)
+                GROUP BY component_id, source)
+       SELECT a.source AS source_a, b.source AS source_b,
+              CAST(SUM(a.n * b.n) AS BIGINT) AS n_pairs
+       FROM cs a JOIN cs b
+         ON a.component_id = b.component_id AND a.source < b.source
+       GROUP BY a.source, b.source""")
+def near_dup_cross_source(spark, sf_dir):
+    """Cross-feed contamination matrix: for every source pair, how many
+    near-dup doc pairs span the two feeds — the provenance artifact
+    that tells you feed B is re-crawling feed A (drop one) vs each
+    feed self-duplicating (dedup within). Crucially the pair counts
+    come from per-(component, source) COUNTS multiplied per component
+    — never an all-pairs expansion inside clusters, so a
+    million-member dup cluster at 100 TB costs |sources| rows, not
+    10^12 pairs. Shares the materialized MinHash band index and the
+    components loop's cached frames."""
+    comp = DD.minhash_components_from_bands(
+        _minhash_band_index(spark, sf_dir),
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (comp.join(docs, "doc_id")
+          .groupBy("component_id", "source")
+          .agg(F.count(F.lit(1)).alias("n")))
+    a = cs.select("component_id", F.col("source").alias("source_a"),
+                  F.col("n").alias("n_a"))
+    b = cs.select("component_id", F.col("source").alias("source_b"),
+                  F.col("n").alias("n_b"))
+    return (a.join(b, "component_id")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.sum(F.col("n_a") * F.col("n_b")).cast("bigint")
+                 .alias("n_pairs")))
+
+
+@query("embedding_drift",
+       f"""WITH halves AS (SELECT label, vec_id % 2 AS half,
+                                  unnest(generate_series(1, len(embedding)))
+                                    AS d,
+                                  unnest(embedding) AS v
+                           FROM embeddings),
+            s AS (SELECT label, half, d,
+                         SUM(CAST(v AS DECIMAL(30,12))) AS sv,
+                         count(*) AS n
+                  FROM halves GROUP BY label, half, d),
+            c AS (SELECT label, half,
+                         list(CAST(sv AS DOUBLE) / n ORDER BY d) AS cvec,
+                         max(n) AS n
+                  FROM s GROUP BY label, half),
+            j AS (SELECT e.label, e.cvec AS ce, o.cvec AS co,
+                         e.n AS n_even, o.n AS n_odd
+                  FROM c e JOIN c o
+                    ON e.label = o.label AND e.half = 0 AND o.half = 1)
+          SELECT label, CAST(n_even AS BIGINT) AS n_even,
+                 CAST(n_odd AS BIGINT) AS n_odd,
+                 round({sql_cosine_distance('ce', 'co')}, 6) AS drift
+          FROM j""")
+def embedding_drift(spark, sf_dir):
+    """Embedding drift monitor: cosine distance between each label's
+    even-half and odd-half centroids — the canary that fires when an
+    embedding model silently changes under a live corpus (retrain,
+    quantization, upstream lib bump) or a label's content shifts.
+    Centroid components are DECIMAL-summed exactly (same scheme as
+    kmeans_lloyd), so the drift number is bit-reproducible. One
+    (label, half, dim)-keyed aggregate over the exploded vectors, a
+    tiny centroid self-join, one cosine per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", (F.col("vec_id") % 2).alias("half"),
+                    F.posexplode("embedding").alias("d0", "v"))
+    s = (ex.groupBy("label", "half", (F.col("d0") + 1).alias("d"))
+         .agg(F.sum(F.col("v").cast("decimal(30,12)")).alias("sv"),
+              F.count(F.lit(1)).alias("n")))
+    c = (s.select("label", "half", "d",
+                  (F.col("sv").cast("double") / F.col("n")).alias("cv"),
+                  "n")
+         .groupBy("label", "half")
+         .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("a"),
+              F.max("n").alias("n"))
+         .select("label", "half",
+                 F.transform("a", lambda x: x["cv"]).alias("cvec"), "n"))
+    e = (c.filter(F.col("half") == 0)
+         .select("label", F.col("cvec").alias("ce"),
+                 F.col("n").alias("n_even")))
+    o = (c.filter(F.col("half") == 1)
+         .select("label", F.col("cvec").alias("co"),
+                 F.col("n").alias("n_odd")))
+    from ..functions.vector import cosine_distance
+    return (e.join(o, "label")
+            .select("label", F.col("n_even").cast("bigint").alias("n_even"),
+                    F.col("n_odd").cast("bigint").alias("n_odd"),
+                    F.round(cosine_distance(F.col("ce"), F.col("co")), 6)
+                    .alias("drift")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
