@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     "shingle_df_histogram", "filtered_knn", "hybrid_search_rrf",
     "multimodal_frame_sample", "pipeline_funnel", "kmeans_lloyd",
     "near_dup_cross_source", "embedding_drift",
+    "hop_window_agg", "event_transitions", "stream_event_alert",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -950,3 +950,22 @@ def test_embedding_drift_decimal_centroids_no_python(spark):
     plan = plan_of(QUERIES["embedding_drift"](spark, SF_CORRECTNESS))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hop_window_agg_expand_then_single_agg(spark):
+    """Hopping windows plan as one Expand (constant duration/slide
+    duplication) feeding a partial+final aggregate — not a self-union
+    of tumbling aggregations."""
+    plan = plan_of(QUERIES["hop_window_agg"](spark, SF_CORRECTNESS))
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("HashAggregate") == 4  # tree+detail x partial+final
+    assert "EvalPython" not in plan
+
+
+def test_event_transitions_one_user_window(spark):
+    """Transition matrix: one lag window shuffle on user_id, one
+    aggregate on the bounded type-pair key."""
+    plan = plan_of(QUERIES["event_transitions"](spark, SF_CORRECTNESS))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "EvalPython" not in plan

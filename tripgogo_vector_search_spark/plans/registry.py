@@ -5485,6 +5485,92 @@ def embedding_drift(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3n: overlapping windows, behavioral transitions, stream alerting
+# --------------------------------------------------------------------------
+
+@query("hop_window_agg",
+       """WITH h AS (SELECT event_type,
+                            unnest([date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                      - INTERVAL 1 HOUR,
+                                    date_trunc('hour', CAST(ts AS TIMESTAMP))])
+                              AS ws
+                     FROM events)
+          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type, count(*) AS n_events
+          FROM h GROUP BY ws, event_type""")
+def hop_window_agg(spark, sf_dir):
+    """Hopping (sliding) windows: 2-hour windows advancing every hour,
+    so each event lands in exactly two — the smoothing shape behind
+    rate dashboards and alert hysteresis (a tumbling window chops a
+    burst at an arbitrary boundary; overlap sees it whole). Spark's
+    window(ts, '2 hours', '1 hour') plans as one Expand (each row
+    replicated per containing window — duplication factor =
+    duration/slide, a constant) feeding a normal partial+final
+    aggregate; the oracle mirrors the same two epoch-aligned window
+    starts explicitly."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events"))
+
+
+@query("event_transitions",
+       """WITH s AS (SELECT user_id, event_type,
+                            lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_type
+                     FROM events)
+          SELECT prev_type, event_type AS next_type, count(*) AS n
+          FROM s WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type""")
+def event_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix: counts of consecutive
+    (prev -> next) event types per user — the Markov-chain artifact
+    behind funnel design and anomaly baselines ('error after purchase
+    spiked'). One window shuffle on user_id (lag with a deterministic
+    (ts, event_id) order), one aggregate on the 25-cell type-pair
+    key."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+    return (s.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type",
+                     F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+_ALERT_MIN_EVENTS = 7
+
+@query("stream_event_alert",
+       f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                    AS window_start,
+                  event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2
+           HAVING count(*) >= {_ALERT_MIN_EVENTS}""")
+def stream_event_alert(spark, sf_dir):
+    """Streaming threshold alerting: hourly windows whose event count
+    reaches the alert floor, emitted from the live aggregation — the
+    ops shape where the consumer is a pager, not a dashboard, so the
+    filter belongs INSIDE the streaming query (ship only alerts, not
+    every window). The HAVING on the windowed count adds no state
+    beyond the window aggregate itself; must equal the batch
+    equivalent on the finite source."""
+    from ..streaming.ingest import run_stream_to_table, stream_events
+    ev = stream_events(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .filter(F.col("n_events") >= _ALERT_MIN_EVENTS)
+           .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                   .alias("window_start"),
+                   "event_type", "n_events"))
+    return run_stream_to_table(spark, agg, mode="complete")
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
