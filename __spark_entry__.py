@@ -67,6 +67,8 @@ _CHECK_FIRST = [
     "multimodal_frame_sample", "pipeline_funnel", "kmeans_lloyd",
     "near_dup_cross_source", "embedding_drift",
     "hop_window_agg", "event_transitions", "stream_event_alert",
+    "copurchase_lift", "minhash_band_recall",
+    "sql_passthrough", "observed_ingest",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

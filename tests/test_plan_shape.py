@@ -969,3 +969,39 @@ def test_event_transitions_one_user_window(spark):
     plan = plan_of(QUERIES["event_transitions"](spark, SF_CORRECTNESS))
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_copurchase_lift_copartitioned_pairs_broadcast_supports(spark):
+    """Basket pairs: the self-join co-partitions on orderkey (fan-out
+    bounded by basket size, never corpus-quadratic), per-part supports
+    broadcast back, and the top-20 is TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["copurchase_lift"](spark, SF_CORRECTNESS))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_minhash_band_recall_bounded_sample(spark):
+    """Band-recall eval: the doc_id sample bound reaches the scan; the
+    pair frame is a broadcast self-join over the bounded sample, one
+    scalar conditional aggregate."""
+    plan = plan_of(QUERIES["minhash_band_recall"](spark, SF_CORRECTNESS))
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "doc_id" in ln]
+    assert pushed, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sql_passthrough_plans_like_dataframe_form(spark):
+    """The SQL-text surface gets the same physical treatment as the
+    DataFrame API: date filter pushed to the scan, partial+final
+    aggregate — Catalyst does not care which front end produced the
+    plan."""
+    plan = plan_of(QUERIES["sql_passthrough"](spark, SF_CORRECTNESS))
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert pushed, plan
+    assert plan.count("HashAggregate") == 4  # tree+detail x partial+final
+    assert "EvalPython" not in plan

@@ -5571,6 +5571,190 @@ def stream_event_alert(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3o: market-basket lift, LSH band-config recall
+# --------------------------------------------------------------------------
+
+@query("copurchase_lift",
+       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            n AS (SELECT count(DISTINCT l_orderkey) AS n_orders
+                  FROM lineitem),
+            ps AS (SELECT l_partkey, count(*) AS s FROM op GROUP BY 1),
+            pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                          count(*) AS s_ab
+                   FROM op a JOIN op b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2)
+          SELECT part_a, part_b, s_ab,
+                 round(s_ab * n_orders / (pa.s * pb.s)::DOUBLE, 6) AS lift
+          FROM pr JOIN ps pa ON pr.part_a = pa.l_partkey
+                  JOIN ps pb ON pr.part_b = pb.l_partkey
+                  CROSS JOIN n
+          WHERE s_ab >= 3
+          ORDER BY lift DESC, part_a, part_b LIMIT 20""")
+def copurchase_lift(spark, sf_dir):
+    """Market-basket lift: the top part pairs co-ordered more often
+    than independence predicts (lift = P(ab)/P(a)P(b) =
+    s_ab*n/(s_a*s_b), integers until one final division) — the
+    association signal behind recommenders and bundle pricing. Pair
+    expansion is a self-join CO-PARTITIONED on orderkey, so fan-out is
+    bounded by basket size squared (~tens), never corpus-quadratic;
+    per-part supports broadcast back; the top-20 is
+    TakeOrderedAndProject on the rounded-lift total order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    n = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    ps = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pr = (a.join(b, "l_orderkey")
+          .filter(F.col("part_a") < F.col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(F.count(F.lit(1)).alias("s_ab"))
+          .filter(F.col("s_ab") >= 3))
+    sa = ps.select(F.col("l_partkey").alias("part_a"),
+                   F.col("s").alias("s_a"))
+    sb = ps.select(F.col("l_partkey").alias("part_b"),
+                   F.col("s").alias("s_b"))
+    return (pr.join(F.broadcast(sa), "part_a")
+            .join(F.broadcast(sb), "part_b")
+            .crossJoin(F.broadcast(n))
+            .select("part_a", "part_b", "s_ab",
+                    F.round(F.col("s_ab") * F.col("n_orders")
+                            / (F.col("s_a") * F.col("s_b"))
+                            .cast("double"), 6).alias("lift"))
+            .orderBy(F.col("lift").desc(), "part_a", "part_b")
+            .limit(20))
+
+
+@query("minhash_band_recall",
+       f"""WITH d AS (SELECT doc_id,
+                             list_distinct({sql_shingles(sql_words('text'), 3)})
+                               AS sh
+                      FROM documents WHERE doc_id < 200),
+           nz AS (SELECT doc_id, sh, {sql_minhash_signature('sh')} AS sig
+                  FROM d WHERE len(sh) > 0),
+           bk AS (SELECT doc_id, sh,
+                         {sql_lsh_band_keys('sig', 4, 4)} AS keys
+                  FROM nz),
+           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        len(list_intersect(a.keys, b.keys)) > 0 AS cand,
+                        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                              / (len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh))), 6)
+                          AS jac
+                 FROM bk a JOIN bk b ON a.doc_id < b.doc_id)
+          SELECT CAST(count(*) FILTER (WHERE jac >= 0.7) AS BIGINT)
+                   AS n_truth,
+                 CAST(count(*) FILTER (WHERE cand) AS BIGINT) AS n_cand,
+                 CAST(count(*) FILTER (WHERE cand AND jac >= 0.7)
+                      AS BIGINT) AS n_hit,
+                 round(count(*) FILTER (WHERE cand AND jac >= 0.7)
+                       / greatest(count(*) FILTER (WHERE jac >= 0.7),
+                                  1)::DOUBLE, 6) AS recall
+          FROM p""")
+def minhash_band_recall(spark, sf_dir):
+    """Measured recall of the (4 bands x 4 rows) LSH config against
+    exact-Jaccard ground truth (t=0.7) on a bounded sample — the
+    companion to minhash_threshold_sweep: the sweep shows how many
+    candidates a threshold admits, THIS shows how many true pairs the
+    banding would drop. One signature+band pass, one broadcast
+    self-join over the sample, one conditional aggregate; integer
+    counts plus a single guarded division."""
+    from ..functions.hashing import lsh_band_keys, minhash_signature
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 200)
+         .select("doc_id",
+                 F.array_distinct(TX.shingles("text", 3)).alias("sh"))
+         .filter(F.size("sh") > 0)
+         .withColumn("sig", minhash_signature("sh", 16)))
+    bk = d.select("doc_id", "sh",
+                  lsh_band_keys("sig", bands=4, rows_per_band=4)
+                  .alias("keys"))
+    a = bk.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"),
+                  F.col("keys").alias("ka"))
+    b = bk.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"),
+                  F.col("keys").alias("kb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(inter.cast("double")
+                  / (F.size("sa") + F.size("sb") - inter), 6)
+    cand = F.size(F.array_intersect("ka", "kb")) > 0
+    p = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+         .select(cand.alias("cand"), jac.alias("jac")))
+    truth = F.col("jac") >= 0.7
+    return p.agg(
+        F.sum(truth.cast("long")).cast("bigint").alias("n_truth"),
+        F.sum(F.col("cand").cast("long")).cast("bigint").alias("n_cand"),
+        F.sum((F.col("cand") & truth).cast("long")).cast("bigint")
+        .alias("n_hit"),
+        F.round(F.sum((F.col("cand") & truth).cast("long"))
+                / F.greatest(F.sum(truth.cast("long")), F.lit(1))
+                .cast("double"), 6).alias("recall"))
+
+
+# --------------------------------------------------------------------------
+# Round-3p: SQL-surface passthrough, in-flight observability
+# --------------------------------------------------------------------------
+
+_PASSTHROUGH_SQL = """SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE), 2) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority"""
+
+@query("sql_passthrough", _PASSTHROUGH_SQL)
+def sql_passthrough(spark, sf_dir):
+    """The SQL API surface: the IDENTICAL ANSI-SQL string runs through
+    spark.sql() here and through DuckDB as its own oracle — character
+    for character, no translation layer. This is the portability
+    contract a user migrating SQL workloads onto the engine relies on:
+    the dialect-neutral subset (ANSI casts, DECIMAL accumulation,
+    TIMESTAMP literals) round-trips exactly. Views are registered
+    per-call from the same parquet; Catalyst plans the text exactly
+    like the DataFrame form (pushed date filter, partial+final
+    aggregate)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PASSTHROUGH_SQL)
+
+
+@query("observed_ingest",
+       """SELECT count(*) AS n_rows,
+                 CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 CAST(max(n_chars) AS BIGINT) AS max_chars
+          FROM documents""")
+def observed_ingest(spark, sf_dir):
+    """In-flight observability: Spark's Observation API attaches named
+    metrics to a pass WITHOUT a second job — the production pattern
+    for 'every ingest batch publishes row/null/volume counters as it
+    runs' (at 100 TB a separate metrics scan doubles the bill; observe
+    rides the existing one). The query drives a full materialization
+    of the observed frame, then emits the collected metrics as a
+    1-row result; the oracle recomputes the same aggregates
+    declaratively."""
+    from pyspark.sql import Observation
+    d = _t(spark, sf_dir, "documents")
+    obs = Observation("ingest_metrics")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).alias("n_null_text"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_null_text"]),
+          int(m["total_chars"]), int(m["max_chars"]))],
+        "n_rows bigint, n_null_text bigint, total_chars bigint, "
+        "max_chars bigint")
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
