@@ -52,7 +52,11 @@ _CHECK_FIRST = [
     # checks more than 50. First the round-3 additions that exceeded
     # the 50-key window (locally oracle-green; driver row next round),
     # then r01∪r02-green keys ordered by how much their implementation
-    # changed this round. ---
+    # changed this round.
+    # NOTE for round 4: after round 3's additions, ~93 keys have no
+    # driver CORRECTNESS row yet (50 clear this round, ~43 remain).
+    # Next round: promote the remainder into the head of this list
+    # BEFORE adding new queries — evidence first, breadth second. ---
     "tpch_q7", "tpch_q8", "group_sample_balanced",
     "near_dup_cluster_stats", "event_rate_profile",
     "tpch_q9", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
