@@ -309,3 +309,28 @@ def test_kmeans_lloyd_partitions_the_corpus(spark):
     assert {r.cid for r in rows} <= {0, 1, 2, 3}
     for r in rows:
         assert 0.0 <= r.mean_dist <= 2.0  # cosine distance range
+
+
+def test_copurchase_lift_matches_python(spark):
+    import itertools
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    op = sorted(set(zip(t.column(0).to_pylist(), t.column(1).to_pylist())))
+    orders = collections.defaultdict(list)
+    support = collections.Counter()
+    for o, p in op:
+        orders[o].append(p)
+        support[p] += 1
+    n_orders = len(orders)
+    pair_s = collections.Counter()
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_s[(a, b)] += 1
+    cands = [(a, b, s,
+              round(s * n_orders / (support[a] * support[b]), 6))
+             for (a, b), s in pair_s.items() if s >= 3]
+    cands.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = cands[:20]
+    got = [(r.part_a, r.part_b, r.s_ab, r.lift)
+           for r in QUERIES["copurchase_lift"](spark, SF).collect()]
+    assert sorted(got) == sorted(want)

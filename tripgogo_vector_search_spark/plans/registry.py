@@ -5754,6 +5754,25 @@ def observed_ingest(spark, sf_dir):
         "max_chars bigint")
 
 
+@query("stream_hop_window", ORACLES["hop_window_agg"])
+def stream_hop_window(spark, sf_dir):
+    """Hopping windows on the LIVE stream: the same 2h/1h overlapping
+    aggregation as the batch `hop_window_agg`, driven through
+    Structured Streaming with a watermark — each event updates two
+    window states, and state per key is bounded by (watermark-lag /
+    slide) open windows. Must equal the batch oracle exactly on the
+    finite source (9th streaming query)."""
+    from ..streaming.ingest import run_stream_to_table, stream_events
+    ev = stream_events(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                   .alias("window_start"),
+                   "event_type", "n_events"))
+    return run_stream_to_table(spark, agg, mode="complete")
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
