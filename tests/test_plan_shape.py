@@ -1005,3 +1005,29 @@ def test_sql_passthrough_plans_like_dataframe_form(spark):
     assert pushed, plan
     assert plan.count("HashAggregate") == 4  # tree+detail x partial+final
     assert "EvalPython" not in plan
+
+
+def test_orc_read_gets_pushdown_too(spark):
+    """The ORC copy's scans receive the same filter-pushdown treatment
+    as parquet: a predicate on the read-back frame must appear in the
+    ORC scan's PushedFilters."""
+    import os
+    from tripgogo_vector_search_spark.plans.registry import (
+        _cache_dir, _materialized_index, _t)
+    path = _materialized_index(
+        spark, SF_CORRECTNESS, "orders_orc",
+        lambda p: _t(spark, SF_CORRECTNESS, "orders").write
+        .mode("overwrite").orc(p))
+    o = spark.read.orc(path)
+    plan = plan_of(o.filter(F.col("o_totalprice") > 100000.0)
+                   .select("o_orderkey", "o_totalprice"))
+    assert "PushedFilters" in plan and "o_totalprice" in plan, plan
+
+
+def test_resample_zero_fill_broadcast_spine(spark):
+    """The dense spine (days x types) is built from broadcast scalar
+    bounds and joins the fact aggregate without shuffling it twice; the
+    left join preserves zero rows."""
+    plan = plan_of(QUERIES["resample_zero_fill"](spark, SF_CORRECTNESS))
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

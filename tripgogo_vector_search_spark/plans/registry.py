@@ -5754,6 +5754,76 @@ def observed_ingest(spark, sf_dir):
         "max_chars bigint")
 
 
+@query("orc_roundtrip",
+       """SELECT o_orderstatus, count(*) AS n,
+                 CAST(round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                 AS DOUBLE), 2) AS DOUBLE) AS total
+          FROM orders GROUP BY o_orderstatus""")
+def orc_roundtrip(spark, sf_dir):
+    """Second columnar format, full value parity: orders is written to
+    ORC (Spark's other first-class columnar format — the
+    interoperability path for Hive/Trino estates) and read back; the
+    aggregate over the ORC copy must equal the oracle computed from
+    the original parquet — byte-faithful roundtrip of longs, doubles,
+    timestamps, and strings through a different file format. The ORC
+    copy is materialized once per corpus like the ANN indexes; the
+    read-back scan gets the same pushdown/pruning treatment
+    (ORC PushedFilters pinned in the plan test)."""
+    path = _materialized_index(
+        spark, sf_dir, "orders_orc",
+        lambda p: _t(spark, sf_dir, "orders").write
+        .mode("overwrite").orc(p))
+    o = spark.read.orc(path)
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("total")))
+
+
+@query("resample_zero_fill",
+       """WITH bounds AS (SELECT date_trunc('day', min(ts)) AS lo,
+                                 date_trunc('day', max(ts)) AS hi
+                          FROM events),
+            spine AS (SELECT t.day, et.event_type
+                      FROM (SELECT unnest(generate_series(lo, hi,
+                                          INTERVAL 1 DAY)) AS day
+                            FROM bounds) t
+                      CROSS JOIN (SELECT DISTINCT event_type
+                                  FROM events) et),
+            agg AS (SELECT date_trunc('day', ts) AS day, event_type,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2)
+          SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+                 spine.event_type,
+                 CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events
+          FROM spine LEFT JOIN agg
+            ON spine.day = agg.day AND spine.event_type = agg.event_type""")
+def resample_zero_fill(spark, sf_dir):
+    """Dense time-series resampling: a (day x event_type) spine spanning
+    the observed range, zero-filled where no events landed — the shape
+    every dashboard and forecasting model needs (a groupBy alone emits
+    SPARSE series; missing rows read as 'no data', not 'zero'). The
+    spine is sequence-exploded from a broadcast (min, max) scalar frame
+    crossed with the distinct type set; the day-keyed aggregate LEFT
+    joins onto it. At 100 TB the spine is |days| x |types| rows —
+    trivially broadcastable however big the fact table is."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                    F.date_trunc("day", F.max("ts")).alias("hi"))
+    days = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    agg = (ev.groupBy(F.date_trunc("day", "ts").alias("day"),
+                      "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return (spine.join(agg, ["day", "event_type"], "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "event_type",
+                    F.coalesce("n", F.lit(0)).cast("bigint")
+                    .alias("n_events")))
+
+
 @query("stream_hop_window", ORACLES["hop_window_agg"])
 def stream_hop_window(spark, sf_dir):
     """Hopping windows on the LIVE stream: the same 2h/1h overlapping
