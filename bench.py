@@ -65,6 +65,10 @@ HEADLINE_R3 = {
     "vocab_topk": "collect",
     "lang_distinctive_terms": "collect",
     "ann_recall_eval": "collect",
+    # the two heaviest registry queries (tools/sweep.py) — tracked so a
+    # regression can't hide outside the headline groups
+    "simhash_hamming_dedup": "noop",
+    "fuzzy_join": "noop",
 }
 
 

@@ -1,0 +1,51 @@
+"""Execution sweep: run EVERY registry query to completion at a scale
+factor (default sf0.1 — 10x the oracle-parity scale) and report
+per-query wall time. This is the "does every plan actually execute at
+the next scale up" gate backing the README claim; value parity is the
+sf0.01 oracle suite's job.
+
+    python tools/sweep.py [/root/testdata/sf0.1]
+
+Prints one line per query and a final JSON summary; exits nonzero if
+any query raises.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from tripgogo_vector_search_spark.plans.registry import QUERIES
+    from tripgogo_vector_search_spark.session import get_spark
+    spark = get_spark("sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures: list[str] = []
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+            print(f"ok   {name} {timings[name]}s", flush=True)
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            failures.append(name)
+            print(f"FAIL {name}: {exc!r}", flush=True)
+    print(json.dumps({
+        "sf_dir": sf_dir, "n_queries": len(QUERIES),
+        "n_failed": len(failures), "failed": failures,
+        "total_sec": round(sum(timings.values()), 1),
+        "slowest": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
+    }))
+    if failures:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -605,18 +605,24 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
     radius), skipping cross-signature verification inside that bucket —
     a documented recall trade on degenerate corpora in exchange for a
     bounded per-task pair array."""
-    from ..functions.hashing import hamming_distance_bits
-
     sigs = simhash_signatures(df, text_col, id_col)
+    # The 32-bit signature is converted to ONE int64 before banding:
+    # posting structs then carry 8 bytes instead of a 32-char string
+    # (~4x smaller pair intermediates — with 8-bit bands the sub-cap
+    # buckets still expand ~n*avg_bucket/2 pairs), and verification is
+    # a single bit_count(xor) instead of a 32-element char-compare fold
+    # (measured 16.3 s -> 3.4 s at sf0.1). Band keys stay derived from
+    # the bitstring so the oracle's banding is mirrored exactly.
+    sigs = sigs.withColumn("sigint", F.conv("simhash", 2, 10).cast("long"))
     bands = sigs.select(
-        F.col(id_col), F.col("simhash"),
+        F.col(id_col), F.col("sigint"),
         F.explode(F.array(*[
             F.concat(F.lit(f"{b}:"), F.substring("simhash", 1 + 8 * b, 8))
             for b in range(4)
         ])).alias("band_key"))
     posts = (bands.groupBy("band_key").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
-                                F.col("simhash").alias("sig"))).alias("ds"))
+                                F.col("sigint").alias("sig"))).alias("ds"))
         .filter(F.size("ds") >= 2))
     oversized = posts.filter(F.size("ds") > posting_cap)
     posts = posts.filter(F.size("ds") <= posting_cap)
@@ -629,7 +635,8 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
         ),
     ))
     pairs = (posts.select(F.explode(pair_arr).alias("p")).select("p.*")
-             .filter(hamming_distance_bits("dup_sig", "src_sig") <= radius))
+             .filter(F.bit_count(F.col("dup_sig").bitwiseXOR(F.col("src_sig")))
+                     <= radius))
     # Oversized buckets: linear exact-signature star edges (explode to
     # rows, min per signature) instead of quadratic pair expansion.
     over_rows = (oversized.select(F.col("band_key"), F.explode("ds").alias("d"))
