@@ -111,6 +111,10 @@ def run(spark, op: str, k: int) -> dict:
         noop(sym.withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") <= 3))
         elapsed = time.perf_counter() - t0
+    elif op == "simhash_hamming":
+        noop(DD.simhash_banded_dedup(docs, "text", "doc_id",
+                                     radius=3, posting_cap=1024))
+        elapsed = time.perf_counter() - t0
     elif op == "vocab_topk":
         tok = docs.select(
             "doc_id",
