@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "copurchase_lift", "minhash_band_recall",
     "sql_passthrough", "observed_ingest", "stream_hop_window",
     "orc_roundtrip", "resample_zero_fill",
+    "percentile_cont_exact", "trend_slope", "median_impute",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

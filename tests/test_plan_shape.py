@@ -1031,3 +1031,26 @@ def test_resample_zero_fill_broadcast_spine(spark):
     plan = plan_of(QUERIES["resample_zero_fill"](spark, SF_CORRECTNESS))
     assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_percentile_cont_and_impute_one_type_window(spark):
+    """The interpolated percentile and the median imputation each pay
+    exactly one window shuffle on the type key; the imputation's
+    median frame broadcasts back."""
+    for q in ("percentile_cont_exact", "median_impute"):
+        plan = plan_of(QUERIES[q](spark, SF_CORRECTNESS))
+        assert plan.count("hashpartitioning(event_type") >= 1, q
+        assert "EvalPython" not in plan, q
+    plan = plan_of(QUERIES["median_impute"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_trend_slope_single_scan_single_agg(spark):
+    """OLS slope: one events scan, one aggregate on the type key —
+    the moments feed the closed form as projection arithmetic."""
+    plan = plan_of(QUERIES["trend_slope"](spark, SF_CORRECTNESS))
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "events" in ln]
+    assert len(scans) == 1, plan
+    assert plan.count("HashAggregate") == 4
+    assert "EvalPython" not in plan

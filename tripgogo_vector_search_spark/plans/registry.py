@@ -5857,6 +5857,161 @@ def stream_hop_window(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3s: interpolated percentiles, trend regression, median imputation
+# --------------------------------------------------------------------------
+
+@query("percentile_cont_exact",
+       """WITH r AS (SELECT event_type, value,
+                            row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM events),
+            picked AS (SELECT event_type, n,
+                              max(CASE WHEN rk = 1 + CAST(floor(0.95 * (n - 1))
+                                                         AS BIGINT)
+                                  THEN value END) AS v_lo,
+                              max(CASE WHEN rk = 1 + CAST(ceil(0.95 * (n - 1))
+                                                          AS BIGINT)
+                                  THEN value END) AS v_hi
+                       FROM r GROUP BY event_type, n)
+          SELECT event_type,
+                 round(v_lo + (0.95 * (n - 1) - floor(0.95 * (n - 1)))
+                              * (v_hi - v_lo), 6) AS p95
+          FROM picked""")
+def percentile_cont_exact(spark, sf_dir):
+    """ANSI PERCENTILE_CONT semantics (linear interpolation between the
+    two straddling order statistics at position q*(n-1)), computed
+    engine-agnostically: the straddling VALUES are exact rank
+    selections from one window, and the interpolation is one IEEE
+    expression written identically on both engines — no reliance on
+    either engine's built-in percentile (whose interpolation rules and
+    float accumulation differ). Complements quartile_agg's discrete
+    (PERCENTILE_DISC-style) selections. One window shuffle on the type
+    key, one aggregate."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id",
+                                            "value")
+    wt = W.partitionBy("event_type")
+    r = ev.select("event_type", "value",
+                  F.row_number().over(wt.orderBy("value", "event_id"))
+                  .alias("rk"),
+                  F.count(F.lit(1)).over(wt).alias("n"))
+    pos = 0.95 * (F.col("n") - 1)
+    picked = (r.groupBy("event_type", "n")
+              .agg(F.max(F.when(F.col("rk") == 1 + F.floor(pos)
+                                .cast("bigint"), F.col("value")))
+                   .alias("v_lo"),
+                   F.max(F.when(F.col("rk") == 1 + F.ceil(pos)
+                                .cast("bigint"), F.col("value")))
+                   .alias("v_hi")))
+    frac = 0.95 * (F.col("n") - 1) - F.floor(0.95 * (F.col("n") - 1))
+    return picked.select(
+        "event_type",
+        F.round(F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo")), 6)
+        .alias("p95"))
+
+
+@query("trend_slope",
+       """WITH i AS (SELECT event_type,
+                            -- floor, not ::BIGINT: DuckDB's double->int
+                            -- cast ROUNDS while Spark's unix_timestamp
+                            -- floors sub-second timestamps
+                            CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                 AS BIGINT) AS x,
+                            CAST(round(value * 100) AS BIGINT) AS y
+                     FROM events),
+            s AS (SELECT event_type, count(*) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM i GROUP BY event_type)
+          SELECT event_type, CAST(n AS BIGINT) AS n,
+                 round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                       / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       * 8640000.0, 6) AS slope_cents_per_day
+          FROM s""")
+def trend_slope(spark, sf_dir):
+    """OLS trend per event type: the least-squares slope of value over
+    time, scaled to cents/day — the drift detector behind 'is this
+    metric creeping'. Same exact-moment scheme as corr_pairs: epoch
+    seconds and integer cents summed in 128-bit (Spark: DECIMAL(38,0))
+    so the slope is partition-order independent; the closed-form
+    division happens once in IEEE double, identically on both engines.
+    One scan, one aggregate on the 5-value type key."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts")
+    y = F.round(F.col("value") * 100).cast("long")
+    wide = "decimal(38,0)"
+    s = (ev.select("event_type", x.alias("x"), y.alias("y"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("x").cast(wide)).alias("sx"),
+              F.sum(F.col("y").cast(wide)).alias("sy"),
+              F.sum((F.col("x") * F.col("x")).cast(wide)).alias("sxx"),
+              F.sum((F.col("x") * F.col("y")).cast(wide)).alias("sxy")))
+    n, sx, sy = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                 F.col("sy").cast("double"))
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return s.select(
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                * F.lit(8640000.0), 6).alias("slope_cents_per_day"))
+
+
+@query("median_impute",
+       """WITH base AS (SELECT event_id, event_type,
+                               CASE WHEN value >= 1.0 THEN value END
+                                 AS v
+                        FROM events),
+            r AS (SELECT event_type, v,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY v, event_type) AS rk,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM base WHERE v IS NOT NULL),
+            med AS (SELECT event_type,
+                           max(CASE WHEN rk = (n + 1) // 2 THEN v END)
+                             AS median_v
+                    FROM r GROUP BY event_type)
+          SELECT base.event_type,
+                 CAST(count(*) FILTER (WHERE base.v IS NULL) AS BIGINT)
+                   AS n_imputed,
+                 round(CAST(SUM(CAST(round(COALESCE(base.v, med.median_v),
+                                           6) AS DECIMAL(18,6)))
+                            AS DOUBLE), 4) AS imputed_sum
+          FROM base JOIN med USING (event_type)
+          GROUP BY base.event_type""")
+def median_impute(spark, sf_dir):
+    """Median imputation — the standard numeric-feature repair before
+    training: values below the validity floor (< 1.0, standing in for
+    sensor nulls) are replaced by their type's EXACT rank-median of
+    the valid values. The median is a discrete order-statistic (no
+    interpolation), found with one window over the valid subset; the
+    tiny per-type median frame broadcasts back over a second pass;
+    the output checksums the imputed column through exact-DECIMAL
+    accumulation so the whole repair is engine-verifiable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.when(F.col("value") >= 1.0, F.col("value")).alias("v"))
+    valid = ev.filter(F.col("v").isNotNull())
+    wt = W.partitionBy("event_type")
+    r = valid.select("event_type", "v",
+                     F.row_number().over(wt.orderBy("v", "event_type"))
+                     .alias("rk"),
+                     F.count(F.lit(1)).over(wt).alias("n"))
+    med = (r.filter(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+           .select("event_type", F.col("v").alias("median_v")))
+    filled = (ev.join(F.broadcast(med), "event_type")
+              .select("event_type",
+                      F.col("v").isNull().cast("long").alias("was_null"),
+                      F.round(F.coalesce("v", "median_v"), 6)
+                      .cast("decimal(18,6)").alias("fv")))
+    return (filled.groupBy("event_type")
+            .agg(F.sum("was_null").cast("bigint").alias("n_imputed"),
+                 F.round(F.sum("fv").cast("double"), 4)
+                 .alias("imputed_sum")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
