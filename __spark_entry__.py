@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "sql_passthrough", "observed_ingest", "stream_hop_window",
     "orc_roundtrip", "resample_zero_fill",
     "percentile_cont_exact", "trend_slope", "median_impute",
+    "seasonality_profile", "referential_integrity_audit",
+    "norm_outlier_screen",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -1054,3 +1054,31 @@ def test_trend_slope_single_scan_single_agg(spark):
     assert len(scans) == 1, plan
     assert plan.count("HashAggregate") == 4
     assert "EvalPython" not in plan
+
+
+def test_seasonality_profile_cascaded_aggs(spark):
+    """Seasonality: two cascaded aggregates (per concrete hour slot,
+    then the bounded 7x24 profile), no joins, no Python."""
+    plan = plan_of(QUERIES["seasonality_profile"](spark, SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 8  # two partial+final pairs x2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_referential_integrity_audit_anti_joins_broadcast(spark):
+    """RI audit: every orphan check is a LEFT ANTI join with the
+    distinct parent key set broadcast — the fact side never shuffles."""
+    plan = plan_of(QUERIES["referential_integrity_audit"](spark,
+                                                          SF_CORRECTNESS))
+    assert plan.count("LeftAnti") >= 8  # 4 relations, tree+detail
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_norm_outlier_screen_broadcast_stats(spark):
+    """Norm screen: per-label moment stats broadcast back over the
+    vector frame; the verdict is projection arithmetic."""
+    plan = plan_of(QUERIES["norm_outlier_screen"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

@@ -6012,6 +6012,132 @@ def median_impute(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3t: seasonality, referential integrity, embedding-space screens
+# --------------------------------------------------------------------------
+
+@query("seasonality_profile",
+       """WITH e AS (SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                              AS dow,
+                            CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                              AS hod,
+                            CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                 AS TIMESTAMP) AS slot
+                     FROM events),
+            per_slot AS (SELECT dow, hod, slot, count(*) AS n
+                         FROM e GROUP BY dow, hod, slot)
+          SELECT dow, hod, CAST(SUM(n) AS BIGINT) AS total_events,
+                 count(*) AS n_slots,
+                 round(SUM(n) / count(*)::DOUBLE, 6) AS events_per_slot
+          FROM per_slot GROUP BY dow, hod""")
+def seasonality_profile(spark, sf_dir):
+    """Weekly seasonality heatmap: mean events per concrete hour slot,
+    keyed by (ISO day-of-week, hour-of-day) — the baseline any anomaly
+    detector compares against ('is Tuesday 3am ALWAYS this quiet').
+    Two cascaded aggregates: per concrete hour slot (bounded by the
+    observed time range), then the 7x24 profile — integers until one
+    final division. Spark's dayofweek is Sunday=1, so the ISO value is
+    derived explicitly to match isodow on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    # ISO dow (Mon=1..Sun=7) from Spark's Sunday=1 dayofweek
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("bigint")
+    e = ev.select(iso_dow.alias("dow"),
+                  F.hour("ts").cast("bigint").alias("hod"),
+                  F.date_trunc("hour", "ts").alias("slot"))
+    per_slot = (e.groupBy("dow", "hod", "slot")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_slot.groupBy("dow", "hod")
+            .agg(F.sum("n").cast("bigint").alias("total_events"),
+                 F.count(F.lit(1)).alias("n_slots"),
+                 F.round(F.sum("n") / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("events_per_slot")))
+
+
+_RI_RELATIONS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+]
+
+@query("referential_integrity_audit",
+       " UNION ALL ".join(
+           f"""SELECT '{c}.{ck} -> {p}.{pk}' AS relation,
+                 (SELECT count(*) FROM {c}) AS n_child,
+                 (SELECT count(*) FROM {c}
+                  WHERE {ck} NOT IN (SELECT {pk} FROM {p})) AS n_orphans"""
+           for c, ck, p, pk in _RI_RELATIONS))
+def referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across every fact->dimension edge:
+    child rows whose foreign key has no parent — the ingestion check
+    that catches a truncated dimension load or a key-regeneration skew
+    BEFORE joins silently drop rows downstream. Each relation is one
+    LEFT ANTI join against the (distinct, usually broadcastable)
+    parent key set; at 100 TB this is the cheap invariant you run on
+    every load, not a debugging tool."""
+    rows = []
+    for c, ck, p, pk in _RI_RELATIONS:
+        child = _t(spark, sf_dir, c).select(F.col(ck))
+        parent = _t(spark, sf_dir, p).select(F.col(pk)).distinct()
+        orphans = child.join(F.broadcast(parent),
+                             child[ck] == parent[pk], "left_anti")
+        rows.append(
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(F.broadcast(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))))
+            .select(F.lit(f"{c}.{ck} -> {p}.{pk}").alias("relation"),
+                    "n_child", "n_orphans"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query("norm_outlier_screen",
+       f"""WITH n AS (SELECT vec_id, label,
+                             CAST(round({sql_norm('embedding')}, 6)
+                                  AS DECIMAL(18,6)) AS nrm
+                      FROM embeddings),
+            s AS (SELECT label, count(*) AS cnt,
+                         SUM(nrm) AS sn, SUM(nrm * nrm) AS snn
+                  FROM n GROUP BY label)
+          SELECT n.label, CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(count(*) FILTER (WHERE
+                   abs(nrm::DOUBLE - sn::DOUBLE / cnt)
+                   > 3.0 * sqrt(greatest(
+                       snn::DOUBLE / cnt
+                       - (sn::DOUBLE / cnt) * (sn::DOUBLE / cnt), 0.0)))
+                   AS BIGINT) AS n_outliers
+          FROM n JOIN s USING (label)
+          GROUP BY n.label""")
+def norm_outlier_screen(spark, sf_dir):
+    """Embedding-space data-quality screen: vectors whose L2 norm sits
+    more than 3 sigma from their label's mean norm — the cheap detector
+    for corrupt/zeroed/mis-scaled vectors before they poison a
+    similarity index (norms are the first thing quantization or a bad
+    batch breaks). Norms are pre-rounded and DECIMAL-summed so mean
+    and variance are partition-order independent; the 3-sigma verdict
+    is one identical IEEE expression per row; the per-label stats
+    frame broadcasts back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.round(V.l2_norm("embedding"), 6).cast("decimal(18,6)")
+    n = emb.select("vec_id", "label", nrm.alias("nrm"))
+    s = (n.groupBy("label")
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum("nrm").alias("sn"),
+              F.sum(F.col("nrm") * F.col("nrm")).alias("snn")))
+    mean = F.col("sn").cast("double") / F.col("cnt")
+    var = F.greatest(F.col("snn").cast("double") / F.col("cnt")
+                     - mean * mean, F.lit(0.0))
+    is_out = (F.abs(F.col("nrm").cast("double") - mean)
+              > 3.0 * F.sqrt(var))
+    return (n.join(F.broadcast(s), "label")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.sum(is_out.cast("long")).cast("bigint")
+                 .alias("n_outliers")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
