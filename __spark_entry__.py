@@ -76,7 +76,8 @@ _CHECK_FIRST = [
     "orc_roundtrip", "resample_zero_fill",
     "percentile_cont_exact", "trend_slope", "median_impute",
     "seasonality_profile", "referential_integrity_audit",
-    "norm_outlier_screen",
+    "norm_outlier_screen", "token_fertility_by_lang",
+    "embedding_coverage_audit", "first_touch_attribution",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -1082,3 +1082,27 @@ def test_norm_outlier_screen_broadcast_stats(spark):
     plan = plan_of(QUERIES["norm_outlier_screen"](spark, SF_CORRECTNESS))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_embedding_coverage_audit_id_only_reads(spark):
+    """Coverage audit reads ONLY the id columns — no text, no vector
+    payload anywhere in any ReadSchema — and both gap checks are
+    broadcast LEFT ANTI joins."""
+    plan = plan_of(QUERIES["embedding_coverage_audit"](spark,
+                                                       SF_CORRECTNESS))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln and "embedding:" not in ln
+                         for ln in reads), plan
+    assert plan.count("LeftAnti") >= 4
+    assert "BroadcastHashJoin" in plan
+
+
+def test_first_touch_one_user_window(spark):
+    """First-touch: one window shuffle on user_id (Spark 4 prunes to
+    the rank-1 row via WindowGroupLimit before the full sort), one
+    bounded-key aggregate."""
+    plan = plan_of(QUERIES["first_touch_attribution"](spark,
+                                                      SF_CORRECTNESS))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan

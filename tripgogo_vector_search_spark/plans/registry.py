@@ -6138,6 +6138,99 @@ def norm_outlier_screen(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3u: tokenizer fertility, vector-index coverage, first-touch
+# --------------------------------------------------------------------------
+
+@query("token_fertility_by_lang",
+       f"""WITH f AS (SELECT lang,
+                             CAST(round(
+                               len(regexp_extract_all(text,
+                                   '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                               / len({sql_words('text')})::DOUBLE, 6)
+                               AS DECIMAL(18,6)) AS fert
+                      FROM documents
+                      WHERE len({sql_words('text')}) > 0)
+          SELECT lang, count(*) AS n_docs,
+                 round(CAST(SUM(fert) AS DOUBLE) / count(*), 6)
+                   AS mean_fertility,
+                 CAST(min(fert) AS DOUBLE) AS min_fertility,
+                 CAST(max(fert) AS DOUBLE) AS max_fertility
+          FROM f GROUP BY lang""")
+def token_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language: tokens-per-word of the
+    regex lexer — the metric that decides per-language token budgets
+    and flags scripts the tokenizer fragments (high fertility = more
+    compute per word of content). Per-doc ratios are rounded then
+    DECIMAL-summed so the per-language mean is partition-order
+    independent; min/max are order statistics. One scan, one
+    bounded-key aggregate."""
+    from ..functions.text import token_count, word_count
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    wc = word_count("text")
+    fert = (F.round(token_count("text") / wc.cast("double"), 6)
+            .cast("decimal(18,6)"))
+    f = d.filter(wc > 0).select("lang", fert.alias("fert"))
+    return (f.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("fert").cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_fertility"),
+                 F.min("fert").cast("double").alias("min_fertility"),
+                 F.max("fert").cast("double").alias("max_fertility")))
+
+
+@query("embedding_coverage_audit",
+       """SELECT 'docs_without_vector' AS gap,
+                 (SELECT count(*) FROM documents
+                  WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)) AS n
+          UNION ALL
+          SELECT 'vectors_without_doc',
+                 (SELECT count(*) FROM embeddings
+                  WHERE vec_id NOT IN (SELECT doc_id FROM documents))""")
+def embedding_coverage_audit(spark, sf_dir):
+    """Vector-index coverage audit: documents with no embedding (search
+    can never return them — silent recall loss) and embeddings with no
+    backing document (ghost results) — the invariant a vector-search
+    product checks after every index build, here as two broadcast
+    LEFT ANTI joins on the id columns only (ReadSchema prunes text and
+    vector payloads; at 100 TB this audit reads two id columns, not
+    the corpus)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id")
+    d_no_v = (docs.join(F.broadcast(vecs.distinct()),
+                        docs.doc_id == vecs.vec_id, "left_anti")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit("docs_without_vector").alias("gap"), "n"))
+    v_no_d = (vecs.join(F.broadcast(docs.distinct()),
+                        vecs.vec_id == docs.doc_id, "left_anti")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit("vectors_without_doc").alias("gap"), "n"))
+    return d_no_v.unionByName(v_no_d)
+
+
+@query("first_touch_attribution",
+       """WITH f AS (SELECT user_id, event_type,
+                            row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+                     FROM events)
+          SELECT event_type AS first_event_type, count(*) AS n_users
+          FROM f WHERE rk = 1 GROUP BY event_type""")
+def first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: users counted by their chronologically
+    FIRST event type (deterministic (ts, event_id) order) — the
+    classic acquisition-channel question, and the same per-entity
+    argmin shape as dedup survivor selection. One window shuffle on
+    user_id, one aggregate on the 5-value type key."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    f = ev.select("user_id", "event_type",
+                  F.row_number().over(w).alias("rk"))
+    return (f.filter(F.col("rk") == 1)
+            .groupBy(F.col("event_type").alias("first_event_type"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
