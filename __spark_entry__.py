@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     "seasonality_profile", "referential_integrity_audit",
     "norm_outlier_screen", "token_fertility_by_lang",
     "embedding_coverage_audit", "first_touch_attribution",
+    "corpus_summary_report",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

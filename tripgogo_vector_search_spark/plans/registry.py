@@ -6230,6 +6230,56 @@ def first_touch_attribution(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+@query("corpus_summary_report",
+       f"""WITH e AS (SELECT lang,
+                             {_lang_case_sql()} AS lang_pred,
+                             {_QUALITY_SQL} AS quality,
+                             len(regexp_extract_all(text,
+                                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                               AS n_tokens,
+                             md5(lower(regexp_replace(trim(text), '\\s+',
+                                                      ' ', 'g'))) AS fp
+                      FROM documents)
+          SELECT count(*) AS n_docs,
+                 count(DISTINCT lang) AS n_langs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 round(count(*) FILTER (WHERE lang_pred = 'en')
+                       / count(*)::DOUBLE, 6) AS pct_en,
+                 round((count(*) - count(DISTINCT fp))
+                       / count(*)::DOUBLE, 6) AS exact_dup_pct,
+                 round(CAST(SUM(CAST(quality AS DECIMAL(18,6)))
+                            AS DOUBLE) / count(*), 6) AS mean_quality
+          FROM e""")
+def corpus_summary_report(spark, sf_dir):
+    """The corpus headline: doc/lang/token counts, English share,
+    exact-duplicate rate, mean quality — the one-row KPI frame a corpus
+    dashboard and every pipeline run report lead with, composed from
+    the engine's own scoring expressions in a SINGLE scan + single
+    aggregate (quality DECIMAL-summed; the dup rate via one distinct
+    fingerprint count). The 200th registry query, and the one you'd
+    run first on a corpus you've never seen."""
+    from ..functions.text import fingerprint, token_count
+    from ..operators.textstats import lang_pred_expr
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    e = d.select("lang",
+                 lang_pred_expr("text").alias("lang_pred"),
+                 TX.quality_score("text").alias("quality"),
+                 token_count("text").alias("n_tokens"),
+                 fingerprint("text").alias("fp"))
+    cnt = F.count(F.lit(1))
+    return e.agg(
+        cnt.alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum((F.col("lang_pred") == "en").cast("long"))
+                / cnt.cast("double"), 6).alias("pct_en"),
+        F.round((cnt - F.countDistinct("fp")) / cnt.cast("double"), 6)
+        .alias("exact_dup_pct"),
+        F.round(F.sum(F.col("quality").cast("decimal(18,6)"))
+                .cast("double") / cnt, 6).alias("mean_quality"))
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
