@@ -78,7 +78,8 @@ _CHECK_FIRST = [
     "seasonality_profile", "referential_integrity_audit",
     "norm_outlier_screen", "token_fertility_by_lang",
     "embedding_coverage_audit", "first_touch_attribution",
-    "corpus_summary_report",
+    "corpus_summary_report", "dedup_cluster_examples",
+    "char_trigrams_top", "source_concentration_gini",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

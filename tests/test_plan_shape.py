@@ -1106,3 +1106,36 @@ def test_first_touch_one_user_window(spark):
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_dedup_cluster_examples_bounded_payload_take_ordered(spark):
+    """Cluster examples: the member list is sorted-sliced to 5 ids per
+    cluster (bounded payload regardless of cluster size) and the
+    top-10 cut is TakeOrderedAndProject; membership arrives cached
+    from the components loop."""
+    plan = plan_of(QUERIES["dedup_cluster_examples"](spark,
+                                                     SF_CORRECTNESS))
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    assert "EvalPython" not in plan
+
+
+def test_char_trigrams_window_group_limit(spark):
+    """Char trigrams: position-explode + one (lang, tri) aggregate;
+    the per-lang top-10 is WindowGroupLimit-pruned."""
+    plan = plan_of(QUERIES["char_trigrams_top"](spark, SF_CORRECTNESS))
+    assert "Generate" in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+
+
+def test_gini_windows_run_on_aggregate_output(spark):
+    """Gini: the rank/total windows consume the per-source AGGREGATE
+    (|sources| rows), never raw documents — exactly one documents
+    scan feeds one aggregate before any window."""
+    plan = plan_of(QUERIES["source_concentration_gini"](spark,
+                                                        SF_CORRECTNESS))
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "documents" in ln]
+    assert len(scans) == 1, plan
+    assert "EvalPython" not in plan

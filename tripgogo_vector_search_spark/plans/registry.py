@@ -6230,6 +6230,111 @@ def first_touch_attribution(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+@query("dedup_cluster_examples",
+       _CC_CTE + """
+       , comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+                  FROM reach GROUP BY node),
+         sized AS (SELECT component_id, count(*) AS cluster_size,
+                          min(doc_id) AS representative,
+                          array_to_string(list_sort(list(doc_id))[1:5], ',')
+                            AS example_ids
+                   FROM comp GROUP BY component_id
+                   HAVING count(*) >= 2)
+       SELECT component_id, cluster_size, representative, example_ids
+       FROM sized ORDER BY cluster_size DESC, component_id LIMIT 10""")
+def dedup_cluster_examples(spark, sf_dir):
+    """Top-10 near-dup clusters WITH example members — the
+    human-inspection artifact behind any dedup sign-off ('show me what
+    we're about to delete'). Examples are the 5 smallest ids per
+    cluster via a sorted-slice (bounded payload per cluster no matter
+    how big the cluster is); the top-10 cut is TakeOrderedAndProject
+    on (size DESC, component). Shares the materialized band index and
+    the components loop's cached frames."""
+    comp = DD.minhash_components_from_bands(
+        _minhash_band_index(spark, sf_dir),
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    sized = (comp.groupBy("component_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size"),
+                  F.min("doc_id").alias("representative"),
+                  F.array_join(
+                      F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5)
+                      .cast("array<string>"), ",").alias("example_ids"))
+             .filter(F.col("cluster_size") >= 2))
+    return (sized.orderBy(F.col("cluster_size").desc(), "component_id")
+            .limit(10))
+
+
+@query("char_trigrams_top",
+       """WITH t AS (SELECT lang, lower(text) AS lt FROM documents),
+            g AS (SELECT lang,
+                         unnest(list_transform(
+                             generate_series(1, length(lt) - 2),
+                             i -> substring(lt, i, 3))) AS tri
+                  FROM t WHERE length(lt) >= 3),
+            c AS (SELECT lang, tri, count(*) AS n
+                  FROM g GROUP BY lang, tri),
+            r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, tri) AS rk FROM c)
+          SELECT lang, tri, n FROM r WHERE rk <= 10""")
+def char_trigrams_top(spark, sf_dir):
+    """Top-10 character trigrams per language — the feature family
+    real language-ID models train on (character n-grams distinguish
+    scripts and orthographies where word lists fail). A
+    position-explode over the lowered text, one (lang, trigram)
+    aggregate, and a WindowGroupLimit-pruned top-10 per language.
+    Pure integer counts; deterministic (n DESC, trigram) order."""
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    lt = F.lower("text")
+    tri = F.explode(F.transform(
+        F.sequence(F.lit(1), F.length(lt) - 2),
+        lambda i: lt.substr(i, F.lit(3)))).alias("tri")
+    g = (d.filter(F.length(lt) >= 3)
+         .select("lang", tri))
+    c = g.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
+    return (c.select("lang", "tri", "n",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 10)
+            .select("lang", "tri", "n"))
+
+
+@query("source_concentration_gini",
+       """WITH s AS (SELECT source, count(*) AS n FROM documents
+                     GROUP BY source),
+            r AS (SELECT n, row_number() OVER (ORDER BY n, source) AS i,
+                         count(*) OVER () AS k,
+                         SUM(n) OVER () AS tot
+                  FROM s)
+          SELECT CAST(max(k) AS BIGINT) AS n_sources,
+                 CAST(max(tot) AS BIGINT) AS n_docs,
+                 round(2.0 * SUM(CAST(i AS HUGEINT) * n)::DOUBLE
+                       / (max(k) * max(tot)::DOUBLE)
+                       - (max(k) + 1.0) / max(k), 6) AS gini
+          FROM r""")
+def source_concentration_gini(spark, sf_dir):
+    """Gini concentration of the corpus across sources: 0 = perfectly
+    balanced feeds, ->1 = one feed dominates — the single number that
+    says whether 'diverse corpus' is actually true before training on
+    it. Computed from the closed form 2*sum(i*x_i)/(k*sum(x)) -
+    (k+1)/k over rank-sorted source counts — integer products summed
+    in 128-bit, one final float expression; the rank window runs on
+    the |sources| aggregate output, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy("n", "source")
+    r = s.select("n", F.row_number().over(w).alias("i"),
+                 F.count(F.lit(1)).over(W.partitionBy()).alias("k"),
+                 F.sum("n").over(W.partitionBy()).alias("tot"))
+    return r.agg(
+        F.max("k").cast("bigint").alias("n_sources"),
+        F.max("tot").cast("bigint").alias("n_docs"),
+        F.round(2.0 * F.sum((F.col("i") * F.col("n"))
+                            .cast("decimal(38,0)")).cast("double")
+                / (F.max("k") * F.max("tot").cast("double"))
+                - (F.max("k") + 1.0) / F.max("k"), 6).alias("gini"))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
