@@ -334,3 +334,78 @@ def test_copurchase_lift_matches_python(spark):
     got = [(r.part_a, r.part_b, r.s_ab, r.lift)
            for r in QUERIES["copurchase_lift"](spark, SF).collect()]
     assert sorted(got) == sorted(want)
+
+
+def test_percentile_cont_matches_numpy_linear(spark):
+    # numpy's 'linear' method IS the ANSI PERCENTILE_CONT definition —
+    # a genuinely independent implementation of the interpolation
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "value"])
+    by_type = collections.defaultdict(list)
+    for et, v in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        by_type[et].append(v)
+    got = {r.event_type: r.p95
+           for r in QUERIES["percentile_cont_exact"](spark, SF).collect()}
+    for et, vals in by_type.items():
+        want = float(np.percentile(np.array(vals), 95, method="linear"))
+        assert got[et] == pytest.approx(want, abs=2e-6), et
+
+
+def test_trend_slope_matches_numpy_polyfit(spark):
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    by_type = collections.defaultdict(lambda: ([], []))
+    for et, ts, v in zip(t.column(0).to_pylist(), t.column(1).to_pylist(),
+                         t.column(2).to_pylist()):
+        xs, ys = by_type[et]
+        xs.append(int(ts.timestamp()))       # floor to whole seconds
+        ys.append(round(v * 100))            # integer cents
+    got = {r.event_type: r.slope_cents_per_day
+           for r in QUERIES["trend_slope"](spark, SF).collect()}
+    for et, (xs, ys) in by_type.items():
+        slope = np.polyfit(np.array(xs, dtype=np.float64),
+                           np.array(ys, dtype=np.float64), 1)[0]
+        want = slope * 86400.0 * 100  # cents/sec -> cents/day x100 scale
+        # polyfit solves the same least squares by a different
+        # numerical route (QR vs closed form): allow relative slack
+        assert got[et] == pytest.approx(want, rel=1e-4), et
+
+
+def test_gini_matches_python_reference(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+    counts = sorted(collections.Counter(t.column(0).to_pylist()).values())
+    k, tot = len(counts), sum(counts)
+    gini = (2.0 * sum((i + 1) * x for i, x in enumerate(counts))
+            / (k * tot) - (k + 1.0) / k)
+    row = QUERIES["source_concentration_gini"](spark, SF).collect()[0]
+    assert row.n_sources == k and row.n_docs == tot
+    assert row.gini == pytest.approx(gini, abs=2e-6)
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_hybrid_rrf_matches_python_fusion(spark):
+    # independent rank fusion over the engine's own two ranked lists
+    lex = QUERIES["bm25_score"](spark, SF).collect()
+    lex_rank = {r.doc_id: i + 1 for i, r in enumerate(
+        sorted(lex, key=lambda r: (-r.bm25, r.doc_id))[:20])}
+    from tripgogo_vector_search_spark.functions.embed import hash_embed_py
+    qv = np.array(hash_embed_py("data query spark", normalized=False))
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    dists = []
+    for d, text in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        v = np.array(hash_embed_py(text, normalized=False))
+        if v @ v == 0:
+            continue
+        cos = 1.0 - float(v @ qv) / (np.linalg.norm(v) * np.linalg.norm(qv))
+        dists.append((round(cos, 6), d))
+    vec_rank = {d: i + 1 for i, (c, d) in enumerate(sorted(dists)[:20])}
+    fused = collections.defaultdict(float)
+    for d, r in lex_rank.items():
+        fused[d] += 1.0 / (60 + r)
+    for d, r in vec_rank.items():
+        fused[d] += 1.0 / (60 + r)
+    want = sorted(((round(s, 6), d) for d, s in fused.items()),
+                  key=lambda t2: (-t2[0], t2[1]))[:10]
+    got = [(r.rrf_score, r.doc_id)
+           for r in QUERIES["hybrid_search_rrf"](spark, SF).collect()]
+    assert sorted(got) == sorted(want)
