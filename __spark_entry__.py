@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     "embedding_coverage_audit", "first_touch_attribution",
     "corpus_summary_report", "dedup_cluster_examples",
     "char_trigrams_top", "source_concentration_gini",
+    "revenue_growth_yoy", "null_safe_join",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

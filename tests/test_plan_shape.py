@@ -1139,3 +1139,24 @@ def test_gini_windows_run_on_aggregate_output(spark):
              if "Location" in ln and "documents" in ln]
     assert len(scans) == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_revenue_growth_lag_on_aggregate_output(spark):
+    """YoY growth: the lag window consumes the (nation, year)
+    aggregate (bounded rows), dimensions broadcast, and exactly one
+    fact-fact shuffle join remains."""
+    plan = plan_of(QUERIES["revenue_growth_yoy"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 2
+    assert plan.count("hashpartitioning(nation") <= 2, plan
+    assert "EvalPython" not in plan
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    """eqNullSafe stays a HASH join (null-safe equality is hashable) —
+    a nested-loop fallback here would be quadratic at scale; NULL keys
+    route to the NULL dimension row instead of dropping."""
+    plan = plan_of(QUERIES["null_safe_join"](spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan

@@ -6335,6 +6335,86 @@ def source_concentration_gini(spark, sf_dir):
                 - (F.max("k") + 1.0) / F.max("k"), 6).alias("gini"))
 
 
+@query("revenue_growth_yoy",
+       """WITH y AS (SELECT n_name AS nation,
+                            year(o_orderdate) AS yr,
+                            SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(30,10))) AS rev
+                     FROM lineitem
+                     JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+                     GROUP BY n_name, year(o_orderdate)),
+            g AS (SELECT nation, yr, rev,
+                         lag(rev) OVER (PARTITION BY nation ORDER BY yr)
+                           AS prev
+                  FROM y)
+          SELECT nation, yr,
+                 CAST(round(CAST(rev AS DOUBLE), 2) AS DOUBLE) AS revenue,
+                 round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE),
+                       6) AS yoy_growth
+          FROM g WHERE prev IS NOT NULL""")
+def revenue_growth_yoy(spark, sf_dir):
+    """Year-over-year revenue growth per customer nation — the trend
+    frame every revenue review opens with. The lag window runs on the
+    (nation, year) AGGREGATE output (|nations| x |years| rows), never
+    raw facts; revenues accumulate in exact DECIMAL so the growth
+    ratio divides two exact numbers; dimensions broadcast, the
+    lineitem-orders join is the only fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(30,10)")
+    y = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("nation", F.year("o_orderdate").alias("yr"))
+         .agg(F.sum(rev).alias("rev")))
+    w = W.partitionBy("nation").orderBy("yr")
+    g = y.withColumn("prev", F.lag("rev").over(w))
+    return (g.filter(F.col("prev").isNotNull())
+            .select("nation", "yr",
+                    F.round(F.col("rev").cast("double"), 2)
+                    .alias("revenue"),
+                    F.round((F.col("rev") - F.col("prev")).cast("double")
+                            / F.col("prev").cast("double"), 6)
+                    .alias("yoy_growth")))
+
+
+@query("null_safe_join",
+       """WITH e AS (SELECT event_id,
+                            CASE WHEN value >= 1.0
+                                 THEN CAST(floor(value / 50) AS BIGINT)
+                            END AS band
+                     FROM events),
+            d AS (SELECT DISTINCT band FROM e)
+          SELECT d.band, count(*) AS n_events
+          FROM e JOIN d ON e.band IS NOT DISTINCT FROM d.band
+          GROUP BY d.band""")
+def null_safe_join(spark, sf_dir):
+    """Null-safe equi-join semantics: `<=>` (Spark) / IS NOT DISTINCT
+    FROM (ANSI) treats NULL as a JOINABLE key value — the semantic a
+    dimension of 'unknown' buckets needs, where a plain `=` silently
+    drops every NULL row. The banded key is synthesized with NULLs
+    (values under the validity floor); the null-safe join must route
+    them to the NULL dimension row, and Spark still plans it as a
+    hash join (null-safe equality is hashable), not a nested loop."""
+    ev = _t(spark, sf_dir, "events")
+    band = F.when(F.col("value") >= 1.0,
+                  F.floor(F.col("value") / 50).cast("bigint"))
+    e = ev.select("event_id", band.alias("band"))
+    d = e.select("band").distinct().withColumnRenamed("band", "d_band")
+    return (e.join(F.broadcast(d), e["band"].eqNullSafe(F.col("d_band")))
+            .groupBy(F.col("d_band").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
