@@ -1160,3 +1160,24 @@ def test_null_safe_join_is_hash_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_mixture_weights_window_on_aggregate(spark):
+    """Mixture weights: the normalizing window runs on the per-source
+    AGGREGATE (|sources| rows), never the corpus — one documents scan
+    feeds one aggregate before the window."""
+    plan = plan_of(QUERIES["mixture_weights"](spark, SF_CORRECTNESS))
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "documents" in ln]
+    assert len(scans) == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_activation_latency_pruned_rank_window(spark):
+    """Activation latency: the per-user rank window is pruned to the
+    first two rows (WindowGroupLimit) before the pivot self-join; the
+    quartile window runs on the |users| latency frame."""
+    plan = plan_of(QUERIES["activation_latency_quartiles"](spark,
+                                                           SF_CORRECTNESS))
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan

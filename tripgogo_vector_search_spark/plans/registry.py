@@ -6415,6 +6415,104 @@ def null_safe_join(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events")))
 
 
+@query("mixture_weights",
+       f"""WITH q AS (SELECT source,
+                             CAST({_QUALITY_SQL} AS DECIMAL(18,6))
+                               AS quality
+                      FROM documents),
+            s AS (SELECT source, count(*) AS n_docs,
+                         round(CAST(SUM(quality) AS DOUBLE) / count(*), 6)
+                           AS mean_quality
+                  FROM q GROUP BY source),
+            w AS (SELECT *, mean_quality * mean_quality AS raw_w FROM s)
+          SELECT source, n_docs, mean_quality,
+                 round(raw_w / SUM(raw_w) OVER (), 6) AS mix_weight
+          FROM w""")
+def mixture_weights(spark, sf_dir):
+    """Training-mixture weights per source: sampling weight
+    proportional to mean quality squared (temperature-2 upweighting of
+    clean feeds), normalized to sum to 1 — the number that actually
+    parameterizes a data-mixing job. Mean quality is DECIMAL-exact
+    then rounded BEFORE the power/normalize, so the weights are
+    engine-identical; the normalizing window runs over the |sources|
+    aggregate output. At 100 TB this is one scan + one bounded-key
+    aggregate; the weights then drive weighted_sample."""
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    q = d.select("source",
+                 TX.quality_score("text").cast("decimal(18,6)")
+                 .alias("quality"))
+    s = (q.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.round(F.sum("quality").cast("double")
+                      / F.count(F.lit(1)), 6).alias("mean_quality")))
+    raw = F.col("mean_quality") * F.col("mean_quality")
+    w = s.withColumn("raw_w", raw)
+    return (w.select("source", "n_docs", "mean_quality",
+                     F.round(F.col("raw_w")
+                             / F.sum("raw_w").over(W.partitionBy()), 6)
+                     .alias("mix_weight")))
+
+
+@query("activation_latency_quartiles",
+       """WITH r AS (SELECT user_id, ts,
+                            row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+                     FROM events),
+            lat AS (SELECT a.user_id,
+                           CAST(floor(epoch(CAST(b.ts AS TIMESTAMP)))
+                                - floor(epoch(CAST(a.ts AS TIMESTAMP)))
+                                AS BIGINT) AS gap_s
+                    FROM r a JOIN r b
+                      ON a.user_id = b.user_id AND a.rk = 1 AND b.rk = 2),
+            q AS (SELECT gap_s,
+                         row_number() OVER (ORDER BY gap_s, user_id)
+                           AS qk,
+                         count(*) OVER () AS n
+                  FROM lat)
+          SELECT CAST(max(n) AS BIGINT) AS n_users,
+                 CAST(max(CASE WHEN qk = CAST(ceil(0.25 * n) AS BIGINT)
+                          THEN gap_s END) AS BIGINT) AS q1_seconds,
+                 CAST(max(CASE WHEN qk = CAST(ceil(0.50 * n) AS BIGINT)
+                          THEN gap_s END) AS BIGINT) AS median_seconds,
+                 CAST(max(CASE WHEN qk = CAST(ceil(0.75 * n) AS BIGINT)
+                          THEN gap_s END) AS BIGINT) AS q3_seconds
+          FROM q""")
+def activation_latency_quartiles(spark, sf_dir):
+    """Activation latency: quartiles of the time between each user's
+    FIRST and SECOND event — the onboarding metric behind 'how fast do
+    users come back'. Gaps are integer whole-second differences
+    (flooring both sides so DuckDB's rounding double->int cast can't
+    skew sub-second timestamps); quartiles are exact rank selections
+    over the |users| latency frame — which is aggregate-scale, so the
+    unpartitioned rank window is bounded. One user-keyed window
+    (WindowGroupLimit prunes to rk<=2) feeds a self-join pivot."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (ev.select("user_id", "ts",
+                   F.row_number().over(w).alias("rk"))
+         .filter(F.col("rk") <= 2))
+    a = r.filter(F.col("rk") == 1).select(
+        "user_id", F.unix_timestamp("ts").alias("t1"))
+    b = r.filter(F.col("rk") == 2).select(
+        F.col("user_id").alias("u2"), F.unix_timestamp("ts").alias("t2"))
+    lat = (a.join(b, a["user_id"] == b["u2"])
+           .select("user_id", (F.col("t2") - F.col("t1")).cast("bigint")
+                   .alias("gap_s")))
+    qw = W.orderBy("gap_s", "user_id")
+    q = lat.select("gap_s",
+                   F.row_number().over(qw).alias("qk"),
+                   F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+    def pick(frac, name):
+        return F.max(F.when(
+            F.col("qk") == F.ceil(frac * F.col("n")).cast("bigint"),
+            F.col("gap_s"))).cast("bigint").alias(name)
+    return q.agg(F.max("n").cast("bigint").alias("n_users"),
+                 pick(0.25, "q1_seconds"),
+                 pick(0.50, "median_seconds"),
+                 pick(0.75, "q3_seconds"))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
