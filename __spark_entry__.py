@@ -82,6 +82,7 @@ _CHECK_FIRST = [
     "char_trigrams_top", "source_concentration_gini",
     "revenue_growth_yoy", "null_safe_join",
     "mixture_weights", "activation_latency_quartiles",
+    "knn_label_accuracy", "conversion_latency",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -1181,3 +1181,24 @@ def test_activation_latency_pruned_rank_window(spark):
                                                            SF_CORRECTNESS))
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_knn_label_accuracy_broadcast_eval(spark):
+    """1-NN label eval: the comparison side broadcasts (bounded eval
+    contract), the per-vector argmin is one window, and no Python
+    touches the distance path."""
+    plan = plan_of(QUERIES["knn_label_accuracy"](spark, SF_CORRECTNESS))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("hashpartitioning(vec_id") >= 1
+    assert "EvalPython" not in plan
+
+
+def test_conversion_latency_no_raw_event_window(spark):
+    """Conversion latency: both per-user firsts are plain aggregates;
+    the only windows run on aggregate-scale frames (no window over
+    raw events)."""
+    plan = plan_of(QUERIES["conversion_latency"](spark, SF_CORRECTNESS))
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "event_type" in ln]
+    assert pushed, plan  # type filters reach the scans
+    assert "EvalPython" not in plan

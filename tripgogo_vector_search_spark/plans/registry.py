@@ -6513,6 +6513,111 @@ def activation_latency_quartiles(spark, sf_dir):
                  pick(0.75, "q3_seconds"))
 
 
+@query("knn_label_accuracy",
+       f"""WITH p AS (SELECT a.vec_id, a.label,
+                             b.label AS nb_label,
+                             row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY {sql_cosine_distance('a.embedding',
+                                                             'b.embedding')}
+                                        ASC, b.vec_id ASC) AS rn
+                      FROM embeddings a JOIN embeddings b
+                        ON a.vec_id <> b.vec_id)
+          SELECT label, count(*) AS n_vecs,
+                 CAST(count(*) FILTER (WHERE nb_label = label) AS BIGINT)
+                   AS n_correct,
+                 round(count(*) FILTER (WHERE nb_label = label)
+                       / count(*)::DOUBLE, 6) AS knn_accuracy
+          FROM p WHERE rn = 1 GROUP BY label""")
+def knn_label_accuracy(spark, sf_dir):
+    """Leave-one-out 1-NN label agreement per class — THE
+    embedding-space quality metric: if a vector's nearest neighbor
+    rarely shares its label, the space won't support classification,
+    clustering, or label-filtered retrieval, whatever the loss curve
+    said. Exact all-pairs at evaluation scale (this is an EVAL you run
+    on a sample — the same bounded-by-design contract as
+    ann_recall_eval; at 100 TB you'd sample per label); the per-vector
+    argmin is one window over the broadcast self-join, then one
+    bounded-key aggregate."""
+    from ..functions.vector import cosine_distance
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label", F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("label").alias("nb_label"),
+                   F.col("embedding").alias("vb"))
+    d = cosine_distance(F.col("va"), F.col("vb"))
+    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(),
+                                        F.col("b_id").asc())
+    p = (a.join(F.broadcast(b), F.col("vec_id") != F.col("b_id"))
+         .select("vec_id", "label", "nb_label", "b_id", d.alias("dist"))
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") == 1))
+    hit = (F.col("nb_label") == F.col("label")).cast("long")
+    return (p.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(hit).cast("bigint").alias("n_correct"),
+                 F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("knn_accuracy")))
+
+
+@query("conversion_latency",
+       """WITH v AS (SELECT user_id,
+                            min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                     AS BIGINT)) AS t_view
+                     FROM events WHERE event_type = 'view'
+                     GROUP BY user_id),
+            pch AS (SELECT user_id,
+                           min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                    AS BIGINT)) AS t_buy
+                    FROM events JOIN v USING (user_id)
+                    WHERE event_type = 'purchase'
+                      AND CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                               AS BIGINT) >= v.t_view
+                    GROUP BY user_id),
+            lat AS (SELECT v.user_id, pch.t_buy - v.t_view AS gap_s
+                    FROM v JOIN pch ON v.user_id = pch.user_id),
+            q AS (SELECT gap_s,
+                         row_number() OVER (ORDER BY gap_s, user_id)
+                           AS qk,
+                         count(*) OVER () AS n
+                  FROM lat)
+          SELECT CAST(max(n) AS BIGINT) AS n_converted,
+                 CAST(max(CASE WHEN qk = CAST(ceil(0.50 * n) AS BIGINT)
+                          THEN gap_s END) AS BIGINT) AS median_seconds,
+                 CAST(max(CASE WHEN qk = CAST(ceil(0.90 * n) AS BIGINT)
+                          THEN gap_s END) AS BIGINT) AS p90_seconds
+          FROM q""")
+def conversion_latency(spark, sf_dir):
+    """Conversion latency: per user, the gap from first 'view' to the
+    first 'purchase' at-or-after it, summarized as exact rank median
+    and p90 — the companion to funnel_stages (the funnel says HOW MANY
+    convert; this says HOW FAST). Whole-second integer arithmetic
+    end-to-end; both per-user mins are ordinary aggregates (no window
+    over raw events), and the quantile rank runs on the |converted
+    users| frame."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(t).alias("t_view")))
+    pch = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", t.alias("tb"))
+           .join(F.broadcast(v), "user_id")
+           .filter(F.col("tb") >= F.col("t_view"))
+           .groupBy("user_id").agg(F.min("tb").alias("t_buy")))
+    lat = (v.join(pch, "user_id")
+           .select("user_id",
+                   (F.col("t_buy") - F.col("t_view")).alias("gap_s")))
+    qw = W.orderBy("gap_s", "user_id")
+    q = lat.select("gap_s", F.row_number().over(qw).alias("qk"),
+                   F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+    def pick(frac, name):
+        return F.max(F.when(
+            F.col("qk") == F.ceil(frac * F.col("n")).cast("bigint"),
+            F.col("gap_s"))).cast("bigint").alias(name)
+    return q.agg(F.max("n").cast("bigint").alias("n_converted"),
+                 pick(0.50, "median_seconds"),
+                 pick(0.90, "p90_seconds"))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
