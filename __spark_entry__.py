@@ -83,6 +83,8 @@ _CHECK_FIRST = [
     "revenue_growth_yoy", "null_safe_join",
     "mixture_weights", "activation_latency_quartiles",
     "knn_label_accuracy", "conversion_latency",
+    "dedup_pair_audit_sample", "revenue_concentration_hhi",
+    "daily_volume_anomalies",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

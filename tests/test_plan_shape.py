@@ -1202,3 +1202,30 @@ def test_conversion_latency_no_raw_event_window(spark):
               if "PushedFilters" in ln and "event_type" in ln]
     assert pushed, plan  # type filters reach the scans
     assert "EvalPython" not in plan
+
+
+def test_pair_audit_sample_take_ordered(spark):
+    """Pair audit: the deterministic first-10 cut is
+    TakeOrderedAndProject; band postings come from the materialized
+    index, not a re-hash of the corpus."""
+    plan = plan_of(QUERIES["dedup_pair_audit_sample"](spark,
+                                                      SF_CORRECTNESS))
+    assert "TakeOrderedAndProject" in plan
+    assert "minhash_band_index" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_hhi_and_anomalies_on_aggregate_frames(spark):
+    """HHI and daily anomalies: every window/stat runs on aggregate
+    output (nations / days), never raw facts — one fact scan each."""
+    # anomalies pays a second events scan for the broadcast stats frame
+    # (Catalyst shares no subplans — same documented trade as
+    # quality_gate; the scan is the cheap part, the daily aggregate is
+    # tiny either way)
+    for q, tbl, max_scans in (("revenue_concentration_hhi", "lineitem", 1),
+                              ("daily_volume_anomalies", "events", 2)):
+        plan = plan_of(QUERIES[q](spark, SF_CORRECTNESS))
+        scans = [ln for ln in plan.splitlines()
+                 if "Location" in ln and tbl in ln]
+        assert len(scans) <= max_scans, (q, plan)
+        assert "EvalPython" not in plan, q

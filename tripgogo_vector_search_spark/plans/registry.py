@@ -6618,6 +6618,133 @@ def conversion_latency(spark, sf_dir):
                  pick(0.90, "p90_seconds"))
 
 
+@query("dedup_pair_audit_sample",
+       _MINHASH_CTE + """
+       SELECT p.dup_id, p.src_id,
+              substring(a.text, 1, 40) AS dup_text_head,
+              substring(b.text, 1, 40) AS src_text_head
+       FROM pairs p
+       JOIN documents a ON a.doc_id = p.dup_id
+       JOIN documents b ON b.doc_id = p.src_id
+       ORDER BY p.dup_id, p.src_id LIMIT 10""")
+def dedup_pair_audit_sample(spark, sf_dir):
+    """Human-audit sample of near-dup PAIRS with 40-char text heads —
+    the artifact a reviewer eyeballs to confirm the threshold isn't
+    deleting legitimate variants (cluster stats say how many;
+    this shows WHAT). Deterministic first-10 by (dup_id, src_id) via
+    TakeOrderedAndProject; the text attach joins only the 10 surviving
+    ids' rows after the cut at scale (predicate from the tiny pair
+    frame). Shares the materialized band index."""
+    bands = _minhash_band_index(spark, sf_dir)
+    posts = (bands.groupBy("band_key")
+             .agg(F.collect_list("doc_id").alias("ids"))
+             .filter(F.size("ids") >= 2))
+    edge = F.explode(F.transform(
+        F.filter("ids", lambda x: x > F.array_min("ids")),
+        lambda x: F.struct(x.alias("dup_id"),
+                           F.array_min("ids").alias("src_id"))))
+    pairs = (posts.select(edge.alias("p")).select("p.*").distinct())
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a_id"),
+                 F.substring("text", 1, 40).alias("dup_text_head"))
+    b = d.select(F.col("doc_id").alias("b_id"),
+                 F.substring("text", 1, 40).alias("src_text_head"))
+    return (pairs.join(a, F.col("dup_id") == F.col("a_id"))
+            .join(b, F.col("src_id") == F.col("b_id"))
+            .select("dup_id", "src_id", "dup_text_head", "src_text_head")
+            .orderBy("dup_id", "src_id").limit(10))
+
+
+@query("revenue_concentration_hhi",
+       """WITH r AS (SELECT n_name AS nation,
+                            SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(30,10))) AS rev
+                     FROM lineitem
+                     JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+                     GROUP BY n_name),
+            sh AS (SELECT rev::DOUBLE / SUM(rev::DOUBLE) OVER ()
+                            AS share
+                   FROM r)
+          SELECT CAST(count(*) AS BIGINT) AS n_nations,
+                 round(CAST(SUM(CAST(round(share * share, 12)
+                                     AS DECIMAL(24,12))) AS DOUBLE), 6)
+                   AS hhi
+          FROM sh""")
+def revenue_concentration_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of revenue across customer
+    nations (1/n = perfectly even, 1.0 = single-market dependence) —
+    the market-concentration number next to the corpus-side Gini.
+    Exact-DECIMAL revenue sums; shares and their squares are IEEE
+    arithmetic over the |nations| aggregate output, where the
+    normalizing window is bounded."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+           ).cast("decimal(30,10)")
+    r = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("nation").agg(F.sum(rev).alias("rev")))
+    share = (F.col("rev").cast("double")
+             / F.sum(F.col("rev").cast("double")).over(W.partitionBy()))
+    s2 = F.round(share * share, 12).cast("decimal(24,12)")
+    return (r.select(s2.alias("s2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+                 F.round(F.sum("s2").cast("double"), 6).alias("hhi")))
+
+
+@query("daily_volume_anomalies",
+       """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                 AS TIMESTAMP) AS day,
+                            count(*) AS n
+                     FROM events GROUP BY day),
+            s AS (SELECT count(*) AS k,
+                         SUM(CAST(n AS HUGEINT)) AS sn,
+                         SUM(CAST(n AS HUGEINT) * n) AS snn
+                  FROM d)
+          SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                 CAST(d.n AS BIGINT) AS n_events,
+                 round((d.n - sn::DOUBLE / k)
+                       / sqrt(greatest(snn::DOUBLE / k
+                              - (sn::DOUBLE / k) * (sn::DOUBLE / k),
+                              1e-12)), 6) AS zscore
+          FROM d CROSS JOIN s
+          WHERE abs(d.n - sn::DOUBLE / k)
+                > 2.0 * sqrt(greatest(snn::DOUBLE / k
+                             - (sn::DOUBLE / k) * (sn::DOUBLE / k),
+                             1e-12))""")
+def daily_volume_anomalies(spark, sf_dir):
+    """Days whose event volume deviates more than 2 sigma from the mean
+    day — the ops alarm list for outages and bot floods. Daily counts
+    are integers; mean/variance come from 128-bit exact moment sums
+    over the |days| aggregate (broadcast as a scalar frame); the
+    z-verdict is one identical IEEE expression both engines evaluate
+    on exact inputs."""
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    wide = "decimal(38,0)"
+    s = d.agg(F.count(F.lit(1)).alias("k"),
+              F.sum(F.col("n").cast(wide)).alias("sn"),
+              F.sum((F.col("n") * F.col("n")).cast(wide)).alias("snn"))
+    mean = F.col("sn").cast("double") / F.col("k")
+    var = F.greatest(F.col("snn").cast("double") / F.col("k")
+                     - mean * mean, F.lit(1e-12))
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (d.crossJoin(F.broadcast(s))
+            .filter(F.abs(F.col("n") - mean) > 2.0 * F.sqrt(var))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("n").cast("bigint").alias("n_events"),
+                    F.round(z, 6).alias("zscore")))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
