@@ -84,7 +84,7 @@ _CHECK_FIRST = [
     "mixture_weights", "activation_latency_quartiles",
     "knn_label_accuracy", "conversion_latency",
     "dedup_pair_audit_sample", "revenue_concentration_hhi",
-    "daily_volume_anomalies",
+    "daily_volume_anomalies", "quantization_error", "sample_bias_audit",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

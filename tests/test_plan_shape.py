@@ -1229,3 +1229,23 @@ def test_hhi_and_anomalies_on_aggregate_frames(spark):
                  if "Location" in ln and tbl in ln]
         assert len(scans) <= max_scans, (q, plan)
         assert "EvalPython" not in plan, q
+
+
+def test_quantization_error_codegen_fold_single_agg(spark):
+    """Quantization MSE: one higher-order fold per vector (no Python),
+    one bounded-key aggregate over the per-vector errors."""
+    plan = plan_of(QUERIES["quantization_error"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") == 4  # tree+detail x partial+final
+    assert "Join" not in plan
+
+
+def test_sample_bias_audit_single_scan(spark):
+    """Sampler audit: ONE documents scan computes both the full and
+    in-sample counts via a conditional aggregate — not a second scan
+    for the sample side."""
+    plan = plan_of(QUERIES["sample_bias_audit"](spark, SF_CORRECTNESS))
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "documents" in ln]
+    assert len(scans) == 1, plan
+    assert "EvalPython" not in plan

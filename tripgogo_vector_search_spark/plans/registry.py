@@ -6745,6 +6745,99 @@ def daily_volume_anomalies(spark, sf_dir):
                     F.round(z, 6).alias("zscore")))
 
 
+@query("quantization_error",
+       """WITH m AS (SELECT label,
+                  list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS mx,
+                  embedding
+                 FROM embeddings),
+           s AS (SELECT label, embedding,
+                  CASE WHEN mx > 0 THEN mx / 127 END AS sc FROM m),
+           e AS (SELECT label,
+                  CAST(round(COALESCE(list_sum(list_transform(embedding,
+                      x -> CASE WHEN sc IS NOT NULL
+                           THEN (CAST(x AS DOUBLE)
+                                 - floor(CAST(x AS DOUBLE) / sc + 0.5) * sc)
+                                * (CAST(x AS DOUBLE)
+                                   - floor(CAST(x AS DOUBLE) / sc + 0.5)
+                                     * sc)
+                           ELSE 0.0 END)), 0.0)
+                      / len(embedding), 12) AS DECIMAL(24,12)) AS mse
+                 FROM s)
+          SELECT label, count(*) AS n_vecs,
+                 round(CAST(SUM(mse) AS DOUBLE) / count(*), 6)
+                   AS mean_mse
+          FROM e GROUP BY label""")
+def quantization_error(spark, sf_dir):
+    """Measured int8-quantization fidelity per label: mean squared
+    reconstruction error of the symmetric scalar codes — the
+    calibration twin of embed_quantize (the codes are worthless if you
+    haven't measured what they cost in geometry; a label whose MSE
+    spikes has outlier magnitudes and needs per-block scales).
+    Per-vector MSE is computed in one identical higher-order fold,
+    rounded, DECIMAL-averaged per label — engine-exact end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sc = V.quantize_scale("embedding")
+    x = lambda v: v.cast("double")  # noqa: E731
+    err = F.transform(
+        "embedding",
+        lambda v: F.when(
+            sc.isNotNull(),
+            (x(v) - F.floor(x(v) / sc + 0.5) * sc)
+            * (x(v) - F.floor(x(v) / sc + 0.5) * sc)).otherwise(F.lit(0.0)))
+    mse = (F.round(
+        F.coalesce(F.aggregate(err, F.lit(0.0), lambda a, b: a + b),
+                   F.lit(0.0)) / F.size("embedding"), 12)
+        .cast("decimal(24,12)"))
+    e = emb.select("label", mse.alias("mse"))
+    return (e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum("mse").cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_mse")))
+
+
+@query("sample_bias_audit",
+       """WITH full_d AS (SELECT lang, count(*) AS n_full
+                          FROM documents GROUP BY lang),
+            samp AS (SELECT lang, count(*) AS n_samp
+                     FROM documents
+                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           IN ('0', '1', '2', '3')
+                     GROUP BY lang),
+            tot AS (SELECT (SELECT SUM(n_full) FROM full_d) AS tf,
+                           (SELECT SUM(n_samp) FROM samp) AS ts)
+          SELECT full_d.lang,
+                 n_full, COALESCE(n_samp, 0) AS n_samp,
+                 round(n_full / tf::DOUBLE, 6) AS full_share,
+                 round(COALESCE(n_samp, 0) / ts::DOUBLE, 6) AS samp_share,
+                 round(abs(n_full / tf::DOUBLE
+                           - COALESCE(n_samp, 0) / ts::DOUBLE), 6)
+                   AS share_drift
+          FROM full_d LEFT JOIN samp USING (lang) CROSS JOIN tot""")
+def sample_bias_audit(spark, sf_dir):
+    """Sampler-fairness audit: per-language share in the deterministic
+    ~25% content-hash sample vs the full corpus, with the absolute
+    drift — the check that a 'cheap eval on a sample' isn't silently a
+    different population (hash sampling should be unbiased; this
+    MEASURES it instead of assuming). Two bounded aggregates over one
+    conditional scan pattern; shares are single divisions of exact
+    integers."""
+    d = _t(spark, sf_dir, "documents")
+    in_samp = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+               .isin("0", "1", "2", "3"))
+    g = (d.groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("n_full"),
+              F.sum(in_samp.cast("long")).alias("n_samp")))
+    tw = W.partitionBy()
+    full_share = F.col("n_full") / F.sum("n_full").over(tw).cast("double")
+    samp_share = F.col("n_samp") / F.sum("n_samp").over(tw).cast("double")
+    return g.select(
+        "lang", "n_full", F.col("n_samp").cast("bigint").alias("n_samp"),
+        F.round(full_share, 6).alias("full_share"),
+        F.round(samp_share, 6).alias("samp_share"),
+        F.round(F.abs(full_share - samp_share), 6).alias("share_drift"))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
