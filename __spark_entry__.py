@@ -85,6 +85,7 @@ _CHECK_FIRST = [
     "knn_label_accuracy", "conversion_latency",
     "dedup_pair_audit_sample", "revenue_concentration_hhi",
     "daily_volume_anomalies", "quantization_error", "sample_bias_audit",
+    "ann_index_occupancy", "quality_by_length_decile",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

@@ -1249,3 +1249,25 @@ def test_sample_bias_audit_single_scan(spark):
              if "Location" in ln and "documents" in ln]
     assert len(scans) == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_ann_index_occupancy_reads_index_not_corpus(spark):
+    """Index health: statistics come from the materialized LSH index
+    directory, never a re-hash of the corpus (no embeddings scan, no
+    vector column in any ReadSchema)."""
+    plan = plan_of(QUERIES["ann_index_occupancy"](spark, SF_CORRECTNESS))
+    assert "ann_lsh_index" in plan, plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("embedding" not in ln for ln in reads), plan
+    assert "EvalPython" not in plan
+
+
+def test_quality_by_length_decile_single_scan(spark):
+    """Length deciles: one documents scan feeds the rank window and
+    the per-decile aggregate."""
+    plan = plan_of(QUERIES["quality_by_length_decile"](spark,
+                                                       SF_CORRECTNESS))
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "documents" in ln]
+    assert len(scans) == 1, plan
+    assert "EvalPython" not in plan

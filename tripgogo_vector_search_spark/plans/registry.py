@@ -6838,6 +6838,75 @@ def sample_bias_audit(spark, sf_dir):
         F.round(F.abs(full_share - samp_share), 6).alias("share_drift"))
 
 
+@query("ann_index_occupancy",
+       f"""WITH b AS (SELECT {_BUCKET_SQL} AS bucket FROM embeddings),
+            occ AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+          SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(n) AS BIGINT) AS n_vectors,
+                 CAST(min(n) AS BIGINT) AS min_occupancy,
+                 CAST(max(n) AS BIGINT) AS max_occupancy,
+                 round(SUM(n) / count(*)::DOUBLE, 6) AS mean_occupancy
+          FROM occ""")
+def ann_index_occupancy(spark, sf_dir):
+    """LSH index health: bucket-occupancy statistics (count, min/max/
+    mean) of the sign-plane buckets — the number that says whether the
+    hash family actually spreads THIS corpus (max >> mean = a hot
+    bucket every probe pays for; many empty buckets = wasted bits).
+    You read this BEFORE trusting ann_lsh's latency at scale. Served
+    from the materialized bucket-partitioned index (no re-hashing);
+    two cascaded aggregates, integers until one division."""
+    path = _materialized_index(
+        spark, sf_dir, "ann_lsh_index",
+        lambda p: ANN.materialize_lsh_index(
+            _t(spark, sf_dir, "embeddings"), p, planes=_PLANES))
+    idx = spark.read.parquet(path)
+    occ = (idx.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    return occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_occupancy"),
+        F.max("n").cast("bigint").alias("max_occupancy"),
+        F.round(F.sum("n") / F.count(F.lit(1)).cast("double"), 6)
+        .alias("mean_occupancy"))
+
+
+@query("quality_by_length_decile",
+       f"""WITH q AS (SELECT n_chars, {_QUALITY_SQL} AS quality, doc_id
+                      FROM documents),
+            r AS (SELECT quality,
+                         CAST(least(floor((row_number() OVER (
+                             ORDER BY n_chars, doc_id) - 1) * 10.0
+                             / count(*) OVER ()), 9) AS BIGINT) AS decile
+                  FROM q)
+          SELECT decile, count(*) AS n_docs,
+                 round(CAST(SUM(CAST(quality AS DECIMAL(18,6)))
+                            AS DOUBLE) / count(*), 6) AS mean_quality
+          FROM r GROUP BY decile""")
+def quality_by_length_decile(spark, sf_dir):
+    """Quality as a function of document length: mean quality per exact
+    length decile — the curriculum/filter-design signal ('are short
+    docs junk or just short'). Deciles are rank arithmetic on the
+    deterministic (n_chars, doc_id) order — no interpolation, no
+    engine percentile — and quality is DECIMAL-averaged per decile.
+    The rank window is the one global sort this query pays; at 100 TB
+    you'd bucket by precomputed length bounds from a sample instead
+    (histogram_fixed_bins shape)."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("n_chars", "doc_id",
+                 TX.quality_score("text").alias("quality"))
+    w = W.orderBy("n_chars", "doc_id")
+    tw = W.partitionBy()
+    decile = F.least(
+        F.floor((F.row_number().over(w) - 1) * 10.0
+                / F.count(F.lit(1)).over(tw)), F.lit(9)).cast("bigint")
+    r = q.select("quality", decile.alias("decile"))
+    return (r.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(F.col("quality").cast("decimal(18,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_quality")))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
