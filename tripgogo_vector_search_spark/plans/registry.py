@@ -6520,8 +6520,9 @@ def activation_latency_quartiles(spark, sf_dir):
                                ORDER BY {sql_cosine_distance('a.embedding',
                                                              'b.embedding')}
                                         ASC, b.vec_id ASC) AS rn
-                      FROM embeddings a JOIN embeddings b
-                        ON a.vec_id <> b.vec_id)
+                      FROM (SELECT * FROM embeddings
+                            WHERE vec_id % 10 = 0) a
+                      JOIN embeddings b ON a.vec_id <> b.vec_id)
           SELECT label, count(*) AS n_vecs,
                  CAST(count(*) FILTER (WHERE nb_label = label) AS BIGINT)
                    AS n_correct,
@@ -6540,7 +6541,12 @@ def knn_label_accuracy(spark, sf_dir):
     bounded-key aggregate."""
     from ..functions.vector import cosine_distance
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select("vec_id", "label", F.col("embedding").alias("va"))
+    # the EVALUATED side is a deterministic 10% sample (the metric's
+    # cost is |eval| x |corpus|; evaluating every vector is quadratic
+    # and adds nothing statistically) — neighbors still scan the full
+    # corpus so the metric itself is exact for the sampled points
+    a = (emb.filter(F.col("vec_id") % 10 == 0)
+         .select("vec_id", "label", F.col("embedding").alias("va")))
     b = emb.select(F.col("vec_id").alias("b_id"),
                    F.col("label").alias("nb_label"),
                    F.col("embedding").alias("vb"))
