@@ -53,8 +53,8 @@ _CHECK_FIRST = [
     # the 50-key window (locally oracle-green; driver row next round),
     # then r01∪r02-green keys ordered by how much their implementation
     # changed this round.
-    # NOTE for round 4: after round 3's additions, ~96 keys have no
-    # driver CORRECTNESS row yet (50 clear this round, ~46 remain).
+    # NOTE for round 4: after round 3's additions, ~122 keys have no
+    # driver CORRECTNESS row yet (50 clear this round, ~72 remain).
     # Next round: promote the remainder into the head of this list
     # BEFORE adding new queries — evidence first, breadth second. ---
     "tpch_q7", "tpch_q8", "group_sample_balanced",
