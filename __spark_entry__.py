@@ -86,6 +86,7 @@ _CHECK_FIRST = [
     "dedup_pair_audit_sample", "revenue_concentration_hhi",
     "daily_volume_anomalies", "quantization_error", "sample_bias_audit",
     "ann_index_occupancy", "quality_by_length_decile",
+    "event_type_share_trend", "dup_multiplicity_histogram",
     "embedding_near_dup",  # adaptive-prefix stats caching changed
     "minhash_dedup", "ngram_jaccard", "simhash_hamming_dedup",
     "corpus_filter", "approx_distinct", "deterministic_sample",

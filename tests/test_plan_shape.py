@@ -1271,3 +1271,17 @@ def test_quality_by_length_decile_single_scan(spark):
              if "Location" in ln and "documents" in ln]
     assert len(scans) == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_share_trend_and_dup_multiplicity_cascaded(spark):
+    """Both composition artifacts are cascaded aggregates with shrinking
+    outputs; the share join broadcasts the tiny month totals."""
+    plan = plan_of(QUERIES["event_type_share_trend"](spark,
+                                                     SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    plan = plan_of(QUERIES["dup_multiplicity_histogram"](spark,
+                                                         SF_CORRECTNESS))
+    assert plan.count("HashAggregate") >= 8
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

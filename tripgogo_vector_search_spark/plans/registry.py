@@ -6913,6 +6913,65 @@ def quality_by_length_decile(spark, sf_dir):
                  .alias("mean_quality")))
 
 
+@query("event_type_share_trend",
+       """WITH m AS (SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP))
+                                 AS TIMESTAMP) AS month,
+                            event_type, count(*) AS n
+                     FROM events GROUP BY month, event_type),
+            t AS (SELECT month, SUM(n) AS tot FROM m GROUP BY month)
+          SELECT strftime(m.month, '%Y-%m') AS month, m.event_type,
+                 CAST(m.n AS BIGINT) AS n_events,
+                 round(m.n / t.tot::DOUBLE, 6) AS share
+          FROM m JOIN t USING (month)""")
+def event_type_share_trend(spark, sf_dir):
+    """Composition drift: each event type's share of traffic per month
+    — the mix-shift signal behind 'errors grew' vs 'everything grew'.
+    Two cascaded aggregates (month x type, then month totals) joined
+    on the bounded month key; integer counts until one division per
+    row."""
+    ev = _t(spark, sf_dir, "events")
+    m = (ev.groupBy(F.date_trunc("month", "ts").alias("month"),
+                    "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = m.groupBy("month").agg(F.sum("n").alias("tot"))
+    return (m.join(F.broadcast(t), "month")
+            .select(F.date_format("month", "yyyy-MM").alias("month"),
+                    "event_type",
+                    F.col("n").cast("bigint").alias("n_events"),
+                    F.round(F.col("n") / F.col("tot").cast("double"), 6)
+                    .alias("share")))
+
+
+@query("dup_multiplicity_histogram",
+       r"""WITH f AS (SELECT md5(lower(regexp_replace(trim(text), '\s+',
+                                                      ' ', 'g'))) AS fp
+                      FROM documents),
+            g AS (SELECT fp, count(*) AS copies FROM f GROUP BY fp)
+          SELECT CAST(copies AS BIGINT) AS copies,
+                 count(*) AS n_fingerprints,
+                 CAST(SUM(copies) AS BIGINT) AS n_docs,
+                 CAST(SUM(copies - 1) AS BIGINT) AS n_removable
+          FROM g GROUP BY copies""")
+def dup_multiplicity_histogram(spark, sf_dir):
+    """Copies-per-fingerprint histogram: how many texts exist once,
+    twice, three times... with the removable-doc count per bucket —
+    dedup_rate_by_source says WHERE dups come from, this says what
+    SHAPE they have (a fat multiplicity tail means a template factory,
+    not scattered reposts, and predicts exactly how many docs exact
+    dedup deletes). Two cascaded aggregates, each output smaller;
+    integers end to end."""
+    from ..functions.text import fingerprint
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    g = (d.select(fingerprint("text").alias("fp"))
+         .groupBy("fp").agg(F.count(F.lit(1)).alias("copies")))
+    return (g.groupBy(F.col("copies").cast("bigint").alias("copies"))
+            .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+                 F.sum("copies").cast("bigint").alias("n_docs"),
+                 F.sum(F.col("copies") - 1).cast("bigint")
+                 .alias("n_removable")))
+
+
 @query("corpus_summary_report",
        f"""WITH e AS (SELECT lang,
                              {_lang_case_sql()} AS lang_pred,
