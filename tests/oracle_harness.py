@@ -62,21 +62,29 @@ def _kind(dtype) -> str:
     return _KIND.get(dtype.kind, "O")
 
 
+def _float_eq(fa: float, fb: float) -> bool:
+    if math.isnan(fa) or math.isnan(fb):
+        return math.isnan(fa) and math.isnan(fb)
+    if fa == fb == 0.0:
+        # Python's == says -0.0 == +0.0 but the driver hashes the
+        # canonical string, which distinguishes them (the r3
+        # ann_knn_join red row slipped through here). Be as strict
+        # as the driver.
+        return math.copysign(1.0, fa) == math.copysign(1.0, fb)
+    return fa == fb
+
+
 def _cell_eq(a, b) -> bool:
     if a is None or b is None or a is pd.NaT or b is pd.NaT:
         return (a is None or a is pd.NaT) and (b is None or b is pd.NaT)
     if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) or math.isnan(b):
-            return math.isnan(a) and math.isnan(b)
-        return a == b
+        return _float_eq(a, b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
             return False
-        if math.isnan(fa) or math.isnan(fb):
-            return math.isnan(fa) and math.isnan(fb)
-        return fa == fb
+        return _float_eq(fa, fb)
     return a == b
 
 

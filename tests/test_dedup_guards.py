@@ -85,6 +85,59 @@ def test_ngram_jaccard_prefix_oversized_posting_dropped(spark):
     assert out.count() == 0
 
 
+def test_containment_cap_parity_on_hot_vocab(spark):
+    """VERDICT r3 #4: the containment_join oracle mirrors the Spark
+    df_cap as a `count(*) OVER (PARTITION BY shingle) <= cap` filter.
+    Spark caps by posting-list SIZE, the oracle by window document
+    frequency — prove the two definitions agree on a corpus where a
+    shingle actually EXCEEDS the cap (the class the fixture-scale gate
+    never exercises: fixture vocab is too cold to hit df=1024)."""
+    import duckdb
+    import pandas as pd
+
+    # 20 docs share a boilerplate head (df=20 > cap=10); two docs are
+    # supersets of a third so real containment pairs survive the cap.
+    rows = [(i, f"the same header unique{i} tail{i} word{i}")
+            for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta"),
+             (102, "alpha beta gamma delta epsilon zeta eta theta more")]
+    df = _docs(spark, rows)
+    got = sorted(
+        tuple(r) for r in DD.containment_pairs(
+            df, "text", "doc_id", shingle_n=3, min_containment=0.8,
+            df_cap=10, hash_shingle_key=False).collect())
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    from tripgogo_vector_search_spark.plans.oracle_helpers import (
+        sql_shingles, sql_words)
+    sql = f"""
+      WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct({sql_shingles('ws', 3)}) AS sh
+             FROM w),
+      nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+      inv0 AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM nz),
+      inv AS (SELECT doc_id, n_sh, shingle FROM (
+                SELECT doc_id, n_sh, shingle,
+                       count(*) OVER (PARTITION BY shingle) AS dfreq
+                FROM inv0) WHERE dfreq <= 10),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a,
+                       b.n_sh AS n_b, count(*) AS inter
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, round(inter::DOUBLE / n_a, 6) AS cont_a_in_b,
+             round(inter::DOUBLE / n_b, 6) AS cont_b_in_a
+      FROM inter
+      WHERE round(inter::DOUBLE / n_a, 6) >= 0.8
+         OR round(inter::DOUBLE / n_b, 6) >= 0.8"""
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert got == want
+    assert len(got) >= 2  # the cap must not have killed the real pairs
+
+
 def test_ngram_jaccard_cap_above_max_df_is_identity(spark):
     docs = (spark.read.parquet(f"{SF}/documents.parquet")
             .select("doc_id", "text"))

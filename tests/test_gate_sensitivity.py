@@ -79,7 +79,8 @@ def test_gate_catches_dtype_drift(spark):
         ok, msg = compare(df, con, SQL)
         # float64 vs int64 must fail the kind check, not silently
         # coerce — the driver hashes raw bytes
-        assert not ok and "dtype" in msg.lower() or not ok
+        assert not ok
+        assert "dtype" in msg.lower()
     finally:
         con.close()
 
@@ -105,3 +106,52 @@ def test_gate_catches_sixth_decimal_float_error(spark):
         assert not ok
     finally:
         con.close()
+
+
+def test_gate_catches_negative_zero(spark):
+    """The r3 ann_knn_join red row: DuckDB round(-1e-17, 6) keeps IEEE
+    -0.0, Spark's BigDecimal round emits +0.0, Python's == can't see it
+    but the driver's hash can. The gate must fail the raw (-0.0 vs
+    +0.0) pair and pass once the oracle is sign-normalized."""
+    df = (load_table(spark, SF_CORRECTNESS, "nation")
+          .select("n_nationkey",
+                  F.round(F.lit(-1e-17), 6).alias("z")))
+    con = _duck()
+    try:
+        ok, msg = compare(
+            df, con, "SELECT n_nationkey, round(-1e-17, 6) AS z "
+                     "FROM nation")
+        assert not ok
+        assert "-0.0" in msg
+        ok, msg = compare(
+            df, con, "SELECT n_nationkey, (round(-1e-17, 6) + 0.0) AS z "
+                     "FROM nation")
+        assert ok, msg
+    finally:
+        con.close()
+
+
+def test_normalize_round_sign_rewrites_all_rounds():
+    from tripgogo_vector_search_spark.plans.oracle_helpers import (
+        normalize_round_sign)
+    # nested rounds, quoted parens, and a word-boundary non-match
+    sql = ("SELECT round(round(x, 6) / round(y), 2) AS a, "
+           "around(z) AS b, regexp_matches(s, 'round(') AS c FROM t")
+    out = normalize_round_sign(sql)
+    assert out == (
+        "SELECT (round((round(x, 6) + 0.0) / (round(y) + 0.0), 2) + 0.0)"
+        " AS a, around(z) AS b, regexp_matches(s, 'round(') AS c FROM t")
+
+
+def test_registered_oracles_are_sign_normalized():
+    """Every registered oracle's round() calls carry the + 0.0 sign
+    normalizer (a bare `round(...)` followed by anything but the
+    wrapper means a raw registration slipped past the decorator)."""
+    import re
+
+    from tripgogo_vector_search_spark.plans.registry import ORACLES
+    unwrapped = re.compile(r"(?<!\()(?<![A-Za-z0-9_])round\s*\(",
+                           re.IGNORECASE)
+    for name, sql in ORACLES.items():
+        bad = [m.start() for m in unwrapped.finditer(sql)]
+        assert not bad, f"{name}: raw round( at offsets {bad}"

@@ -9,7 +9,54 @@ before comparison.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
+
+_ROUND_CALL = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
+
+
+def normalize_round_sign(sql: str) -> str:
+    """Rewrite every ``round(...)`` in an oracle SQL string to
+    ``(round(...) + 0.0)``.
+
+    Why: Spark's ``round`` goes through Java BigDecimal, which has no
+    signed zero, so Spark can never emit IEEE ``-0.0``; DuckDB's
+    ``round`` preserves it (``round(-1e-17, 6)`` -> ``-0.0``). The
+    driver's value hash distinguishes the two, so any oracle that rounds
+    a potentially-negative-but-tiny expression (cosine self-distance,
+    dot products, slopes, drifts) is a latent coin-flip — this was the
+    r3 ``ann_knn_join`` red row. Adding ``+ 0.0`` maps ``-0.0`` to
+    ``+0.0`` (IEEE round-to-nearest) and is exact for every other value,
+    so applying it blanket-fashion at registration is safe.
+
+    The scanner is quote-aware (skips single-quoted SQL literals when
+    matching the closing paren) and recurses into both the call
+    arguments and the remainder, so nested rounds are wrapped too.
+    """
+    m = _ROUND_CALL.search(sql)
+    if not m:
+        return sql
+    j = m.end() - 1  # at '('
+    depth = 0
+    n = len(sql)
+    while j < n:
+        c = sql[j]
+        if c == "'":
+            j += 1
+            while j < n and sql[j] != "'":
+                j += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if j >= n:  # unbalanced — leave untouched rather than corrupt
+        return sql
+    inner = normalize_round_sign(sql[m.end():j])
+    rest = normalize_round_sign(sql[j + 1:])
+    return sql[:m.start()] + "(round(" + inner + ") + 0.0)" + rest
 
 
 def sql_double_list(values: Sequence[float]) -> str:

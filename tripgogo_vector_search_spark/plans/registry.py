@@ -24,11 +24,12 @@ from ..operators.simjoin import similarity_join
 from ..session import prepare
 from ..sources.tables import load_table
 from .flagship import DIM, QUERY_VEC, flagship_query
-from .oracle_helpers import (sql_arr_int_str, sql_arr_num6_str,
-                             sql_arr_str_str, sql_cosine_distance, sql_dot,
-                             sql_double_list, sql_lsh_band_keys,
-                             sql_minhash_signature, sql_norm, sql_shingles,
-                             sql_simhash32, sql_stopword_hits, sql_words)
+from .oracle_helpers import (normalize_round_sign, sql_arr_int_str,
+                             sql_arr_num6_str, sql_arr_str_str,
+                             sql_cosine_distance, sql_dot, sql_double_list,
+                             sql_lsh_band_keys, sql_minhash_signature,
+                             sql_norm, sql_shingles, sql_simhash32,
+                             sql_stopword_hits, sql_words)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -41,7 +42,11 @@ def query(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
         QUERIES[name] = wrapped
         if oracle is not None:
-            ORACLES[name] = oracle
+            # Spark's BigDecimal-backed round can never emit IEEE -0.0;
+            # DuckDB's preserves it and the driver's hash sees the sign
+            # (the r3 ann_knn_join red row). Normalize every oracle-side
+            # round at registration so the two engines agree on zero.
+            ORACLES[name] = normalize_round_sign(oracle)
         return wrapped
     return deco
 
@@ -6626,10 +6631,19 @@ def conversion_latency(spark, sf_dir):
 
 @query("dedup_pair_audit_sample",
        _MINHASH_CTE + """
+       -- star edges (x -> bucket-min per band bucket), NOT all co-banded
+       -- pairs: this must mirror the Spark side's per-bucket O(m) edge
+       -- enumeration exactly (ADVICE r3: the all-pairs `pairs` CTE
+       -- provably diverges once a non-star pair sorts into the top 10)
+       , bmin AS (SELECT band_key, min(doc_id) AS min_id
+                  FROM bands GROUP BY band_key),
+       star AS (SELECT DISTINCT b.doc_id AS dup_id, m.min_id AS src_id
+                FROM bands b JOIN bmin m USING (band_key)
+                WHERE b.doc_id > m.min_id)
        SELECT p.dup_id, p.src_id,
               substring(a.text, 1, 40) AS dup_text_head,
               substring(b.text, 1, 40) AS src_text_head
-       FROM pairs p
+       FROM star p
        JOIN documents a ON a.doc_id = p.dup_id
        JOIN documents b ON b.doc_id = p.src_id
        ORDER BY p.dup_id, p.src_id LIMIT 10""")
