@@ -37,3 +37,24 @@ def test_cache_dir_embeds_fingerprint_and_sf_name(tmp_path):
     _write(os.path.join(d, "events.parquet"), b"v2!")
     p2 = _cache_dir(d, "some_index")
     assert p2 != p1  # a regenerated corpus can never hit the old index
+
+
+def test_stale_cache_generations_pruned_on_regen(tmp_path):
+    """ADVICE r3: fingerprinted generations of the SAME sf must not
+    accumulate — a regeneration prunes prior-fingerprint siblings (they
+    can never be reused), while other scale factors' caches survive."""
+    d = str(tmp_path / "sf0.42")
+    other = str(tmp_path / "sf0.07")
+    os.makedirs(d)
+    os.makedirs(other)
+    _write(os.path.join(d, "events.parquet"), b"v1")
+    _write(os.path.join(other, "events.parquet"), b"keep")
+    p1 = _cache_dir(d, "some_index")
+    p_other = _cache_dir(other, "some_index")
+    _write(os.path.join(d, "events.parquet"), b"v2!")
+    p2 = _cache_dir(d, "some_index")
+    base = os.path.dirname(os.path.dirname(p2))
+    gens = [g for g in os.listdir(base) if g.startswith("sf0.42-")]
+    assert len(gens) == 1  # exactly one surviving generation
+    assert not os.path.exists(p1)
+    assert os.path.exists(p_other)  # other sf untouched

@@ -48,6 +48,28 @@ def replicated_docs(spark, k: int):
     return df
 
 
+def replicated_part(spark, k: int):
+    """k copies of part with distinct keys; replica i's names carry an
+    8*i-char suffix so cross-replica pairs violate the edit-distance-3
+    length band (|dlen| >= 8). A plan that folds the length band into
+    the join key prunes cross-replica candidates structurally (~k
+    growth); a bare (noun, c1) block join still generates all k^2."""
+    base = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_name")
+    n = 10_000_000
+    parts = []
+    for i in range(k):
+        name = (F.concat("p_name", F.lit(" " + "x" * 8 * i))
+                if i else F.col("p_name"))
+        parts.append(base.select(
+            (F.col("p_partkey") + i * n).alias("p_partkey"),
+            name.alias("p_name")))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
@@ -111,6 +133,31 @@ def run(spark, op: str, k: int) -> dict:
         noop(sym.withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") <= 3))
         elapsed = time.perf_counter() - t0
+    elif op == "fuzzy_join":
+        part = replicated_part(spark, k).cache()
+        part.count()
+        t0 = time.perf_counter()
+        p = (part.select("p_partkey", "p_name",
+                         F.length("p_name").alias("ln"),
+                         F.split("p_name", " ").getItem(1).alias("noun"),
+                         F.substring("p_name", 1, 1).alias("c1"))
+             .withColumn("bkt", F.floor(F.col("ln") / 4)))
+        a = (p.withColumn("probe", F.explode(F.array(
+                 F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)))
+             .repartition(spark.sparkContext.defaultParallelism)
+             .alias("a"))
+        b = p.alias("b")
+        dist_t = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
+        noop(a.join(b, (F.col("a.noun") == F.col("b.noun"))
+                    & (F.col("a.c1") == F.col("b.c1"))
+                    & (F.col("a.probe") == F.col("b.bkt"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                    & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 3))
+             .withColumn("dist", dist_t).filter(F.col("dist") >= 0)
+             .select(F.col("a.p_partkey").alias("key_a"),
+                     F.col("b.p_partkey").alias("key_b"), "dist"))
+        elapsed = time.perf_counter() - t0
+        part.unpersist()
     elif op == "simhash_hamming":
         noop(DD.simhash_banded_dedup(docs, "text", "doc_id",
                                      radius=3, posting_cap=1024))
@@ -161,7 +208,7 @@ def run(spark, op: str, k: int) -> dict:
 def main() -> None:
     ops = sys.argv[1:] or ["ngram_jaccard_prefix", "containment_join",
                            "dedup_keep_best", "entropy_score",
-                           "jaccard_topk"]
+                           "jaccard_topk", "fuzzy_join"]
     spark = get_spark("scale-slopes")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: fork pandas workers once

@@ -3037,33 +3037,42 @@ def argmax_agg(spark, sf_dir):
           WHERE levenshtein(a.p_name, b.p_name) <= 3""")
 def fuzzy_join(spark, sf_dir):
     """Blocked fuzzy (edit-distance) self-join — entity-resolution style.
-    The blocking key (noun + first letter of the modifier) bounds each
-    comparison group, so the quadratic levenshtein stage runs inside
-    blocks instead of all-pairs: one shuffle on the block key, candidate
-    pairs ~ sum of block^2 not n^2. At 100 TB you widen the key (more
-    prefix chars, length band) to keep blocks bounded; the join itself
-    is an equi-join Catalyst plans normally (AQE splits a skewed
-    block)."""
+
+    The query's semantic block is (noun, first modifier char); to keep
+    that block from going quadratic at scale, the NECESSARY length band
+    (|len_a - len_b| <= 3 for edit distance <= 3) is folded INTO the
+    equi-join key as a length bucket: width B=4 > band 3, so a
+    qualifying pair differs by at most one bucket, and probing side A
+    against {bkt-1, bkt, bkt+1} finds every pair exactly once (side B's
+    bucket is a single value). Candidates then grow with pairs per
+    (block x length-class), not per block — on a corpus with mixed
+    lengths (replica slope test in tools/scale_slopes.py) that is the
+    difference between k^2 and ~k candidate growth. The residual exact
+    band + THRESHOLDED levenshtein (Spark's 3-arg form abandons the DP
+    past the bound, returning -1, but is exact for survivors) verify
+    inside the bucket.
+
+    The probe side is also repartitioned to the session's parallelism:
+    a dimension-sized self-join otherwise probes from a SINGLE parquet
+    split, serializing the whole quadratic stage on one core (measured
+    8.0 s -> 0.8 s at sf0.1 on local[32]). At 100 TB the scan splits
+    naturally and the round-robin exchange stays linear and tiny
+    relative to the pair stage."""
     p = (_t(spark, sf_dir, "part")
          .select("p_partkey", "p_name",
                  F.length("p_name").alias("ln"),
                  F.split("p_name", " ").getItem(1).alias("noun"),
-                 F.substring("p_name", 1, 1).alias("c1")))
-    a, b = p.alias("a"), p.alias("b")
-    # Two in-block pruners ahead of the quadratic distance: the integer
-    # length band (|len_a - len_b| <= 3 is NECESSARY for edit distance
-    # <= 3 — pure arithmetic before any string work) and the
-    # THRESHOLDED levenshtein (Spark's 3-arg form abandons the DP past
-    # the bound, returning -1; it returns the true distance for every
-    # surviving pair, so output is identical). On THIS corpus both are
-    # ~neutral (measured flat at sf0.1: the blocking key already yields
-    # length-similar names, so the 3.1M candidates each run a
-    # near-full DP — that work is demanded by the query's semantics,
-    # the oracle pays it too); on realistic name data with varied
-    # lengths the band is the pruner that keeps blocks cheap.
+                 F.substring("p_name", 1, 1).alias("c1"))
+         .withColumn("bkt", F.floor(F.col("ln") / 4)))
+    a = (p.withColumn("probe", F.explode(F.array(
+             F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)))
+         .repartition(spark.sparkContext.defaultParallelism)
+         .alias("a"))
+    b = p.alias("b")
     dist_t = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
     return (a.join(b, (F.col("a.noun") == F.col("b.noun"))
                    & (F.col("a.c1") == F.col("b.c1"))
+                   & (F.col("a.probe") == F.col("b.bkt"))
                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
                    & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 3))
             .withColumn("dist", dist_t)
@@ -5933,7 +5942,7 @@ def percentile_cont_exact(spark, sf_dir):
           SELECT event_type, CAST(n AS BIGINT) AS n,
                  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
                        / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                       * 8640000.0, 6) AS slope_cents_per_day
+                       * 86400.0, 6) AS slope_cents_per_day
           FROM s""")
 def trend_slope(spark, sf_dir):
     """OLS trend per event type: the least-squares slope of value over
@@ -5960,7 +5969,7 @@ def trend_slope(spark, sf_dir):
     return s.select(
         "event_type", F.col("n").cast("bigint").alias("n"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx)
-                * F.lit(8640000.0), 6).alias("slope_cents_per_day"))
+                * F.lit(86400.0), 6).alias("slope_cents_per_day"))
 
 
 @query("median_impute",
