@@ -246,11 +246,15 @@ def test_pack_sequences_single_shuffle_per_shard_window(spark):
     assert "EvalPython" not in plan
 
 
-def test_embed_quantize_is_scan_only(spark):
+def test_embed_quantize_is_scan_plus_one_arrow_stage(spark):
     plan = plan_of(QUERIES["embed_quantize"](spark, SF_CORRECTNESS))
-    # pure per-row expression pipeline: no exchange, no python
+    # per-row pipeline: no exchange; the quantize statistics run as ONE
+    # Arrow-batched (never row-wise) kernel per scan partition (r4:
+    # replaced ~20M interpreted higher-order lambdas, 7.3 s -> 0.4 s
+    # at sf0.1 — functions/vector.py expressions remain the spec)
     assert "Exchange" not in plan
-    assert "EvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 2  # tree + detail
+    assert "BatchEvalPython" not in plan
 
 
 def test_grouped_agg_udaf_is_arrow_not_rowwise(spark):
@@ -891,13 +895,15 @@ def test_filtered_knn_pushes_filter_and_takeordered(spark):
 
 def test_hybrid_search_rrf_both_arms_take_ordered(spark):
     """Hybrid RRF: both ranker arms cut to top-20 via
-    TakeOrderedAndProject (two nodes), and no Python runs anywhere —
-    the hash embedder is a codegen expression."""
+    TakeOrderedAndProject; the vector arm's embed pass is the Arrow
+    hash-embed kernel (one batched stage — r4, 5.1 s -> 1.8 s at
+    sf0.1), never a row-wise Python eval."""
     plan = plan_of(QUERIES["hybrid_search_rrf"](spark, SF_CORRECTNESS))
     # tree + detail: 3 TakeOrdered nodes (lex20, vec20, final) x2
     assert plan.count("TakeOrderedAndProject") >= 6, plan
     assert "FullOuter" in plan
-    assert "EvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 2  # the embed kernel only
+    assert "BatchEvalPython" not in plan
 
 
 def test_multimodal_frame_sample_reads_no_payload(spark):
@@ -1190,13 +1196,18 @@ def test_activation_latency_pruned_rank_window(spark):
 
 
 def test_knn_label_accuracy_broadcast_eval(spark):
-    """1-NN label eval: the comparison side broadcasts (bounded eval
-    contract), the per-vector argmin is one window, and no Python
-    touches the distance path."""
+    """1-NN label eval (r4: GEMM kernel): the small EVAL block is
+    collected and every corpus Arrow batch scores against it in one
+    BLAS multiply (MapInPandas) — the corpus side is streamed, never
+    broadcast or collected (the old plan broadcast the FULL corpus,
+    backwards at 100 TB); label attach joins broadcast the tiny
+    neighbor frame."""
     plan = plan_of(QUERIES["knn_label_accuracy"](spark, SF_CORRECTNESS))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("hashpartitioning(vec_id") >= 1
-    assert "EvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
 
 
 def test_conversion_latency_no_raw_event_window(spark):
@@ -1238,10 +1249,13 @@ def test_hhi_and_anomalies_on_aggregate_frames(spark):
 
 
 def test_quantization_error_codegen_fold_single_agg(spark):
-    """Quantization MSE: one higher-order fold per vector (no Python),
-    one bounded-key aggregate over the per-vector errors."""
+    """Quantization MSE: one Arrow kernel pass per vector (r4 — the
+    sequential-fold error sum moved into numpy, 5.3 s -> 0.5 s at
+    sf0.1), one bounded-key aggregate over the per-vector errors, no
+    join anywhere."""
     plan = plan_of(QUERIES["quantization_error"](spark, SF_CORRECTNESS))
-    assert "EvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 2  # the quantize kernel only
+    assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") == 4  # tree+detail x partial+final
     assert "Join" not in plan
 

@@ -125,3 +125,46 @@ def simhash_udf(text_col: ColumnOrName) -> Column:
         return pd.Series(out)
 
     return _sim(_c(text_col))
+
+
+def quantize_stats_udf(vec_col: ColumnOrName) -> Column:
+    """Per-vector int8 symmetric-quantization statistics in ONE
+    numpy-vectorized Arrow pass:
+    ``struct<scale, codes_sum, max_err, sq_err_sum>``.
+
+    Byte-identical to the Catalyst spec in functions/vector.py
+    (quantize_scale / quantize / dequantize_error), which remains the
+    executable spec behind the DuckDB oracles: max/abs/floor/multiply
+    are exact elementwise float64 ops, ``codes_sum`` is an exact
+    small-integer sum, and ``sq_err_sum`` preserves the SEQUENTIAL
+    left-fold order of ``F.aggregate`` / DuckDB ``list_sum`` (Python
+    builtin ``sum`` over the element list) — numpy's pairwise summation
+    would drift in the last ulp and could flip a 12-dp rounding
+    boundary. Replaces ~20M interpreted higher-order-lambda evals per
+    sf0.1 pass (sweep: embed_quantize 7.3 s -> sub-second)."""
+    @pandas_udf("struct<scale: double, codes_sum: bigint, "
+                "max_err: double, sq_err_sum: double>")
+    def _q(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        scales, sums, maxes, sqs = [], [], [], []
+        for v in vs:
+            arr = None if v is None else np.asarray(v, dtype=np.float64)
+            if arr is None or arr.size == 0 or not float(np.abs(arr).max()):
+                # NULL/empty/zero vector: NULL scale, all-zero codes,
+                # exact reconstruction — same as the expression spec
+                scales.append(None)
+                sums.append(0)
+                maxes.append(0.0)
+                sqs.append(0.0)
+                continue
+            sc = float(np.abs(arr).max()) / 127.0
+            codes = np.floor(arr / sc + 0.5)
+            err = arr - codes * sc
+            scales.append(sc)
+            sums.append(int(codes.sum()))
+            maxes.append(float(np.abs(err).max()))
+            sqs.append(float(sum((err * err).tolist())))
+        return pd.DataFrame({"scale": scales, "codes_sum": sums,
+                             "max_err": maxes, "sq_err_sum": sqs})
+
+    return _q(_c(vec_col))

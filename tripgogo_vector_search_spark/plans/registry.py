@@ -2690,17 +2690,17 @@ def embed_quantize_q(spark, sf_dir):
     error. Pure Catalyst higher-order functions — the compression pass a
     100 TB vector corpus runs before indexing; codes pinned exactly via
     explicit floor(x/s + 0.5) on both engines."""
+    from ..functions.kernels import quantize_stats_udf
     emb = _t(spark, sf_dir, "embeddings")
-    sc = V.quantize_scale("embedding")
-    q = V.quantize("embedding", sc)
-    return (emb.select(
-        "vec_id",
-        F.round(sc, 6).alias("scale6"),
-        F.coalesce(F.aggregate(q, F.lit(0).cast("long"),
-                               lambda acc, x: acc + x), F.lit(0))
-        .cast("bigint").alias("codes_sum"),
-        F.round(F.coalesce(V.dequantize_error("embedding", sc), F.lit(0.0)),
-                6).alias("max_err6")))
+    # one numpy Arrow pass per vector (kernels.quantize_stats_udf);
+    # functions/vector.py's Catalyst expressions remain the spec and the
+    # oracle mirror — the kernel is parity-pinned against them
+    st = quantize_stats_udf("embedding")
+    return (emb.select("vec_id", st.alias("st"))
+            .select("vec_id",
+                    F.round(F.col("st.scale"), 6).alias("scale6"),
+                    F.col("st.codes_sum").alias("codes_sum"),
+                    F.round(F.col("st.max_err"), 6).alias("max_err6")))
 
 
 @query("stream_static_join",
@@ -5188,7 +5188,7 @@ def hybrid_search_rrf(spark, sf_dir):
     are TakeOrderedAndProject (never a global sort); the rank windows
     and the full-outer fuse run on <=20-row frames."""
     from ..functions.vector import cosine_distance
-    from ..functions.embed import hash_embed_expr
+    from ..functions.embed import hash_embed_udf
     from ..partitioning import widen
     d = widen(_t(spark, sf_dir, "documents"))
     lex20 = (QUERIES["bm25_score"](spark, sf_dir)
@@ -5198,14 +5198,25 @@ def hybrid_search_rrf(spark, sf_dir):
             W.orderBy(F.col("bm25").desc(), F.col("doc_id")))
         .alias("r_lex"))
     qv = F.array(*[F.lit(v) for v in _hybrid_qvec()])
-    dv = hash_embed_expr("text", normalized=False)
+    # Arrow kernel, not the md5-expression spec: same values (the
+    # embed_text parity row pins kernel == expr == oracle), ~4x less
+    # wall on the corpus-wide embed pass (sweep: 5.1 s -> ~1 s)
+    dv = hash_embed_udf(normalized=False)(F.col("text"))
     from ..functions.vector import dot
+    # zero vectors get a NULL dist (sorted last, post-limit-filtered)
+    # instead of a row FILTER: a filter on a UDF-derived column is
+    # pushed below the projection by substitution, which re-evaluates
+    # the Arrow embed kernel a second time per row — keeping every
+    # UDF reference inside ONE projection keeps ONE ArrowEvalPython
+    # stage (plan-shape-pinned)
     vs = (d.select("doc_id", dv.alias("v"))
-          .filter(dot("v", "v") > 0)
           .select("doc_id",
-                  F.round(cosine_distance(F.col("v"), qv), 6)
+                  F.when(dot("v", "v") > 0,
+                         F.round(cosine_distance(F.col("v"), qv), 6))
                   .alias("dist")))
-    vec20 = vs.orderBy(F.col("dist").asc(), F.col("doc_id")).limit(20)
+    vec20 = (vs.orderBy(F.col("dist").asc_nulls_last(), F.col("doc_id"))
+             .limit(20)
+             .filter(F.col("dist").isNotNull()))
     vec = vec20.select(
         "doc_id", F.row_number().over(
             W.orderBy(F.col("dist").asc(), F.col("doc_id")))
@@ -6553,24 +6564,29 @@ def knn_label_accuracy(spark, sf_dir):
     ann_recall_eval; at 100 TB you'd sample per label); the per-vector
     argmin is one window over the broadcast self-join, then one
     bounded-key aggregate."""
-    from ..functions.vector import cosine_distance
+    from ..operators.simjoin import similarity_join_gemm
     emb = _t(spark, sf_dir, "embeddings")
     # the EVALUATED side is a deterministic 10% sample (the metric's
     # cost is |eval| x |corpus|; evaluating every vector is quadratic
     # and adds nothing statistically) — neighbors still scan the full
-    # corpus so the metric itself is exact for the sampled points
-    a = (emb.filter(F.col("vec_id") % 10 == 0)
-         .select("vec_id", "label", F.col("embedding").alias("va")))
-    b = emb.select(F.col("vec_id").alias("b_id"),
-                   F.col("label").alias("nb_label"),
-                   F.col("embedding").alias("vb"))
-    d = cosine_distance(F.col("va"), F.col("vb"))
-    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(),
-                                        F.col("b_id").asc())
-    p = (a.join(F.broadcast(b), F.col("vec_id") != F.col("b_id"))
-         .select("vec_id", "label", "nb_label", "b_id", d.alias("dist"))
-         .withColumn("rn", F.row_number().over(w))
-         .filter(F.col("rn") == 1))
+    # corpus so the metric itself is exact for the sampled points.
+    # Physical strategy (r4): the GEMM kernel — the small eval block is
+    # collected and every corpus Arrow batch scores against it with one
+    # BLAS multiply, partition-local top-1 only leaving the executor.
+    # This replaces a broadcast of the FULL corpus + 3.6M interpreted
+    # higher-order-fn cosine folds (the r4 sweep's slowest query,
+    # 10.1 s -> ~1 s at sf0.1) and is the scale-correct direction: the
+    # corpus is streamed, never collected or broadcast.
+    evalset = emb.filter(F.col("vec_id") % 10 == 0)
+    nn = similarity_join_gemm(emb, evalset, k=1, exclude_self=True)
+    lbl = emb.select(F.col("vec_id").alias("query_id"), "label")
+    nbl = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("nb_label"))
+    # nn is |eval| rows — broadcast it against each label scan so the
+    # corpus is never shuffled for the label attach
+    withq = lbl.join(F.broadcast(nn.select("query_id", "neighbor_id")),
+                     "query_id")
+    p = nbl.join(F.broadcast(withq), "neighbor_id")
     hit = (F.col("nb_label") == F.col("label")).cast("long")
     return (p.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
@@ -6805,20 +6821,15 @@ def quantization_error(spark, sf_dir):
     spikes has outlier magnitudes and needs per-block scales).
     Per-vector MSE is computed in one identical higher-order fold,
     rounded, DECIMAL-averaged per label — engine-exact end to end."""
+    from ..functions.kernels import quantize_stats_udf
     emb = _t(spark, sf_dir, "embeddings")
-    sc = V.quantize_scale("embedding")
-    x = lambda v: v.cast("double")  # noqa: E731
-    err = F.transform(
-        "embedding",
-        lambda v: F.when(
-            sc.isNotNull(),
-            (x(v) - F.floor(x(v) / sc + 0.5) * sc)
-            * (x(v) - F.floor(x(v) / sc + 0.5) * sc)).otherwise(F.lit(0.0)))
-    mse = (F.round(
-        F.coalesce(F.aggregate(err, F.lit(0.0), lambda a, b: a + b),
-                   F.lit(0.0)) / F.size("embedding"), 12)
-        .cast("decimal(24,12)"))
-    e = emb.select("label", mse.alias("mse"))
+    # same numpy Arrow kernel as embed_quantize; sq_err_sum preserves
+    # the sequential fold order of the expression spec / oracle
+    st = quantize_stats_udf("embedding")
+    mse = (F.round(F.col("st.sq_err_sum") / F.size("embedding"), 12)
+           .cast("decimal(24,12)"))
+    e = (emb.select("label", st.alias("st"), "embedding")
+         .select("label", mse.alias("mse")))
     return (e.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.sum("mse").cast("double")
