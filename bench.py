@@ -71,6 +71,17 @@ HEADLINE_R3 = {
     "fuzzy_join": "noop",
 }
 
+# Round-4 group: the r4 sweep's slowest queries, all vectorized this
+# round (GEMM 1-NN eval, numpy quantize kernel, Arrow hash-embed RRF) —
+# tracked so the wins can't silently regress.
+HEADLINE_R4 = {
+    "knn_label_accuracy": "collect",
+    "embed_quantize": "noop",
+    "quantization_error": "collect",
+    "hybrid_search_rrf": "collect",
+    "approx_quantiles": "collect",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -99,7 +110,7 @@ def main() -> None:
 
     # min of two passes: steady-state cost, robust to co-tenant noise
     # (single-pass numbers on a shared host swing 3-5x run to run)
-    all_queries = HEADLINE | HEADLINE_R2 | HEADLINE_R3
+    all_queries = HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
     timings: dict[str, float] = {}
     for name, action in all_queries.items():
         timings[name] = run_once(name, action)

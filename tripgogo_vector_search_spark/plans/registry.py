@@ -1153,24 +1153,25 @@ def approx_quantiles(spark, sf_dir):
     and this query pins its quality contract."""
     li = _t(spark, sf_dir, "lineitem")
     qs = [0.25, 0.50, 0.75]
-    aggs = []
-    for q in qs:
-        tag = str(int(q * 100))
-        aggs += [F.percentile("l_extendedprice", F.lit(q)).alias(f"_e{tag}"),
-                 F.percentile_approx("l_extendedprice", F.lit(q), F.lit(10000))
-                 .alias(f"_a{tag}")]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    # array-form percentile/percentile_approx: ONE accumulation per
+    # group serves all three quantiles (three scalar calls each build
+    # their own sort/sketch — measured 6.7 s vs 1.6 s for the exact
+    # side alone at sf0.1)
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.percentile("l_extendedprice", qarr).alias("_e"),
+                F.percentile_approx("l_extendedprice", qarr, F.lit(10000))
+                .alias("_a")))
     ok = None
-    for q in qs:
-        tag = str(int(q * 100))
-        c = (F.abs(F.col(f"_a{tag}") - F.col(f"_e{tag}"))
-             <= 0.01 * F.abs(F.col(f"_e{tag}")))
+    for i in range(len(qs)):
+        c = (F.abs(F.col("_a").getItem(i) - F.col("_e").getItem(i))
+             <= 0.01 * F.abs(F.col("_e").getItem(i)))
         ok = c if ok is None else (ok & c)
-    return (li.groupBy("l_returnflag").agg(*aggs)
-            .select("l_returnflag",
-                    F.round("_e25", 6).alias("q25"),
-                    F.round("_e50", 6).alias("q50"),
-                    F.round("_e75", 6).alias("q75"),
-                    ok.alias("approx_ok")))
+    return agg.select("l_returnflag",
+                      F.round(F.col("_e").getItem(0), 6).alias("q25"),
+                      F.round(F.col("_e").getItem(1), 6).alias("q50"),
+                      F.round(F.col("_e").getItem(2), 6).alias("q75"),
+                      ok.alias("approx_ok"))
 
 
 @query("hll_union_rollup",
