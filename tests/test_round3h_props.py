@@ -365,7 +365,7 @@ def test_trend_slope_matches_numpy_polyfit(spark):
     for et, (xs, ys) in by_type.items():
         slope = np.polyfit(np.array(xs, dtype=np.float64),
                            np.array(ys, dtype=np.float64), 1)[0]
-        want = slope * 86400.0 * 100  # cents/sec -> cents/day x100 scale
+        want = slope * 86400.0  # cents/sec -> cents/day
         # polyfit solves the same least squares by a different
         # numerical route (QR vs closed form): allow relative slack
         assert got[et] == pytest.approx(want, rel=1e-4), et
