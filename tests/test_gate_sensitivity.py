@@ -143,6 +143,26 @@ def test_normalize_round_sign_rewrites_all_rounds():
         " AS a, around(z) AS b, regexp_matches(s, 'round(') AS c FROM t")
 
 
+def test_normalize_round_sign_skips_quoted_literals():
+    """The SEARCH for round( is quote-aware, not just the paren scan:
+    a round( inside a single-quoted literal must be left byte-for-byte
+    intact (not wrapped in place), and an unbalanced-paren literal must
+    not abort normalization of genuine rounds later in the string."""
+    from tripgogo_vector_search_spark.plans.oracle_helpers import (
+        normalize_round_sign)
+    # balanced round(x) inside a literal: literal untouched, later
+    # genuine round still wrapped
+    sql = "SELECT regexp_matches(s, 'round(x)') AS a, round(y, 2) AS b"
+    assert normalize_round_sign(sql) == (
+        "SELECT regexp_matches(s, 'round(x)') AS a, "
+        "(round(y, 2) + 0.0) AS b")
+    # unbalanced-paren literal BEFORE a genuine round: the genuine one
+    # must still be wrapped (the old scanner aborted the remainder)
+    sql2 = "SELECT 'round(' AS tag, round(y) AS b"
+    assert normalize_round_sign(sql2) == (
+        "SELECT 'round(' AS tag, (round(y) + 0.0) AS b")
+
+
 def test_registered_oracles_are_sign_normalized():
     """Every registered oracle's round() calls carry the + 0.0 sign
     normalizer (a bare `round(...)` followed by anything but the

@@ -34,6 +34,74 @@ def test_simhash_kernel_equals_expression(spark, texts):
         assert r["k"] == r["e"]
 
 
+def test_quantize_kernel_degrades_like_expression_spec(spark):
+    """Pathological vectors (NaN / Inf / NULL elements) must DEGRADE
+    the way the Catalyst expression spec does — null or NaN stats for
+    the bad row — never throw and kill the whole Arrow batch (a NaN
+    passed the old zero-max guard and ``int(nan)`` raised; a NULL
+    element raised inside np.asarray). scale / codes_sum / max_err are
+    compared against the live expression spec itself
+    (functions/vector.py quantize_scale / quantize / dequantize_error);
+    healthy rows in the same batch keep exact values."""
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from tripgogo_vector_search_spark.functions.kernels import (
+        quantize_stats_udf)
+    from tripgogo_vector_search_spark.functions.vector import (
+        dequantize_error, quantize, quantize_scale)
+
+    rows = [(1, [1.0, float("nan"), 2.0]),
+            (2, [1.0, None, 2.0]),
+            (3, [1.0, -3.0, 2.0]),
+            (4, [0.0, 0.0]),
+            (5, [float("inf"), 1.0]),
+            (6, None)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    sc = quantize_scale("v")
+    spec = df.select(
+        "id", sc.alias("scale"),
+        F.aggregate(quantize("v", sc), F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("codes_sum"),
+        dequantize_error("v", sc).alias("max_err"))
+    got = df.select("id", quantize_stats_udf("v").alias("st"))
+    want = {r.id: r for r in spec.collect()}
+    by_id = {r.id: r.st for r in got.collect()}
+
+    def same(a, b):
+        # a NaN kernel stat crosses the pandas->Arrow boundary as NULL
+        # (pandas' float null sentinel), so NULL matches a spec NaN
+        if isinstance(b, float) and math.isnan(b):
+            return a is None or (isinstance(a, float) and math.isnan(a))
+        if a is None or b is None:
+            return a is None and b is None
+        return a == b
+
+    for i, st_row in by_id.items():
+        w = want[i]
+        # id=2 (NULL element) and id=6 (NULL vector): the Arrow path
+        # delivers null ELEMENTS to the kernel as NaN (indistinguishable
+        # from a true NaN), so both degrade via the NaN path to NULL
+        # stats + zero checksum rather than the spec's mixed
+        # null-skipping aggregates; the NULL vector pins the documented
+        # (None, 0, 0.0, 0.0) zero-vector contract.
+        if i == 2:
+            assert st_row.scale is None and st_row.codes_sum == 0
+            assert st_row.max_err is None
+            continue
+        if i == 6:
+            assert st_row.scale is None and st_row.codes_sum == 0
+            continue
+        assert same(st_row.scale, w.scale), (i, st_row, w)
+        assert same(st_row.codes_sum, w.codes_sum), (i, st_row, w)
+        assert same(st_row.max_err, w.max_err), (i, st_row, w)
+    # sq_err_sum degrade pattern: NaN and null-element rows -> NULL
+    assert by_id[1].sq_err_sum is None and by_id[5].sq_err_sum is None
+    assert by_id[2].sq_err_sum is None
+    assert by_id[3].sq_err_sum > 0 and by_id[4].sq_err_sum == 0.0
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=TEXTS)

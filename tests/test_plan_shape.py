@@ -1196,18 +1196,26 @@ def test_activation_latency_pruned_rank_window(spark):
 
 
 def test_knn_label_accuracy_broadcast_eval(spark):
-    """1-NN label eval (r4: GEMM kernel): the small EVAL block is
-    collected and every corpus Arrow batch scores against it in one
-    BLAS multiply (MapInPandas) — the corpus side is streamed, never
-    broadcast or collected (the old plan broadcast the FULL corpus,
-    backwards at 100 TB); label attach joins broadcast the tiny
-    neighbor frame."""
+    """1-NN label eval (r4: GEMM kernel; r5: count-capped eval): the
+    small EVAL block is collected and every corpus Arrow batch scores
+    against it in one BLAS multiply (MapInPandas) — the corpus side is
+    streamed, never broadcast or collected (the old plan broadcast the
+    FULL corpus, backwards at 100 TB); label attach joins broadcast the
+    tiny neighbor frame. The eval set is capped by COUNT per label
+    (rank over md5(vec_id) <= KNN_EVAL_PER_LABEL), so the collected
+    GEMM query block is O(labels x N) at any corpus size, and the
+    capping window itself compiles to WindowGroupLimit — each map
+    partition ships at most labels x N rows into the label shuffle."""
+    from tripgogo_vector_search_spark.plans.registry import (
+        KNN_EVAL_PER_LABEL)
     plan = plan_of(QUERIES["knn_label_accuracy"](spark, SF_CORRECTNESS))
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # map-side eval-cap pruning
+    assert KNN_EVAL_PER_LABEL <= 1000  # the collect bound is a constant
 
 
 def test_conversion_latency_no_raw_event_window(spark):

@@ -148,7 +148,34 @@ def quantize_stats_udf(vec_col: ColumnOrName) -> Column:
         import numpy as np
         scales, sums, maxes, sqs = [], [], [], []
         for v in vs:
-            arr = None if v is None else np.asarray(v, dtype=np.float64)
+            if v is None:
+                arr = None
+            else:
+                try:
+                    arr = np.asarray(v, dtype=np.float64)
+                except (TypeError, ValueError):
+                    # defensive: a plain-python list with None elements
+                    # (the Arrow path delivers null elements as NaN, so
+                    # in production this branch never fires)
+                    arr = np.asarray([np.nan if e is None else float(e)
+                                      for e in v], dtype=np.float64)
+            if arr is not None and arr.size and not np.isfinite(arr).all():
+                # NaN/Inf elements (null elements also land here — the
+                # Arrow list<double> path delivers them as NaN): the
+                # expression spec propagates NaN through the float stats
+                # (Spark NaN > 0 is TRUE, so the scale guard passes)
+                # while floor(NaN) cast to long is 0, zeroing the code
+                # checksum. Mirror that instead of letting int(nan)
+                # throw away the whole Arrow batch. A NaN stat crosses
+                # the pandas->Arrow boundary back out as NULL (pandas'
+                # float null sentinel), so the Spark-visible degrade is
+                # NULL stats + zero checksum; Inf survives as Inf.
+                mx = float(np.abs(arr).max())  # nan or inf
+                scales.append(mx / 127.0)
+                sums.append(0)
+                maxes.append(float("nan"))
+                sqs.append(float("nan"))
+                continue
             if arr is None or arr.size == 0 or not float(np.abs(arr).max()):
                 # NULL/empty/zero vector: NULL scale, all-zero codes,
                 # exact reconstruction — same as the expression spec
@@ -164,7 +191,9 @@ def quantize_stats_udf(vec_col: ColumnOrName) -> Column:
             sums.append(int(codes.sum()))
             maxes.append(float(np.abs(err).max()))
             sqs.append(float(sum((err * err).tolist())))
-        return pd.DataFrame({"scale": scales, "codes_sum": sums,
+        # nullable Int64 so a None codes_sum survives the Arrow cast
+        return pd.DataFrame({"scale": scales,
+                             "codes_sum": pd.array(sums, dtype="Int64"),
                              "max_err": maxes, "sq_err_sum": sqs})
 
     return _q(_c(vec_col))

@@ -67,8 +67,13 @@ def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
     that the per-pair loop dominates. Candidate traffic is
     |queries| x k per partition, independent of corpus size. Distances
     use float64 BLAS accumulation, which can differ from the sequential
-    fold by ~1 ulp — rounding to 6 dp absorbs it (parity-checked against
-    the same DuckDB oracle as sim_join at both test SFs).
+    fold by ~1 ulp — so distances are rounded to 6 dp BEFORE the
+    partition-local top-k and the global rank window, not just on
+    output: the neighbor CHOICE (argmin) is then decided on the same
+    6-dp value an exact-fold oracle computes, and an ulp-level BLAS
+    near-tie cannot flip which neighbor wins (ties at 6 dp break by
+    neighbor_id on both sides). Oracles for GEMM-backed queries mirror
+    ``round(d, 6)`` in their ORDER BY.
     """
     import numpy as np
     import pandas as pd
@@ -89,7 +94,8 @@ def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
             C = np.array([list(map(float, v)) for v in pdf[corpus_vec]],
                          dtype=np.float64)
             cnorm = np.sqrt((C * C).sum(axis=1))
-            dist = 1.0 - (C @ Q.T) / np.outer(cnorm, qnorm)
+            # round BEFORE ranking so the argmin is ulp-drift-proof
+            dist = np.round(1.0 - (C @ Q.T) / np.outer(cnorm, qnorm), 6)
             for j in range(len(qids)):
                 col = dist[:, j]
                 mask = ids != qids[j] if exclude_self else np.ones(

@@ -15,6 +15,37 @@ from collections.abc import Sequence
 _ROUND_CALL = re.compile(r"(?<![A-Za-z0-9_])round\s*\(", re.IGNORECASE)
 
 
+def _next_round_match(sql: str) -> "re.Match | None":
+    """First ``round(`` match OUTSIDE single-quoted SQL literals.
+
+    A bare ``_ROUND_CALL.search`` would also hit a ``round(`` spelled
+    inside a string literal (e.g. a regexp pattern), and then either
+    corrupt the literal by wrapping it in place or — when the literal
+    leaves parens unbalanced — abort normalization for the whole
+    remainder. Scan with the same quote-skip loop the paren scanner
+    uses so literals are transparent to the search. ``--`` line
+    comments are skipped too: an apostrophe in comment prose (\"the
+    Spark side's ...\") would otherwise flip the quote state and
+    swallow every genuine round( after it."""
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "-" and sql.startswith("--", i):
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl + 1
+            continue
+        if sql[i] == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+            i += 1
+            continue
+        m = _ROUND_CALL.match(sql, i)
+        if m:
+            return m
+        i += 1
+    return None
+
+
 def normalize_round_sign(sql: str) -> str:
     """Rewrite every ``round(...)`` in an oracle SQL string to
     ``(round(...) + 0.0)``.
@@ -29,11 +60,13 @@ def normalize_round_sign(sql: str) -> str:
     ``+0.0`` (IEEE round-to-nearest) and is exact for every other value,
     so applying it blanket-fashion at registration is safe.
 
-    The scanner is quote-aware (skips single-quoted SQL literals when
-    matching the closing paren) and recurses into both the call
-    arguments and the remainder, so nested rounds are wrapped too.
+    The scanner is quote-aware at BOTH steps — finding the next
+    ``round(`` (a ``round(`` inside a quoted literal is never a match)
+    and matching its closing paren (quoted parens don't count) — and
+    recurses into both the call arguments and the remainder, so nested
+    rounds are wrapped too.
     """
-    m = _ROUND_CALL.search(sql)
+    m = _next_round_match(sql)
     if not m:
         return sql
     j = m.end() - 1  # at '('
@@ -41,7 +74,10 @@ def normalize_round_sign(sql: str) -> str:
     n = len(sql)
     while j < n:
         c = sql[j]
-        if c == "'":
+        if c == "-" and sql.startswith("--", j):
+            nl = sql.find("\n", j)
+            j = (n if nl < 0 else nl) - 1  # -1: loop's += 1 lands on \n
+        elif c == "'":
             j += 1
             while j < n and sql[j] != "'":
                 j += 1

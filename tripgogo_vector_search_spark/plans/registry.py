@@ -541,13 +541,32 @@ def sim_join_q(spark, sf_dir):
     return similarity_join(e, q, k=3)
 
 
-@query("sim_join_gemm", ORACLES["sim_join"])
+@query("sim_join_gemm",
+       f"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 25 = 0),
+           scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round({sql_cosine_distance('c.embedding',
+                                               'q.embedding')}, 6) AS d,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY round({sql_cosine_distance('c.embedding',
+                                                          'q.embedding')},
+                                     6) ASC,
+                               c.vec_id ASC) AS rank
+             FROM embeddings c CROSS JOIN q
+             WHERE c.vec_id != q.vec_id)
+           SELECT query_id, neighbor_id, rank, d AS distance_score
+           FROM scored WHERE rank <= 3""")
 def sim_join_gemm_q(spark, sf_dir):
     """The same join, GEMM physical strategy: per-Arrow-batch BLAS
     ``C @ Q.T`` with partition-local top-k, then a tiny global window.
-    Same oracle as sim_join — two physical plans, one semantics; the
-    vectorized path wins when the query set is large (per-pair codegen
-    loop amortized into one matrix multiply per batch)."""
+    Same semantics as sim_join, but its oracle ranks on round(d, 6) to
+    mirror the kernel's round-before-argmin (BLAS accumulation can sit
+    ~1 ulp off the sequential fold; deciding the neighbor on the 6-dp
+    value on BOTH sides makes the argmin drift-proof). The vectorized
+    path wins when the query set is large (per-pair codegen loop
+    amortized into one matrix multiply per batch)."""
     from ..operators.simjoin import similarity_join_gemm
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 25 == 0)
@@ -6539,16 +6558,25 @@ def activation_latency_quartiles(spark, sf_dir):
                  pick(0.75, "q3_seconds"))
 
 
+#: fixed per-label eval-set cap for knn_label_accuracy — the GEMM
+#: query-block collect is bounded by labels x this, at ANY corpus size.
+KNN_EVAL_PER_LABEL = 100
+
 @query("knn_label_accuracy",
-       f"""WITH p AS (SELECT a.vec_id, a.label,
-                             b.label AS nb_label,
-                             row_number() OVER (PARTITION BY a.vec_id
-                               ORDER BY {sql_cosine_distance('a.embedding',
-                                                             'b.embedding')}
-                                        ASC, b.vec_id ASC) AS rn
-                      FROM (SELECT * FROM embeddings
-                            WHERE vec_id % 10 = 0) a
-                      JOIN embeddings b ON a.vec_id <> b.vec_id)
+       f"""WITH e AS (SELECT vec_id, label, embedding,
+                             row_number() OVER (PARTITION BY label
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                        vec_id) AS hrk
+                      FROM embeddings),
+           p AS (SELECT a.vec_id, a.label,
+                        b.label AS nb_label,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY round({sql_cosine_distance('a.embedding',
+                                                              'b.embedding')},
+                                         6) ASC, b.vec_id ASC) AS rn
+                 FROM (SELECT * FROM e
+                       WHERE hrk <= {KNN_EVAL_PER_LABEL}) a
+                 JOIN embeddings b ON a.vec_id <> b.vec_id)
           SELECT label, count(*) AS n_vecs,
                  CAST(count(*) FILTER (WHERE nb_label = label) AS BIGINT)
                    AS n_correct,
@@ -6562,23 +6590,29 @@ def knn_label_accuracy(spark, sf_dir):
     clustering, or label-filtered retrieval, whatever the loss curve
     said. Exact all-pairs at evaluation scale (this is an EVAL you run
     on a sample — the same bounded-by-design contract as
-    ann_recall_eval; at 100 TB you'd sample per label); the per-vector
-    argmin is one window over the broadcast self-join, then one
-    bounded-key aggregate."""
+    ann_recall_eval); the per-vector argmin is the GEMM kernel, then
+    one bounded-key aggregate.
+
+    The EVALUATED side is a deterministic COUNT-CAPPED per-label
+    sample: rank by md5(vec_id) within each label, keep the first
+    KNN_EVAL_PER_LABEL (r5 — replaces the r4 ``vec_id % 10`` modulus,
+    a fixed FRACTION whose driver collect grew linearly with the
+    corpus; the cap makes the collected GEMM query block
+    O(labels x N) at any scale). md5 is order-portable to the DuckDB
+    oracle, and rank<=N compiles to WindowGroupLimit, so each map
+    partition ships at most labels x N rows into the label shuffle —
+    the capping window itself is scale-safe, not just the collect.
+    Neighbors still scan the full corpus, so the metric is exact for
+    the sampled points. Distances are rounded to 6 dp BEFORE the
+    argmin on both sides (see similarity_join_gemm) so BLAS-vs-fold
+    ulp drift cannot flip a near-tie neighbor choice."""
     from ..operators.simjoin import similarity_join_gemm
     emb = _t(spark, sf_dir, "embeddings")
-    # the EVALUATED side is a deterministic 10% sample (the metric's
-    # cost is |eval| x |corpus|; evaluating every vector is quadratic
-    # and adds nothing statistically) — neighbors still scan the full
-    # corpus so the metric itself is exact for the sampled points.
-    # Physical strategy (r4): the GEMM kernel — the small eval block is
-    # collected and every corpus Arrow batch scores against it with one
-    # BLAS multiply, partition-local top-1 only leaving the executor.
-    # This replaces a broadcast of the FULL corpus + 3.6M interpreted
-    # higher-order-fn cosine folds (the r4 sweep's slowest query,
-    # 10.1 s -> ~1 s at sf0.1) and is the scale-correct direction: the
-    # corpus is streamed, never collected or broadcast.
-    evalset = emb.filter(F.col("vec_id") % 10 == 0)
+    hw = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    evalset = (emb.withColumn("hrk", F.row_number().over(hw))
+               .filter(F.col("hrk") <= KNN_EVAL_PER_LABEL)
+               .drop("hrk"))
     nn = similarity_join_gemm(emb, evalset, k=1, exclude_self=True)
     lbl = emb.select(F.col("vec_id").alias("query_id"), "label")
     nbl = emb.select(F.col("vec_id").alias("neighbor_id"),
