@@ -134,28 +134,15 @@ def run(spark, op: str, k: int) -> dict:
              .filter(F.col("rk") <= 3))
         elapsed = time.perf_counter() - t0
     elif op == "fuzzy_join":
+        # the EXACT production plan (operators/fuzzy), parameterized on
+        # the replicated frame — no inline re-implementation to drift
+        from tripgogo_vector_search_spark.operators.fuzzy import (
+            fuzzy_blocked_self_join)
         part = replicated_part(spark, k).cache()
         part.count()
         t0 = time.perf_counter()
-        p = (part.select("p_partkey", "p_name",
-                         F.length("p_name").alias("ln"),
-                         F.split("p_name", " ").getItem(1).alias("noun"),
-                         F.substring("p_name", 1, 1).alias("c1"))
-             .withColumn("bkt", F.floor(F.col("ln") / 4)))
-        a = (p.withColumn("probe", F.explode(F.array(
-                 F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)))
-             .repartition(spark.sparkContext.defaultParallelism)
-             .alias("a"))
-        b = p.alias("b")
-        dist_t = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
-        noop(a.join(b, (F.col("a.noun") == F.col("b.noun"))
-                    & (F.col("a.c1") == F.col("b.c1"))
-                    & (F.col("a.probe") == F.col("b.bkt"))
-                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-                    & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 3))
-             .withColumn("dist", dist_t).filter(F.col("dist") >= 0)
-             .select(F.col("a.p_partkey").alias("key_a"),
-                     F.col("b.p_partkey").alias("key_b"), "dist"))
+        noop(fuzzy_blocked_self_join(part)
+             .select("key_a", "key_b", "dist"))
         elapsed = time.perf_counter() - t0
         part.unpersist()
     elif op == "simhash_hamming":

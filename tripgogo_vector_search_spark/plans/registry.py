@@ -3056,51 +3056,18 @@ def argmax_agg(spark, sf_dir):
                AND a.p_partkey < b.p_partkey
           WHERE levenshtein(a.p_name, b.p_name) <= 3""")
 def fuzzy_join(spark, sf_dir):
-    """Blocked fuzzy (edit-distance) self-join — entity-resolution style.
-
-    The query's semantic block is (noun, first modifier char); to keep
-    that block from going quadratic at scale, the NECESSARY length band
-    (|len_a - len_b| <= 3 for edit distance <= 3) is folded INTO the
-    equi-join key as a length bucket: width B=4 > band 3, so a
-    qualifying pair differs by at most one bucket, and probing side A
-    against {bkt-1, bkt, bkt+1} finds every pair exactly once (side B's
-    bucket is a single value). Candidates then grow with pairs per
-    (block x length-class), not per block — on a corpus with mixed
-    lengths (replica slope test in tools/scale_slopes.py) that is the
-    difference between k^2 and ~k candidate growth. The residual exact
-    band + THRESHOLDED levenshtein (Spark's 3-arg form abandons the DP
-    past the bound, returning -1, but is exact for survivors) verify
-    inside the bucket.
-
-    The probe side is also repartitioned to the session's parallelism:
-    a dimension-sized self-join otherwise probes from a SINGLE parquet
-    split, serializing the whole quadratic stage on one core (measured
-    8.0 s -> 0.8 s at sf0.1 on local[32]). At 100 TB the scan splits
-    naturally and the round-robin exchange stays linear and tiny
-    relative to the pair stage."""
-    p = (_t(spark, sf_dir, "part")
-         .select("p_partkey", "p_name",
-                 F.length("p_name").alias("ln"),
-                 F.split("p_name", " ").getItem(1).alias("noun"),
-                 F.substring("p_name", 1, 1).alias("c1"))
-         .withColumn("bkt", F.floor(F.col("ln") / 4)))
-    a = (p.withColumn("probe", F.explode(F.array(
-             F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)))
-         .repartition(spark.sparkContext.defaultParallelism)
-         .alias("a"))
-    b = p.alias("b")
-    dist_t = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
-    return (a.join(b, (F.col("a.noun") == F.col("b.noun"))
-                   & (F.col("a.c1") == F.col("b.c1"))
-                   & (F.col("a.probe") == F.col("b.bkt"))
-                   & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-                   & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 3))
-            .withColumn("dist", dist_t)
-            .filter(F.col("dist") >= 0)
-            .select(F.col("a.p_partkey").alias("key_a"),
-                    F.col("b.p_partkey").alias("key_b"),
-                    F.col("a.p_name").alias("name_a"),
-                    F.col("b.p_name").alias("name_b"), "dist"))
+    """Blocked fuzzy (edit-distance) self-join — entity-resolution
+    style. The plan lives in operators/fuzzy.fuzzy_blocked_self_join
+    (shared with the tools/scale_slopes.py harness, so the measured
+    1x/2x/4x slope is THIS plan by construction): (noun, c1) block with
+    the edit-distance length band folded into the equi-join key as a
+    length bucket, probe-side {bkt-1, bkt, bkt+1} explosion, probe
+    repartition to session parallelism, thresholded levenshtein
+    verification — see the operator module docstring for why each piece
+    is what keeps the block from going quadratic at 100 TB."""
+    from ..operators.fuzzy import fuzzy_blocked_self_join
+    return fuzzy_blocked_self_join(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_name"))
 
 
 @query("funnel_stages",
