@@ -108,19 +108,17 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # min of two passes: steady-state cost, robust to co-tenant noise
-    # (single-pass numbers on a shared host swing 3-5x run to run)
+    # min of THREE full passes (r5 — was 2 + a >2s third pass): the r4
+    # numbers drifted a uniform +18% with no plan changes, which
+    # min-of-2 let through; a third sample of EVERYTHING costs ~40 s
+    # and makes round-over-round deltas attributable to plans, not
+    # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
     all_queries = HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
     timings: dict[str, float] = {}
     for name, action in all_queries.items():
         timings[name] = run_once(name, action)
-    for name, action in all_queries.items():
-        timings[name] = round(min(timings[name], run_once(name, action)), 3)
-    # third pass for the heavy hitters only: they dominate the total, so
-    # co-tenant noise landing on both of their first two runs moves the
-    # headline number most — one more sample is cheap insurance
-    for name, action in all_queries.items():
-        if timings[name] > 2.0:
+    for _ in range(2):
+        for name, action in all_queries.items():
             timings[name] = round(min(timings[name], run_once(name, action)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

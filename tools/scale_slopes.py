@@ -70,6 +70,35 @@ def replicated_part(spark, k: int):
     return df
 
 
+def replicated_sf_dir(k: int) -> str:
+    """A temp sf-dir with documents+embeddings replicated k times
+    (distinct ids, all other columns preserved), so registry plans can
+    run END-TO-END exactly as shipped — QUERIES[name](spark, dir) —
+    instead of being re-implemented inline here. Single-file parquet
+    via pyarrow (driver-local; fine at harness scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/slope_sf_x{k}"
+    done = os.path.join(out, "_done")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    stride = 10_000_000
+    for tbl, idc in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        base = pq.read_table(f"{SF_DIR}/{tbl}.parquet")
+        reps = []
+        for i in range(k):
+            ids = pc.add(base.column(idc), i * stride)
+            reps.append(base.set_column(
+                base.schema.get_field_index(idc), idc, ids))
+        pq.write_table(pa.concat_tables(reps),
+                       os.path.join(out, f"{tbl}.parquet"))
+    open(done, "w").close()
+    return out
+
+
 def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
@@ -186,6 +215,16 @@ def run(spark, op: str, k: int) -> dict:
         noop(j.select("lang", "token", "tf_lang",
                       F.row_number().over(w).alias("rk"))
              .filter(F.col("rk") <= 5).select("lang", "token", "tf_lang"))
+        elapsed = time.perf_counter() - t0
+    elif op in ("knn_label_accuracy", "embed_quantize",
+                "quantization_error", "hybrid_search_rrf"):
+        # r5: the four queries re-planned in r4 (GEMM 1-NN, numpy
+        # quantize kernel, single-ArrowEvalPython RRF) — run the EXACT
+        # registry plan end-to-end on a replicated sf-dir
+        from tripgogo_vector_search_spark.plans.registry import QUERIES
+        d = replicated_sf_dir(k)
+        t0 = time.perf_counter()
+        QUERIES[op](spark, d).collect()
         elapsed = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown op {op}")
