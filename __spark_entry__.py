@@ -27,41 +27,38 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 4: evidence round — ZERO new queries. Head = the one red r3
-    # row (ann_knn_join, negative-zero fix) and the keys whose behavior
-    # changed this round (fuzzy_join plan, dedup_pair_audit_sample
-    # star-edge oracle, trend_slope unit), then ALL 74 registry keys
-    # that had no driver CORRECTNESS row across r01-r03, prioritized:
-    # kmeans_lloyd / sql_passthrough / orc_roundtrip / tpch batch-3 /
-    # the five streaming queries / the ANN-calibration set anchor the
-    # round-3 claims. The driver's 50-slot window clears the first 50;
-    # the residual ~26 lead round 5's window.
-    "ann_knn_join", "fuzzy_join", "dedup_pair_audit_sample", "trend_slope",
-    "kmeans_lloyd", "sql_passthrough", "orc_roundtrip", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19",
-    "tpch_q22", "stream_quality_filter", "stream_event_alert",
-    "stream_hop_window", "hop_window_agg", "observed_ingest",
-    "ann_recall_eval", "kmeans_assign", "embedding_drift",
-    "knn_label_accuracy", "filtered_knn", "hybrid_search_rrf",
-    "multimodal_frame_sample", "mixture_weights", "quantization_error",
-    "group_sample_balanced", "near_dup_cluster_stats",
-    "event_rate_profile", "vocab_topk", "lang_confusion", "quality_gate",
-    "token_count_histogram", "corr_pairs", "lang_distinctive_terms",
-    "user_retention_cohorts", "orders_rfm", "dedup_rate_by_source",
-    "schema_profile", "value_outlier_iqr", "novelty_by_source",
-    "minhash_threshold_sweep", "kmv_distinct_sketch",
-    "shingle_df_histogram", "pipeline_funnel", "near_dup_cross_source",
-    "event_transitions", "copurchase_lift", "minhash_band_recall",
-    "resample_zero_fill", "percentile_cont_exact", "median_impute",
-    "seasonality_profile", "referential_integrity_audit",
-    "norm_outlier_screen", "token_fertility_by_lang",
-    "embedding_coverage_audit", "first_touch_attribution",
-    "corpus_summary_report", "dedup_cluster_examples", "char_trigrams_top",
-    "source_concentration_gini", "revenue_growth_yoy", "null_safe_join",
-    "activation_latency_quartiles", "conversion_latency",
-    "revenue_concentration_hhi", "daily_volume_anomalies",
-    "sample_bias_audit", "ann_index_occupancy", "quality_by_length_decile",
-    "event_type_share_trend", "dup_multiplicity_histogram",
+    # ROUND 5: breadth frozen again — ZERO new queries. Head = the 26
+    # registry keys with NO driver CORRECTNESS row across r01-r04 (the
+    # tail of r3's breadth; clearing them makes coverage 218/218), then
+    # every key whose behavior changed this round (knn_label_accuracy
+    # count-capped eval + rounded-argmin oracle; sim_join_gemm
+    # round-before-top-k kernel + own rounded-ORDER-BY oracle;
+    # fuzzy_join plan extracted to operators/fuzzy; the quantize
+    # kernel's degrade guard; hybrid/sim_join adjacency), then r4
+    # anchors for re-confirmation. 26 + 7 + anchors fit the 50-slot
+    # window with room to spare.
+    "activation_latency_quartiles", "ann_index_occupancy",
+    "char_trigrams_top", "conversion_latency", "copurchase_lift",
+    "corpus_summary_report", "daily_volume_anomalies",
+    "dedup_cluster_examples", "dup_multiplicity_histogram",
+    "embedding_coverage_audit", "event_type_share_trend",
+    "first_touch_attribution", "median_impute", "minhash_band_recall",
+    "norm_outlier_screen", "null_safe_join", "percentile_cont_exact",
+    "quality_by_length_decile", "referential_integrity_audit",
+    "resample_zero_fill", "revenue_concentration_hhi",
+    "revenue_growth_yoy", "sample_bias_audit", "seasonality_profile",
+    "source_concentration_gini", "token_fertility_by_lang",
+    # --- r5 behavior changes ---
+    "knn_label_accuracy", "sim_join_gemm", "fuzzy_join",
+    "embed_quantize", "quantization_error", "sim_join",
+    "hybrid_search_rrf",
+    # --- re-confirmation anchors (r4 fixes + watch-list) ---
+    "trend_slope", "ann_knn_join", "dedup_pair_audit_sample",
+    "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
+    "kmeans_lloyd", "ann_recall_eval", "bm25_score", "tpch_q18",
+    "embed_text", "filtered_knn", "simhash_hamming_dedup",
+    "dedup_keep_best", "jaccard_topk_per_doc", "approx_quantiles",
+    "knn_topk",
 ]
 
 
