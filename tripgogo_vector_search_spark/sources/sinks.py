@@ -24,9 +24,37 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
-               batchsize: int = 10_000, **options) -> None:
+               batchsize: int = 10_000, ensure_table: str | None = None,
+               driver_class: str | None = None, **options) -> None:
     """Batched JDBC sink. Requires the target's JDBC driver jar on the
-    classpath (not bundled here); raises whatever Spark raises without it."""
+    classpath (not bundled here); raises whatever Spark raises without it.
+
+    ``ensure_table``: optional DDL (e.g. ``CREATE TABLE IF NOT EXISTS
+    ...``) executed once through ``java.sql.DriverManager`` before the
+    distributed write. Needed for dialect-less targets: Spark probes
+    table existence with ``SELECT 1 FROM t WHERE 1=0`` and relies on
+    the dialect classifying the failure as "object not found"; a driver
+    outside Spark's dialect registry (e.g. DuckDB — the live-roundtrip
+    test target) surfaces the probe's SQLException as a hard error
+    instead of triggering CREATE TABLE. Pre-creating the table makes
+    ``append`` a pure batched-INSERT job, which is also the portable
+    contract the reference's ingest assumes (ingest_hotels.py:21-36
+    inserts into a pre-existing table).
+
+    ``driver_class``: force-load a driver class first (ServiceLoader
+    registration can be skipped for jars added via spark.jars at
+    session-build time)."""
+    if ensure_table is not None:
+        jvm = df.sparkSession._jvm
+        if driver_class:
+            jvm.java.lang.Class.forName(driver_class)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            st.execute(ensure_table)
+            st.close()
+        finally:
+            conn.close()
     (df.write.mode(mode)
        .format("jdbc")
        .option("url", url)
