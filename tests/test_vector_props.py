@@ -90,6 +90,69 @@ def test_match_score_contract(spark):
     assert [r["m"] for r in rows] == [100.0, 87.65, -100.0]
 
 
+def test_gemm_and_broadcast_simjoin_agree(spark):
+    """Two independent physical strategies, one semantics: the BLAS
+    GEMM path (round-before-argmin, partition-local top-k) and the
+    broadcast+codegen-expression path must emit the SAME neighbor sets,
+    ranks, and 6-dp distances on random vectors — the strategy-level
+    analogue of the oracle gate, and the guard that the r5
+    round-before-top-k change is semantics-preserving."""
+    from tripgogo_vector_search_spark.operators.simjoin import (
+        similarity_join, similarity_join_gemm)
+    df = (_df(spark).select(F.col("id").cast("long").alias("vec_id"),
+                            F.col("a").alias("embedding")))
+    q = df.filter(F.col("vec_id") % 7 == 0)
+    want = {tuple(r) for r in similarity_join(df, q, k=3).collect()}
+    got = {tuple(r) for r in similarity_join_gemm(df, q, k=3).collect()}
+    assert got == want
+    assert len(got) == 3 * ((N - 1) // 7 + 1)
+
+
+def test_knn_label_accuracy_matches_numpy_bruteforce(spark):
+    """Third implementation: exact numpy leave-one-out 1-NN over the
+    sf fixture — same capped eval set (per-label md5 rank), cosine by
+    direct vectorized math rounded to 6 dp like the engine, argmin with
+    (distance, vec_id) tie-break. Independent of both Spark and the
+    DuckDB oracle."""
+    import collections
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tripgogo_vector_search_spark.plans.registry import (
+        KNN_EVAL_PER_LABEL, QUERIES)
+
+    t = pq.read_table(f"{SF_CORRECTNESS}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    ids = np.array(t.column(0).to_pylist(), dtype=np.int64)
+    labels = t.column(1).to_pylist()
+    X = np.array(t.column(2).to_pylist(), dtype=np.float64)
+    # capped eval set: first N per label by (md5(str(id)), id)
+    by_label = collections.defaultdict(list)
+    for i, (vid, lbl) in enumerate(zip(ids, labels)):
+        by_label[lbl].append(
+            (hashlib.md5(str(vid).encode()).hexdigest(), vid, i))
+    eval_idx = [i for lbl in by_label
+                for _, _, i in sorted(by_label[lbl])[:KNN_EVAL_PER_LABEL]]
+    norms = np.sqrt((X * X).sum(axis=1))
+    hits = collections.Counter()
+    tot = collections.Counter()
+    for i in eval_idx:
+        d = np.round(1.0 - (X @ X[i]) / (norms * norms[i]), 6)
+        order = np.lexsort((ids, d))
+        nb = order[0] if ids[order[0]] != ids[i] else order[1]
+        tot[labels[i]] += 1
+        hits[labels[i]] += labels[nb] == labels[i]
+    got = {r.label: (r.n_vecs, r.n_correct, r.knn_accuracy)
+           for r in QUERIES["knn_label_accuracy"](
+               spark, SF_CORRECTNESS).collect()}
+    assert set(got) == set(tot)
+    for lbl in tot:
+        want = (tot[lbl], hits[lbl], round(hits[lbl] / tot[lbl], 6))
+        assert got[lbl] == want, (lbl, got[lbl], want)
+
+
 def test_approx_count_distinct_within_tolerance(spark):
     """Sketch aggregates are the 100 TB path for distinct counts (HLL++:
     fixed memory, one pass, mergeable across partitions). Exactness is
