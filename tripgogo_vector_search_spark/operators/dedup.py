@@ -410,16 +410,26 @@ def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
     cand = ngram_jaccard_prefix_candidates(docset, t, df_cap)
     # Exact verification, one pass over docset: explode each candidate
     # pair against the docset with two plain equi-joins (attach a's
-    # ranked set, then b's) and verify in a single projection — no
-    # aggregate anywhere. The previous shape (explode each pair into two
-    # member rows, join once, regroup per pair with collect_list) paid a
-    # full extra shuffle of array-carrying rows for the regroup; two
-    # joins move the 16-byte candidate rows instead and AQE broadcasts
-    # the docset side outright when it is small (measured 5.4 s -> 2.9 s
-    # at sf0.1). docset is parquet-backed (materialized), so the two
-    # scan references are cheap. Intersecting the dfreq>=2 ranked arrays
-    # equals the true shingle intersection — shared shingles always have
-    # dfreq >= 2 — while n_sh keeps the FULL count for the denominator.
+    # ranked set, then b's) and verify. The previous shape (explode each
+    # pair into two member rows, join once, regroup per pair with
+    # collect_list) paid a full extra shuffle of array-carrying rows for
+    # the regroup; two joins move the 16-byte candidate rows instead and
+    # AQE broadcasts the docset side outright when it is small (measured
+    # 5.4 s -> 2.9 s at sf0.1). docset is parquet-backed (materialized),
+    # so the two scan references are cheap. Intersecting the dfreq>=2
+    # ranked arrays equals the true shingle intersection — shared
+    # shingles always have dfreq >= 2 — while n_sh keeps the FULL count
+    # for the denominator.
+    #
+    # The intersect is computed as the INPUT of a map-side partial
+    # aggregate (min over the single-row pair group), not in a plain
+    # projection: a projected alias is re-inlined by CollapseProject and
+    # re-evaluated by the pushed-down threshold filter, so the plain
+    # shape runs array_intersect 2x per pair (measured 3.1 s; this shape
+    # 2.0 s at sf0.1, identical output). The aggregate is a barrier the
+    # optimizer can't substitute through, the partial evaluates the
+    # intersect exactly ONCE per pair on the map side, and only skinny
+    # (ids, counts) rows shuffle — the arrays never leave the map stage.
     a_side = docset.select(F.col("id").alias("id_a"),
                            F.col("n_sh").alias("n_a"),
                            F.col("rk").alias("rk_a"))
@@ -428,8 +438,11 @@ def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
                            F.col("rk").alias("rk_b"))
     two = cand.join(a_side, "id_a").join(b_side, "id_b")
     inter = F.size(F.array_intersect("rk_a", "rk_b"))
-    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    return (two.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    jac = (F.col("i").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("i")))
+    return (two.groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.min(inter).alias("i"))
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= t))
 
 
