@@ -1313,3 +1313,18 @@ def test_share_trend_and_dup_multiplicity_cascaded(spark):
     assert plan.count("HashAggregate") >= 8
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_simhash_hamming_join_based_pairs(spark):
+    """Banded SimHash (r5 shape): candidates come from a codegen band-
+    key equi-join of signature ROWS — no collect_list posting arrays,
+    no interpreted HOF pair expansion — and the signature frame is the
+    materialized per-corpus parquet, so no Arrow kernel runs at query
+    time. Bucket sizes attach via a SHUFFLE join (sub-cap keys are
+    corpus-scale at 100 TB; broadcasting them would be a scale bug)."""
+    plan = plan_of(QUERIES["simhash_hamming_dedup"](spark,
+                                                    SF_CORRECTNESS))
+    assert "collect_list" not in plan
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

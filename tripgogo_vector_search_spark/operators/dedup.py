@@ -602,7 +602,8 @@ def minhash_components_from_bands(bands_df: DataFrame, ids_df: DataFrame,
 
 
 def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
-                         radius: int = 3, posting_cap: int = 1024) -> DataFrame:
+                         radius: int = 3, posting_cap: int = 1024,
+                         sigs: DataFrame | None = None) -> DataFrame:
     """Hamming-radius SimHash near-dup — the scale path past
     exact-signature grouping: split the 32-bit signature into 4 bands of
     8; any pair within hamming distance <= 3 must agree exactly on at
@@ -616,16 +617,38 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
     ``posting_cap``: buckets larger than the cap collapse to exact-
     signature star edges (identical signatures are trivially within any
     radius), skipping cross-signature verification inside that bucket —
-    a documented recall trade on degenerate corpora in exchange for a
-    bounded per-task pair array."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    a documented recall trade on degenerate corpora in exchange for
+    bounded per-bucket pair work.
+
+    ``sigs``: optional prebuilt ``(id, simhash)`` frame (the
+    build-once/join-many split — registry materializes it per corpus,
+    same pattern as the ngram docset and LSH band indexes). The plan
+    consumes the signature subtree several times and exchange reuse
+    does not cover the Arrow kernel, so handing in a parquet-backed
+    frame turns repeated kernel passes over the corpus into cheap scans
+    of an 8-byte-per-doc file.
+
+    Physical shape (r5): candidate pairs come from a band-key
+    EQUI-JOIN of the banded signature rows, not from collect_list
+    posting arrays expanded by nested higher-order functions — HOF
+    lambdas evaluate interpreted, and at sf0.1 the interpreted pair
+    expansion (~470k pairs) cost more than everything else combined
+    (measured 2.5 -> 1.3 s end-to-end; identical output). The join
+    keeps every pair inside whole-stage codegen, a singleton bucket
+    pairs with nothing (no >=2 filter needed), and bucket sizes attach
+    via a SHUFFLE join with the count aggregate — NOT a broadcast:
+    sub-cap keys are ~all buckets (corpus-scale at 100 TB, never
+    broadcastable), and both the size attach and the pair self-join
+    hash-partition on band_key, so the sizes exchange is reused and
+    per-key pair work stays bounded by the cap."""
+    if sigs is None:
+        sigs = simhash_signatures(df, text_col, id_col)
     # The 32-bit signature is converted to ONE int64 before banding:
-    # posting structs then carry 8 bytes instead of a 32-char string
-    # (~4x smaller pair intermediates — with 8-bit bands the sub-cap
-    # buckets still expand ~n*avg_bucket/2 pairs), and verification is
-    # a single bit_count(xor) instead of a 32-element char-compare fold
-    # (measured 16.3 s -> 3.4 s at sf0.1). Band keys stay derived from
-    # the bitstring so the oracle's banding is mirrored exactly.
+    # pair intermediates then carry 8 bytes instead of a 32-char string,
+    # and verification is a single bit_count(xor) instead of a
+    # 32-element char-compare fold (measured 16.3 s -> 3.4 s at sf0.1).
+    # Band keys stay derived from the bitstring so the oracle's banding
+    # is mirrored exactly.
     sigs = sigs.withColumn("sigint", F.conv("simhash", 2, 10).cast("long"))
     bands = sigs.select(
         F.col(id_col), F.col("sigint"),
@@ -633,33 +656,32 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
             F.concat(F.lit(f"{b}:"), F.substring("simhash", 1 + 8 * b, 8))
             for b in range(4)
         ])).alias("band_key"))
-    posts = (bands.groupBy("band_key").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"),
-                                F.col("sigint").alias("sig"))).alias("ds"))
-        .filter(F.size("ds") >= 2))
-    oversized = posts.filter(F.size("ds") > posting_cap)
-    posts = posts.filter(F.size("ds") <= posting_cap)
-    pair_arr = F.flatten(F.transform(
-        "ds",
-        lambda a: F.transform(
-            F.filter("ds", lambda b: b["id"] > a["id"]),
-            lambda b: F.struct(b["id"].alias("dup_id"), a["id"].alias("src_id"),
-                               b["sig"].alias("dup_sig"), a["sig"].alias("src_sig")),
-        ),
-    ))
-    pairs = (posts.select(F.explode(pair_arr).alias("p")).select("p.*")
-             .filter(F.bit_count(F.col("dup_sig").bitwiseXOR(F.col("src_sig")))
-                     <= radius))
-    # Oversized buckets: linear exact-signature star edges (explode to
-    # rows, min per signature) instead of quadratic pair expansion.
-    over_rows = (oversized.select(F.col("band_key"), F.explode("ds").alias("d"))
-                 .select("band_key", F.col("d.id").alias("id"),
-                         F.col("d.sig").alias("sig")))
-    over_min = over_rows.groupBy("band_key", "sig").agg(F.min("id").alias("src_id"))
+    sizes = (bands.groupBy("band_key")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2))
+    withn = bands.join(sizes, "band_key")
+    sub = withn.filter(F.col("n") <= posting_cap)
+    a_rows = sub.select("band_key", F.col(id_col).alias("src_id"),
+                        F.col("sigint").alias("src_sig"))
+    b_rows = sub.select("band_key", F.col(id_col).alias("dup_id"),
+                        F.col("sigint").alias("dup_sig"))
+    pairs = (a_rows.join(b_rows, "band_key")
+             .filter((F.col("dup_id") > F.col("src_id"))
+                     & (F.bit_count(F.col("dup_sig")
+                                    .bitwiseXOR(F.col("src_sig")))
+                        <= radius))
+             .select("dup_id", "src_id"))
+    # Oversized buckets: linear exact-signature star edges (min id per
+    # signature) instead of quadratic pair expansion.
+    over_rows = (withn.filter(F.col("n") > posting_cap)
+                 .select("band_key", F.col(id_col).alias("id"),
+                         F.col("sigint").alias("sig")))
+    over_min = over_rows.groupBy("band_key", "sig").agg(
+        F.min("id").alias("src_id"))
     over_edges = (over_rows.join(over_min, ["band_key", "sig"])
                   .filter(F.col("id") > F.col("src_id"))
                   .select(F.col("id").alias("dup_id"), F.col("src_id")))
-    edges = pairs.select("dup_id", "src_id").unionByName(over_edges)
+    edges = pairs.unionByName(over_edges)
     mins = edges.groupBy("dup_id").agg(F.min("src_id").alias("min_src"))
     return (df.select(id_col)
             .join(mins, df[id_col] == mins.dup_id, "left")
