@@ -150,25 +150,40 @@ def shingle_inverted_index(df: DataFrame, text_col: str, id_col: str,
                   if hash_shingle_key else F.col("sh")).alias("shingle"))
 
 
+def _posting_intersections(inv: DataFrame, df_cap: int) -> DataFrame:
+    """(id_a, id_b, n_a, n_b, inter) for every doc pair sharing >= 1
+    indexed shingle — the shared pair stage of the shingle-set family.
+
+    Pairs come from a shingle-key EQUI-JOIN of the inverted-index rows
+    (r5 — replaces collect_list posting arrays expanded by nested
+    higher-order functions: HOF lambdas evaluate interpreted, and the
+    per-posting pair array peaked at df_cap^2/2 structs inside a single
+    task; the join keeps every pair in whole-stage codegen and streams
+    them straight into the counting aggregate with no in-task array at
+    all). The df_cap stop-shingle filter attaches via a SHUFFLE join
+    with the per-shingle count aggregate — not a broadcast (sub-cap
+    shingles are vocabulary-scale at 100 TB); the sizes aggregate, the
+    attach join, and the pair self-join all hash-partition on the
+    shingle key, so the exchanges line up and are reused."""
+    sizes = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+             .filter((F.col("n") >= 2) & (F.col("n") <= df_cap)))
+    withn = inv.join(sizes, "shingle")
+    a = withn.select("shingle", F.col("id").alias("id_a"),
+                     F.col("n_sh").alias("n_a"))
+    b = withn.select("shingle", F.col("id").alias("id_b"),
+                     F.col("n_sh").alias("n_b"))
+    return (a.join(b, "shingle")
+            .filter(F.col("id_b") > F.col("id_a"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("inter")))
+
+
 def ngram_jaccard_pairs_from_inv(inv: DataFrame, min_jaccard: float = 0.0,
                                  df_cap: int = 1024) -> DataFrame:
     """Posting-list half of :func:`ngram_jaccard_pairs`, from a prebuilt
     (id, n_sh, shingle) inverted index — the reuse point when the index
-    is materialized per corpus."""
-    posts = (inv.groupBy("shingle").agg(
-        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
-    pair_arr = F.flatten(F.transform(
-        "ds",
-        lambda a: F.transform(
-            F.filter("ds", lambda b: b["id"] > a["id"]),
-            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
-                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
-        ),
-    ))
-    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
-    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
+    is materialized per corpus. Pair stage: `_posting_intersections`."""
+    inter = _posting_intersections(inv, df_cap)
     jac = (F.col("inter").cast("double")
            / (F.col("n_a") + F.col("n_b") - F.col("inter")))
     return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
@@ -179,21 +194,9 @@ def containment_pairs_from_inv(inv: DataFrame,
                                min_containment: float = 0.8,
                                df_cap: int = 1024) -> DataFrame:
     """Posting-list half of :func:`containment_pairs`, from a prebuilt
-    (id, n_sh, shingle) inverted index."""
-    posts = (inv.groupBy("shingle").agg(
-        F.collect_list(F.struct(F.col("id"), F.col("n_sh"))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
-    pair_arr = F.flatten(F.transform(
-        "ds",
-        lambda a: F.transform(
-            F.filter("ds", lambda b: b["id"] > a["id"]),
-            lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b"),
-                               a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b")),
-        ),
-    ))
-    pairs = posts.select(F.explode(pair_arr).alias("p")).select("p.*")
-    inter = (pairs.groupBy("id_a", "id_b", "n_a", "n_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
+    (id, n_sh, shingle) inverted index. Pair stage:
+    `_posting_intersections`."""
+    inter = _posting_intersections(inv, df_cap)
     c_ab = F.round(F.col("inter").cast("double") / F.col("n_a"), 6)
     c_ba = F.round(F.col("inter").cast("double") / F.col("n_b"), 6)
     return (inter.select("id_a", "id_b",
@@ -243,10 +246,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # P ~ d^2/2^65 — ~1e-8 at 1M distinct shingles, and parity vs the
     # string-keyed oracle is pinned at fixture scale. For exact counting
     # at extreme d, pass hash_shingle_key=False (string key, same plan).
-    # Posting-list pair generation: one shuffle (groupBy shingle), then
-    # per-posting pair expansion as an expression — beats a self-join,
-    # which would shuffle the inverted index twice AND recompute the
-    # shingle pipeline for both sides.
+    # Pair generation: shingle-key equi-join of index rows (see
+    # _posting_intersections) — codegen end to end, no per-task pair
+    # arrays; when the index is handed in materialized, both join sides
+    # are cheap parquet scans.
     inv = shingle_inverted_index(df, text_col, id_col, shingle_n,
                                  hash_shingle_key)
     return ngram_jaccard_pairs_from_inv(inv, min_jaccard, df_cap)
