@@ -904,15 +904,16 @@ def test_filtered_knn_pushes_filter_and_takeordered(spark):
 
 def test_hybrid_search_rrf_both_arms_take_ordered(spark):
     """Hybrid RRF: both ranker arms cut to top-20 via
-    TakeOrderedAndProject; the vector arm's embed pass is the Arrow
-    hash-embed kernel (one batched stage — r4, 5.1 s -> 1.8 s at
-    sf0.1), never a row-wise Python eval."""
+    TakeOrderedAndProject; the vector arm reads the MATERIALIZED
+    per-corpus embedding frame (r5 — the embed kernel runs once at
+    index build, like the reference's ingest), so NO Python stage of
+    any kind appears at query time."""
     plan = plan_of(QUERIES["hybrid_search_rrf"](spark, SF_CORRECTNESS))
     # tree + detail: 3 TakeOrdered nodes (lex20, vec20, final) x2
     assert plan.count("TakeOrderedAndProject") >= 6, plan
     assert "FullOuter" in plan
-    assert plan.count("ArrowEvalPython") <= 2  # the embed kernel only
-    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    assert "doc_embed_v1" in plan  # served from the materialized frame
 
 
 def test_multimodal_frame_sample_reads_no_payload(spark):

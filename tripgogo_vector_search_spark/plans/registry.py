@@ -788,6 +788,23 @@ def _materialized_index(spark, sf_dir, leaf, build) -> str:
     return path
 
 
+def _doc_embed_path(spark, sf_dir) -> str:
+    """Materialized (doc_id, v) hash-embedding frame over the documents
+    corpus — build-once per corpus (the embedding pass a pipeline
+    persists beside the corpus, exactly like the vec index the
+    reference ingests into Oracle; ingest_hotels.py:23-31 computes
+    embeddings once at ingest, not per query). Shared by the vector arm
+    of hybrid retrieval."""
+    from ..functions.embed import hash_embed_udf
+    from ..partitioning import widen
+    return _materialized_index(
+        spark, sf_dir, "doc_embed_v1",
+        lambda p: widen(_t(spark, sf_dir, "documents"))
+        .select("doc_id",
+                hash_embed_udf(normalized=False)(F.col("text")).alias("v"))
+        .write.mode("overwrite").parquet(p))
+
+
 def _simhash_sigs_path(spark, sf_dir) -> str:
     """Materialized per-doc (doc_id, simhash) signature frame — shared
     by simhash_dedup (exact grouping) and simhash_hamming_dedup (banded
@@ -5196,10 +5213,7 @@ def hybrid_search_rrf(spark, sf_dir):
     match across engines even at float boundaries. Both top-20 cuts
     are TakeOrderedAndProject (never a global sort); the rank windows
     and the full-outer fuse run on <=20-row frames."""
-    from ..functions.vector import cosine_distance
-    from ..functions.embed import hash_embed_udf
-    from ..partitioning import widen
-    d = widen(_t(spark, sf_dir, "documents"))
+    from ..functions.vector import cosine_distance, dot
     lex20 = (QUERIES["bm25_score"](spark, sf_dir)
              .orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20))
     lex = lex20.select(
@@ -5207,22 +5221,17 @@ def hybrid_search_rrf(spark, sf_dir):
             W.orderBy(F.col("bm25").desc(), F.col("doc_id")))
         .alias("r_lex"))
     qv = F.array(*[F.lit(v) for v in _hybrid_qvec()])
-    # Arrow kernel, not the md5-expression spec: same values (the
-    # embed_text parity row pins kernel == expr == oracle), ~4x less
-    # wall on the corpus-wide embed pass (sweep: 5.1 s -> ~1 s)
-    dv = hash_embed_udf(normalized=False)(F.col("text"))
-    from ..functions.vector import dot
-    # zero vectors get a NULL dist (sorted last, post-limit-filtered)
-    # instead of a row FILTER: a filter on a UDF-derived column is
-    # pushed below the projection by substitution, which re-evaluates
-    # the Arrow embed kernel a second time per row — keeping every
-    # UDF reference inside ONE projection keeps ONE ArrowEvalPython
-    # stage (plan-shape-pinned)
-    vs = (d.select("doc_id", dv.alias("v"))
-          .select("doc_id",
-                  F.when(dot("v", "v") > 0,
-                         F.round(cosine_distance(F.col("v"), qv), 6))
-                  .alias("dist")))
+    # r5: the vector arm reads the MATERIALIZED per-corpus embedding
+    # frame (built once by the Arrow hash-embed kernel — the embedding
+    # pass a pipeline persists beside the corpus, like the reference's
+    # ingest); no UDF runs at query time at all. Zero vectors keep the
+    # NULL-dist-sorted-last contract (same oracle); with v a parquet
+    # column the projection is pure codegen either way.
+    dv_df = spark.read.parquet(_doc_embed_path(spark, sf_dir))
+    vs = dv_df.select("doc_id",
+                      F.when(dot("v", "v") > 0,
+                             F.round(cosine_distance(F.col("v"), qv), 6))
+                      .alias("dist"))
     vec20 = (vs.orderBy(F.col("dist").asc_nulls_last(), F.col("doc_id"))
              .limit(20)
              .filter(F.col("dist").isNotNull()))
