@@ -96,18 +96,34 @@ def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
             cnorm = np.sqrt((C * C).sum(axis=1))
             # round BEFORE ranking so the argmin is ulp-drift-proof
             dist = np.round(1.0 - (C @ Q.T) / np.outer(cnorm, qnorm), 6)
-            for j in range(len(qids)):
+            if exclude_self:
+                # self rows to +inf: they sort last and are dropped
+                # below — identical selection to masking them out
+                dist[ids[:, None] == qids[None, :]] = np.inf
+            nq = len(qids)
+            kk = min(k, len(ids))
+            # ONE output frame per Arrow batch (r5 — a frame per QUERY
+            # per batch made pandas construction the dominant cost of
+            # the whole join at |Q|~10^3)
+            out_q = np.empty(nq * kk, dtype=np.int64)
+            out_n = np.empty(nq * kk, dtype=np.int64)
+            out_d = np.empty(nq * kk, dtype=np.float64)
+            pos = 0
+            for j in range(nq):
                 col = dist[:, j]
-                mask = ids != qids[j] if exclude_self else np.ones(
-                    len(ids), dtype=bool)
-                cand_ids, cand_d = ids[mask], col[mask]
                 # deterministic partition-local top-k: distance, then id
-                order = np.lexsort((cand_ids, cand_d))[:k]
-                yield pd.DataFrame({
-                    "query_id": np.full(len(order), qids[j]),
-                    "neighbor_id": cand_ids[order],
-                    "distance_score": cand_d[order],
-                })
+                order = np.lexsort((ids, col))[:kk]
+                take = order[np.isfinite(col[order])]
+                t = len(take)
+                out_q[pos:pos + t] = qids[j]
+                out_n[pos:pos + t] = ids[take]
+                out_d[pos:pos + t] = col[take]
+                pos += t
+            yield pd.DataFrame({
+                "query_id": out_q[:pos],
+                "neighbor_id": out_n[:pos],
+                "distance_score": out_d[:pos],
+            })
 
     partial = corpus.select(corpus_id, corpus_vec).mapInPandas(
         score_partition, out_schema)
