@@ -48,17 +48,17 @@ _CHECK_FIRST = [
     "resample_zero_fill", "revenue_concentration_hhi",
     "revenue_growth_yoy", "sample_bias_audit", "seasonality_profile",
     "source_concentration_gini", "token_fertility_by_lang",
-    # --- r5 behavior changes ---
+    # --- r5 behavior changes (new plans, same semantics) ---
     "knn_label_accuracy", "sim_join_gemm", "fuzzy_join",
     "embed_quantize", "quantization_error", "sim_join",
-    "hybrid_search_rrf",
+    "hybrid_search_rrf", "simhash_hamming_dedup", "simhash_dedup",
+    "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
+    "jaccard_topk_per_doc", "near_dup_cross_source", "minhash_dedup",
+    "dedup_components", "dedup_keep_best",
     # --- re-confirmation anchors (r4 fixes + watch-list) ---
     "trend_slope", "ann_knn_join", "dedup_pair_audit_sample",
-    "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
-    "kmeans_lloyd", "ann_recall_eval", "bm25_score", "tpch_q18",
-    "embed_text", "filtered_knn", "simhash_hamming_dedup",
-    "dedup_keep_best", "jaccard_topk_per_doc", "approx_quantiles",
-    "knn_topk",
+    "ann_recall_eval", "bm25_score", "filtered_knn",
+    "approx_quantiles",
 ]
 
 

@@ -81,3 +81,67 @@ def test_jaccard_pairs_are_canonical_and_bounded(spark):
     for r in out:
         assert r.id_a < r.id_b          # one row per unordered pair
         assert 0.2 <= r.jaccard <= 1.0  # threshold respected, bounded
+
+
+def test_simhash_banded_matches_python_reference(spark):
+    """Full third implementation of the banded-SimHash algorithm in
+    pure Python (md5 -> 32-bit signature -> 4x8 bands -> per-bucket
+    pairs with hamming <= radius, posting-cap star fallback -> min
+    star-link), independent of both the Spark plan and the DuckDB
+    oracle — the same role the numpy checks play for trend_slope and
+    knn_label_accuracy."""
+    import collections
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from tripgogo_vector_search_spark.plans.registry import (
+        _SIMHASH_POSTING_CAP, QUERIES)
+
+    radius, cap = 3, _SIMHASH_POSTING_CAP
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    high = set("89abcdef")
+
+    def simhash(text):
+        counts = [0] * 32
+        for tok in text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for j in range(32):
+                counts[j] += 1 if h[j] in high else -1
+        return "".join("1" if c > 0 else "0" for c in counts)
+
+    sig = {}
+    for did, text in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        sig[did] = simhash(text)
+    buckets = collections.defaultdict(list)
+    for did, s in sig.items():
+        for b in range(4):
+            buckets[f"{b}:{s[8 * b:8 * b + 8]}"].append(did)
+    edges = collections.defaultdict(set)   # dup -> {src}
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        if len(ids) > cap:
+            by_sig = collections.defaultdict(list)
+            for did in ids:
+                by_sig[sig[did]].append(did)
+            for group in by_sig.values():
+                m = min(group)
+                for did in group:
+                    if did > m:
+                        edges[did].add(m)
+            continue
+        for i, a in enumerate(ids):
+            for b2 in ids[i + 1:]:
+                lo, hi = min(a, b2), max(a, b2)
+                ham = sum(x != y for x, y in zip(sig[lo], sig[hi]))
+                if ham <= radius:
+                    edges[hi].add(lo)
+    want = {}
+    for did in sig:
+        srcs = edges.get(did)
+        want[did] = (bool(srcs), min(srcs) if srcs else did)
+    got = {r.doc_id: (r.is_dup, r.canonical_id)
+           for r in QUERIES["simhash_hamming_dedup"](spark, SF).collect()}
+    assert got == want

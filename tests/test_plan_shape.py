@@ -1338,3 +1338,22 @@ def test_simhash_hamming_join_based_pairs(spark):
     assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_join_verify_intersect_evaluated_once(spark):
+    """The r5 single-eval guarantee: array_intersect must appear in the
+    prefix-join plan exactly once as the map-side partial-aggregate
+    input — a regression to a plain projection lets CollapseProject +
+    predicate pushdown re-inline it into the threshold filter and run
+    it twice per candidate pair (formatted explain prints tree +
+    detail, so the ceiling is 2 textual occurrences)."""
+    plan = plan_of(QUERIES["ngram_jaccard_prefix"](spark, SF_CORRECTNESS))
+    # the ONLY evaluation site is the map-side partial aggregate input;
+    # the final-agg lines repeat the expression as an attribute NAME,
+    # which is not an evaluation
+    assert plan.count("partial_min(size(array_intersect") == 1, plan
+    evals = [ln for ln in plan.splitlines()
+             if "array_intersect" in ln
+             and ("Condition" in ln or "Project" in ln)]
+    assert not evals, evals
+    assert "EvalPython" not in plan
