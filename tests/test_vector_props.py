@@ -106,6 +106,14 @@ def test_gemm_and_broadcast_simjoin_agree(spark):
     got = {tuple(r) for r in similarity_join_gemm(df, q, k=3).collect()}
     assert got == want
     assert len(got) == 3 * ((N - 1) // 7 + 1)
+    # degenerate edges: k > corpus (both emit n-1 rows per query) and a
+    # single-row corpus with exclude_self (zero rows, no crash)
+    tiny = df.limit(3)
+    a = {tuple(r) for r in similarity_join(tiny, tiny, k=5).collect()}
+    b = {tuple(r) for r in similarity_join_gemm(tiny, tiny, k=5).collect()}
+    assert a == b and len(b) == 6
+    one = df.limit(1)
+    assert similarity_join_gemm(one, one, k=3).count() == 0
 
 
 def test_knn_label_accuracy_matches_numpy_bruteforce(spark):
