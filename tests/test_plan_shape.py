@@ -826,15 +826,20 @@ def test_dedup_rate_by_source_single_agg(spark):
     assert "Join" not in plan
 
 
-def test_schema_profile_single_pass(spark):
-    """Profile: all five columns' stats come from ONE events scan (the
-    distinct-counts Expand it 5-way in the same pass); the long-format
-    output is a projection, not a union of per-column jobs."""
+def test_schema_profile_per_column_no_expand(spark):
+    """Profile (r5): one single-column scan + ordinary two-phase
+    distinct PER COLUMN, unioned — never the multi-countDistinct
+    EXPAND, which multiplies every row five-fold before aggregation
+    (columnar scans make five one-column passes read the same bytes as
+    one five-column pass; measured 1.66 -> 0.38 s at sf0.1). Each scan
+    must be pruned to exactly its own column."""
     plan = plan_of(QUERIES["schema_profile"](spark, SF_CORRECTNESS))
+    assert "Expand" not in plan
     ev_scans = [ln for ln in plan.splitlines()
                 if "Location" in ln and "events" in ln]
-    assert len(ev_scans) == 1, plan
-    assert "Expand" in plan
+    assert len(ev_scans) == 5, plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all(ln.count(",") == 0 for ln in reads), reads
     assert "EvalPython" not in plan
 
 

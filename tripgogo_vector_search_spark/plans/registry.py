@@ -4794,14 +4794,19 @@ def schema_profile(spark, sf_dir):
     """Per-column data profile of the events table (row/null/distinct
     counts, min/max) — the first artifact any ingestion run publishes;
     at 100 TB it is how you notice a feed silently went all-NULL or a
-    cardinality exploded. One scan computes every column's stats in a
-    single scalar aggregate (distinct counts expand the scan 5-way,
-    map-side combined); the long-format result is a projection over
-    that one row. Min/max serialize through type-stable formats
-    (explicit timestamp pattern, fixed-point decimals) so the profile
-    is engine-portable."""
+    cardinality exploded.
+
+    Shape (r5): one single-column scan + aggregate PER COLUMN, unioned
+    — not one scalar aggregate with five countDistincts. Multiple
+    distinct aggregates compile to an EXPAND that multiplies every row
+    five-fold before aggregation (5x the rows through the hash agg and
+    the partial-distinct shuffle); with a columnar source, five
+    one-column scans read the same bytes as one five-column scan, each
+    with an ordinary two-phase distinct (measured 1.66 -> 0.38 s at
+    sf0.1, identical output). Min/max serialize through type-stable
+    formats (explicit timestamp pattern, fixed-point decimals) so the
+    profile is engine-portable."""
     ev = _t(spark, sf_dir, "events")
-    aggs, rows = [], []
     spark_fmt = {
         "event_id": lambda m: m.cast("string"),
         "ts": lambda m: F.date_format(m, _TS_FMT_SPARK),
@@ -4810,23 +4815,20 @@ def schema_profile(spark, sf_dir):
         "value": lambda m: F.round(m, 6).cast("decimal(18,6)")
         .cast("string"),
     }
+    parts = []
     for c, _ in _PROFILE_COLS:
         f = spark_fmt[c]
-        aggs += [F.count(F.lit(1)).alias(f"rows_{c}"),
-                 (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
-                 F.countDistinct(c).alias(f"nd_{c}"),
-                 f(F.min(c)).alias(f"min_{c}"),
-                 f(F.max(c)).alias(f"max_{c}")]
-    s = ev.agg(*aggs)
-    rows = F.array(*[
-        F.struct(F.lit(c).alias("column_name"),
-                 F.col(f"rows_{c}").alias("n_rows"),
-                 F.col(f"null_{c}").alias("n_null"),
-                 F.col(f"nd_{c}").alias("n_distinct"),
-                 F.col(f"min_{c}").alias("min_val"),
-                 F.col(f"max_{c}").alias("max_val"))
-        for c, _ in _PROFILE_COLS])
-    return (s.select(F.explode(rows).alias("p")).select("p.*"))
+        parts.append(ev.select(c).agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            f(F.min(c)).alias("min_val"),
+            f(F.max(c)).alias("max_val")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query("value_outlier_iqr",
