@@ -145,3 +145,64 @@ def test_simhash_banded_matches_python_reference(spark):
     got = {r.doc_id: (r.is_dup, r.canonical_id)
            for r in QUERIES["simhash_hamming_dedup"](spark, SF).collect()}
     assert got == want
+
+
+def test_dedup_components_matches_union_find(spark):
+    """Third implementation of the transitive near-dup grouping in pure
+    Python: MinHash signatures recomputed from scratch with hashlib
+    (the executable spec — i-prefixed md5 minima over 3-word shingles),
+    LSH banding, star edges to the bucket min, then UNION-FIND — an
+    entirely different closure algorithm than both the Spark iterative
+    min-label propagation and the DuckDB recursive CTE. Components must
+    assign every doc the min doc_id of its transitive group."""
+    import collections
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from tripgogo_vector_search_spark.plans.registry import QUERIES
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def minhash_bands(text):
+        ws = text.split(" ")
+        if len(ws) < 3:
+            return []
+        shingles = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        sig = []
+        for i in range(16):
+            p = f"{i}|".encode()
+            sig.append(min(hashlib.md5(p + s.encode()).hexdigest()
+                           for s in shingles))
+        return [hashlib.md5(
+            (f"{b}," + ",".join(sig[4 * b:4 * b + 4])).encode()).hexdigest()
+            for b in range(4)]
+
+    buckets = collections.defaultdict(list)
+    ids = t.column(0).to_pylist()
+    for did, text in zip(ids, t.column(1).to_pylist()):
+        for key in minhash_bands(text):
+            buckets[key].append(did)
+
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for members in buckets.values():
+        m = min(members)
+        for d in members:
+            union(m, d)
+    want = {d: find(d) for d in ids}
+    got = {r.doc_id: r.component_id
+           for r in QUERIES["dedup_components"](spark, SF).collect()}
+    assert got == want
