@@ -206,3 +206,43 @@ def test_dedup_components_matches_union_find(spark):
     got = {r.doc_id: r.component_id
            for r in QUERIES["dedup_components"](spark, SF).collect()}
     assert got == want
+
+
+def test_ngram_jaccard_matches_python_reference(spark):
+    """Third implementation of the full-pair shingle Jaccard join in
+    pure Python sets (no hashing, no postings, no SQL): for every doc
+    pair sharing >= 1 shingle, jaccard = |A&B| / |A|B|-union, rounded
+    to 6 dp — pins the r5 `_posting_intersections` join stage against
+    an algorithm with no shared machinery (the Spark side hashes
+    shingles to int64 and counts posting matches; this compares the
+    actual string sets). Rounding is HALF_UP via Decimal — python's
+    builtin round() is banker's and diverges at exact 6-dp midpoints
+    (1/128 = 0.0078125 occurs in the fixture)."""
+    import itertools
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from tripgogo_vector_search_spark.plans.registry import QUERIES
+
+    def r6(x):
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    sets = {}
+    for did, text in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        ws = text.split(" ")
+        sh = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        if sh:
+            sets[did] = sh
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            want[(a, b)] = r6(
+                inter / (len(sets[a]) + len(sets[b]) - inter))
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in QUERIES["ngram_jaccard"](spark, SF).collect()}
+    assert got == want
