@@ -1159,13 +1159,20 @@ def asof_join_q(spark, sf_dir):
           FROM lineitem GROUP BY l_returnflag""")
 def median_agg(spark, sf_dir):
     """Exact interpolated percentiles (the approx variant,
-    percentile_approx, is the 100 TB path — not oracle-comparable)."""
+    percentile_approx, is the 100 TB path — not oracle-comparable).
+    Array-form percentile: ONE value buffer + sort per group serves
+    both cuts (two scalar calls each build their own — same fix as
+    approx_quantiles; 1.8 -> 1.1 s at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
+    pq2 = F.percentile("l_extendedprice",
+                       F.array(F.lit(0.5), F.lit(0.9)))
     return (li.groupBy("l_returnflag")
-            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6)
-                 .alias("median_price"),
-                 F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6)
-                 .alias("p90_price")))
+            .agg(pq2.alias("_p"))
+            .select("l_returnflag",
+                    F.round(F.col("_p").getItem(0), 6)
+                    .alias("median_price"),
+                    F.round(F.col("_p").getItem(1), 6)
+                    .alias("p90_price")))
 
 
 @query("approx_distinct",
