@@ -82,6 +82,13 @@ HEADLINE_R4 = {
     "approx_quantiles": "collect",
 }
 
+# Round-5 group: queries re-planned this round that no earlier group
+# tracked (the 5-way-Expand profile and the double-sort percentile).
+HEADLINE_R5 = {
+    "schema_profile": "collect",
+    "median_agg": "collect",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -113,7 +120,8 @@ def main() -> None:
     # min-of-2 let through; a third sample of EVERYTHING costs ~40 s
     # and makes round-over-round deltas attributable to plans, not
     # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
-    all_queries = HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
+    all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
+                   | HEADLINE_R5)
     timings: dict[str, float] = {}
     for name, action in all_queries.items():
         timings[name] = run_once(name, action)
