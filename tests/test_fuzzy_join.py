@@ -54,6 +54,47 @@ def test_bucket_key_prunes_cross_class_candidates(spark):
     assert bucketed * n_classes <= block_only
 
 
+def test_fuzzy_join_matches_python_levenshtein(spark):
+    """Third implementation: pure-Python DP edit distance over every
+    same-(noun, c1) pair of a RANDOM mixed-length corpus — independent
+    of Spark's levenshtein, the bucket key, and the probe explosion.
+    Random seeds vary lengths AND near-duplicate suffix edits so the
+    adjacent-bucket and band-boundary paths are exercised."""
+    import random
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 3:
+            return 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(1234)
+    rows = []
+    for key in range(120):
+        base_len = rng.choice([3, 5, 9, 14, 20])
+        stem = "a" * base_len
+        suffix = "".join(rng.choice("xyz") for _ in range(rng.randint(1, 4)))
+        rows.append((key, f"{stem} common {suffix}"))
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    got = {(r.key_a, r.key_b): r.dist
+           for r in fuzzy_blocked_self_join(df).collect()}
+    names = dict(rows)
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = lev(names[i], names[j])
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
+    assert want  # the fixture must actually produce pairs
+
+
 def test_bucketed_output_equals_bruteforce_on_mixed_lengths(spark):
     # include ADJACENT-bucket pairs: lengths 15 vs 17 (same block)
     # differ by 2 <= band 3 but can land in different buckets
