@@ -163,6 +163,52 @@ def test_normalize_round_sign_skips_quoted_literals():
         "SELECT 'round(' AS tag, (round(y) + 0.0) AS b")
 
 
+def test_normalize_round_sign_random_layouts():
+    """Constructive property check: random interleavings of quoted
+    literals (apostrophes, round( inside, unbalanced parens), line
+    comments with prose apostrophes, plain SQL, and simple round()
+    calls. The expected output is computable by construction: literals
+    and comments byte-identical, every genuine call wrapped. The
+    rewriter has bitten twice (r3 -0.0, r5 quote-blind search) — this
+    pins the whole input space the registry actually uses."""
+    import random
+
+    from tripgogo_vector_search_spark.plans.oracle_helpers import (
+        normalize_round_sign)
+
+    lits = ["'round(x)'", "'round('", "'it''s'", "'a -- b'", "'plain'"]
+    comments = ["-- the Spark side's cap\n", "-- don't round( here\n",
+                "-- ok\n"]
+    plains = ["SELECT a, b ", "FROM t WHERE x > 0 ", " + 1 ", ", "]
+    calls = ["round(x, 6)", "round(y)", "round(a + b, 2)"]
+    rng = random.Random(99)
+    for _ in range(200):
+        src_parts, want_parts = [], []
+        for _ in range(rng.randint(1, 12)):
+            kind = rng.choice(["lit", "comment", "plain", "call"])
+            if kind == "lit":
+                t = rng.choice(lits)
+                src_parts.append(t)
+                want_parts.append(t)
+            elif kind == "comment":
+                t = rng.choice(comments)
+                src_parts.append(t)
+                want_parts.append(t)
+            elif kind == "plain":
+                t = rng.choice(plains)
+                src_parts.append(t)
+                want_parts.append(t)
+            else:
+                t = rng.choice(calls)
+                src_parts.append(t)
+                want_parts.append(f"({t} + 0.0)")
+            # separate tokens so a literal never touches a comment dash
+            src_parts.append(" ")
+            want_parts.append(" ")
+        src = "".join(src_parts)
+        assert normalize_round_sign(src) == "".join(want_parts), src
+
+
 def test_registered_oracles_are_sign_normalized():
     """Every registered oracle's round() calls carry the + 0.0 sign
     normalizer (a bare `round(...)` followed by anything but the
