@@ -528,18 +528,24 @@ def test_minhash_estimate_pair_frame_is_bounded_broadcast(spark):
 
 
 def test_prefix_candidates_positional_filter_no_extra_shuffle(spark, tmp_path):
-    """The PPJoin positional filter rides the posting structs: over a
-    materialized docset (how the registry query runs it) the candidate
-    stage shuffles the prefix index exactly once on the shingle key —
-    the positional columns add zero exchanges — and stays Python-free."""
+    """The PPJoin positional filter rides the join rows (r5 shape —
+    shingle-key equi-join of the prefix-exploded index, no posting
+    arrays): every exchange in the candidate stage keys on the shingle
+    (the size attach and both pair-join sides reuse one partitioning;
+    the positional columns add zero exchanges) plus the final pair
+    distinct — and the stage stays Python-free with no Cartesian."""
     from tripgogo_vector_search_spark.operators import dedup as DD
     p = str(tmp_path / "docset")
     DD.ngram_docset(load_table(spark, SF_CORRECTNESS, "documents"),
                     "text", "doc_id").write.parquet(p)
     plan = plan_of(DD.ngram_jaccard_prefix_candidates(
         spark.read.parquet(p), t=0.5))
-    assert plan.count("hashpartitioning(shingle") == 1, plan
+    shuffle_keys = [ln for ln in plan.splitlines()
+                    if "hashpartitioning" in ln]
+    assert shuffle_keys, plan
+    assert all("shingle" in ln or "id_a" in ln for ln in shuffle_keys), plan
     assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_tpch_q18_semi_join_before_wide_join_topk(spark):

@@ -369,45 +369,50 @@ def ngram_jaccard_prefix_candidates(docset: DataFrame, t: float,
     every generating occurrence's bound falls below the required
     overlap ``ceil(t/(1+t) * (n_a+n_b))`` the pair cannot reach
     threshold and is never emitted — each occurrence's bound is
-    independently valid, so keep-if-any-passes is exact. Zero extra
-    shuffle: positions ride the posting structs. Honest measurement at
-    sf0.1 (t=0.5): 310,009 -> 308,693 candidates — the synthetic corpus
-    is near-worst-case for this filter (similar doc lengths, near-full
-    ranked sets make the bound ~len_rk >= alpha almost always); on
-    Zipf-vocabulary corpora with varied doc lengths the same bound is
-    the standard PPJoin pruner. Kept because its cost is ~zero."""
-    alpha = F.ceil((F.col("p.n_a") + F.col("p.n_b")) * (t / (1.0 + t))
-                   - F.lit(1e-9))
+    independently valid, so keep-if-any-passes is exact. Honest
+    measurement at sf0.1 (t=0.5): 310,009 -> 308,693 candidates — the
+    synthetic corpus is near-worst-case for this filter (similar doc
+    lengths, near-full ranked sets make the bound ~len_rk >= alpha
+    almost always); on Zipf-vocabulary corpora with varied doc lengths
+    the same bound is the standard PPJoin pruner. Kept because its
+    cost is ~zero.
+
+    Pair stage (r5): shingle-key equi-join of the prefix-exploded rows
+    — the same codegen shape as `_posting_intersections`, replacing
+    collect_list posting arrays expanded by interpreted HOF lambdas;
+    positions and lengths ride the join rows, the df_cap filter
+    attaches via a shuffle join with the per-shingle count aggregate
+    (never a broadcast), and no df_cap^2/2 in-task pair array exists
+    anywhere in the stage."""
     prefix_len = (F.col("n_sh")
                   - F.ceil(F.col("n_sh") * t - F.lit(1e-9)) + 1)
     ranked = (docset
               .select("id", "n_sh", F.size("rk").alias("len_rk"),
                       F.posexplode(F.slice("rk", 1, prefix_len.cast("int"))))
               .withColumnsRenamed({"pos": "rnk", "col": "shingle"}))
-    posts = (ranked.groupBy("shingle")
-             .agg(F.collect_list(F.struct(F.col("id"), F.col("n_sh"),
-                                          F.col("len_rk"), F.col("rnk")))
-                  .alias("ds"))
-             .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap)))
-    # pair expansion with the Jaccard length filter:
-    # J >= t implies min(n_a, n_b) >= t * max(n_a, n_b)
-    pair_arr = F.flatten(F.transform(
-        "ds",
-        lambda a: F.transform(
-            F.filter("ds", lambda b: (b["id"] > a["id"])
-                     & (F.least(a["n_sh"], b["n_sh"])
-                        >= F.greatest(a["n_sh"], b["n_sh"]) * t)),
-            lambda b: F.struct(
-                a["id"].alias("id_a"), b["id"].alias("id_b"),
-                a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b"),
-                (F.least(a["rnk"], b["rnk"]) + 1
-                 + F.least(a["len_rk"] - a["rnk"] - 1,
-                           b["len_rk"] - b["rnk"] - 1)).alias("ubound")),
-        ),
-    ))
-    return (posts.select(F.explode(pair_arr).alias("p"))
-            .filter(F.col("p.ubound") >= alpha)
-            .select("p.id_a", "p.id_b").distinct())
+    sizes = (ranked.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+             .filter((F.col("n") >= 2) & (F.col("n") <= df_cap)))
+    withn = ranked.join(sizes, "shingle")
+    a = withn.select("shingle", F.col("id").alias("id_a"),
+                     F.col("n_sh").alias("n_a"),
+                     F.col("len_rk").alias("lr_a"),
+                     F.col("rnk").alias("rk_a"))
+    b = withn.select("shingle", F.col("id").alias("id_b"),
+                     F.col("n_sh").alias("n_b"),
+                     F.col("len_rk").alias("lr_b"),
+                     F.col("rnk").alias("rk_b"))
+    alpha = F.ceil((F.col("n_a") + F.col("n_b")) * (t / (1.0 + t))
+                   - F.lit(1e-9))
+    ubound = (F.least(F.col("rk_a"), F.col("rk_b")) + 1
+              + F.least(F.col("lr_a") - F.col("rk_a") - 1,
+                        F.col("lr_b") - F.col("rk_b") - 1))
+    # Jaccard length filter: J >= t implies min(n) >= t * max(n)
+    return (a.join(b, "shingle")
+            .filter((F.col("id_b") > F.col("id_a"))
+                    & (F.least(F.col("n_a"), F.col("n_b"))
+                       >= F.greatest(F.col("n_a"), F.col("n_b")) * t)
+                    & (ubound >= alpha))
+            .select("id_a", "id_b").distinct())
 
 
 def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
