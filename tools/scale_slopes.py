@@ -84,7 +84,10 @@ def replicated_sf_dir(k: int) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out = f"/tmp/slope_sf_x{k}"
+    # key the cache on the SOURCE fixture too: a SPARK_GRAFT_SF_DIR
+    # change must not silently reuse another fixture's replicas
+    leaf = os.path.basename(os.path.abspath(SF_DIR))
+    out = f"/tmp/slope_{leaf}_x{k}"
     done = os.path.join(out, "_done")
     if os.path.exists(done):
         return out
@@ -228,7 +231,14 @@ def run(spark, op: str, k: int) -> dict:
         from tripgogo_vector_search_spark.plans.registry import QUERIES
         d = replicated_sf_dir(k)
         t0 = time.perf_counter()
-        QUERIES[op](spark, d).collect()
+        # terminal action mirrors bench.py: embed_quantize's output is
+        # one row per embedding, so collect() would time driver-side
+        # result transfer, not the plan (small-output queries collect)
+        if op == "embed_quantize":
+            QUERIES[op](spark, d).write.format("noop").mode(
+                "overwrite").save()
+        else:
+            QUERIES[op](spark, d).collect()
         elapsed = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown op {op}")

@@ -191,9 +191,9 @@ def quantize_stats_udf(vec_col: ColumnOrName) -> Column:
             sums.append(int(codes.sum()))
             maxes.append(float(np.abs(err).max()))
             sqs.append(float(sum((err * err).tolist())))
-        # nullable Int64 so a None codes_sum survives the Arrow cast
-        return pd.DataFrame({"scale": scales,
-                             "codes_sum": pd.array(sums, dtype="Int64"),
+        # every branch appends an int for codes_sum (degrade paths
+        # append 0), so a plain int64 column is the full contract
+        return pd.DataFrame({"scale": scales, "codes_sum": sums,
                              "max_err": maxes, "sq_err_sum": sqs})
 
     return _q(_c(vec_col))

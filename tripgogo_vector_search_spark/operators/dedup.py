@@ -166,6 +166,24 @@ def shingle_inverted_index(df: DataFrame, text_col: str, id_col: str,
                   if hash_shingle_key else F.col("sh")).alias("shingle"))
 
 
+def _attach_bucket_sizes(rows: DataFrame, key: str,
+                         min_n: int = 2,
+                         max_n: int | None = None) -> DataFrame:
+    """Attach each row's bucket size ``n`` via a SHUFFLE join with the
+    per-key count aggregate — the shared entry step of every join-based
+    pair stage in this module (`_posting_intersections`,
+    `ngram_jaccard_prefix_candidates`, `simhash_banded_dedup`). Never a
+    broadcast: sub-cap keys are vocabulary/corpus-scale at 100 TB. The
+    count aggregate, this join, and the downstream pair self-join all
+    hash-partition on the key, so the exchange is laid down once and
+    reused."""
+    sizes = rows.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    cond = F.col("n") >= min_n
+    if max_n is not None:
+        cond = cond & (F.col("n") <= max_n)
+    return rows.join(sizes.filter(cond), key)
+
+
 def _posting_intersections(inv: DataFrame, df_cap: int) -> DataFrame:
     """(id_a, id_b, n_a, n_b, inter) for every doc pair sharing >= 1
     indexed shingle — the shared pair stage of the shingle-set family.
@@ -181,9 +199,7 @@ def _posting_intersections(inv: DataFrame, df_cap: int) -> DataFrame:
     shingles are vocabulary-scale at 100 TB); the sizes aggregate, the
     attach join, and the pair self-join all hash-partition on the
     shingle key, so the exchanges line up and are reused."""
-    sizes = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
-             .filter((F.col("n") >= 2) & (F.col("n") <= df_cap)))
-    withn = inv.join(sizes, "shingle")
+    withn = _attach_bucket_sizes(inv, "shingle", max_n=df_cap)
     a = withn.select("shingle", F.col("id").alias("id_a"),
                      F.col("n_sh").alias("n_a"))
     b = withn.select("shingle", F.col("id").alias("id_b"),
@@ -390,9 +406,7 @@ def ngram_jaccard_prefix_candidates(docset: DataFrame, t: float,
               .select("id", "n_sh", F.size("rk").alias("len_rk"),
                       F.posexplode(F.slice("rk", 1, prefix_len.cast("int"))))
               .withColumnsRenamed({"pos": "rnk", "col": "shingle"}))
-    sizes = (ranked.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
-             .filter((F.col("n") >= 2) & (F.col("n") <= df_cap)))
-    withn = ranked.join(sizes, "shingle")
+    withn = _attach_bucket_sizes(ranked, "shingle", max_n=df_cap)
     a = withn.select("shingle", F.col("id").alias("id_a"),
                      F.col("n_sh").alias("n_a"),
                      F.col("len_rk").alias("lr_a"),
@@ -676,10 +690,7 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
             F.concat(F.lit(f"{b}:"), F.substring("simhash", 1 + 8 * b, 8))
             for b in range(4)
         ])).alias("band_key"))
-    sizes = (bands.groupBy("band_key")
-             .agg(F.count(F.lit(1)).alias("n"))
-             .filter(F.col("n") >= 2))
-    withn = bands.join(sizes, "band_key")
+    withn = _attach_bucket_sizes(bands, "band_key")
     sub = withn.filter(F.col("n") <= posting_cap)
     a_rows = sub.select("band_key", F.col(id_col).alias("src_id"),
                         F.col("sigint").alias("src_sig"))

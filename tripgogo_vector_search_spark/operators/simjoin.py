@@ -96,12 +96,14 @@ def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
             cnorm = np.sqrt((C * C).sum(axis=1))
             # round BEFORE ranking so the argmin is ulp-drift-proof
             dist = np.round(1.0 - (C @ Q.T) / np.outer(cnorm, qnorm), 6)
-            if exclude_self:
-                # self rows to +inf: they sort last and are dropped
-                # below — identical selection to masking them out
-                dist[ids[:, None] == qids[None, :]] = np.inf
             nq = len(qids)
             kk = min(k, len(ids))
+            # self-exclusion by dropping the row INDEX, never by value
+            # masking: a genuine NaN distance (zero-norm vector) must
+            # stay a candidate that sorts last, exactly like the
+            # broadcast path and the oracles' ORDER BY
+            self_pos = ({int(v): i for i, v in enumerate(ids)}
+                        if exclude_self else {})
             # ONE output frame per Arrow batch (r5 — a frame per QUERY
             # per batch made pandas construction the dominant cost of
             # the whole join at |Q|~10^3)
@@ -112,8 +114,12 @@ def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
             for j in range(nq):
                 col = dist[:, j]
                 # deterministic partition-local top-k: distance, then id
-                order = np.lexsort((ids, col))[:kk]
-                take = order[np.isfinite(col[order])]
+                # (numpy lexsort places NaN last, matching the engines)
+                order = np.lexsort((ids, col))
+                sp = self_pos.get(int(qids[j]))
+                if sp is not None:
+                    order = order[order != sp]
+                take = order[:kk]
                 t = len(take)
                 out_q[pos:pos + t] = qids[j]
                 out_n[pos:pos + t] = ids[take]

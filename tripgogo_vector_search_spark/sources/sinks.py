@@ -43,12 +43,20 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
 
     ``driver_class``: force-load a driver class first (ServiceLoader
     registration can be skipped for jars added via spark.jars at
-    session-build time)."""
+    session-build time).
+
+    The pre-create connection carries the same ``user``/``password``
+    (and any other string options) as the Spark write, via a
+    java.util.Properties — an authenticated target must see identical
+    credentials on both steps."""
     if ensure_table is not None:
         jvm = df.sparkSession._jvm
         if driver_class:
             jvm.java.lang.Class.forName(driver_class)
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        props = jvm.java.util.Properties()
+        for k, v in options.items():
+            props.setProperty(str(k), str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
             st = conn.createStatement()
             st.execute(ensure_table)
