@@ -84,9 +84,14 @@ def replicated_sf_dir(k: int) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    # key the cache on the SOURCE fixture too: a SPARK_GRAFT_SF_DIR
-    # change must not silently reuse another fixture's replicas
-    leaf = os.path.basename(os.path.abspath(SF_DIR))
+    # key the cache on the SOURCE fixture dir AND its content
+    # fingerprint: neither a SPARK_GRAFT_SF_DIR change nor a driver
+    # regeneration of the same dir may silently reuse stale replicas
+    # (same keying discipline as the registry's _cache_dir)
+    from tripgogo_vector_search_spark.plans.registry import (
+        _corpus_fingerprint)
+    leaf = (f"{os.path.basename(os.path.abspath(SF_DIR))}"
+            f"-{_corpus_fingerprint(SF_DIR)}")
     out = f"/tmp/slope_{leaf}_x{k}"
     done = os.path.join(out, "_done")
     if os.path.exists(done):
