@@ -252,9 +252,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     dropped *from the index only* before pair expansion — per-doc shingle
     counts (the union denominator) still include it, so jaccard for pairs
     sharing a dropped shingle is slightly underestimated, the standard
-    stop-word trade. Without the cap one hot shingle in n docs expands to
-    an n^2 in-memory pair array inside a single task; with it a posting
-    list is at most df_cap^2/2 pairs (~0.5M at the default).
+    stop-word trade. Without the cap one hot shingle in n docs emits
+    n^2/2 join rows from a single bucket; with it a bucket emits at
+    most df_cap^2/2 pairs (~0.5M at the default) — and since the r5
+    join shape streams them, that bound is shuffle volume, never a
+    single task's memory.
 
     With ``min_jaccard > 0`` the join switches to **prefix filtering**
     (the AllPairs/PPJoin principle): only each doc's globally-rarest
@@ -298,10 +300,10 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     screen for doc-in-doc duplication (quotes, boilerplate wrappers,
     chunk/full-doc overlap) in training-corpus prep.
 
-    Same inverted-index + posting-list plan as
-    :func:`ngram_jaccard_pairs` (one uniform shuffle, stop-shingle DF
-    cap, singleton pruning — identical scale properties); only the final
-    arithmetic differs: each unordered pair is kept when EITHER
+    Same inverted-index + pair-join plan as
+    :func:`ngram_jaccard_pairs` (`_posting_intersections`: uniform
+    shingle-key shuffles, stop-shingle DF cap, singleton pruning —
+    identical scale properties); only the final arithmetic differs: each unordered pair is kept when EITHER
     direction's containment clears the threshold, with both directions
     reported."""
     inv = shingle_inverted_index(df, text_col, id_col, shingle_n,
@@ -643,7 +645,7 @@ def simhash_banded_dedup(df: DataFrame, text_col: str, id_col: str,
     8; any pair within hamming distance <= 3 must agree exactly on at
     least one band (pigeonhole), so the band-key join finds every such
     pair with no quadratic scan; candidates then verify the full hamming
-    distance. Signatures ride inside the posting lists, so verification
+    distance. Signatures ride the banded join rows, so verification
     needs no extra join back to the corpus.
 
     Pair verification (unlike the min-aggregate in minhash_lsh_dedup)
