@@ -3777,13 +3777,23 @@ def jaccard_topk_per_doc(spark, sf_dir):
     just pair verdicts). Reuses the shared materialized shingle index;
     the pair frame is symmetrized (each undirected pair serves both
     endpoints) and ranked with a deterministic (jaccard desc,
-    neighbor_id asc) window per doc."""
+    neighbor_id asc) window per doc.
+
+    Symmetrization is an EXPLODE of a two-struct array, not a
+    union-with-swapped-columns (r5): the union's two branches are two
+    full copies of the pair pipeline whose dedup relies on exchange
+    reuse; the explode doubles rows in one pass with a single pipeline
+    (1.46 -> 1.26 s at sf0.1, identical output)."""
     pairs = DD.ngram_jaccard_pairs_from_inv(
         _shingle_inv_index(spark, sf_dir), min_jaccard=0.0)
-    sym = (pairs.selectExpr("id_a AS doc_id", "id_b AS neighbor_id",
-                            "jaccard")
-           .unionByName(pairs.selectExpr("id_b AS doc_id",
-                                         "id_a AS neighbor_id", "jaccard")))
+    sym = (pairs.select(
+        "jaccard",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("doc_id"),
+                     F.col("id_b").alias("neighbor_id")),
+            F.struct(F.col("id_b").alias("doc_id"),
+                     F.col("id_a").alias("neighbor_id")))).alias("p"))
+        .select("p.doc_id", "p.neighbor_id", "jaccard"))
     w = W.partitionBy("doc_id").orderBy(F.col("jaccard").desc(),
                                         F.col("neighbor_id").asc())
     return (sym.withColumn("rank", F.row_number().over(w))
