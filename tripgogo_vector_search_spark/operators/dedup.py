@@ -583,8 +583,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     Per-round change detection is a flag column on the new label frame,
     not a join of new-vs-old labels — one aggregate instead of an extra
     shuffle join per round."""
-    sym = (edges.selectExpr("a", "b")
-           .union(edges.selectExpr("b AS a", "a AS b")).distinct().cache())
+    # symmetrize with one explode (not union-of-swapped: that shape
+    # carries two copies of the upstream edge pipeline)
+    sym = (edges.select(F.explode(F.array(
+               F.struct(F.col("a"), F.col("b")),
+               F.struct(F.col("b").alias("a"), F.col("a").alias("b"))))
+           .alias("e"))
+           .select("e.a", "e.b").distinct().cache())
     lab = nodes.select(F.col(id_col).alias("node"),
                        F.col(id_col).alias("lbl")).cache()
     try:
