@@ -246,3 +246,50 @@ def test_ngram_jaccard_matches_python_reference(spark):
     got = {(r.id_a, r.id_b): r.jaccard
            for r in QUERIES["ngram_jaccard"](spark, SF).collect()}
     assert got == want
+
+
+def test_embedding_near_dup_matches_python_reference(spark):
+    """Third implementation of the sign-prefix embedding near-dedup in
+    pure Python/float arithmetic: 8-bit sign bucket, in-bucket cosine
+    >= 0.95 pairs, min-source link — independent of both the Catalyst
+    higher-order folds and the DuckDB list_transform oracle. The
+    fixture corpus has no cosine>=0.95 pair on its own, so a cloned
+    vector is appended to make the positive path bite; the operator
+    (the same function the registry query calls) runs on the augmented
+    frame."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = list(t.column(0).to_pylist())
+    vecs = {i: [float(x) for x in v]
+            for i, v in zip(ids, t.column(1).to_pylist())}
+    clone_id = min(ids) + 1_000_000
+    vecs[clone_id] = vecs[min(ids)]
+    ids.append(clone_id)
+    buckets = {}
+    for i, v in vecs.items():
+        b = "".join("1" if x >= 0 else "0" for x in v[:8])
+        buckets.setdefault(b, []).append(i)
+    mins = {}
+    for members in buckets.values():
+        members.sort()
+        for j, bid in enumerate(members):
+            for aid in members[:j]:
+                va, vb = vecs[aid], vecs[bid]
+                dot = sum(x * y for x, y in zip(va, vb))
+                na = math.sqrt(sum(x * x for x in va))
+                nb = math.sqrt(sum(x * x for x in vb))
+                if na and nb and dot / (na * nb) >= 0.95:
+                    mins[bid] = min(mins.get(bid, aid), aid)
+    want = {i: (i in mins, mins.get(i, i)) for i in ids}
+    aug = spark.createDataFrame([(i, vecs[i]) for i in ids],
+                                "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.is_dup, r.canonical_id)
+           for r in DD.embedding_near_dup(aug, "embedding", "vec_id",
+                                          prefix_bits=8,
+                                          threshold=0.95).collect()}
+    assert got == want
+    assert want[clone_id][0] and want[clone_id][1] == min(ids)
