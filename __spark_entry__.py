@@ -27,38 +27,22 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 5: breadth frozen again — ZERO new queries. Head = the 26
-    # registry keys with NO driver CORRECTNESS row across r01-r04 (the
-    # tail of r3's breadth; clearing them makes coverage 218/218), then
-    # every key whose behavior changed this round (knn_label_accuracy
-    # count-capped eval + rounded-argmin oracle; sim_join_gemm
-    # round-before-top-k kernel + own rounded-ORDER-BY oracle;
-    # fuzzy_join plan extracted to operators/fuzzy; the quantize
-    # kernel's degrade guard; hybrid/sim_join adjacency), then r4
-    # anchors for re-confirmation. 26 + 7 + anchors fit the 50-slot
-    # window with room to spare.
-    "activation_latency_quartiles", "ann_index_occupancy",
-    "char_trigrams_top", "conversion_latency", "copurchase_lift",
-    "corpus_summary_report", "daily_volume_anomalies",
-    "dedup_cluster_examples", "dup_multiplicity_histogram",
-    "embedding_coverage_audit", "event_type_share_trend",
-    "first_touch_attribution", "median_impute", "minhash_band_recall",
-    "norm_outlier_screen", "null_safe_join", "percentile_cont_exact",
-    "quality_by_length_decile", "referential_integrity_audit",
-    "resample_zero_fill", "revenue_concentration_hhi",
-    "revenue_growth_yoy", "sample_bias_audit", "seasonality_profile",
-    "source_concentration_gini", "token_fertility_by_lang",
-    # --- r5 behavior changes (new plans, same semantics) ---
-    "knn_label_accuracy", "sim_join_gemm", "fuzzy_join",
-    "embed_quantize", "quantization_error", "sim_join",
-    "hybrid_search_rrf", "simhash_hamming_dedup", "simhash_dedup",
-    "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
-    "jaccard_topk_per_doc", "near_dup_cross_source", "minhash_dedup",
-    "dedup_components", "dedup_keep_best",
-    # --- re-confirmation anchors (r4 fixes + watch-list) ---
-    "trend_slope", "ann_knn_join", "dedup_pair_audit_sample",
-    "ann_recall_eval", "bm25_score", "filtered_knn",
-    "approx_quantiles",
+    # ROUND 6. Head = the two keys whose r5 re-plans shipped AFTER the
+    # r5 gate window froze (their last driver rows verify the OLD
+    # plans — VERDICT r5 "What's wrong #1"): array-form median_agg and
+    # the Expand-free schema_profile. Then every key whose physical
+    # plan changes THIS round (quality_by_length_decile histogram
+    # bounds; sim_join_gemm NaN->NULL ordering guard), then new r6
+    # keys, then re-confirmation anchors. The plan-fingerprint
+    # manifest test (tests/test_plan_manifest.py) now FAILS if a key's
+    # plan drifts from its last-driver-row fingerprint without being
+    # listed here — the structural fix for the r5 ordering hole.
+    "median_agg", "schema_profile",
+    # --- r6 behavior changes (new plans, same semantics) ---
+    "quality_by_length_decile", "sim_join_gemm",
+    # --- re-confirmation anchors ---
+    "knn_label_accuracy", "sim_join", "approx_quantiles",
+    "ngram_jaccard_prefix", "hybrid_search_rrf",
 ]
 
 
