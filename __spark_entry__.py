@@ -27,22 +27,34 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 6. Head = the two keys whose r5 re-plans shipped AFTER the
-    # r5 gate window froze (their last driver rows verify the OLD
-    # plans — VERDICT r5 "What's wrong #1"): array-form median_agg and
-    # the Expand-free schema_profile. Then every key whose physical
-    # plan changes THIS round (quality_by_length_decile histogram
-    # bounds; sim_join_gemm NaN->NULL ordering guard), then new r6
-    # keys, then re-confirmation anchors. The plan-fingerprint
-    # manifest test (tests/test_plan_manifest.py) now FAILS if a key's
-    # plan drifts from its last-driver-row fingerprint without being
-    # listed here — the structural fix for the r5 ordering hole.
-    "median_agg", "schema_profile",
-    # --- r6 behavior changes (new plans, same semantics) ---
-    "quality_by_length_decile", "sim_join_gemm",
+    # ROUND 7. Head = every key whose physical plan changed THIS
+    # round, in the tree at this commit (unlike the r6 comment, which
+    # listed these as shipped when they were not — VERDICT r6 "What's
+    # wrong #1"):
+    #   quality_by_length_decile — global corpus rank window replaced
+    #     by histogram decile bounds (cached per-length aggregate +
+    #     IN-pruned straddle re-scan; registry.py, r6 list #2);
+    #   sim_join_gemm — NULL distances (zero-norm vectors crossing
+    #     pandas->Arrow) now rank LAST via asc_nulls_last, matching
+    #     the oracle's NULLS LAST (operators/simjoin.py; ADVICE r5/r6);
+    #   sim_join — broadcast path divides with try_divide (ANSI-safe,
+    #     NULL on zero norm like the oracle) + the same nulls_last
+    #     window;
+    #   ntile_bands — single-task global ntile window replaced by the
+    #     distributed two-phase rank (operators/rank.py) + closed-form
+    #     ntile/percent_rank/cume_dist arithmetic;
+    #   activation_latency_quartiles — |users|-frame rank window
+    #     replaced by gap-histogram cumulative-rank selection.
+    # Then re-confirmation anchors. Plan drift vs the last driver row
+    # is enforced by tests/test_plan_manifest.py: it fingerprints
+    # every non-streaming key's optimized plan and fails if a
+    # fingerprint differs from tests/plan_manifest.json while the key
+    # is absent from this changed-keys head.
+    "quality_by_length_decile", "sim_join_gemm", "sim_join",
+    "ntile_bands", "activation_latency_quartiles",
     # --- re-confirmation anchors ---
-    "knn_label_accuracy", "sim_join", "approx_quantiles",
-    "ngram_jaccard_prefix", "hybrid_search_rrf",
+    "median_agg", "schema_profile", "knn_label_accuracy",
+    "approx_quantiles", "ngram_jaccard_prefix", "hybrid_search_rrf",
 ]
 
 

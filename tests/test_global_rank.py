@@ -1,0 +1,78 @@
+"""Distributed global rank (operators/rank.py) and the ntile/pct-rank
+closed forms that ntile_bands builds on it.
+
+The helper replaces the single-task `row_number() OVER (ORDER BY ...)`
+pattern, so its contract is exact equality with that window — verified
+here against Spark's own window functions on inputs small enough that
+the single-partition window is safe to run."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window as W, functions as F
+
+from tripgogo_vector_search_spark.operators.rank import with_global_rank
+
+
+def _frame(spark, n, seed=7, parts=8):
+    rng = random.Random(seed)
+    rows = [(i, rng.uniform(0, 1000)) for i in range(n)]
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "id bigint, v double") \
+        .repartition(parts)
+
+
+def test_global_rank_equals_window_row_number(spark):
+    df = _frame(spark, 500)
+    got = {r["id"]: (r["rk"], r["n"])
+           for r in with_global_rank(df, ["v", "id"], rank_col="rk",
+                                     total_col="n").collect()}
+    w = W.orderBy("v", "id")
+    want = {r["id"]: r["rk"]
+            for r in df.select("id", F.row_number().over(w).alias("rk"))
+            .collect()}
+    assert len(got) == 500
+    for i, rk in want.items():
+        assert got[i] == (rk, 500), (i, got[i], rk)
+
+
+def test_global_rank_tiny_and_skewed_inputs(spark):
+    # n smaller than the partition count, and duplicate order values
+    # broken by the unique tiebreak
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 1.0)], "id bigint, v double")
+    got = sorted((r["rk"], r["id"]) for r in
+                 with_global_rank(df, ["v", "id"], rank_col="rk")
+                 .collect())
+    assert got == [(1, 3), (2, 1), (3, 2)]
+    empty = df.filter(F.lit(False))
+    assert with_global_rank(empty, ["v", "id"]).count() == 0
+
+
+def test_ntile_closed_form_matches_window_ntile(spark):
+    """ntile_bands' arithmetic quartile vs Spark's ntile(4) window for
+    every n in 1..13 — covers n < k, n % k != 0, and exact splits."""
+    for n in range(1, 14):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                   "rk bigint") \
+            .withColumn("n", F.lit(n).cast("bigint"))
+        rank, tot = F.col("rk"), F.col("n")
+        base = F.floor(tot / 4).cast("bigint")
+        rem = (tot % 4).cast("bigint")
+        big = rem * (base + 1)
+        quart = (F.when(rank <= big,
+                        F.floor((rank - 1) / (base + 1)) + 1)
+                 .otherwise(rem + F.floor((rank - big - 1)
+                                          / F.greatest(base, F.lit(1)))
+                            + 1)).cast("bigint")
+        pct = F.when(tot > 1, (rank - 1) / (tot - 1)).otherwise(F.lit(0.0))
+        got = {r["rk"]: (r["q"], r["p"], r["c"]) for r in df.select(
+            "rk", quart.alias("q"), F.round(pct, 6).alias("p"),
+            F.round(rank / tot, 6).alias("c")).collect()}
+        w = W.orderBy("rk")
+        want = {r["rk"]: (r["q"], r["p"], r["c"]) for r in df.select(
+            "rk", F.ntile(4).over(w).cast("bigint").alias("q"),
+            F.round(F.percent_rank().over(w), 6).alias("p"),
+            F.round(F.cume_dist().over(w), 6).alias("c")).collect()}
+        assert got == want, (n, got, want)

@@ -1209,7 +1209,8 @@ def test_mixture_weights_window_on_aggregate(spark):
 def test_activation_latency_pruned_rank_window(spark):
     """Activation latency: the per-user rank window is pruned to the
     first two rows (WindowGroupLimit) before the pivot self-join; the
-    quartile window runs on the |users| latency frame."""
+    quartile selection (r7) is cumulative-rank arithmetic on the
+    gap-seconds histogram, so no window touches the |users| frame."""
     plan = plan_of(QUERIES["activation_latency_quartiles"](spark,
                                                            SF_CORRECTNESS))
     assert "WindowGroupLimit" in plan
@@ -1311,14 +1312,24 @@ def test_ann_index_occupancy_reads_index_not_corpus(spark):
     assert "EvalPython" not in plan
 
 
-def test_quality_by_length_decile_single_scan(spark):
-    """Length deciles: one documents scan feeds the rank window and
-    the per-decile aggregate."""
+def test_quality_by_length_decile_no_global_sort(spark):
+    """Length deciles (r7 shape): decile bounds come from cumulative
+    sums over the cached per-length histogram — the corpus is never
+    globally sorted and never shuffled row-level. The only live
+    documents scan is the straddling-length re-scan, pruned by a
+    pushed-down IN filter; the flat branch reads the InMemory cache.
+    Every Window node keys on n_chars (histogram cumulative sums or
+    the per-length straddle rank) — no whole-corpus unpartitioned
+    rank window survives anywhere in the executed plan."""
     plan = plan_of(QUERIES["quality_by_length_decile"](spark,
                                                        SF_CORRECTNESS))
-    scans = [ln for ln in plan.splitlines()
-             if "Location" in ln and "documents" in ln]
-    assert len(scans) == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    # the straddle re-scan carries the IN pushdown to the parquet scan
+    assert "In(n_chars" in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "windowspecdefinition(n_chars" in ln, ln
+    assert "row_number() windowspecdefinition(n_chars" in plan, plan
     assert "EvalPython" not in plan
 
 

@@ -122,6 +122,44 @@ def test_gemm_and_broadcast_simjoin_agree(spark):
     assert similarity_join_gemm(one, one, k=3).count() == 0
 
 
+def test_simjoin_zero_norm_vector_ranks_last_both_paths(spark):
+    """A zero-norm corpus vector yields a NaN cosine distance (0/0).
+    The broadcast path's try_divide turns it into NULL JVM-side (ANSI
+    mode would otherwise abort the job on the 0 divisor); on the GEMM
+    path the numpy NaN crosses pandas->Arrow as NULL, which plain
+    .asc() would rank FIRST — the r5/r6 latent bug. With nulls_last
+    windows, both paths must rank every real neighbor above the
+    degenerate row, agree with each other exactly, and emit NULL —
+    exactly what the DuckDB oracle computes for x/0 and where its
+    default NULLS LAST puts it."""
+    from tripgogo_vector_search_spark.operators.simjoin import (
+        similarity_join, similarity_join_gemm)
+    base = _vecs()[:4]
+    rows = [(i, v) for i, v, _ in base] + [(99, [0.0] * DIM)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    # k covers the whole corpus, so the zero-norm row MUST appear — at
+    # the bottom, with a NaN distance.
+    want = similarity_join(df, q, k=10).orderBy("rank").collect()
+    got = similarity_join_gemm(df, q, k=10).orderBy("rank").collect()
+    assert len(want) == 4 and len(got) == 4
+    assert [r["neighbor_id"] for r in want] == [r["neighbor_id"] for r in got]
+    assert want[-1]["neighbor_id"] == 99 and got[-1]["neighbor_id"] == 99
+    for r in (want[-1], got[-1]):
+        assert r["distance_score"] is None
+    real_w = [(r["neighbor_id"], r["rank"], r["distance_score"])
+              for r in want[:-1]]
+    real_g = [(r["neighbor_id"], r["rank"], r["distance_score"])
+              for r in got[:-1]]
+    assert real_w == real_g
+    # k smaller than the real-neighbor count: the zero-norm row must
+    # not displace anyone on either path.
+    top_w = {r["neighbor_id"] for r in similarity_join(df, q, k=3).collect()}
+    top_g = {r["neighbor_id"]
+             for r in similarity_join_gemm(df, q, k=3).collect()}
+    assert 99 not in top_w and 99 not in top_g and top_w == top_g
+
+
 def test_knn_label_accuracy_matches_numpy_bruteforce(spark):
     """Third implementation: exact numpy leave-one-out 1-NN over the
     sf fixture — same capped eval set (per-label md5 rank), cosine by

@@ -1,0 +1,172 @@
+"""Plan-fingerprint manifest: the structural guard for the evidence
+workflow (VERDICT r5/r6 "What's wrong #1").
+
+The driver's correctness gate checks a bounded prefix of
+``__spark_entry__.queries()`` per round, ordered by ``_CHECK_FIRST``. A
+key whose physical plan changes AFTER its last driver row silently
+carries stale green evidence unless it is re-queued. This module makes
+that drift a test failure:
+
+* ``fingerprint_all(spark)`` computes, for every registry key, a sha256
+  over the NORMALIZED optimized logical plan at the sf0.001 fixture
+  (expression ids ``#N``, filesystem paths, and cache-generation hashes
+  stripped — everything else, operator tree included, is significant).
+  ``stream_*`` keys would execute a real micro-batch stream just to
+  build their plan, so they are fingerprinted at source level instead:
+  sha256 of ``streaming/ingest.py`` plus the registry function's own
+  source — coarser (any ingest.py edit flags every stream key), which
+  errs on the re-verify side.
+* ``tests/plan_manifest.json`` records the fingerprints as of the last
+  time the manifest was regenerated — the workflow regenerates it in
+  the same commit that queues changed keys in ``_CHECK_FIRST``, so the
+  manifest always describes the plans the NEXT driver window will
+  verify, and ``tests/test_plan_manifest.py`` fails if a plan drifts
+  from it without its key being queued.
+
+Regenerate (after intentionally changing a plan AND queueing the key):
+
+    python tools/plan_manifest.py --update
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(REPO, "tests", "plan_manifest.json")
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Normalization: strip every volatile token so the hash moves only when
+# the plan's STRUCTURE (operators, expressions, literals) moves.
+_NORMALIZERS = [
+    (re.compile(r"#\d+"), "#"),                      # expression ids
+    (re.compile(r"plan_id=\d+"), "plan_id="),        # session-global ctr
+    # higher-order-function lambda variables are numbered by a
+    # session-global counter (x_1 in a fresh session, x_9 after other
+    # queries ran) — the suffix is part of the NAME, not the #exprId
+    (re.compile(r"(lambda +\w+?)_\d+"), r"\1_"),
+    (re.compile(r"file:[^\s,\)\]]+"), "file:<p>"),   # fs paths
+    (re.compile(r"/[\w./-]*/(\.cache|testdata)/[^\s,\)\]]*"), "<p>"),
+    (re.compile(r"\b[0-9a-f]{8,}\b"), "<hex>"),      # cache-gen hashes
+]
+
+
+def _normalize(plan: str) -> str:
+    for rx, repl in _NORMALIZERS:
+        plan = rx.sub(repl, plan)
+    out = []
+    for ln in plan.splitlines():
+        # RewriteDistinctAggregates numbers its gid groups (and orders
+        # the Expand/Aggregate column lists) by expression-set hash
+        # order, which varies with the session's exprId history. The
+        # two variants are permutations of the same tokens, so a
+        # character-sort canonicalizes the line while staying
+        # sensitive to any real content change.
+        if "gid#" in ln:
+            ln = "".join(sorted(ln.strip()))
+        out.append(ln)
+    return "\n".join(out)
+
+
+def _unwrap(fn):
+    """Original registry function behind the ``query`` decorator's
+    ``wrapped`` (closure cell holding a function)."""
+    for cell in fn.__closure__ or ():
+        try:
+            if inspect.isfunction(cell.cell_contents):
+                return cell.cell_contents
+        except ValueError:  # empty cell
+            pass
+    return fn
+
+
+def _source_fingerprint(name: str, fn) -> str:
+    ingest = os.path.join(REPO, "tripgogo_vector_search_spark",
+                          "streaming", "ingest.py")
+    with open(ingest, "rb") as f:
+        body = f.read()
+    src = inspect.getsource(_unwrap(fn)).encode()
+    return hashlib.sha256(body + b"\0" + src).hexdigest()
+
+
+def plan_text(spark, name: str, sf_dir: str = SF_SMOKE) -> str | None:
+    """Normalized optimized-plan text for a batch key; None for
+    ``stream_*`` keys (building their plan would run a live stream)."""
+    from tripgogo_vector_search_spark.plans import registry
+    if name.startswith("stream_"):
+        return None
+    df = registry.QUERIES[name](spark, sf_dir)
+    return _normalize(df._jdf.queryExecution().optimizedPlan().toString())
+
+
+def collect_plans(spark, sf_dir: str = SF_SMOKE) -> dict[str, str | None]:
+    from tripgogo_vector_search_spark.plans import registry
+    return {name: plan_text(spark, name, sf_dir)
+            for name in sorted(registry.QUERIES)}
+
+
+def fingerprint_one(spark, name: str, sf_dir: str = SF_SMOKE,
+                    plan: str | None = None) -> str:
+    from tripgogo_vector_search_spark.plans import registry
+    fn = registry.QUERIES[name]
+    if name.startswith("stream_"):
+        return _source_fingerprint(name, fn)
+    if plan is None:
+        plan = plan_text(spark, name, sf_dir)
+    return hashlib.sha256(plan.encode()).hexdigest()
+
+
+def fingerprint_all(spark, sf_dir: str = SF_SMOKE,
+                    plans: dict[str, str | None] | None = None
+                    ) -> dict[str, str]:
+    from tripgogo_vector_search_spark.plans import registry
+    plans = plans if plans is not None else collect_plans(spark, sf_dir)
+    return {name: fingerprint_one(spark, name, sf_dir, plans.get(name))
+            for name in sorted(registry.QUERIES)}
+
+
+def load_manifest() -> dict[str, str]:
+    with open(MANIFEST) as f:
+        return json.load(f)["fingerprints"]
+
+
+def _session():
+    # Pin the exact shape conftest uses: plan fingerprints include
+    # parallelism-derived constants (partitioning.widen), so manifest
+    # generation and the test must agree on the session config.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from tripgogo_vector_search_spark.session import get_spark
+    return get_spark("plan-manifest", shuffle_partitions=8)
+
+
+def main(argv: list[str]) -> int:
+    update = "--update" in argv
+    spark = _session()
+    got = fingerprint_all(spark)
+    if update:
+        with open(MANIFEST, "w") as f:
+            json.dump({"sf_dir": SF_SMOKE, "session": "local[8]/shuffle=8",
+                       "fingerprints": got}, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {len(got)} fingerprints to {MANIFEST}")
+        return 0
+    want = load_manifest()
+    drift = sorted(k for k in got if want.get(k) != got[k])
+    gone = sorted(k for k in want if k not in got)
+    for k in drift:
+        print(f"DRIFT {k}")
+    for k in gone:
+        print(f"REMOVED {k}")
+    print(f"{len(got)} keys, {len(drift)} drifted, {len(gone)} removed")
+    return 1 if (drift or gone) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -92,19 +92,27 @@ def replicated_sf_dir(k: int) -> str:
         _corpus_fingerprint)
     leaf = (f"{os.path.basename(os.path.abspath(SF_DIR))}"
             f"-{_corpus_fingerprint(SF_DIR)}")
-    out = f"/tmp/slope_{leaf}_x{k}"
+    out = f"/tmp/slope_{leaf}_v2_x{k}"  # v2: +orders/events (r7 ops)
     done = os.path.join(out, "_done")
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
     stride = 10_000_000
-    for tbl, idc in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    # id_cols: every id-ish column strided per replica so replicas are
+    # distinct entities (distinct users/orders, not k events per user)
+    for tbl, id_cols in (("documents", ["doc_id"]),
+                         ("embeddings", ["vec_id"]),
+                         ("orders", ["o_orderkey", "o_custkey"]),
+                         ("events", ["event_id", "user_id"])):
         base = pq.read_table(f"{SF_DIR}/{tbl}.parquet")
         reps = []
         for i in range(k):
-            ids = pc.add(base.column(idc), i * stride)
-            reps.append(base.set_column(
-                base.schema.get_field_index(idc), idc, ids))
+            rep = base
+            for idc in id_cols:
+                ids = pc.add(rep.column(idc), i * stride)
+                rep = rep.set_column(
+                    rep.schema.get_field_index(idc), idc, ids)
+            reps.append(rep)
         pq.write_table(pa.concat_tables(reps),
                        os.path.join(out, f"{tbl}.parquet"))
     open(done, "w").close()
@@ -240,6 +248,22 @@ def run(spark, op: str, k: int) -> dict:
         # one row per embedding, so collect() would time driver-side
         # result transfer, not the plan (small-output queries collect)
         if op == "embed_quantize":
+            QUERIES[op](spark, d).write.format("noop").mode(
+                "overwrite").save()
+        else:
+            QUERIES[op](spark, d).collect()
+        elapsed = time.perf_counter() - t0
+    elif op in ("quality_by_length_decile", "ntile_bands",
+                "activation_latency_quartiles", "sim_join",
+                "sim_join_gemm"):
+        # r7 re-plans (histogram decile bounds, distributed two-phase
+        # rank, nulls_last sim-join) — exact registry plans end-to-end
+        from tripgogo_vector_search_spark.plans.registry import QUERIES
+        d = replicated_sf_dir(k)
+        t0 = time.perf_counter()
+        if op in ("ntile_bands", "sim_join", "sim_join_gemm"):
+            # row-per-input / row-per-pair outputs: noop sink so the
+            # timing covers the plan, not driver result transfer
             QUERIES[op](spark, d).write.format("noop").mode(
                 "overwrite").save()
         else:

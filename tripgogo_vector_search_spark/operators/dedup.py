@@ -169,14 +169,18 @@ def shingle_inverted_index(df: DataFrame, text_col: str, id_col: str,
 def _attach_bucket_sizes(rows: DataFrame, key: str,
                          min_n: int = 2,
                          max_n: int | None = None) -> DataFrame:
-    """Attach each row's bucket size ``n`` via a SHUFFLE join with the
-    per-key count aggregate — the shared entry step of every join-based
-    pair stage in this module (`_posting_intersections`,
-    `ngram_jaccard_prefix_candidates`, `simhash_banded_dedup`). Never a
-    broadcast: sub-cap keys are vocabulary/corpus-scale at 100 TB. The
-    count aggregate, this join, and the downstream pair self-join all
-    hash-partition on the key, so the exchange is laid down once and
-    reused."""
+    """Attach each row's bucket size ``n`` via a join with the per-key
+    count aggregate — the shared entry step of every join-based pair
+    stage in this module (`_posting_intersections`,
+    `ngram_jaccard_prefix_candidates`, `simhash_banded_dedup`).
+
+    Join strategy is deliberately left to the planner: at 100 TB the
+    sub-cap key set is vocabulary/corpus-scale, far past any broadcast
+    threshold, so the plan is a shuffle join whose hash partitioning
+    on the key lines up with the count aggregate and the downstream
+    pair self-join (one exchange, reused). At test scale AQE may
+    legitimately pick a broadcast instead — correctness is
+    strategy-independent, so nothing pins the physical choice."""
     sizes = rows.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
     cond = F.col("n") >= min_n
     if max_n is not None:

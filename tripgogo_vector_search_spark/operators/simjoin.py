@@ -37,12 +37,19 @@ def similarity_join(corpus: DataFrame, queries: DataFrame, k: int = 3,
                       l2_norm(corpus_vec).alias("neighbor_norm"))
     joined = c.join(F.broadcast(q),
                     F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True))
+    # try_divide: a zero-norm vector makes the divisor 0, which under
+    # ANSI mode (Spark 4 default) would abort the whole job; NULL is
+    # also exactly what the DuckDB oracle computes for x/0. The
+    # nulls_last window then pins the degenerate candidate BELOW every
+    # real neighbor, same as the oracle's default NULLS LAST.
     scored = joined.withColumn(
         "distance_score",
-        F.lit(1.0) - dot("neighbor_vec", "query_vec")
-        / (F.col("neighbor_norm") * F.col("query_norm")))
-    w = W.partitionBy("query_id").orderBy(F.col("distance_score").asc(),
-                                          F.col("neighbor_id").asc())
+        F.lit(1.0) - F.try_divide(
+            dot("neighbor_vec", "query_vec"),
+            F.col("neighbor_norm") * F.col("query_norm")))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("distance_score").asc_nulls_last(),
+        F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
@@ -94,8 +101,11 @@ def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
             C = np.array([list(map(float, v)) for v in pdf[corpus_vec]],
                          dtype=np.float64)
             cnorm = np.sqrt((C * C).sum(axis=1))
-            # round BEFORE ranking so the argmin is ulp-drift-proof
-            dist = np.round(1.0 - (C @ Q.T) / np.outer(cnorm, qnorm), 6)
+            # round BEFORE ranking so the argmin is ulp-drift-proof;
+            # 0/0 (zero-norm vector) is a deliberate NaN, not an error
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dist = np.round(1.0 - (C @ Q.T) / np.outer(cnorm, qnorm),
+                                6)
             nq = len(qids)
             kk = min(k, len(ids))
             # self-exclusion by dropping the row INDEX, never by value
@@ -133,8 +143,17 @@ def similarity_join_gemm(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
     partial = corpus.select(corpus_id, corpus_vec).mapInPandas(
         score_partition, out_schema)
-    w = W.partitionBy("query_id").orderBy(F.col("distance_score").asc(),
-                                          F.col("neighbor_id").asc())
+    # A NaN distance (zero-norm vector: numpy 0/0) crosses the
+    # pandas->Arrow boundary as NULL (NaN is pandas' null sentinel).
+    # That NULL is the correct output — the broadcast path's try_divide
+    # and the DuckDB oracle's x/0 both yield NULL — but plain .asc()
+    # would rank it FIRST, so a zero-norm candidate surviving the
+    # partition-local top-k would beat every real neighbor (the r5/r6
+    # latent bug). nulls_last matches numpy's lexsort (NaN last) and
+    # the oracle's default NULLS LAST.
+    w = W.partitionBy("query_id").orderBy(
+        F.col("distance_score").asc_nulls_last(),
+        F.col("neighbor_id").asc())
     return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",

@@ -1342,16 +1342,34 @@ def window_frame(spark, sf_dir):
           FROM orders
           WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)""")
 def ntile_bands(spark, sf_dir):
-    """Global quartiles + distribution ranks. Single-partition window —
-    at 100 TB this becomes a two-pass rank (count + range partitioner);
-    kept as the semantic reference implementation."""
-    o = _t(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return o.select(
+    """Global quartiles + distribution ranks, computed WITHOUT the
+    single-task global window (r7): the distributed two-phase rank
+    (operators/rank.py — range repartition + per-partition offsets)
+    gives every row its exact global rank and the total n, and
+    ntile/percent_rank/cume_dist are then pure arithmetic. The
+    ordering key (o_totalprice, o_orderkey) is unique, so
+    rank == row_number and the closed forms match the window
+    functions exactly: ntile's first n%4 buckets take one extra row;
+    percent_rank = (rank-1)/(n-1) (0 when n=1); cume_dist = rank/n."""
+    from ..operators.rank import with_global_rank
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = with_global_rank(o, ["o_totalprice", "o_orderkey"],
+                         rank_col="rk", total_col="n")
+    rank, n = F.col("rk"), F.col("n")
+    base = F.floor(n / 4).cast("bigint")
+    rem = (n % 4).cast("bigint")
+    big = rem * (base + 1)  # rows living in the (base+1)-sized buckets
+    quartile = (F.when(rank <= big,
+                       F.floor((rank - 1) / (base + 1)) + 1)
+                .otherwise(rem + F.floor((rank - big - 1)
+                                         / F.greatest(base, F.lit(1)))
+                           + 1)).cast("bigint")
+    pct = F.when(n > 1, (rank - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return r.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+        quartile.alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(rank / n, 6).alias("cdist"))
 
 
 @query("cube_agg",
@@ -6546,9 +6564,16 @@ def activation_latency_quartiles(spark, sf_dir):
     users come back'. Gaps are integer whole-second differences
     (flooring both sides so DuckDB's rounding double->int cast can't
     skew sub-second timestamps); quartiles are exact rank selections
-    over the |users| latency frame — which is aggregate-scale, so the
-    unpartitioned rank window is bounded. One user-keyed window
-    (WindowGroupLimit prunes to rk<=2) feeds a self-join pivot."""
+    in (gap_s, user_id) order. One user-keyed window (WindowGroupLimit
+    prunes to rk<=2) feeds a self-join pivot.
+
+    r7: the rank selection needs no row-level global window at all —
+    the selected OUTPUT is the gap value, and rows tied on gap_s are
+    interchangeable for it, so rank qk's gap is simply the g with
+    cum_before(g) < qk <= cum_through(g) on the gap-seconds histogram
+    (bounded distinct values; its cumulative windows run over the
+    histogram frame only). The |users| frame is never globally
+    sorted."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     r = (ev.select("user_id", "ts",
@@ -6561,15 +6586,20 @@ def activation_latency_quartiles(spark, sf_dir):
     lat = (a.join(b, a["user_id"] == b["u2"])
            .select("user_id", (F.col("t2") - F.col("t1")).cast("bigint")
                    .alias("gap_s")))
-    qw = W.orderBy("gap_s", "user_id")
-    q = lat.select("gap_s",
-                   F.row_number().over(qw).alias("qk"),
-                   F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+    hist = lat.groupBy("gap_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("gap_s").rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.orderBy("gap_s").rowsBetween(W.unboundedPreceding,
+                                          W.unboundedFollowing)
+    h = (hist.select("gap_s", "cnt",
+                     F.sum("cnt").over(wcum).alias("cum_through"),
+                     F.sum("cnt").over(wtot).alias("n"))
+         .withColumn("cum_before", F.col("cum_through") - F.col("cnt")))
     def pick(frac, name):
+        qk = F.ceil(frac * F.col("n")).cast("bigint")
         return F.max(F.when(
-            F.col("qk") == F.ceil(frac * F.col("n")).cast("bigint"),
+            (F.col("cum_before") < qk) & (qk <= F.col("cum_through")),
             F.col("gap_s"))).cast("bigint").alias(name)
-    return q.agg(F.max("n").cast("bigint").alias("n_users"),
+    return h.agg(F.max("n").cast("bigint").alias("n_users"),
                  pick(0.25, "q1_seconds"),
                  pick(0.50, "median_seconds"),
                  pick(0.75, "q3_seconds"))
@@ -6980,22 +7010,86 @@ def quality_by_length_decile(spark, sf_dir):
     docs junk or just short'). Deciles are rank arithmetic on the
     deterministic (n_chars, doc_id) order — no interpolation, no
     engine percentile — and quality is DECIMAL-averaged per decile.
-    The rank window is the one global sort this query pays; at 100 TB
-    you'd bucket by precomputed length bounds from a sample instead
-    (histogram_fixed_bins shape)."""
+    Physical plan (r7): NO global corpus sort, NO corpus-wide shuffle.
+    The global rank decomposes as cum_before(n_chars) +
+    rank_within(n_chars), so ONE full scan computes per-length
+    (sum_quality DECIMAL, count) — map-side combinable, shuffling only
+    one aggregate row per distinct length (thousands at any corpus
+    size). Decile bounds are cumulative sums over that tiny histogram
+    (the unpartitioned cumulative window runs over the histogram
+    frame only). A length group whose whole rank span sits inside one
+    decile contributes its already-aggregated sums directly. Only the
+    <=10 boundary-straddling groups (one per decile cut) need
+    row-level ranks: their lengths are collected (bounded: <=10
+    values) into a literal IN filter, so the second documents scan is
+    row-group-pruned by n_chars min/max stats and its per-length
+    row_number window sees a sliver of the corpus. At 100 TB: one
+    full scan + tiny agg shuffle + one pruned re-scan, vs r6's
+    single-task whole-corpus sort."""
     d = _t(spark, sf_dir, "documents")
-    q = d.select("n_chars", "doc_id",
-                 TX.quality_score("text").alias("quality"))
-    w = W.orderBy("n_chars", "doc_id")
-    tw = W.partitionBy()
-    decile = F.least(
-        F.floor((F.row_number().over(w) - 1) * 10.0
-                / F.count(F.lit(1)).over(tw)), F.lit(9)).cast("bigint")
-    r = q.select("quality", decile.alias("decile"))
+    agg1 = (d.select("n_chars",
+                     TX.quality_score("text").cast("decimal(18,6)")
+                     .alias("quality"))
+            .groupBy("n_chars")
+            .agg(F.sum("quality").alias("sq"),
+                 F.count(F.lit(1)).alias("cnt")))
+    # both windows run over the tiny histogram frame only; the
+    # unbounded-both-ends total avoids a second corpus scan that a
+    # separate agg1.agg(total) subtree would cost
+    wcum = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    wtot = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing)
+    bounds = (agg1
+              .withColumn("cum_before",
+                          F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+              .withColumn("total", F.sum("cnt").over(wtot)))
+    # first/last member's decile under the oracle's exact arithmetic
+    # floor((global_rank - 1) * 10.0 / total), capped at 9
+    bounds = bounds.select(
+        "n_chars", "sq", "cnt", "cum_before", "total",
+        F.least(F.floor(F.col("cum_before") * 10.0 / F.col("total")),
+                F.lit(9)).cast("bigint").alias("decile_lo"),
+        F.least(F.floor((F.col("cum_before") + F.col("cnt") - 1) * 10.0
+                        / F.col("total")),
+                F.lit(9)).cast("bigint").alias("decile_hi"))
+    # persist the histogram-sized bounds frame: the straddle-length
+    # collect below materializes it with the round's ONE full corpus
+    # scan, and the final job then reads the cache instead of
+    # re-scanning documents for the flat branch
+    bounds = bounds.persist()
+    flat = (bounds.filter(F.col("decile_lo") == F.col("decile_hi"))
+            .select(F.col("decile_lo").alias("decile"), "sq", "cnt"))
+    strad_b = bounds.filter(F.col("decile_lo") != F.col("decile_hi"))
+    # bounded collect (<=10 lengths, one per decile boundary): a
+    # literal IN reaches the parquet scan as PushedFilters, which a
+    # broadcast join cannot do for an unpartitioned table
+    strad_lengths = sorted(
+        r[0] for r in strad_b.select("n_chars").collect())
+    if not strad_lengths:
+        r = (bounds.select(F.col("decile_lo").alias("decile"),
+                           "sq", "cnt"))
+        return (r.groupBy("decile")
+                .agg(F.sum("cnt").cast("bigint").alias("n_docs"),
+                     F.round(F.sum("sq").cast("double") / F.sum("cnt"),
+                             6).alias("mean_quality")))
+    wl = W.partitionBy("n_chars").orderBy("doc_id")
+    strad = (d.filter(F.col("n_chars").isin(strad_lengths))
+             .select("n_chars", "doc_id",
+                     TX.quality_score("text").cast("decimal(18,6)")
+                     .alias("quality"))
+             .join(F.broadcast(strad_b.select(
+                 "n_chars", "cum_before", "total")), "n_chars")
+             .withColumn("rn", F.row_number().over(wl))
+             .groupBy(F.least(
+                 F.floor((F.col("cum_before") + F.col("rn") - 1) * 10.0
+                         / F.col("total")),
+                 F.lit(9)).cast("bigint").alias("decile"))
+             .agg(F.sum("quality").alias("sq"),
+                  F.count(F.lit(1)).alias("cnt")))
+    r = flat.unionByName(strad)
     return (r.groupBy("decile")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.sum(F.col("quality").cast("decimal(18,6)"))
-                         .cast("double") / F.count(F.lit(1)), 6)
+            .agg(F.sum("cnt").cast("bigint").alias("n_docs"),
+                 F.round(F.sum("sq").cast("double") / F.sum("cnt"), 6)
                  .alias("mean_quality")))
 
 
