@@ -44,7 +44,12 @@ _CHECK_FIRST = [
     #     distributed two-phase rank (operators/rank.py) + closed-form
     #     ntile/percent_rank/cume_dist arithmetic;
     #   activation_latency_quartiles — |users|-frame rank window
-    #     replaced by gap-histogram cumulative-rank selection.
+    #     replaced by gap-histogram cumulative-rank selection;
+    #   conversion_latency — same histogram selection, plus the
+    #     forced broadcast of the |users|-scale view-times frame
+    #     removed (planner's choice; shuffle join at scale);
+    #   orders_rfm — |customers|-frame ntile window replaced by the
+    #     distributed two-phase rank + closed-form ntile.
     # Then re-confirmation anchors. Plan drift vs the last driver row
     # is enforced by tests/test_plan_manifest.py: it fingerprints
     # every non-streaming key's optimized plan and fails if a
@@ -52,6 +57,7 @@ _CHECK_FIRST = [
     # is absent from this changed-keys head.
     "quality_by_length_decile", "sim_join_gemm", "sim_join",
     "ntile_bands", "activation_latency_quartiles",
+    "conversion_latency", "orders_rfm",
     # --- re-confirmation anchors ---
     "median_agg", "schema_profile", "knn_label_accuracy",
     "approx_quantiles", "ngram_jaccard_prefix", "hybrid_search_rrf",

@@ -255,13 +255,14 @@ def run(spark, op: str, k: int) -> dict:
         elapsed = time.perf_counter() - t0
     elif op in ("quality_by_length_decile", "ntile_bands",
                 "activation_latency_quartiles", "sim_join",
-                "sim_join_gemm"):
+                "sim_join_gemm", "conversion_latency", "orders_rfm"):
         # r7 re-plans (histogram decile bounds, distributed two-phase
         # rank, nulls_last sim-join) — exact registry plans end-to-end
         from tripgogo_vector_search_spark.plans.registry import QUERIES
         d = replicated_sf_dir(k)
         t0 = time.perf_counter()
-        if op in ("ntile_bands", "sim_join", "sim_join_gemm"):
+        if op in ("ntile_bands", "sim_join", "sim_join_gemm",
+                  "orders_rfm"):
             # row-per-input / row-per-pair outputs: noop sink so the
             # timing covers the plan, not driver result transfer
             QUERIES[op](spark, d).write.format("noop").mode(

@@ -4751,9 +4751,13 @@ def orders_rfm(spark, sf_dir):
     One aggregate on custkey; the reference date broadcasts as a
     scalar frame; monetary accumulates in exact DECIMAL so the
     quartile band ordering (monetary DESC, custkey) is engine-exact.
-    The ntile window is unpartitioned but runs on the AGGREGATE's
-    output — |customers| rows, not |orders|; at 100 TB you'd band
-    within segments (partitioned ntile) or on a sampled CDF instead."""
+    The band needs a true global rank per customer over a
+    near-continuous DECIMAL key, so (r7) it uses the distributed
+    two-phase rank (operators/rank.py: range repartition +
+    per-partition offsets — the |customers| frame is never sorted in
+    one task) and the closed-form ntile on (rank, n), exact because
+    the ordering key is unique."""
+    from ..operators.rank import with_global_rank
     o = _t(spark, sf_dir, "orders")
     r = (o.groupBy(F.col("o_custkey").alias("c_custkey"))
          .agg(F.max("o_orderdate").alias("last_order"),
@@ -4761,15 +4765,24 @@ def orders_rfm(spark, sf_dir):
               F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
               .alias("monetary_d")))
     mx = o.agg(F.max("o_orderdate").alias("ref"))
-    w = W.orderBy(F.col("monetary_d").desc(), F.col("c_custkey"))
-    return (r.crossJoin(F.broadcast(mx))
+    rk = with_global_rank(
+        r, [F.col("monetary_d").desc(), F.col("c_custkey")],
+        rank_col="rk", total_col="n")
+    rank, n = F.col("rk"), F.col("n")
+    base = F.floor(n / 4).cast("bigint")
+    rem = (n % 4).cast("bigint")
+    big = rem * (base + 1)
+    band = (F.when(rank <= big, F.floor((rank - 1) / (base + 1)) + 1)
+            .otherwise(rem + F.floor((rank - big - 1)
+                                     / F.greatest(base, F.lit(1))) + 1))
+    return (rk.crossJoin(F.broadcast(mx))
             .select("c_custkey",
                     F.datediff("ref", "last_order").cast("bigint")
                     .alias("recency_days"),
                     "frequency",
                     F.round(F.col("monetary_d").cast("double"), 2)
                     .alias("monetary"),
-                    F.ntile(4).over(w).alias("value_band")))
+                    band.cast("int").alias("value_band")))
 
 
 @query("dedup_rate_by_source",
@@ -6710,28 +6723,42 @@ def conversion_latency(spark, sf_dir):
     and p90 — the companion to funnel_stages (the funnel says HOW MANY
     convert; this says HOW FAST). Whole-second integer arithmetic
     end-to-end; both per-user mins are ordinary aggregates (no window
-    over raw events), and the quantile rank runs on the |converted
-    users| frame."""
+    over raw events).
+
+    r7: the view-times join is left to the planner (the old forced
+    broadcast shipped a |users|-scale frame to every task — backwards
+    at 100 TB; a user-keyed shuffle join is the scale plan, and AQE
+    still broadcasts it when it is actually small), and the quantile
+    rank selection runs on the gap-seconds HISTOGRAM (rows tied on
+    gap_s are interchangeable for the selected output, exactly as in
+    activation_latency_quartiles) — no window ever touches the
+    |converted users| frame."""
     ev = _t(spark, sf_dir, "events")
     t = F.unix_timestamp("ts")
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min(t).alias("t_view")))
     pch = (ev.filter(F.col("event_type") == "purchase")
            .select("user_id", t.alias("tb"))
-           .join(F.broadcast(v), "user_id")
+           .join(v, "user_id")
            .filter(F.col("tb") >= F.col("t_view"))
            .groupBy("user_id").agg(F.min("tb").alias("t_buy")))
     lat = (v.join(pch, "user_id")
            .select("user_id",
                    (F.col("t_buy") - F.col("t_view")).alias("gap_s")))
-    qw = W.orderBy("gap_s", "user_id")
-    q = lat.select("gap_s", F.row_number().over(qw).alias("qk"),
-                   F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+    hist = lat.groupBy("gap_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("gap_s").rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.orderBy("gap_s").rowsBetween(W.unboundedPreceding,
+                                          W.unboundedFollowing)
+    h = (hist.select("gap_s", "cnt",
+                     F.sum("cnt").over(wcum).alias("cum_through"),
+                     F.sum("cnt").over(wtot).alias("n"))
+         .withColumn("cum_before", F.col("cum_through") - F.col("cnt")))
     def pick(frac, name):
+        qk = F.ceil(frac * F.col("n")).cast("bigint")
         return F.max(F.when(
-            F.col("qk") == F.ceil(frac * F.col("n")).cast("bigint"),
+            (F.col("cum_before") < qk) & (qk <= F.col("cum_through")),
             F.col("gap_s"))).cast("bigint").alias(name)
-    return q.agg(F.max("n").cast("bigint").alias("n_converted"),
+    return h.agg(F.max("n").cast("bigint").alias("n_converted"),
                  pick(0.50, "median_seconds"),
                  pick(0.90, "p90_seconds"))
 
