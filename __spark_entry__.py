@@ -49,7 +49,13 @@ _CHECK_FIRST = [
     #     forced broadcast of the |users|-scale view-times frame
     #     removed (planner's choice; shuffle join at scale);
     #   orders_rfm — |customers|-frame ntile window replaced by the
-    #     distributed two-phase rank + closed-form ntile.
+    #     distributed two-phase rank + closed-form ntile;
+    #   the 21 keys below through copurchase_lift — the forced-
+    #     broadcast sweep: F.broadcast() hints removed from every
+    #     SF-scaling side (customer / supplier / part / orders-derived
+    #     / entity-key-set / vocabulary frames); only fixed-size
+    #     (nation, region) and bounded stat/sample frames keep pinned
+    #     hints. Results are strategy-independent; plans changed.
     # Then re-confirmation anchors. Plan drift vs the last driver row
     # is enforced by tests/test_plan_manifest.py: it fingerprints
     # every non-streaming key's optimized plan and fails if a
@@ -58,6 +64,12 @@ _CHECK_FIRST = [
     "quality_by_length_decile", "sim_join_gemm", "sim_join",
     "ntile_bands", "activation_latency_quartiles",
     "conversion_latency", "orders_rfm",
+    "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
+    "join_agg", "join_multi", "in_subquery", "grouping_sets",
+    "revenue_growth_yoy", "revenue_concentration_hhi", "tfidf_topk",
+    "copurchase_lift", "referential_integrity_audit",
+    "embedding_coverage_audit",
     # --- re-confirmation anchors ---
     "median_agg", "schema_profile", "knn_label_accuracy",
     "approx_quantiles", "ngram_jaccard_prefix", "hybrid_search_rrf",

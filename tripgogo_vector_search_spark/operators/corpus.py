@@ -93,9 +93,12 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
 
     Scale shape: explode is a flatMap (no shuffle); the (doc, word) TF
     aggregate shuffles once with map-side partial aggregation; the DF
-    table is vocabulary-sized, so it broadcast-joins back; the per-doc
-    top-k window shuffles on doc_id. ln(N/df) is computed inside the
-    join projection — no driver-side collect anywhere.
+    table is vocabulary-sized — Heaps-law sublinear but still unbounded
+    at 100 TB, so its join strategy is the planner's call (AQE
+    broadcasts it when it is actually small), matching the dedup
+    module's never-force-broadcast-vocabulary rule; the per-doc top-k
+    window shuffles on doc_id. ln(N/df) is computed inside the join
+    projection — no driver-side collect anywhere.
     """
     tokens = docs.select(id_col, F.explode(words(text_col)).alias("word"))
     tf = tokens.groupBy(id_col, "word").agg(
@@ -105,7 +108,7 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     score = (F.col("tf").cast("double")
              * F.log(F.col("nd").cast("double") / F.col("dfc").cast("double")))
     w = W.partitionBy(id_col).orderBy(score.desc(), F.col("word").asc())
-    return (tf.join(F.broadcast(df_tab), "word")
+    return (tf.join(df_tab, "word")
             .crossJoin(F.broadcast(n_docs))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)

@@ -931,16 +931,17 @@ def lob_to_string(spark, sf_dir):
           GROUP BY 1, 2
           ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")
 def join_agg(spark, sf_dir):
-    """TPC-H Q3-style join + aggregate + top-k. Catalyst/AQE picks
-    broadcast for the filtered customer side; revenue uses exact DECIMAL
-    accumulation."""
+    """TPC-H Q3-style join + aggregate + top-k. The customer join
+    strategy is left to Catalyst/AQE (it broadcasts the filtered side
+    while it is small; customer scales with the data, so no pinned
+    hint); revenue uses exact DECIMAL accumulation."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("l_orderkey",
                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
             .agg(F.round(F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
@@ -962,8 +963,10 @@ def join_agg(spark, sf_dir):
           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
           GROUP BY 1, 2""")
 def join_multi(spark, sf_dir):
-    """TPC-H Q5-style star join: dims (region/nation/customer) broadcast
-    so the only shuffle is the final aggregate on (region, nation)."""
+    """TPC-H Q5-style star join: nation/region pin broadcast (fixed
+    rows); the customer-side dims frame scales with the data, so its
+    join rides the planner's choice (AQE broadcast while small, shuffle
+    at scale) before the final aggregate on (region, nation)."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -973,7 +976,7 @@ def join_multi(spark, sf_dir):
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .select("c_custkey", "n_name", "r_name"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+            .join(dims, o.o_custkey == dims.c_custkey)
             .groupBy("r_name", "n_name")
             .agg(F.round(F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
                                .cast("decimal(24,6)")), 2)
@@ -1567,14 +1570,17 @@ def correlated_subquery(spark, sf_dir):
             AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
                                   WHERE l_quantity > 49 AND l_discount > 0.09)""")
 def in_subquery(spark, sf_dir):
-    """IN / NOT IN membership subqueries as broadcast semi/anti joins."""
+    """IN / NOT IN membership subqueries as semi/anti joins: the IN
+    set is nation-keyed (fixed size, pinned broadcast); the NOT IN set
+    is a supplier-key aggregate that scales with the data, so its
+    anti-join strategy is the planner's call."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
     big = (_t(spark, sf_dir, "lineitem")
            .filter((F.col("l_quantity") > 49) & (F.col("l_discount") > 0.09))
            .select("l_suppkey").distinct())
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
-            .join(F.broadcast(big), s.s_suppkey == big.l_suppkey, "left_anti")
+            .join(big, s.s_suppkey == big.l_suppkey, "left_anti")
             .select("s_suppkey", "s_name"))
 
 
@@ -2002,10 +2008,12 @@ def tpch_q1(spark, sf_dir):
                        AS DECIMAL(30,10))) DESC, l_orderkey ASC
           LIMIT 10""")
 def tpch_q3(spark, sf_dir):
-    """TPC-H Q3 (shipping priority): filtered customer dim broadcasts
-    into orders, the survivors broadcast into the lineitem scan, one
-    aggregate shuffle, top-10 by exact DECIMAL revenue (deterministic
-    orderkey tiebreak) via TakeOrderedAndProject."""
+    """TPC-H Q3 (shipping priority): filtered customer joins into
+    orders and the survivors into lineitem — both strategies the
+    planner's (customer and filtered orders scale with the data; AQE
+    broadcasts them only while small) — one aggregate shuffle, top-10
+    by exact DECIMAL revenue (deterministic orderkey tiebreak) via
+    TakeOrderedAndProject."""
     c = (_t(spark, sf_dir, "customer")
          .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
     o = (_t(spark, sf_dir, "orders")
@@ -2016,8 +2024,7 @@ def tpch_q3(spark, sf_dir):
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     rev = (F.col("l_extendedprice")
            * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,10)")
-    return (li.join(F.broadcast(o.join(F.broadcast(c),
-                                       o.o_custkey == c.c_custkey)),
+    return (li.join(o.join(c, o.o_custkey == c.c_custkey),
                     F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(F.sum(rev).alias("rev_exact"))
@@ -2045,11 +2052,12 @@ def tpch_q3(spark, sf_dir):
           GROUP BY n_name""")
 def tpch_q5(spark, sf_dir):
     """TPC-H Q5 (local supplier volume): the six-table join. Plan shape:
-    region->nation->supplier fold into one broadcast chain (tiny dims),
-    lineitem joins orders on the shuffle-free side only after orders is
-    date-pruned at the parquet scan; the c_nationkey = s_nationkey
-    "local" condition rides the customer broadcast. One aggregate
-    shuffle on n_name; exact DECIMAL revenue."""
+    region->nation pin broadcast into supplier (fixed-size dims only),
+    lineitem joins orders after orders is date-pruned at the parquet
+    scan; the c_nationkey = s_nationkey "local" condition rides the
+    customer join, whose strategy — like supplier's — is the
+    planner's (both scale with the data). One aggregate shuffle on
+    n_name; exact DECIMAL revenue."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
@@ -2067,8 +2075,8 @@ def tpch_q5(spark, sf_dir):
     rev = (F.col("l_extendedprice")
            * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,10)")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-            .join(F.broadcast(sn),
+            .join(c, F.col("o_custkey") == c.c_custkey)
+            .join(sn,
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .groupBy("n_name")
@@ -2094,7 +2102,8 @@ def tpch_q5(spark, sf_dir):
 def tpch_q10(spark, sf_dir):
     """TPC-H Q10 (returned-item report, adapted to the test schema's
     customer columns): quarter-pruned orders and returnflag-pruned
-    lineitem join big-to-big on orderkey, customer+nation broadcast in,
+    lineitem join big-to-big on orderkey, nation broadcast in while
+    customer joins by the planner's choice (it scales with the data),
     one aggregate shuffle, exact-DECIMAL top-20 via
     TakeOrderedAndProject."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -2110,8 +2119,8 @@ def tpch_q10(spark, sf_dir):
     rev = (F.col("l_extendedprice")
            * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,10)")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c.join(F.broadcast(n),
-                                     c.c_nationkey == n.n_nationkey)),
+            .join(c.join(F.broadcast(n),
+                         c.c_nationkey == n.n_nationkey),
                   F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
             .agg(F.sum(rev).alias("rev_exact"))
@@ -2641,7 +2650,9 @@ def pii_redact_q(spark, sf_dir):
 def tfidf_topk_q(spark, sf_dir):
     """Top-3 TF-IDF terms per document: one token-explode (no shuffle),
     one (doc,word) partial-agg shuffle, vocabulary-sized DF table
-    broadcast back, per-doc top-k window. No driver-side collect."""
+    joined back by the planner's chosen strategy (vocabulary is
+    unbounded at 100 TB — no pinned broadcast), per-doc top-k window.
+    No driver-side collect."""
     return CP.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
@@ -3368,9 +3379,10 @@ def weighted_sample(spark, sf_dir):
             AND l_shipdate < TIMESTAMP '1996-04-01'""")
 def tpch_q14(spark, sf_dir):
     """TPC-H Q14 (promotion revenue share, adapted to the fixture's
-    p_type vocabulary): date-pruned lineitem joins part broadcast on
-    partkey; both revenue sums accumulate in exact DECIMAL so the single
-    float division at the end is partition-order independent."""
+    p_type vocabulary): date-pruned lineitem joins part on partkey
+    (strategy the planner's — part scales with the data); both revenue
+    sums accumulate in exact DECIMAL so the single float division at
+    the end is partition-order independent."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = (_t(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -3378,7 +3390,7 @@ def tpch_q14(spark, sf_dir):
           .select("l_partkey", "l_extendedprice", "l_discount"))
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
            ).cast("decimal(30,10)")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     return j.agg(F.round(
         F.lit(100.0)
         * F.sum(F.when(F.col("p_type") == "PROMO", rev)
@@ -3452,14 +3464,16 @@ def grouping_sets_q(spark, sf_dir):
     Spark's Expand node replicates each row once per grouping set before
     a single aggregate shuffle — vs three separate scans+shuffles for a
     UNION ALL rewrite. grouping_id() matches SQL GROUPING(a, b) bit
-    order (a = MSB). Dimension joins broadcast; revenue accumulates in
-    exact DECIMAL."""
+    order (a = MSB). Nation/region pin broadcast (fixed 25/5 rows);
+    the customer join strategy is the planner's (customer scales with
+    the data — AQE broadcasts it only while it is actually small);
+    revenue accumulates in exact DECIMAL."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_regionkey", "n_name")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    j = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    j = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
     return (j.rollup("r_name", "n_name")
@@ -3698,8 +3712,9 @@ def tpch_q18(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): the HAVING subquery becomes a
     partial+final aggregate whose survivors semi-join (IN) back into the
     fact scan — the big table is filtered BEFORE the customer join, so
-    the wide join only sees qualifying orders; customer broadcasts;
-    top-100 via TakeOrderedAndProject on (o_totalprice, o_orderkey)."""
+    the wide join only sees qualifying orders; the customer join is
+    the planner's choice (customer scales with the data); top-100 via
+    TakeOrderedAndProject on (o_totalprice, o_orderkey)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("s"))
@@ -3712,7 +3727,7 @@ def tpch_q18(spark, sf_dir):
     j = (li.join(big.withColumnsRenamed({"l_orderkey": "b_orderkey"}),
                  F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
          .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+         .join(c, F.col("o_custkey") == F.col("c_custkey")))
     return (j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                       "o_totalprice")
             .agg(F.sum(qty).alias("q_exact"))
@@ -3903,10 +3918,12 @@ def event_gap_stats(spark, sf_dir):
           GROUP BY supp_nation, cust_nation, l_year""")
 def tpch_q7(spark, sf_dir):
     """TPC-H Q7 (volume shipping between two nations): the two nation
-    dims broadcast into supplier/customer, the date filter is pushed to
-    the lineitem scan, and the two big-side joins (lineitem-orders on
-    orderkey) are the only shuffles before one aggregate on the tiny
-    (nation, nation, year) key. Revenue accumulates in exact DECIMAL."""
+    dims pin broadcast into supplier/customer (nation is fixed-size),
+    the date filter is pushed to the lineitem scan, and the
+    supplier/customer joins plus lineitem-orders shuffle by the
+    planner's choice (supplier and customer scale with the data)
+    before one aggregate on the tiny (nation, nation, year) key.
+    Revenue accumulates in exact DECIMAL."""
     n1 = (_t(spark, sf_dir, "nation")
           .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
           .select(F.col("n_nationkey").alias("s_nk"),
@@ -3927,7 +3944,7 @@ def tpch_q7(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
            ).cast("decimal(30,10)")
-    j = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = (li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
          .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
          .join(c, F.col("o_custkey") == F.col("c_custkey"))
          .filter(F.col("supp_nation") != F.col("cust_nation")))
@@ -3959,10 +3976,11 @@ def tpch_q7(spark, sf_dir):
                   AND o_orderdate < TIMESTAMP '1997-01-01') all_nations
           GROUP BY o_year""")
 def tpch_q8(spark, sf_dir):
-    """TPC-H Q8 (national market share): an 8-table join where every
-    dimension (part filtered to one type, supplier+nation, customer+
-    nation+region) broadcasts — the only shuffle joins are
-    lineitem-orders; the share ratio divides two exact-DECIMAL sums per
+    """TPC-H Q8 (national market share): an 8-table join where the
+    fixed-size dims (nation, region) pin broadcast and the SF-scaling
+    sides (part filtered to one type, supplier, customer) join by the
+    planner's choice — AQE broadcasts them only while they are
+    actually small; the share ratio divides two exact-DECIMAL sums per
     year. The p_type filter prunes the part scan, the region filter the
     customer side, the date window the orders scan."""
     p = (_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -3987,10 +4005,10 @@ def tpch_q8(spark, sf_dir):
         "l_extendedprice", "l_discount")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
            ).cast("decimal(30,10)")
-    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
          .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+         .join(c, F.col("o_custkey") == F.col("c_custkey")))
     zero = F.lit(0).cast("decimal(30,10)")
     return (j.select(F.year("o_orderdate").alias("o_year"),
                      vol.alias("vol"), "nation")
@@ -4097,10 +4115,11 @@ def tpch_q9(spark, sf_dir):
     """TPC-H Q9 (product-type profit by supplier nation and year,
     adapted: the fixture has no partsupp, so profit omits the
     ps_supplycost*l_quantity term and the part filter matches the
-    fixture's color-adjective p_name vocabulary). Part (LIKE-filtered),
-    supplier and nation all broadcast; lineitem-orders on orderkey is
-    the only shuffle join before one aggregate on the tiny
-    (nation, year) key. Profit accumulates in exact DECIMAL."""
+    fixture's color-adjective p_name vocabulary). Nation pins
+    broadcast; part (LIKE-filtered) and supplier join by the planner's
+    choice (both scale with the data); lineitem-orders on orderkey
+    shuffles before one aggregate on the tiny (nation, year) key.
+    Profit accumulates in exact DECIMAL."""
     p = (_t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
          .select("p_partkey"))
     n = _t(spark, sf_dir, "nation").select(
@@ -4113,8 +4132,8 @@ def tpch_q9(spark, sf_dir):
         "l_extendedprice", "l_discount")
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               ).cast("decimal(30,10)")
-    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
          .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
     return (j.select("nation", F.year("o_orderdate").alias("o_year"),
                      amount.alias("amount"))
@@ -4187,8 +4206,10 @@ def tpch_q15(spark, sf_dir):
     top = (rev.withColumn("mx", F.max("total_rev").over(W.partitionBy()))
            .filter(F.col("total_rev") == F.col("mx")))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (top.join(F.broadcast(s),
-                     F.col("l_suppkey") == F.col("s_suppkey"))
+    # broadcast the argmax frame (<= a handful of tied rows), not the
+    # SF-scaling supplier table
+    return (F.broadcast(top).join(s,
+                                  F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
                     F.round(F.col("total_rev").cast("double"), 4)
                     .alias("total_revenue")))
@@ -4212,16 +4233,16 @@ def tpch_q17(spark, sf_dir):
     multiplication `qty * 5 * count < sum(qty)` with exact-DECIMAL
     quantities — no engine-dependent float average anywhere near the
     comparison boundary. One window shuffle on l_partkey over the
-    brand-filtered join output (the filter broadcasts via part, so the
-    per-part stats are computed over ~0.1% of lineitem, not all of
-    it), then a scalar DECIMAL sum."""
+    brand-filtered join output (the brand filter rides the part join —
+    planner-chosen strategy — so the per-part stats are computed over
+    ~0.1% of lineitem, not all of it), then a scalar DECIMAL sum."""
     p = (_t(spark, sf_dir, "part")
          .filter((F.col("p_brand") == "Brand#1")
                  & (F.col("p_type") == "MEDIUM"))
          .select("p_partkey"))
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     qty = F.col("l_quantity").cast("decimal(18,2)")
     w = W.partitionBy("l_partkey")
     q = (j.select("l_extendedprice", "l_quantity",
@@ -4250,10 +4271,11 @@ def tpch_q19(spark, sf_dir):
     columns). The disjunction spans both join sides, so neither scan
     could prune on it naively — the plan therefore pushes the DERIVED
     union predicate (brand IN the 3 arms AND size <= the widest bound)
-    into the part scan, broadcasts the surviving sliver of part, and
-    evaluates the exact disjunction post-join. At 100 TB that derived
-    pushdown is the difference between broadcasting 2000 rows and
-    broadcasting the whole part table."""
+    into the part scan, joins only the surviving sliver of part (the
+    planner broadcasts it while it is small — it is still a constant
+    FRACTION of part, so no pinned hint), and evaluates the exact
+    disjunction post-join. At 100 TB that derived pushdown is the
+    difference between joining 0.1% of part and joining all of it."""
     arms = [("Brand#7", 1, 10, 1, 11),
             ("Brand#13", 1, 20, 10, 20),
             ("Brand#20", 1, 30, 20, 30)]
@@ -4264,7 +4286,7 @@ def tpch_q19(spark, sf_dir):
          .select("p_partkey", "p_brand", "p_size"))
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     disj = None
     for brand, slo, shi, qlo, qhi in arms:
         arm = ((F.col("p_brand") == brand)
@@ -5705,8 +5727,10 @@ def copurchase_lift(spark, sf_dir):
     association signal behind recommenders and bundle pricing. Pair
     expansion is a self-join CO-PARTITIONED on orderkey, so fan-out is
     bounded by basket size squared (~tens), never corpus-quadratic;
-    per-part supports broadcast back; the top-20 is
-    TakeOrderedAndProject on the rounded-lift total order."""
+    per-part supports join back on the part key (part-scale frames —
+    the planner picks the strategy; only the scalar order count is
+    force-broadcast); the top-20 is TakeOrderedAndProject on the
+    rounded-lift total order."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
     n = op.select("l_orderkey").distinct().agg(
@@ -5723,8 +5747,8 @@ def copurchase_lift(spark, sf_dir):
                    F.col("s").alias("s_a"))
     sb = ps.select(F.col("l_partkey").alias("part_b"),
                    F.col("s").alias("s_b"))
-    return (pr.join(F.broadcast(sa), "part_a")
-            .join(F.broadcast(sb), "part_b")
+    return (pr.join(sa, "part_a")
+            .join(sb, "part_b")
             .crossJoin(F.broadcast(n))
             .select("part_a", "part_b", "s_ab",
                     F.round(F.col("s_ab") * F.col("n_orders")
@@ -6164,14 +6188,16 @@ def referential_integrity_audit(spark, sf_dir):
     child rows whose foreign key has no parent — the ingestion check
     that catches a truncated dimension load or a key-regeneration skew
     BEFORE joins silently drop rows downstream. Each relation is one
-    LEFT ANTI join against the (distinct, usually broadcastable)
-    parent key set; at 100 TB this is the cheap invariant you run on
-    every load, not a debugging tool."""
+    LEFT ANTI join against the distinct parent key set — strategy left
+    to the planner, because parent key sets (customer, orders) scale
+    with the data and are NOT broadcastable at 100 TB; only id columns
+    are read either way. At 100 TB this is the cheap invariant you run
+    on every load, not a debugging tool."""
     rows = []
     for c, ck, p, pk in _RI_RELATIONS:
         child = _t(spark, sf_dir, c).select(F.col(ck))
         parent = _t(spark, sf_dir, p).select(F.col(pk)).distinct()
-        orphans = child.join(F.broadcast(parent),
+        orphans = child.join(parent,
                              child[ck] == parent[pk], "left_anti")
         rows.append(
             child.agg(F.count(F.lit(1)).alias("n_child"))
@@ -6284,17 +6310,18 @@ def embedding_coverage_audit(spark, sf_dir):
     """Vector-index coverage audit: documents with no embedding (search
     can never return them — silent recall loss) and embeddings with no
     backing document (ghost results) — the invariant a vector-search
-    product checks after every index build, here as two broadcast
-    LEFT ANTI joins on the id columns only (ReadSchema prunes text and
-    vector payloads; at 100 TB this audit reads two id columns, not
-    the corpus)."""
+    product checks after every index build, here as two LEFT ANTI
+    joins on the id columns only (ReadSchema prunes text and vector
+    payloads; at 100 TB this audit reads two id columns, not the
+    corpus — and both id sets are corpus-scale, so the join strategy
+    is the planner's call, never a forced broadcast)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     vecs = _t(spark, sf_dir, "embeddings").select("vec_id")
-    d_no_v = (docs.join(F.broadcast(vecs.distinct()),
+    d_no_v = (docs.join(vecs.distinct(),
                         docs.doc_id == vecs.vec_id, "left_anti")
               .agg(F.count(F.lit(1)).alias("n"))
               .select(F.lit("docs_without_vector").alias("gap"), "n"))
-    v_no_d = (vecs.join(F.broadcast(docs.distinct()),
+    v_no_d = (vecs.join(docs.distinct(),
                         vecs.vec_id == docs.doc_id, "left_anti")
               .agg(F.count(F.lit(1)).alias("n"))
               .select(F.lit("vectors_without_doc").alias("gap"), "n"))
@@ -6452,8 +6479,9 @@ def revenue_growth_yoy(spark, sf_dir):
     frame every revenue review opens with. The lag window runs on the
     (nation, year) AGGREGATE output (|nations| x |years| rows), never
     raw facts; revenues accumulate in exact DECIMAL so the growth
-    ratio divides two exact numbers; dimensions broadcast, the
-    lineitem-orders join is the only fact shuffle."""
+    ratio divides two exact numbers; nation pins broadcast, customer
+    joins by the planner's choice, the lineitem-orders join is the
+    only mandatory fact shuffle."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
@@ -6464,7 +6492,7 @@ def revenue_growth_yoy(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
            ).cast("decimal(30,10)")
     y = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(n),
                F.col("c_nationkey") == F.col("n_nationkey"))
          .groupBy("nation", F.year("o_orderdate").alias("yr"))
@@ -6842,7 +6870,7 @@ def revenue_concentration_hhi(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
            ).cast("decimal(30,10)")
     r = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(n),
                F.col("c_nationkey") == F.col("n_nationkey"))
          .groupBy("nation").agg(F.sum(rev).alias("rev")))
