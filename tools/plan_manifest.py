@@ -16,6 +16,11 @@ that drift a test failure:
   sha256 of ``streaming/ingest.py`` plus the registry function's own
   source — coarser (any ingest.py edit flags every stream key), which
   errs on the re-verify side.
+* Plans only NAME a Python UDF — a kernel body edit changes results
+  without changing the plan string — so any key whose plan contains a
+  Python stage (EvalPython / *InPandas / UDTF) additionally mixes in a
+  hash of every kernel-defining module; one kernel edit flags every
+  python-path key for re-verification.
 * ``tests/plan_manifest.json`` records the fingerprints as of the last
   time the manifest was regenerated — the workflow regenerates it in
   the same commit that queues changed keys in ``_CHECK_FIRST``, so the
@@ -93,7 +98,37 @@ def _source_fingerprint(name: str, fn) -> str:
     with open(ingest, "rb") as f:
         body = f.read()
     src = inspect.getsource(_unwrap(fn)).encode()
-    return hashlib.sha256(body + b"\0" + src).hexdigest()
+    return hashlib.sha256(body + b"\0" + src + b"\0"
+                          + _KERNEL_HASH.encode()).hexdigest()
+
+
+_PKG = os.path.join(REPO, "tripgogo_vector_search_spark")
+_PY_MARKERS = ("InPandas(", "pandas_udf", "mapInArrow", "@udtf")
+
+
+def _kernel_hash() -> str:
+    """Hash of every module that defines a Python-side kernel (pandas
+    UDF / mapInPandas / UDTF). A kernel BODY change alters results but
+    not the plan string — plans only name the UDF — so python-path
+    keys mix this into their fingerprint; any kernel edit flags them
+    all for re-verification (coarse on purpose, errs to re-verify)."""
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(_PKG)):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path, "rb") as f:
+                body = f.read()
+            if any(m.encode() in body for m in _PY_MARKERS):
+                h.update(os.path.relpath(path, _PKG).encode())
+                h.update(body)
+    return h.hexdigest()
+
+
+_KERNEL_HASH = _kernel_hash()
+_PLAN_PY_MARKERS = ("EvalPython", "InPandas", "pythonUDF", "PythonUDTF",
+                    "MapInArrow")
 
 
 def plan_text(spark, name: str, sf_dir: str = SF_SMOKE) -> str | None:
@@ -120,6 +155,8 @@ def fingerprint_one(spark, name: str, sf_dir: str = SF_SMOKE,
         return _source_fingerprint(name, fn)
     if plan is None:
         plan = plan_text(spark, name, sf_dir)
+    if any(m in plan for m in _PLAN_PY_MARKERS):
+        plan = plan + "\nKERNELS " + _KERNEL_HASH
     return hashlib.sha256(plan.encode()).hexdigest()
 
 
