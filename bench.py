@@ -89,6 +89,17 @@ HEADLINE_R5 = {
     "median_agg": "collect",
 }
 
+# Round-7 group: the global-sort removals (histogram rank selections,
+# distributed two-phase rank) — tracked so the re-plans can't silently
+# regress. ntile_bands emits one row per order -> noop sink.
+HEADLINE_R7 = {
+    "quality_by_length_decile": "collect",
+    "activation_latency_quartiles": "collect",
+    "conversion_latency": "collect",
+    "ntile_bands": "noop",
+    "orders_rfm": "noop",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -121,7 +132,7 @@ def main() -> None:
     # and makes round-over-round deltas attributable to plans, not
     # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
-                   | HEADLINE_R5)
+                   | HEADLINE_R5 | HEADLINE_R7)
     timings: dict[str, float] = {}
     for name, action in all_queries.items():
         timings[name] = run_once(name, action)
