@@ -70,6 +70,11 @@ _CHECK_FIRST = [
     "revenue_growth_yoy", "revenue_concentration_hhi", "tfidf_topk",
     "copurchase_lift", "referential_integrity_audit",
     "embedding_coverage_audit",
+    #   dedup_pair_audit_sample — band-bucket posting array replaced
+    #     by the dedup module's min-per-bucket star-edge join;
+    #   dedup_cluster_examples — whole-cluster collect_list replaced
+    #     by a WindowGroupLimit-pruned first-5 per component.
+    "dedup_pair_audit_sample", "dedup_cluster_examples",
     # --- re-confirmation anchors ---
     "median_agg", "schema_profile", "knn_label_accuracy",
     "approx_quantiles", "ngram_jaccard_prefix", "hybrid_search_rrf",

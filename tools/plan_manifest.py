@@ -111,13 +111,21 @@ def _kernel_hash() -> str:
     UDF / mapInPandas / UDTF). A kernel BODY change alters results but
     not the plan string — plans only name the UDF — so python-path
     keys mix this into their fingerprint; any kernel edit flags them
-    all for re-verification (coarse on purpose, errs to re-verify)."""
+    all for re-verification (coarse on purpose, errs to re-verify).
+
+    plans/registry.py is excluded even though it hosts a few inline
+    kernels: it is edited every round, so including it would flag all
+    python-path keys on every unrelated registry change. Inline
+    registry kernels are covered instead by hashing the key's OWN
+    function source (fingerprint_one)."""
     h = hashlib.sha256()
     for root, _dirs, files in sorted(os.walk(_PKG)):
         for fname in sorted(files):
             if not fname.endswith(".py"):
                 continue
             path = os.path.join(root, fname)
+            if path.endswith(os.path.join("plans", "registry.py")):
+                continue
             with open(path, "rb") as f:
                 body = f.read()
             if any(m.encode() in body for m in _PY_MARKERS):
@@ -156,7 +164,11 @@ def fingerprint_one(spark, name: str, sf_dir: str = SF_SMOKE,
     if plan is None:
         plan = plan_text(spark, name, sf_dir)
     if any(m in plan for m in _PLAN_PY_MARKERS):
-        plan = plan + "\nKERNELS " + _KERNEL_HASH
+        # kernel modules + this key's own function source (covers
+        # kernels defined inline in the registry query function)
+        plan = (plan + "\nKERNELS " + _KERNEL_HASH
+                + "\nFN " + hashlib.sha256(
+                    inspect.getsource(_unwrap(fn)).encode()).hexdigest())
     return hashlib.sha256(plan.encode()).hexdigest()
 
 

@@ -357,14 +357,15 @@ def ngram_docset(df: DataFrame, text_col: str, id_col: str,
     inv = sh.select(
         "id", "n_sh",
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"))
-    full_posts = (inv.groupBy("shingle")
-                  .agg(F.collect_list(F.struct(F.col("id"), F.col("n_sh")))
-                       .alias("ds"))
-                  .filter(F.size("ds") >= 2))
-    with_df = (full_posts
-               .select(F.col("shingle"), F.size("ds").alias("dfreq"),
-                       F.explode("ds").alias("d"))
-               .select("d.id", "d.n_sh", "dfreq", "shingle"))
+    # document frequency as a COUNT + join-back, never a collect_list
+    # posting array (r7): a stop-shingle appearing in every doc would
+    # otherwise materialize a |corpus|-sized array in one aggregation
+    # buffer. The count combines map-side and the join reuses its
+    # shingle partitioning.
+    dfreq = (inv.groupBy("shingle")
+             .agg(F.count(F.lit(1)).alias("dfreq"))
+             .filter(F.col("dfreq") >= 2))
+    with_df = inv.join(dfreq, "shingle")
     return (with_df.groupBy("id", "n_sh")
             .agg(F.transform(
                 F.array_sort(F.collect_list(

@@ -6366,21 +6366,32 @@ def dedup_cluster_examples(spark, sf_dir):
     """Top-10 near-dup clusters WITH example members — the
     human-inspection artifact behind any dedup sign-off ('show me what
     we're about to delete'). Examples are the 5 smallest ids per
-    cluster via a sorted-slice (bounded payload per cluster no matter
-    how big the cluster is); the top-10 cut is TakeOrderedAndProject
-    on (size DESC, component). Shares the materialized band index and
+    cluster, pruned BEFORE aggregation by a per-component row_number
+    window (WindowGroupLimit keeps 5 per component map-side — r7: the
+    old sorted-slice collect_list materialized the WHOLE cluster as
+    one in-task array before slicing, an OOM on a degenerate
+    one-cluster corpus); the <=5-element collect_list is then bounded
+    by construction. The top-10 cut is TakeOrderedAndProject on
+    (size DESC, component). Shares the materialized band index and
     the components loop's cached frames."""
     comp = DD.minhash_components_from_bands(
         _minhash_band_index(spark, sf_dir),
         _t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    wc = W.partitionBy("component_id").orderBy("doc_id")
+    ex = (comp.withColumn("rn", F.row_number().over(wc))
+          .filter(F.col("rn") <= 5)
+          .groupBy("component_id")
+          .agg(F.array_join(F.array_sort(F.collect_list("doc_id"))
+                            .cast("array<string>"), ",")
+               .alias("example_ids")))
     sized = (comp.groupBy("component_id")
              .agg(F.count(F.lit(1)).alias("cluster_size"),
-                  F.min("doc_id").alias("representative"),
-                  F.array_join(
-                      F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5)
-                      .cast("array<string>"), ",").alias("example_ids"))
-             .filter(F.col("cluster_size") >= 2))
-    return (sized.orderBy(F.col("cluster_size").desc(), "component_id")
+                  F.min("doc_id").alias("representative"))
+             .filter(F.col("cluster_size") >= 2)
+             .join(ex, "component_id"))
+    return (sized.select("component_id", "cluster_size",
+                         "representative", "example_ids")
+            .orderBy(F.col("cluster_size").desc(), "component_id")
             .limit(10))
 
 
@@ -6816,16 +6827,12 @@ def dedup_pair_audit_sample(spark, sf_dir):
     this shows WHAT). Deterministic first-10 by (dup_id, src_id) via
     TakeOrderedAndProject; the text attach joins only the 10 surviving
     ids' rows after the cut at scale (predicate from the tiny pair
-    frame). Shares the materialized band index."""
+    frame). Shares the materialized band index; edges come from the
+    dedup module's min-per-bucket join (r7 — the collect_list posting
+    array materialized a hot band bucket as ONE in-task array, the
+    exact hazard _star_edges was built to remove)."""
     bands = _minhash_band_index(spark, sf_dir)
-    posts = (bands.groupBy("band_key")
-             .agg(F.collect_list("doc_id").alias("ids"))
-             .filter(F.size("ids") >= 2))
-    edge = F.explode(F.transform(
-        F.filter("ids", lambda x: x > F.array_min("ids")),
-        lambda x: F.struct(x.alias("dup_id"),
-                           F.array_min("ids").alias("src_id"))))
-    pairs = (posts.select(edge.alias("p")).select("p.*").distinct())
+    pairs = DD._star_edges(bands, "doc_id").distinct()
     d = _t(spark, sf_dir, "documents")
     a = d.select(F.col("doc_id").alias("a_id"),
                  F.substring("text", 1, 40).alias("dup_text_head"))
