@@ -27,57 +27,53 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 7. Head = every key whose physical plan changed THIS
-    # round, in the tree at this commit (unlike the r6 comment, which
-    # listed these as shipped when they were not — VERDICT r6 "What's
-    # wrong #1"):
-    #   quality_by_length_decile — global corpus rank window replaced
-    #     by histogram decile bounds (cached per-length aggregate +
-    #     IN-pruned straddle re-scan; registry.py, r6 list #2);
-    #   sim_join_gemm — NULL distances (zero-norm vectors crossing
-    #     pandas->Arrow) now rank LAST via asc_nulls_last, matching
-    #     the oracle's NULLS LAST (operators/simjoin.py; ADVICE r5/r6);
-    #   sim_join — broadcast path divides with try_divide (ANSI-safe,
-    #     NULL on zero norm like the oracle) + the same nulls_last
-    #     window;
-    #   ntile_bands — single-task global ntile window replaced by the
-    #     distributed two-phase rank (operators/rank.py) + closed-form
-    #     ntile/percent_rank/cume_dist arithmetic;
-    #   activation_latency_quartiles — |users|-frame rank window
-    #     replaced by gap-histogram cumulative-rank selection;
-    #   conversion_latency — same histogram selection, plus the
-    #     forced broadcast of the |users|-scale view-times frame
-    #     removed (planner's choice; shuffle join at scale);
-    #   orders_rfm — |customers|-frame ntile window replaced by the
-    #     distributed two-phase rank + closed-form ntile;
-    #   the 21 keys below through copurchase_lift — the forced-
-    #     broadcast sweep: F.broadcast() hints removed from every
-    #     SF-scaling side (customer / supplier / part / orders-derived
-    #     / entity-key-set / vocabulary frames); only fixed-size
-    #     (nation, region) and bounded stat/sample frames keep pinned
-    #     hints. Results are strategy-independent; plans changed.
-    # Then re-confirmation anchors. Plan drift vs the last driver row
-    # is enforced by tests/test_plan_manifest.py: it fingerprints
-    # every non-streaming key's optimized plan and fails if a
-    # fingerprint differs from tests/plan_manifest.json while the key
-    # is absent from this changed-keys head.
-    "quality_by_length_decile", "sim_join_gemm", "sim_join",
-    "ntile_bands", "activation_latency_quartiles",
-    "conversion_latency", "orders_rfm",
-    "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
-    "join_agg", "join_multi", "in_subquery", "grouping_sets",
-    "revenue_growth_yoy", "revenue_concentration_hhi", "tfidf_topk",
-    "copurchase_lift", "referential_integrity_audit",
-    "embedding_coverage_audit",
-    #   dedup_pair_audit_sample — band-bucket posting array replaced
-    #     by the dedup module's min-per-bucket star-edge join;
-    #   dedup_cluster_examples — whole-cluster collect_list replaced
-    #     by a WindowGroupLimit-pruned first-5 per component.
-    "dedup_pair_audit_sample", "dedup_cluster_examples",
-    # --- re-confirmation anchors ---
-    "median_agg", "schema_profile", "knn_label_accuracy",
-    "approx_quantiles", "ngram_jaccard_prefix", "hybrid_search_rrf",
+    # ROUND 8. Head = every key whose physical plan changed THIS
+    # round, in the tree at this commit. Plan drift vs the last driver
+    # row is enforced by tests/test_plan_manifest.py (fingerprints +
+    # kernel hashes); a fingerprint that moves while its key is absent
+    # from this head is a red test.
+    #
+    # The exact-quantile family (VERDICT r7 "What's wrong #1" + the
+    # r8 partitioned-window gate's finds): per-group corpus-scale
+    # sort/value buffers — F.percentile aggregates (median_agg,
+    # approx_quantiles' exact side) and row_number windows PARTITIONed
+    # by bounded-cardinality keys (quartile_agg, percentile_cont_exact,
+    # value_outlier_iqr, median_impute, quality_gate) — replaced by
+    # the distributed rank selection of operators/quantile.py
+    # (deterministic width_bucket ids -> count/value-histogram
+    # cumulative ranks; no row-scale sort anywhere). Oracles unchanged.
+    "median_agg", "approx_quantiles", "quartile_agg",
+    "percentile_cont_exact", "value_outlier_iqr", "median_impute",
+    "quality_gate",
+    #   ntile_bands / orders_rfm — operators/rank.py rewritten from
+    #     the persist-dependent range-repartition rank to the
+    #     deterministic width_bucket two-phase rank (no cached frame,
+    #     recompute-safe; VERDICT r7 "What's wrong #3");
+    #   quality_by_length_decile — bounds persist removed (the
+    #     never-unpersisted cache leak; the flat branch recomputes the
+    #     aggregate-scale histogram), eager-build contract documented
+    #     per ADVICE r7;
+    #   dedup_components / dedup_keep_best / near_dup_cluster_stats /
+    #     near_dup_cross_source / dedup_cluster_examples —
+    #     connected_components now returns an eager localCheckpoint
+    #     and unpersists its loop caches (was: final label frame
+    #     stayed cached in the caller's session forever).
+    "ntile_bands", "orders_rfm", "quality_by_length_decile",
+    "dedup_components", "dedup_keep_best", "near_dup_cluster_stats",
+    "near_dup_cross_source", "dedup_cluster_examples",
+    # NEW keys this round (VERDICT r7 list #6 breadth): cross-snapshot
+    # embedding refresh (fingerprint-diff work-list + per-source cost
+    # report) and the wider seeded-recall PII screen family
+    # (email/US-phone/SSN/IPv4 detectors, per-doc and per-source).
+    "embed_refresh_worklist", "embed_refresh_stats", "pii_screen",
+    "pii_prevalence",
+    # --- re-confirmation anchors (unchanged plans, core §2 ids) ---
+    "table_scan", "project", "filter_predicates", "sort_limit",
+    "to_vector", "l2_normalize", "cosine_distance", "knn_topk",
+    "match_score", "groupby_agg", "exact_dedup", "window_topk",
+    "text_stats", "json_extract", "sim_join", "minhash_dedup",
+    "simhash_dedup", "ngram_jaccard", "embedding_near_dup", "ann_lsh",
+    "ann_ivf", "embed_text", "tpch_q3", "tpch_q18",
 ]
 
 

@@ -100,6 +100,17 @@ HEADLINE_R7 = {
     "orders_rfm": "noop",
 }
 
+# Round-8 group: the exact-quantile family re-planned onto the
+# distributed rank selection (operators/quantile.py) — tracked so the
+# bucket/histogram plans can't silently regress.
+HEADLINE_R8 = {
+    "quartile_agg": "collect",
+    "percentile_cont_exact": "collect",
+    "value_outlier_iqr": "collect",
+    "median_impute": "collect",
+    "quality_gate": "noop",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -126,17 +137,30 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def noise_floor_once() -> float:
+        # VERDICT r7 list #3: a fixed, plan-free marker (data-size- and
+        # code-independent: one 2^25-row range shuffle + count) timed in
+        # the same process, so uniform co-tenant drift in BENCH_r{N}
+        # is attributed by measurement, not argument. Judged rule: a
+        # per-query move is plan-attributable only net of the marker's
+        # round-over-round ratio.
+        t0 = time.perf_counter()
+        spark.range(1 << 25).repartition(32).count()
+        return time.perf_counter() - t0
+
     # min of THREE full passes (r5 — was 2 + a >2s third pass): the r4
     # numbers drifted a uniform +18% with no plan changes, which
     # min-of-2 let through; a third sample of EVERYTHING costs ~40 s
     # and makes round-over-round deltas attributable to plans, not
     # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
-                   | HEADLINE_R5 | HEADLINE_R7)
+                   | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8)
     timings: dict[str, float] = {}
+    noise = noise_floor_once()
     for name, action in all_queries.items():
         timings[name] = run_once(name, action)
     for _ in range(2):
+        noise = min(noise, noise_floor_once())
         for name, action in all_queries.items():
             timings[name] = round(min(timings[name], run_once(name, action)), 3)
 
@@ -148,6 +172,9 @@ def main() -> None:
         # same 18 queries as BENCH_r01/r02's total — the cross-round
         # comparable number; "value" additionally includes HEADLINE_R2
         "subtotal_orig18": round(sum(timings[n] for n in HEADLINE), 3),
+        # min-of-3 of the fixed plan-free shuffle marker; compare
+        # across rounds to separate host load from plan cost
+        "noise_floor_sec": round(noise, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

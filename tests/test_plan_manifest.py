@@ -23,9 +23,24 @@ Policy gate: an ordered window with no PARTITION BY executes as a
 single-task whole-input sort. ``test_unpartitioned_windows_only_over_
 bounded_inputs`` asserts every such window in every registry plan
 takes a bounded input — an aggregate (histogram/count frames), a
-LIMIT, a cached tiny frame, or a local relation — never raw
-corpus-scale rows (the r6 quality_by_length_decile /
-activation_latency_quartiles / ntile_bands class of scale-killer)."""
+LIMIT, or a local relation — never raw corpus-scale rows (the r6
+quality_by_length_decile / activation_latency_quartiles / ntile_bands
+class of scale-killer).
+
+r8 extension (VERDICT r7 list #2): a window PARTITIONed solely by
+BOUNDED-cardinality keys (returnflag / nationkey / event_type / lang
+— |groups| fixed regardless of data size) is a near-global
+single-task sort wearing a partition clause: each task buffers
+~|corpus|/|groups| rows. ``test_bounded_key_partitioned_windows_only_
+over_bounded_inputs`` flags such windows unless the partition spec
+also contains a SLICING key (an entity id or a ``_bkt``/``_pid``
+bucket column — slice size shrinks as data grows or as the bucket
+count is raised) or the input subtree is bounded (aggregate-scale).
+``test_no_exact_percentile_aggregates`` bans the third disguise of
+the same buffer: ``percentile(...)`` aggregates, whose per-group
+value map is row-scale for near-continuous inputs (the r7 median_agg
+defect). The scale-safe replacements live in operators/quantile.py
+and operators/rank.py."""
 
 from __future__ import annotations
 
@@ -91,17 +106,39 @@ def _indent(line: str) -> int:
 
 # Operators that bound a subtree's row count to aggregate scale: the
 # input of an unpartitioned window is acceptable iff one of these sits
-# between the window and any corpus relation. InMemoryRelation counts
-# because the only frames this repo persists are histogram/offset-scale
-# (and their own embedded plans are checked line-by-line too, since the
-# printout inlines them). An Aggregate does NOT count when it groups by
-# an entity id (per-user/per-doc/per-customer frames are corpus-scale
-# at 100 TB — the r7 conversion_latency / orders_rfm class).
+# between the window and any corpus relation. An Aggregate does NOT
+# count when it groups by an entity id (per-user/per-doc/per-customer
+# frames are corpus-scale at 100 TB — the r7 conversion_latency /
+# orders_rfm class). A WindowGroupLimit counts: it prunes each map
+# partition to the top-k per group before the window sees rows.
+# InMemoryRelation does NOT count (ADVICE r7): the optimized-plan
+# printout inlines the cached plan's own lines, so a cached subtree is
+# judged by its content like any other.
 _BOUNDED = re.compile(
     r"GlobalLimit|LocalLimit|LocalRelation|OneRowRelation"
-    r"|InMemoryRelation|Deduplicate")
+    r"|Deduplicate|WindowGroupLimit")
 _ENTITY_KEY = re.compile(
     r"doc_id|user_id|vec_id|event_id|custkey|orderkey|partkey|suppkey")
+
+# Partition keys that make a window's per-task slice SHRINK as the
+# data or the configured bucket count grows: entity ids (slice = one
+# entity's rows), deterministic bucket/partition ids (slice = N/B, B
+# config-scalable — operators/rank.py), shard ids (slice = shard
+# size by construction), content fingerprints/shingles (hash-scale),
+# and per-length histogram keys (quality_by_length_decile's straddle
+# window input is pre-pruned to <=10 lengths).
+_SLICING_KEY = re.compile(
+    r"doc_id|user_id|vec_id|event_id|custkey|orderkey|partkey|suppkey"
+    r"|_bkt|_pid|\bshard\b|\bfp\b|\bqid\b|query_id|component_id"
+    r"|n_chars|bucket|shingle|signature")
+
+# Bounded-cardinality keys: |distinct values| is a property of the
+# SCHEMA/domain, not the data size, so a window partitioned only by
+# these buffers ~|corpus|/|groups| rows per task.
+_BOUNDED_CARD_KEY = re.compile(
+    r"returnflag|linestatus|nationkey|regionkey|n_name|nation"
+    r"|event_type|\blang\b|\bsource\b|\blabel\b|orderstatus"
+    r"|orderpriority|shipmode|brand|container|mfgr|decile|_tag")
 
 
 _AGG_KEYS = [re.compile(r"\bAggregate \[([^\]]*)\]"),  # logical
@@ -119,33 +156,123 @@ def _bounds(line: str) -> bool:
     return False
 
 
-def test_unpartitioned_windows_only_over_bounded_inputs(plans):
-    violations = {}
+def _window_sites(plan: str):
+    """(window line, partition spec or None, subtree lines) per
+    logical Window in the plan. Window prints `Window [fns], [part],
+    [order]`; with no PARTITION BY the partition list is absent, so
+    two bracket groups whose trailer is an order spec (has ASC/DESC)
+    mean unpartitioned-ordered, two groups without one mean
+    partitioned-unordered."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow \[", line):
+            continue
+        segs = line.rstrip().rstrip("]").split("], [")
+        ordered = " ASC" in segs[-1] or " DESC" in segs[-1]
+        if len(segs) == 3:
+            part = segs[1]
+        elif len(segs) == 2 and not ordered:
+            part = segs[1]
+        elif len(segs) == 2:
+            part = None  # unpartitioned ordered
+        else:
+            continue
+        depth = _indent(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if _indent(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        yield line, part, subtree
+
+
+def _window_violations(plans: dict, *, partitioned: bool) -> dict:
+    violations: dict[str, list[str]] = {}
     for name, plan in plans.items():
         if plan is None:  # stream_* keys: plans not constructible here
             continue
-        lines = plan.splitlines()
-        for i, line in enumerate(lines):
-            if not re.search(r"\bWindow \[", line):
+        for line, part, subtree in _window_sites(plan):
+            if partitioned:
+                if part is None or _SLICING_KEY.search(part):
+                    continue
+                if not _BOUNDED_CARD_KEY.search(part):
+                    continue  # unknown high-card key: slices shrink
+            elif part is not None:
                 continue
-            # logical Window prints `Window [fns], [part], [order]`;
-            # with no PARTITION BY the partition list is absent, so an
-            # ordered unpartitioned window has exactly two bracket
-            # groups and the trailing one is an order spec
-            segs = line.rstrip().rstrip("]").split("], [")
-            if len(segs) != 2 or not (" ASC" in segs[-1]
-                                      or " DESC" in segs[-1]):
-                continue
-            depth = _indent(line)
-            subtree = []
-            for nxt in lines[i + 1:]:
-                if _indent(nxt) <= depth:
-                    break
-                subtree.append(nxt)
             if not any(_bounds(s) for s in subtree):
                 violations.setdefault(name, []).append(line.strip()[:120])
+    return violations
+
+
+def test_unpartitioned_windows_only_over_bounded_inputs(plans):
+    violations = _window_violations(plans, partitioned=False)
     assert not violations, (
         "unpartitioned ordered window over unbounded input — a "
         "single-task whole-corpus sort at scale. Re-plan via histogram "
         "rank arithmetic or operators/rank.py:with_global_rank: "
         f"{violations}")
+
+
+def test_bounded_key_partitioned_windows_only_over_bounded_inputs(plans):
+    """VERDICT r7 list #2: a window partitioned ONLY by
+    bounded-cardinality keys over raw rows buffers ~|corpus|/|groups|
+    per task — the quartile_agg / percentile_cont_exact /
+    value_outlier_iqr / median_impute / quality_gate class, all
+    re-planned in r8 onto operators/quantile.py."""
+    violations = _window_violations(plans, partitioned=True)
+    assert not violations, (
+        "window partitioned only by bounded-cardinality keys over "
+        "unbounded input — a near-global single-task sort wearing a "
+        "partition clause. Re-plan via operators/quantile.py "
+        "(selection) or operators/rank.py with partition_cols "
+        f"(per-row ranks): {violations}")
+
+
+def test_no_exact_percentile_aggregates(plans):
+    """The same row-scale buffer hides inside ``percentile(...)``
+    aggregates (their internal value map is row-scale for
+    near-continuous inputs — the r7 median_agg defect).
+    ``percentile_approx`` (fixed-size GK sketch) stays allowed."""
+    offenders = {}
+    for name, plan in plans.items():
+        if plan is None:
+            continue
+        hits = [ln.strip()[:120] for ln in plan.splitlines()
+                if re.search(r"\bpercentile\(", ln)]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "exact percentile() aggregate — a per-group row-scale value "
+        "buffer at 100 TB. Use operators/quantile.py's rank selection "
+        f"instead: {offenders}")
+
+
+def _gate_plan(window_fragment: str, *, over: str) -> str:
+    """Synthetic plan text for gate red-tests."""
+    return (f"{window_fragment}\n"
+            f"+- {over}\n"
+            "   +- Relation [doc_id#L, text#] parquet\n")
+
+
+def test_partitioned_window_gate_is_red_on_the_r7_class(plans):
+    """The exact shape the r7 family had: row_number PARTITIONed by a
+    5-value key directly over a corpus relation. The gate must flag
+    it (it passed the r7 gate — that hole is this test's reason to
+    exist), and must UNflag it when the partition also carries a
+    bucket id or when the input is an aggregate."""
+    bad = {"synthetic": _gate_plan(
+        "Window [row_number() windowspecdefinition(event_type#, value# "
+        "ASC NULLS FIRST) AS rk#], [event_type#], [value# ASC]",
+        over="Project [event_type#, value#]")}
+    assert _window_violations(bad, partitioned=True)
+    ok_bucket = {"synthetic": _gate_plan(
+        "Window [row_number()... AS rk#], [event_type#, _bkt#], "
+        "[value# ASC]", over="Project [event_type#, value#, _bkt#]")}
+    assert not _window_violations(ok_bucket, partitioned=True)
+    ok_agg = {"synthetic": _gate_plan(
+        "Window [sum(cnt#)... AS c#], [event_type#], [gap#L ASC]",
+        over="Aggregate [event_type#, gap#L], [count(1) AS cnt#]")}
+    assert not _window_violations(ok_agg, partitioned=True)
+    # and the gate still fails the current tree's plans if any window
+    # of this class were reintroduced — proven by running it for real:
+    assert not _window_violations(plans, partitioned=True)

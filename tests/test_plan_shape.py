@@ -558,11 +558,19 @@ def test_tpch_q18_semi_join_before_wide_join_topk(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_quartile_agg_single_group_exchange(spark):
-    """Rank window and the final aggregate share the c_nationkey key:
-    exactly one exchange on it, no Python."""
+def test_quartile_agg_distributed_selection(spark):
+    """r8: no per-group row-scale sort buffer anywhere — the quartiles
+    are rank selections over width_bucket count/value histograms
+    (operators/quantile.py). The row-level window must partition on
+    the bucket id, and neither an exact percentile aggregate nor an
+    un-bucketed nationkey row window may appear."""
     plan = plan_of(QUERIES["quartile_agg"](spark, SF_CORRECTNESS))
-    assert plan.count("hashpartitioning(c_nationkey") == 1, plan
+    assert "width_bucket" in plan, plan
+    assert "percentile" not in plan, plan
+    # every hashpartitioning on the group key alone feeds aggregate
+    # frames; the value window keys on (group, bucket)
+    assert "_bkt" in plan, plan
+    assert "InMemoryRelation" not in plan
     assert "EvalPython" not in plan
 
 
@@ -575,6 +583,36 @@ def test_jaccard_topk_reads_materialized_index_not_corpus(spark):
     assert "shingle_inv_index" in plan
     assert "documents.parquet" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pii_screen_is_scan_project_filter_only(spark):
+    """r8 screen family: the multi-detector PII screen is a pure
+    regexp projection + filter — no KEYED shuffle, no Python (the only
+    exchange allowed is the width-only round-robin rebalance from
+    `widen`, which no-ops once the scan has >= cluster-parallelism
+    splits); prevalence adds exactly one aggregate exchange on the
+    bounded source key."""
+    plan = plan_of(QUERIES["pii_screen"](spark, SF_CORRECTNESS))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "EvalPython" not in plan
+    prev = plan_of(QUERIES["pii_prevalence"](spark, SF_CORRECTNESS))
+    # formatted explain prints the partitioning in the detail section
+    assert prev.count("hashpartitioning(source") == 1, prev
+    assert "EvalPython" not in prev
+
+
+def test_embed_refresh_is_one_id_join_no_broadcast_of_corpus(spark):
+    """Cross-snapshot refresh: one doc_id-keyed join between two
+    fingerprint projections of the SAME table — neither side may carry
+    a forced broadcast (both scale with the corpus)."""
+    plan = plan_of(QUERIES["embed_refresh_worklist"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan
+    # small fixtures may auto-broadcast; the ban is on PINNED hints,
+    # which would print even at sf0.01 under a disabled threshold —
+    # pin the logical shape instead: exactly one join, left outer
+    assert plan.count("Join LeftOuter") <= 1
 
 
 def test_regex_funcs_is_scan_project_only(spark):
@@ -624,15 +662,16 @@ def test_group_sample_balanced_one_class_shuffle(spark):
 
 
 def test_near_dup_cluster_stats_cascaded_aggs_shrink(spark):
-    """Cluster histogram: the only corpus touch is an id-only read (the
-    component node list) — every documents ReadSchema in the plan
-    carries doc_id alone, never text; the label frames arrive cached
-    from the CC loop (InMemoryTableScan), and no Python stage runs."""
+    """Cluster histogram: the corpus is never re-read at all — the
+    membership frame arrives as the CC loop's eager localCheckpoint
+    (ExistingRDD, r8 cache-lifecycle contract: nothing stays cached),
+    so the plan has no parquet scan carrying text and no Python
+    stage."""
     plan = plan_of(QUERIES["near_dup_cluster_stats"](spark, SF_CORRECTNESS))
-    reads = [ln for ln in plan.splitlines()
-             if "ReadSchema" in ln and "doc_id" in ln]
-    assert reads and all("text" not in ln for ln in reads), plan
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan, plan
+    assert "InMemoryTableScan" not in plan  # r8: no cache leak
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("text" not in ln for ln in reads), plan
     assert "EvalPython" not in plan
 
 
@@ -730,11 +769,18 @@ def test_lang_confusion_single_agg_pruned_scan(spark):
 
 
 def test_quality_gate_one_lang_window_broadcast_back(spark):
-    """Median gate: exactly one window shuffle on the language key;
-    the per-lang threshold frame joins back as a broadcast."""
+    """Median gate (r8 shape): the per-language median is a
+    distributed rank selection over width_bucket value buckets
+    (operators/quantile.py) — no row-scale window partitioned by the
+    bounded lang key alone (each such task sorted |corpus|/|langs|
+    rows), no exact percentile aggregate; the row-level window keys on
+    (lang, _bkt) and the tiny threshold frame joins back broadcast."""
     plan = plan_of(QUERIES["quality_gate"](spark, SF_CORRECTNESS))
-    assert plan.count("hashpartitioning(lang") == 1, plan
+    assert "width_bucket" in plan, plan
+    assert "percentile" not in plan, plan
+    assert "_bkt" in plan, plan
     assert "BroadcastHashJoin" in plan
+    assert "InMemoryRelation" not in plan
     assert "EvalPython" not in plan
 
 
@@ -808,16 +854,22 @@ def test_user_retention_cohorts_copartitioned_aggs(spark):
 
 
 def test_orders_rfm_window_over_aggregate_output(spark):
-    """RFM: the ntile window consumes the custkey AGGREGATE's output
-    (|customers| rows), never raw orders; the reference date arrives
-    as a broadcast scalar."""
+    """RFM: the rank window consumes the custkey AGGREGATE's output
+    (|customers| rows) sliced by deterministic width_bucket ids, never
+    raw orders in one task; the reference date arrives as a broadcast
+    scalar. r8: the rank frame is recompute-safe (no persist), so the
+    custkey aggregate appears under the bucket-count read and the
+    final rank read (each also carrying the broadcast min/max probe)
+    plus the scalar-max scan: five orders scans, each an aggregate's
+    input, and NO cached frame."""
     plan = plan_of(QUERIES["orders_rfm"](spark, SF_CORRECTNESS))
     assert "BroadcastNestedLoopJoin" in plan
-    # exactly one orders scan feeds both the agg and the max-date
     li_scans = [ln for ln in plan.splitlines()
                 if "Location" in ln and "orders" in ln]
-    assert len(li_scans) == 2, plan  # agg scan + scalar-max scan
+    assert len(li_scans) == 5, plan
     assert "Window" in plan
+    assert "width_bucket" in plan
+    assert "InMemoryRelation" not in plan
     assert "EvalPython" not in plan
 
 
@@ -971,8 +1023,10 @@ def test_near_dup_cross_source_no_pair_expansion(spark):
     plan = plan_of(QUERIES["near_dup_cross_source"](spark, SF_CORRECTNESS))
     assert "n_a" in plan and "n_b" in plan, plan  # the count product path
     assert "CartesianProduct" not in plan
-    # membership frames arrive cached from the components loop
-    assert "InMemoryTableScan" in plan
+    # membership arrives as the CC loop's localCheckpoint (r8: the
+    # loop unpersists everything; nothing stays cached)
+    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
     assert "EvalPython" not in plan
 
 
@@ -1144,12 +1198,13 @@ def test_first_touch_one_user_window(spark):
 def test_dedup_cluster_examples_bounded_payload_take_ordered(spark):
     """Cluster examples: the member list is sorted-sliced to 5 ids per
     cluster (bounded payload regardless of cluster size) and the
-    top-10 cut is TakeOrderedAndProject; membership arrives cached
-    from the components loop."""
+    top-10 cut is TakeOrderedAndProject; membership arrives as the CC
+    loop's localCheckpoint (r8: nothing stays cached)."""
     plan = plan_of(QUERIES["dedup_cluster_examples"](spark,
                                                      SF_CORRECTNESS))
     assert "TakeOrderedAndProject" in plan
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
     assert "EvalPython" not in plan
 
 
@@ -1320,10 +1375,13 @@ def test_quality_by_length_decile_no_global_sort(spark):
     pushed-down IN filter; the flat branch reads the InMemory cache.
     Every Window node keys on n_chars (histogram cumulative sums or
     the per-length straddle rank) — no whole-corpus unpartitioned
-    rank window survives anywhere in the executed plan."""
+    rank window survives anywhere in the executed plan. r8: the
+    bounds frame is no longer persisted (cache-lifecycle contract) —
+    the flat branch recomputes the histogram aggregate instead of
+    reading a leaked cache."""
     plan = plan_of(QUERIES["quality_by_length_decile"](spark,
                                                        SF_CORRECTNESS))
-    assert "InMemoryTableScan" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
     # the straddle re-scan carries the IN pushdown to the parquet scan
     assert "In(n_chars" in plan, plan
     for ln in plan.splitlines():

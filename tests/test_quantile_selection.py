@@ -1,0 +1,107 @@
+"""Distributed exact quantile selection (operators/quantile.py) — the
+r8 re-plan of the exact-quantile family (VERDICT r7 "What's wrong #1").
+
+Contract: exact equality with the definitions the oracles use —
+``quantiles_cont`` with ANSI PERCENTILE_CONT (== F.percentile's
+interpolation at q*(n-1)), ``quantiles_disc`` with the value at rank
+ceil(q*n) — verified against single-partition reference computations
+on inputs small enough that those are safe, including tie-heavy and
+single-value groups (the bucket-degenerate cases)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripgogo_vector_search_spark.operators.quantile import (
+    quantiles_cont, quantiles_disc)
+
+QS = [("q25", 0.25), ("q50", 0.50), ("q90", 0.90)]
+
+
+def _ref_cont(vals: list[float], q: float) -> float:
+    s = sorted(vals)
+    pos = q * (len(s) - 1)
+    lo, hi = s[math.floor(pos)], s[math.ceil(pos)]
+    return lo + (pos - math.floor(pos)) * (hi - lo)
+
+
+def _ref_disc(vals: list[float], q: float) -> float:
+    s = sorted(vals)
+    return s[max(math.ceil(q * len(s)), 1) - 1]
+
+
+def _cases():
+    rng = random.Random(3)
+    yield "uniform", [(i % 4, rng.uniform(-100, 100)) for i in range(500)]
+    # tie-heavy: many equal values, including across decile boundaries
+    yield "ties", [(i % 3, float(rng.randint(0, 5))) for i in range(300)]
+    # point mass: one group entirely a single value (mn == mx)
+    yield "pointmass", ([(0, 42.0)] * 50
+                        + [(1, rng.uniform(0, 1)) for _ in range(60)])
+    # tiny groups: n == 1 and n == 2
+    yield "tiny", [(0, 7.5), (1, 1.0), (1, 2.0)]
+
+
+@pytest.mark.parametrize("label,rows", list(_cases()))
+def test_cont_matches_reference(spark, label, rows):
+    df = spark.createDataFrame(rows, "grp int, v double").repartition(8)
+    got = {r["grp"]: tuple(r[name] for name, _ in QS)
+           for r in quantiles_cont(df, ["grp"], "v", QS).collect()}
+    by_grp: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for g, vals in by_grp.items():
+        want = tuple(_ref_cont(vals, q) for _, q in QS)
+        assert got[g] == pytest.approx(want, abs=1e-12), (label, g)
+
+
+@pytest.mark.parametrize("label,rows", list(_cases()))
+def test_disc_matches_reference(spark, label, rows):
+    df = spark.createDataFrame(rows, "grp int, v double").repartition(8)
+    got = {r["grp"]: tuple(r[name] for name, _ in QS)
+           for r in quantiles_disc(df, ["grp"], "v", QS).collect()}
+    by_grp: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for g, vals in by_grp.items():
+        want = tuple(_ref_disc(vals, q) for _, q in QS)
+        assert got[g] == want, (label, g)
+
+
+def test_cont_matches_spark_percentile(spark):
+    """Same interpolation as the F.percentile aggregate this operator
+    replaced in median_agg (so the oracle contract is unchanged)."""
+    rng = random.Random(9)
+    rows = [(i % 3, rng.uniform(0, 1000)) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp int, v double")
+    got = {r["grp"]: (r["q50"], r["q90"]) for r in
+           quantiles_cont(df, ["grp"], "v",
+                          [("q50", 0.5), ("q90", 0.9)]).collect()}
+    want = {r["grp"]: (r["p"][0], r["p"][1]) for r in
+            df.groupBy("grp")
+            .agg(F.percentile("v", F.array(F.lit(0.5), F.lit(0.9)))
+                 .alias("p")).collect()}
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=1e-9)
+
+
+def test_disc_preserves_decimal_type(spark):
+    df = spark.createDataFrame([(0, i) for i in range(10)],
+                               "grp int, v bigint") \
+        .select("grp", F.col("v").cast("decimal(12,2)").alias("v"))
+    out = quantiles_disc(df, ["grp"], "v", [("q50", 0.5)])
+    assert dict(out.dtypes)["q50"] == "decimal(12,2)"
+    assert out.collect()[0]["q50"] == 4  # rank ceil(0.5*10)=5 -> value 4.00
+
+
+def test_quantiles_leave_nothing_cached(spark):
+    spark.catalog.clearCache()
+    df = spark.createDataFrame([(i % 2, float(i)) for i in range(100)],
+                               "grp int, v double")
+    quantiles_cont(df, ["grp"], "v", [("q50", 0.5)]).collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()

@@ -59,7 +59,11 @@ _NORMALIZERS = [
     (re.compile(r"(lambda +\w+?)_\d+"), r"\1_"),
     (re.compile(r"file:[^\s,\)\]]+"), "file:<p>"),   # fs paths
     (re.compile(r"/[\w./-]*/(\.cache|testdata)/[^\s,\)\]]*"), "<p>"),
-    (re.compile(r"\b[0-9a-f]{8,}\b"), "<hex>"),      # cache-gen hashes
+    # cache-gen hashes: require at least one a-f so pure-decimal
+    # literals (big constants, micros timestamps, limits) stay
+    # significant — ADVICE r7: \b[0-9a-f]{8,}\b also ate those,
+    # letting a literal-only plan change slip past the drift gate
+    (re.compile(r"\b(?=[0-9a-f]*[a-f])[0-9a-f]{8,}\b"), "<hex>"),
 ]
 
 
@@ -81,8 +85,13 @@ def _normalize(plan: str) -> str:
 
 
 def _unwrap(fn):
-    """Original registry function behind the ``query`` decorator's
-    ``wrapped`` (closure cell holding a function)."""
+    """Original registry function behind the ``query`` decorator.
+    The decorator applies functools.wraps, so ``__wrapped__`` is
+    authoritative (ADVICE r7: the closure-cell scan returned the
+    FIRST function-valued cell, which could silently become the wrong
+    object); the scan stays as a fallback for undecorated callables."""
+    if hasattr(fn, "__wrapped__"):
+        return fn.__wrapped__
     for cell in fn.__closure__ or ():
         try:
             if inspect.isfunction(cell.cell_contents):

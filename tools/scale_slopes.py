@@ -92,7 +92,7 @@ def replicated_sf_dir(k: int) -> str:
         _corpus_fingerprint)
     leaf = (f"{os.path.basename(os.path.abspath(SF_DIR))}"
             f"-{_corpus_fingerprint(SF_DIR)}")
-    out = f"/tmp/slope_{leaf}_v2_x{k}"  # v2: +orders/events (r7 ops)
+    out = f"/tmp/slope_{leaf}_v3_x{k}"  # v3: +lineitem/customer (r8 ops)
     done = os.path.join(out, "_done")
     if os.path.exists(done):
         return out
@@ -103,7 +103,13 @@ def replicated_sf_dir(k: int) -> str:
     for tbl, id_cols in (("documents", ["doc_id"]),
                          ("embeddings", ["vec_id"]),
                          ("orders", ["o_orderkey", "o_custkey"]),
-                         ("events", ["event_id", "user_id"])):
+                         ("events", ["event_id", "user_id"]),
+                         # r8 quantile-family inputs; group keys
+                         # (returnflag / nationkey) stay fixed so the
+                         # per-group row count grows with k — exactly
+                         # the buffer the re-plan must keep flat
+                         ("lineitem", ["l_orderkey"]),
+                         ("customer", ["c_custkey"])):
         base = pq.read_table(f"{SF_DIR}/{tbl}.parquet")
         reps = []
         for i in range(k):
@@ -265,6 +271,27 @@ def run(spark, op: str, k: int) -> dict:
                   "orders_rfm"):
             # row-per-input / row-per-pair outputs: noop sink so the
             # timing covers the plan, not driver result transfer
+            QUERIES[op](spark, d).write.format("noop").mode(
+                "overwrite").save()
+        else:
+            QUERIES[op](spark, d).collect()
+        elapsed = time.perf_counter() - t0
+    elif op in ("median_agg", "quartile_agg", "percentile_cont_exact",
+                "value_outlier_iqr", "median_impute", "quality_gate",
+                "pii_screen", "embed_refresh_worklist"):
+        # r8 re-plans (distributed quantile rank selection,
+        # operators/quantile.py) + new screen/refresh keys — exact
+        # registry plans end-to-end on the replicated sf-dir. The
+        # group keys (returnflag / nationkey / event_type / lang /
+        # source) do NOT grow with k, so a per-group sort buffer would
+        # show a superlinear slope; the selection plan must stay flat.
+        from tripgogo_vector_search_spark.plans.registry import QUERIES
+        d = replicated_sf_dir(k)
+        t0 = time.perf_counter()
+        if op in ("quality_gate", "pii_screen", "embed_refresh_worklist",
+                  "value_outlier_iqr", "median_impute"):
+            # row-per-input outputs: noop sink so the timing covers
+            # the plan, not driver result transfer
             QUERIES[op](spark, d).write.format("noop").mode(
                 "overwrite").save()
         else:

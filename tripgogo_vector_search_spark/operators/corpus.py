@@ -24,6 +24,32 @@ CHUNK_STRIDE = 30
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
+# r8 screen family (VERDICT r7 list #6): the wider detector set a
+# pre-training PII/compliance screen runs. Same Java/RE2-common
+# discipline; \b word boundaries behave identically in both engines
+# for these digit/dot shapes.
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+US_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+#: (output column, pattern) — the screen's detector battery, shared by
+#: the Spark side and the oracle-SQL generator so both engines always
+#: run the same regexes.
+PII_DETECTORS: list[tuple[str, str]] = [
+    ("n_email", EMAIL_RE),
+    ("n_phone", US_PHONE_RE),
+    ("n_ssn", SSN_RE),
+    ("n_ipv4", IPV4_RE),
+]
+
+
+def pii_screen_counts(col: Column | str) -> list[Column]:
+    """One aliased match-count column per detector in PII_DETECTORS.
+    Pure regexp projection: JVM-side, no shuffle, linear in text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.regexp_count(c, F.lit(pat)).cast("bigint").alias(name)
+            for name, pat in PII_DETECTORS]
+
 
 def chunk_documents(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", size: int = CHUNK_WORDS,

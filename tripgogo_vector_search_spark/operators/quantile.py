@@ -1,0 +1,155 @@
+"""Exact distributed quantiles WITHOUT a per-group corpus-scale sort
+buffer — the r8 re-plan of the exact-quantile family (VERDICT r7
+"What's wrong #1").
+
+``F.percentile`` / a rank window partitioned by a bounded-cardinality
+key both accumulate ~|corpus|/|groups| values in one task. But a
+quantile only needs the one or two straddling ORDER STATISTICS, and an
+order statistic is rank-selectable from counts:
+
+1. bucket every row deterministically on the value
+   (operators/rank.py:with_bucket_id — equi-width between the group
+   min/max, equal values always share a bucket);
+2. one count aggregate + a cumulative window over the |groups|x|B|
+   count frame gives each bucket's rank span and the group total ``n``
+   — hence, by exploding the requested quantiles against each bucket
+   row and keeping the spans that contain a target rank, each target's
+   OWNING BUCKET, all without touching rows again;
+3. an inner join against that tiny target frame BOTH prunes the second
+   row scan to the ~|targets| owning buckets AND attaches the target
+   rank; the per-(bucket, target) VALUE histogram (a map-side
+   combinable aggregate — a point mass of equal values collapses to
+   one histogram row, so value skew makes this CHEAPER) then yields
+   the target value off its cumulative ranks.
+
+No row-level sort anywhere: the only ordered windows run over count
+aggregates. Three column-pruned scans total (min/max, bucket counts,
+pruned histogram), no corpus shuffle, no persist — every derived frame
+hangs off a single reference to the count aggregate so Catalyst's
+column pruning cannot fan the plan out into re-scans.
+
+``mode="disc"`` selects the value at rank ``ceil(q*n)``
+(PERCENTILE_DISC); ``mode="cont"`` selects both straddles of position
+``q*(n-1)`` for ANSI PERCENTILE_CONT interpolation. Selected values
+keep their ORIGINAL type (DECIMAL stays DECIMAL); only the
+interpolation arithmetic is double.
+
+Caller contract: value non-null; ``group_cols`` bounded cardinality
+(the min/max and target frames are broadcast).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .rank import bucket_offsets, with_bucket_id
+
+
+def _target_structs(named_qs: Sequence[tuple[str, float]],
+                    mode: str) -> list:
+    """Per requested quantile, struct(tag, 1-based target rank expr)
+    evaluated against a frame carrying the group total ``_n``."""
+    structs = []
+    for name, q in named_qs:
+        if mode == "cont":
+            pos = F.lit(q) * (F.col("_n") - 1)  # 0-based position
+            structs += [
+                F.struct(F.lit(f"{name}/lo").alias("_tag"),
+                         (F.floor(pos) + 1).cast("bigint").alias("_rk")),
+                F.struct(F.lit(f"{name}/hi").alias("_tag"),
+                         (F.ceil(pos) + 1).cast("bigint").alias("_rk"))]
+        else:
+            structs.append(F.struct(
+                F.lit(name).alias("_tag"),
+                F.greatest(F.ceil(F.lit(q) * F.col("_n")), F.lit(1))
+                .cast("bigint").alias("_rk")))
+    return structs
+
+
+def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
+                             value_col: str,
+                             named_qs: Sequence[tuple[str, float]], *,
+                             mode: str = "cont",
+                             num_buckets: int | None = None) -> DataFrame:
+    """Long frame ``(group_cols..., _tag, _v, _n)``: for each group and
+    each requested quantile, the straddling order statistic(s) of
+    ``value_col`` (original type) plus the group row count."""
+    g = list(group_cols)
+    base = df.select(*g, value_col)
+    d2, _b = with_bucket_id(base, value_col, partition_cols=g,
+                            num_buckets=num_buckets)
+    offs = bucket_offsets(d2, partition_cols=g)
+    # owning bucket per target rank (one pass over the count frame —
+    # the targets explode off the SAME rows that carry the spans, so
+    # no second count subtree exists for pruning to diverge):
+    # _off < _rk <= _off + _cnt
+    t2 = (offs.select(*g, "_bkt", "_off", "_cnt", "_n",
+                      F.explode(F.array(*_target_structs(named_qs, mode)))
+                      .alias("_t"))
+          .filter((F.col("_off") < F.col("_t._rk"))
+                  & (F.col("_t._rk") <= F.col("_off") + F.col("_cnt")))
+          .select(*g, "_bkt", "_off", "_n",
+                  F.col("_t._tag").alias("_tag"),
+                  F.col("_t._rk").alias("_rk")))
+    # inner join against the <= |groups|*2*|qs|-row target frame:
+    # prunes the scan to owning buckets AND attaches the target; the
+    # value histogram collapses equal values, and its cumulative
+    # window runs per (group, bucket, target) over aggregate rows only
+    selj = d2.join(F.broadcast(t2), [*g, "_bkt"])
+    vh = (selj.groupBy(*g, "_bkt", "_tag", "_rk", "_off", "_n", value_col)
+          .agg(F.count(F.lit(1)).alias("_vc")))
+    wv = W.partitionBy(*g, "_bkt", "_tag").orderBy(value_col)
+    vh2 = vh.select(
+        *g, "_tag", "_rk", "_n", F.col(value_col).alias("_v"),
+        (F.col("_off") + F.coalesce(F.sum("_vc").over(
+            wv.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
+        .alias("_vb"),
+        (F.col("_off") + F.sum("_vc").over(
+            wv.rowsBetween(W.unboundedPreceding, 0))).alias("_vt"))
+    return (vh2.filter((F.col("_vb") < F.col("_rk"))
+                       & (F.col("_rk") <= F.col("_vt")))
+            .select(*g, "_tag", "_v", "_n"))
+
+
+def quantiles_cont(df: DataFrame, group_cols: Sequence[str],
+                   value_col: str,
+                   named_qs: Sequence[tuple[str, float]], *,
+                   round_to: int | None = None,
+                   num_buckets: int | None = None) -> DataFrame:
+    """ANSI PERCENTILE_CONT per group: linear interpolation between the
+    straddling order statistics at position q*(n-1), one output column
+    per (name, q). Double-typed outputs; optional rounding."""
+    g = list(group_cols)
+    picked = grouped_order_statistics(df, g, value_col, named_qs,
+                                      mode="cont",
+                                      num_buckets=num_buckets)
+    aggs = []
+    for name, q in named_qs:
+        v_lo = F.max(F.when(F.col("_tag") == f"{name}/lo",
+                            F.col("_v").cast("double")))
+        v_hi = F.max(F.when(F.col("_tag") == f"{name}/hi",
+                            F.col("_v").cast("double")))
+        pos = F.lit(q) * (F.max("_n") - 1)
+        frac = pos - F.floor(pos)
+        expr = v_lo + frac * (v_hi - v_lo)
+        if round_to is not None:
+            expr = F.round(expr, round_to)
+        aggs.append(expr.alias(name))
+    return picked.groupBy(*g).agg(*aggs)
+
+
+def quantiles_disc(df: DataFrame, group_cols: Sequence[str],
+                   value_col: str,
+                   named_qs: Sequence[tuple[str, float]], *,
+                   num_buckets: int | None = None) -> DataFrame:
+    """PERCENTILE_DISC-style per group: the value at rank ceil(q*n),
+    keeping the value's original type."""
+    g = list(group_cols)
+    picked = grouped_order_statistics(df, g, value_col, named_qs,
+                                      mode="disc",
+                                      num_buckets=num_buckets)
+    aggs = [F.max(F.when(F.col("_tag") == name, F.col("_v"))).alias(name)
+            for name, _q in named_qs]
+    return picked.groupBy(*g).agg(*aggs)
