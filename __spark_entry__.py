@@ -63,10 +63,13 @@ _CHECK_FIRST = [
     "near_dup_cross_source", "dedup_cluster_examples",
     # NEW keys this round (VERDICT r7 list #6 breadth): cross-snapshot
     # embedding refresh (fingerprint-diff work-list + per-source cost
-    # report) and the wider seeded-recall PII screen family
-    # (email/US-phone/SSN/IPv4 detectors, per-doc and per-source).
+    # report), the wider seeded-recall PII screen family
+    # (email/US-phone/SSN/IPv4 detectors, per-doc and per-source), and
+    # the incremental NEAR-dup probe (new batch vs the materialized
+    # corpus band index, min-per-bucket — completes the incremental
+    # trio with incremental_dedup and embed_refresh_worklist).
     "embed_refresh_worklist", "embed_refresh_stats", "pii_screen",
-    "pii_prevalence",
+    "pii_prevalence", "minhash_refresh",
     # --- re-confirmation anchors (unchanged plans, core §2 ids) ---
     "table_scan", "project", "filter_predicates", "sort_limit",
     "to_vector", "l2_normalize", "cosine_distance", "knn_topk",

@@ -615,6 +615,23 @@ def test_embed_refresh_is_one_id_join_no_broadcast_of_corpus(spark):
     assert plan.count("Join LeftOuter") <= 1
 
 
+def test_minhash_refresh_probe_has_no_pair_expansion(spark):
+    """Incremental near-dup probe: the corpus side collapses to one
+    (band_key, min) row per bucket BEFORE the join — the plan may
+    never expand band-bucket pairs (no Generate beyond the index's
+    own build, which is materialized and not in this plan) and never
+    runs Python; both band-index reads are scans of the materialized
+    index, not the documents corpus."""
+    plan = plan_of(QUERIES["minhash_refresh"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan  # no explode: index is pre-exploded
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln for ln in reads), plan
+    # corpus aggregate sits below the probe join: two HashAggregate
+    # pairs (partial+final) for corp-min and per-doc-min
+    assert plan.count("HashAggregate") >= 4, plan
+
+
 def test_regex_funcs_is_scan_project_only(spark):
     """Regex battery is a pure projection: no exchange, no Python, scan
     pipeline whole-stage-codegen'd."""

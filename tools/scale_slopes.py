@@ -278,7 +278,7 @@ def run(spark, op: str, k: int) -> dict:
         elapsed = time.perf_counter() - t0
     elif op in ("median_agg", "quartile_agg", "percentile_cont_exact",
                 "value_outlier_iqr", "median_impute", "quality_gate",
-                "pii_screen", "embed_refresh_worklist"):
+                "pii_screen", "embed_refresh_worklist", "minhash_refresh"):
         # r8 re-plans (distributed quantile rank selection,
         # operators/quantile.py) + new screen/refresh keys — exact
         # registry plans end-to-end on the replicated sf-dir. The

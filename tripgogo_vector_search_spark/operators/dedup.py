@@ -112,6 +112,35 @@ def _star_edges(bands_df: DataFrame, id_col: str) -> DataFrame:
             .select(F.col(id_col).alias("dup_id"), F.col("src_id")))
 
 
+def minhash_probe(new_bands: DataFrame, corpus_bands: DataFrame,
+                  new_ids: DataFrame, id_col: str) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch's LSH bands against the
+    existing corpus's band index — the delta-sized sibling of
+    `minhash_lsh_dedup_from_bands` for a periodically re-ingested
+    corpus (only the batch is hashed and joined; the corpus index is
+    the persisted sketch table maintained beside the data).
+
+    Per new doc: is_dup iff it shares >= 1 band key with any CORPUS
+    doc, canonical_id = the smallest such corpus id (within-batch
+    near-dup is a separate `minhash_lsh_dedup` over the batch alone).
+    Scale shape: the corpus side pre-aggregates to ONE (band_key,
+    min id) row per distinct band key — under the downstream min, the
+    smallest colliding corpus id IS the min over its buckets' mins —
+    so the probe is aggregate + equi-join + per-doc min with NO pair
+    expansion anywhere; a hot band bucket costs one row, not
+    |bucket|x|batch| pairs. All three aggregates combine map-side and
+    the join reuses the band_key partitioning."""
+    corp = (corpus_bands.groupBy("band_key")
+            .agg(F.min(id_col).alias("_min_src")))
+    hit = (new_bands.join(corp, "band_key")
+           .groupBy(id_col).agg(F.min("_min_src").alias("_src")))
+    return (new_ids.join(hit, id_col, "left")
+            .select(new_ids[id_col],
+                    F.col("_src").isNotNull().alias("is_dup"),
+                    F.coalesce("_src", new_ids[id_col])
+                    .alias("canonical_id")))
+
+
 def minhash_lsh_dedup_from_bands(bands_df: DataFrame, ids_df: DataFrame,
                                  id_col: str) -> DataFrame:
     """The verdict half of `minhash_lsh_dedup`, from a prebuilt

@@ -7464,6 +7464,49 @@ def pii_prevalence(spark, sf_dir):
                          / cnt.cast("double"), 6).alias("pii_rate")))
 
 
+# The shared minhash CTE up to the band index (no pair stage) — the
+# refresh probe aggregates buckets instead of expanding pairs.
+_MINHASH_BANDS_CTE = f"""
+WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+sh AS (SELECT doc_id, {sql_shingles('ws', 3)} AS sh FROM w),
+sig AS (SELECT doc_id, {sql_minhash_signature('sh', 16)} AS sig
+        FROM sh WHERE len(sh) > 0),
+bands AS (SELECT doc_id, unnest({sql_lsh_band_keys('sig', 4, 4)}) AS band_key
+          FROM sig)"""
+
+
+@query("minhash_refresh",
+       _MINHASH_BANDS_CTE + """,
+       corp AS (SELECT band_key, min(doc_id) AS min_src
+                FROM bands WHERE doc_id % 10 <> 3 GROUP BY band_key),
+       hit AS (SELECT b.doc_id, min(c.min_src) AS canonical_src
+               FROM bands b JOIN corp c ON b.band_key = c.band_key
+               WHERE b.doc_id % 10 = 3 GROUP BY b.doc_id)
+       SELECT d.doc_id, (h.canonical_src IS NOT NULL) AS is_dup,
+              coalesce(h.canonical_src, d.doc_id) AS canonical_id
+       FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % 10 = 3""")
+def minhash_refresh(spark, sf_dir):
+    """Incremental near-dup screen for a re-ingested corpus: the NEW
+    batch (the doc_id%10==3 cohort — the same 'arrived since the
+    snapshot' docs embed_refresh_worklist re-embeds) is probed against
+    the EXISTING corpus's materialized LSH band index; each new doc
+    gets is_dup + the smallest colliding corpus id. Completes the
+    incremental trio: incremental_dedup (exact fingerprints),
+    embed_refresh_worklist (embeddings), this (near-dup). The probe
+    (operators/dedup.py:minhash_probe) pre-aggregates the corpus side
+    to one (band_key, min id) row per bucket, so there is NO pair
+    expansion — a hot band bucket costs one row — and only the
+    batch-sized side is re-hashed at refresh time. Docs too short for
+    a signature never collide (LEFT JOIN from the batch id list)."""
+    idx = _minhash_band_index(spark, sf_dir)
+    is_new = F.col("doc_id") % 10 == 3
+    batch_ids = (_t(spark, sf_dir, "documents")
+                 .filter(is_new).select("doc_id"))
+    return DD.minhash_probe(idx.filter(is_new), idx.filter(~is_new),
+                            batch_ids, "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
