@@ -109,6 +109,10 @@ HEADLINE_R8 = {
     "value_outlier_iqr": "collect",
     "median_impute": "collect",
     "quality_gate": "noop",
+    # r8 new keys: incremental refresh + PII screen
+    "embed_refresh_worklist": "noop",
+    "pii_screen": "noop",
+    "minhash_refresh": "collect",
 }
 
 

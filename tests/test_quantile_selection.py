@@ -98,6 +98,33 @@ def test_disc_preserves_decimal_type(spark):
     assert out.collect()[0]["q50"] == 4  # rank ceil(0.5*10)=5 -> value 4.00
 
 
+@pytest.mark.parametrize("nb", [1, 2, 7])
+def test_bucket_count_invariance(spark, nb):
+    """The selection must be exact for ANY bucket count — tiny B
+    forces many distinct values per bucket, stressing the in-bucket
+    value-histogram cumulative ranks (with the default B ≈ shuffle
+    partitions, most test buckets hold 0-2 values and that path
+    barely runs). B=1 degenerates to a single whole-group histogram."""
+    rng = random.Random(17)
+    rows = [(i % 4, rng.uniform(-10, 10)) for i in range(300)]
+    # ties across groups too
+    rows += [(i % 4, float(rng.randint(-3, 3))) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp int, v double").repartition(8)
+    by_grp: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    got_c = {r["grp"]: tuple(r[name] for name, _ in QS) for r in
+             quantiles_cont(df, ["grp"], "v", QS, num_buckets=nb)
+             .collect()}
+    got_d = {r["grp"]: tuple(r[name] for name, _ in QS) for r in
+             quantiles_disc(df, ["grp"], "v", QS, num_buckets=nb)
+             .collect()}
+    for g, vals in by_grp.items():
+        assert got_c[g] == pytest.approx(
+            tuple(_ref_cont(vals, q) for _, q in QS), abs=1e-12), (nb, g)
+        assert got_d[g] == tuple(_ref_disc(vals, q) for _, q in QS), (nb, g)
+
+
 def test_quantiles_leave_nothing_cached(spark):
     spark.catalog.clearCache()
     df = spark.createDataFrame([(i % 2, float(i)) for i in range(100)],

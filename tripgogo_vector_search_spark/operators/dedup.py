@@ -624,7 +624,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     cached frame leaked into the caller's session for its whole
     lifetime. The checkpoint also truncates the O(iterations)-deep
     lineage, so a caller re-materializing the result can never re-run
-    the label-propagation rounds (their caches are gone by then)."""
+    the label-propagation rounds (their caches are gone by then).
+    Honest trade: localCheckpoint blocks live on executors and are NOT
+    fault-tolerant — on a long-lived 1000-executor cluster, set
+    spark.sparkContext.setCheckpointDir to durable storage and swap in
+    .checkpoint(), or write the label table to parquet (what a real
+    pipeline persists anyway); local mode has no executor loss."""
     # symmetrize with one explode (not union-of-swapped: that shape
     # carries two copies of the upstream edge pipeline)
     sym = (edges.select(F.explode(F.array(
