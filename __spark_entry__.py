@@ -69,7 +69,7 @@ _CHECK_FIRST = [
     # corpus band index, min-per-bucket — completes the incremental
     # trio with incremental_dedup and embed_refresh_worklist).
     "embed_refresh_worklist", "embed_refresh_stats", "pii_screen",
-    "pii_prevalence", "minhash_refresh",
+    "pii_prevalence", "minhash_refresh", "embed_evict_list",
     # --- re-confirmation anchors (unchanged plans, core §2 ids) ---
     "table_scan", "project", "filter_predicates", "sort_limit",
     "to_vector", "l2_normalize", "cosine_distance", "knn_topk",

@@ -121,6 +121,10 @@ def main() -> None:
     from tripgogo_vector_search_spark.session import get_spark
 
     spark = get_spark("bench")
+    # WARN-level WindowExec notes (unpartitioned windows over
+    # policy-allowed aggregate-scale frames) otherwise flood the
+    # captured tail of every bench run
+    spark.sparkContext.setLogLevel("ERROR")
     # warmup: touch the fact table + codegen path once, and fork the
     # Python UDF workers on every core (pandas import is ~0.5s per
     # worker; that startup is session overhead, not query cost)

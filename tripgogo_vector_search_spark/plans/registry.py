@@ -7359,6 +7359,35 @@ def embed_refresh_stats(spark, sf_dir):
                          / cnt.cast("double"), 6).alias("refresh_pct")))
 
 
+@query("embed_evict_list",
+       """WITH snap_ids AS (
+            SELECT doc_id FROM documents WHERE doc_id % 10 <> 3
+            UNION ALL
+            SELECT -doc_id - 1 AS doc_id FROM documents
+            WHERE doc_id % 10 = 7)
+          SELECT s.doc_id FROM snap_ids s
+          WHERE NOT EXISTS (SELECT 1 FROM documents d
+                            WHERE d.doc_id = s.doc_id)""")
+def embed_evict_list(spark, sf_dir):
+    """The DELETE side of the refresh cycle: snapshot ids absent from
+    the current corpus — the rows a versioned embedding index must
+    evict so retrieval can't serve vectors for retired documents
+    (embed_refresh_worklist is the upsert side; together they are the
+    full index-maintenance protocol). Snapshot stand-in extends the
+    embed_refresh fixture: the previous ingest also carried a retired
+    revision per doc_id%10==7 doc, with ids offset to the (collision-
+    free by construction) negative range — both engines build it
+    identically. One id-keyed LEFT ANTI join (co-partitioned with an
+    id-bucketed index at scale), nothing broadcast-pinned."""
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    snap_ids = (d.filter(F.col("doc_id") % 10 != 3).select("doc_id")
+                .unionByName(d.filter(F.col("doc_id") % 10 == 7)
+                             .select((-F.col("doc_id") - 1)
+                                     .alias("doc_id"))))
+    return snap_ids.join(d.select("doc_id"), "doc_id", "left_anti")
+
+
 # The fixture corpus contains no digits at all, so the screen is
 # validated by SEEDED RECALL — the standard way PII pipelines are
 # tested: deterministic synthetic spans (email / US phone / SSN / IPv4)
