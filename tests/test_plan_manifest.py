@@ -247,6 +247,34 @@ def test_no_exact_percentile_aggregates(plans):
         f"instead: {offenders}")
 
 
+# Queries whose SEMANTICS are a total order — the only place a global
+# Sort without a limit is the query, not a defect. global_sort uses
+# range partitioning (sampled boundaries, ~200 MB per sorted
+# partition); everything else must TakeOrdered or rank-select.
+_TOTAL_ORDER_KEYS = {"global_sort"}
+
+
+def test_global_sorts_only_in_total_order_queries(plans):
+    """r8 fourth policy gate: a logical `Sort [...], true` (global)
+    with no GlobalLimit above it re-sorts the whole input — fine only
+    where the query IS a total order. Windows/percentiles have their
+    own gates; this closes the bare orderBy loophole."""
+    offenders = {}
+    for name, plan in plans.items():
+        if plan is None or name in _TOTAL_ORDER_KEYS:
+            continue
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if not re.search(r"^\s*[:+\- ]*Sort \[.*\], true", line):
+                continue
+            if "GlobalLimit" in "".join(lines[:i]):  # TakeOrdered shape
+                continue
+            offenders.setdefault(name, []).append(line.strip()[:100])
+    assert not offenders, (
+        "unbounded global Sort outside the total-order queries — "
+        f"re-plan via limit (TakeOrdered) or rank selection: {offenders}")
+
+
 def _gate_plan(window_fragment: str, *, over: str) -> str:
     """Synthetic plan text for gate red-tests."""
     return (f"{window_fragment}\n"
