@@ -7504,8 +7504,7 @@ bands AS (SELECT doc_id, unnest({sql_lsh_band_keys('sig', 4, 4)}) AS band_key
           FROM sig)"""
 
 
-@query("minhash_refresh",
-       _MINHASH_BANDS_CTE + """,
+_MINHASH_REFRESH_ORACLE = _MINHASH_BANDS_CTE + """,
        corp AS (SELECT band_key, min(doc_id) AS min_src
                 FROM bands WHERE doc_id % 10 <> 3 GROUP BY band_key),
        hit AS (SELECT b.doc_id, min(c.min_src) AS canonical_src
@@ -7514,7 +7513,10 @@ bands AS (SELECT doc_id, unnest({sql_lsh_band_keys('sig', 4, 4)}) AS band_key
        SELECT d.doc_id, (h.canonical_src IS NOT NULL) AS is_dup,
               coalesce(h.canonical_src, d.doc_id) AS canonical_id
        FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
-       WHERE d.doc_id % 10 = 3""")
+       WHERE d.doc_id % 10 = 3"""
+
+
+@query("minhash_refresh", _MINHASH_REFRESH_ORACLE)
 def minhash_refresh(spark, sf_dir):
     """Incremental near-dup screen for a re-ingested corpus: the NEW
     batch (the doc_id%10==3 cohort — the same 'arrived since the
@@ -7534,6 +7536,22 @@ def minhash_refresh(spark, sf_dir):
                  .filter(is_new).select("doc_id"))
     return DD.minhash_probe(idx.filter(is_new), idx.filter(~is_new),
                             batch_ids, "doc_id")
+
+
+@query("stream_minhash_probe", _MINHASH_REFRESH_ORACLE)
+def stream_minhash_probe_q(spark, sf_dir):
+    """The streaming form of minhash_refresh: arriving docs probed per
+    micro-batch (foreachBatch) against the static corpus band index,
+    sunk idempotently to per-batch parquet partitions. Per-doc
+    verdicts depend only on the doc's own bands + the static index, so
+    the read-back must equal the batch probe's oracle exactly,
+    whatever the micro-batch boundaries."""
+    from ..streaming.ingest import stream_minhash_probe
+    idx = _minhash_band_index(spark, sf_dir)
+    out = stream_minhash_probe(spark, sf_dir,
+                               idx.filter(F.col("doc_id") % 10 != 3),
+                               _cache_dir(sf_dir, "stream_probe"))
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -264,6 +264,54 @@ def stream_foreach_parquet_sink(spark: SparkSession, sf_dir: str,
     return spark.read.parquet(out_dir)
 
 
+def stream_minhash_probe(spark: SparkSession, sf_dir: str,
+                         corpus_bands: DataFrame, out_dir: str) -> DataFrame:
+    """Streaming incremental near-dup: docs arriving on the stream (the
+    doc_id%10==3 'new since the snapshot' cohort) are probed per
+    micro-batch against the STATIC corpus LSH band index — the
+    streaming form of the batch ``minhash_refresh`` and the online
+    half of the index-maintenance protocol (a firehose ingest screens
+    each batch for near-dups before embedding/indexing it).
+
+    Each doc's verdict depends only on its own band keys plus the
+    static index, so the result is micro-batch-partitioning-
+    INDEPENDENT and equals the batch probe exactly — no watermark or
+    streaming state is needed; the per-batch probe
+    (operators/dedup.py:minhash_probe) runs as plain batch DataFrame
+    ops inside foreachBatch. Sink idempotence: each batch overwrites
+    its own batch_id=N partition, so a replayed micro-batch rewrites
+    rather than duplicates (exactly-once by idempotence). At scale,
+    materialize the (band_key, min id) corpus aggregate once as its
+    own table instead of re-deriving it per batch — it is static
+    between snapshot refreshes."""
+    import shutil
+
+    from ..operators import dedup as DD
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_chk", ignore_errors=True)
+    docs = (spark.readStream.format("parquet").schema(DOCS_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet").load(sf_dir)
+            .filter(F.col("doc_id") % 10 == 3))
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bands = DD.minhash_bands(bdf, "text", "doc_id")
+        verdict = DD.minhash_probe(bands, corpus_bands,
+                                   bdf.select("doc_id"), "doc_id")
+        verdict.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}")
+
+    q = (docs.writeStream.outputMode("append")
+         .option("checkpointLocation", out_dir + "_chk")
+         .foreachBatch(write_batch).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.read.parquet(out_dir)
+            .select("doc_id", "is_dup", "canonical_id"))
+
+
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str,
                                 watermark: str = "1 hour") -> DataFrame:
     """Stream-stream inner join with an event-time interval condition:
