@@ -293,3 +293,58 @@ def test_embedding_near_dup_matches_python_reference(spark):
                                           threshold=0.95).collect()}
     assert got == want
     assert want[clone_id][0] and want[clone_id][1] == min(ids)
+
+
+# ---- minhash_probe (r8 incremental near-dup) -----------------------------
+
+
+def test_minhash_probe_equals_full_dedup_restricted_to_batch(spark):
+    """Probe contract: for a batch doc, is_dup/canonical vs the CORPUS
+    equals what the full band self-join would say about (batch doc,
+    corpus docs) pairs — computed here by a python reference over the
+    band index itself, so the star/min shortcut is independently
+    checked."""
+    docs = _docs(spark)
+    bands = DD.minhash_bands(docs, "text", "doc_id")
+    rows = [(r.doc_id, r.band_key) for r in bands.collect()]
+    batch = {i for (i, _b) in rows if i % 7 == 0}
+    corpus_min: dict[str, int] = {}
+    for i, b in rows:
+        if i not in batch:
+            corpus_min[b] = min(corpus_min.get(b, i), i)
+    want = {}
+    for i in sorted({r.doc_id for r in docs.select("doc_id").collect()}):
+        if i not in batch:
+            continue
+        hits = [corpus_min[b] for (j, b) in rows
+                if j == i and b in corpus_min]
+        want[i] = (bool(hits), min(hits) if hits else i)
+    is_new = F.col("doc_id") % 7 == 0
+    got = {r.doc_id: (r.is_dup, r.canonical_id) for r in
+           DD.minhash_probe(bands.filter(is_new), bands.filter(~is_new),
+                            docs.filter(is_new).select("doc_id"),
+                            "doc_id").collect()}
+    assert got == want
+
+
+def test_minhash_probe_degenerate_batches(spark):
+    """Empty batch -> empty result; a batch doc colliding only with
+    OTHER BATCH docs is not a dup (the corpus is the reference set);
+    short docs with no signature never collide but still appear."""
+    docs = _docs(spark)
+    bands = DD.minhash_bands(docs, "text", "doc_id")
+    nothing = F.lit(False)
+    out = DD.minhash_probe(bands.filter(nothing), bands,
+                           docs.filter(nothing).select("doc_id"),
+                           "doc_id")
+    assert out.count() == 0
+    # two identical NEW docs + one short new doc, empty corpus index
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "hi")], "doc_id long, text string")
+    nb = DD.minhash_bands(new, "text", "doc_id")
+    got = {r.doc_id: (r.is_dup, r.canonical_id) for r in
+           DD.minhash_probe(nb, bands.filter(nothing),
+                            new.select("doc_id"), "doc_id").collect()}
+    assert got == {1: (False, 1), 2: (False, 2), 3: (False, 3)}
