@@ -132,3 +132,43 @@ def test_quantiles_leave_nothing_cached(spark):
     quantiles_cont(df, ["grp"], "v", [("q50", 0.5)]).collect()
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# property-based: arbitrary value sets vs the python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# values drawn from a small integer lattice TIMES a float jitter set:
+# guarantees heavy ties AND near-continuous values in the same frame,
+# plus negative/zero/identical-group corners
+_VALS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),
+              st.one_of(st.integers(min_value=-5, max_value=5)
+                        .map(float),
+                        st.floats(min_value=-100.0, max_value=100.0,
+                                  allow_nan=False, allow_infinity=False,
+                                  width=32))),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_VALS, q=st.sampled_from([0.0, 0.01, 0.25, 0.5, 0.9, 1.0]))
+def test_property_selection_matches_reference(spark, rows, q):
+    df = spark.createDataFrame(rows, "grp int, v double").repartition(4)
+    by_grp: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    got_c = {r["grp"]: r["qq"] for r in
+             quantiles_cont(df, ["grp"], "v", [("qq", q)],
+                            num_buckets=5).collect()}
+    got_d = {r["grp"]: r["qq"] for r in
+             quantiles_disc(df, ["grp"], "v", [("qq", q)],
+                            num_buckets=5).collect()}
+    for g, vals in by_grp.items():
+        assert got_c[g] == pytest.approx(_ref_cont(vals, q),
+                                         abs=1e-9), ("cont", g, vals)
+        assert got_d[g] == _ref_disc(vals, q), ("disc", g, vals)
