@@ -6,8 +6,15 @@ sf0.01 oracle suite's job.
 
     python tools/sweep.py [/root/testdata/sf0.1]
 
+Also enforces the cache-lifecycle contract (VERDICT r7 "What's wrong
+#3") sweep-wide: after each query's action completes, the session's
+cache manager must be empty — a key that leaves a frame cached is
+reported as a leak and fails the sweep, so the contract is proven for
+every registry key, not just the former leak sites pinned in
+tests/test_cache_lifecycle.py.
+
 Prints one line per query and a final JSON summary; exits nonzero if
-any query raises.
+any query raises or leaks cache.
 """
 
 from __future__ import annotations
@@ -27,23 +34,33 @@ def main() -> None:
     spark = get_spark("sweep")
     spark.sparkContext.setLogLevel("ERROR")
     failures: list[str] = []
+    leakers: list[str] = []
     timings: dict[str, float] = {}
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 2)
-            print(f"ok   {name} {timings[name]}s", flush=True)
+            if not cache_mgr.isEmpty():
+                leakers.append(name)
+                spark.catalog.clearCache()
+                print(f"LEAK {name}: cache non-empty after action",
+                      flush=True)
+            else:
+                print(f"ok   {name} {timings[name]}s", flush=True)
         except Exception as exc:  # noqa: BLE001 - report and continue
             failures.append(name)
+            spark.catalog.clearCache()
             print(f"FAIL {name}: {exc!r}", flush=True)
     print(json.dumps({
         "sf_dir": sf_dir, "n_queries": len(QUERIES),
         "n_failed": len(failures), "failed": failures,
+        "n_leaked": len(leakers), "leaked": leakers,
         "total_sec": round(sum(timings.values()), 1),
         "slowest": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
     }))
-    if failures:
+    if failures or leakers:
         raise SystemExit(1)
 
 
