@@ -71,13 +71,16 @@ _CHECK_FIRST = [
     "embed_refresh_worklist", "embed_refresh_stats", "pii_screen",
     "pii_prevalence", "minhash_refresh", "embed_evict_list",
     "stream_minhash_probe",
-    # The other stream_* keys: their BEHAVIOR is unchanged, but the
-    # drift gate fingerprints stream keys by the sha256 of the whole
-    # streaming/ingest.py module (plans aren't constructible without
-    # running a live stream), and adding stream_minhash_probe to that
-    # module moved every stream fingerprint — so all ten are queued
-    # for fresh rows rather than carried on a hash that no longer
-    # backs them.
+    # The other stream_* keys: their BEHAVIOR is unchanged, but every
+    # stream fingerprint moved this round — first when adding
+    # stream_minhash_probe to streaming/ingest.py under the r7
+    # whole-module source hash, then again when that hash was replaced
+    # by the per-key transitive source closure
+    # (tools/source_closure.py; fixes the scheme's soundness hole —
+    # cross-module behavior like dedup.minhash_probe was invisible —
+    # and stops one ingest.py edit from re-queueing all stream keys
+    # in future rounds). All ten are queued for fresh rows rather
+    # than carried on hashes that no longer back them.
     "stream_window_agg", "stream_embed", "stream_sessionize",
     "stream_dedup", "stream_static_join", "stream_stream_join",
     "stream_foreach_sink", "stream_quality_filter",

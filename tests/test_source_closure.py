@@ -1,0 +1,153 @@
+"""tools/source_closure.py — the per-key stream-fingerprint basis.
+
+The drift gate's guarantee for ``stream_*`` keys is only as strong as
+this closure: it must (a) reach every package definition a stream key
+can execute, across modules — the r8 soundness fix (the old
+whole-ingest.py hash missed stream_minhash_probe's probe logic in
+operators/dedup.py); and (b) NOT reach unrelated definitions — the
+precision fix (the old hash re-flagged all ten stream keys on any
+ingest.py edit, burning 10 of r8's 50 driver-window slots). Both
+directions are pinned here on synthetic module graphs plus the real
+package."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.plan_manifest import _unwrap  # noqa: E402
+from tools.source_closure import WHOLE, SourceGraph, package_graph  # noqa: E402
+
+SRC_A = '''\
+import os
+from .b import helper, CONST
+from . import c as CC
+
+
+def top(x):
+    return helper(x) + CONST + CC.leaf(x)
+
+
+def other(x):
+    return os.path.join("x", str(x))
+'''
+
+SRC_B = '''\
+CONST = 7
+
+
+def _inner(x):
+    return x * CONST
+
+
+def helper(x):
+    return _inner(x) + 1
+
+
+def unrelated(x):
+    return x - 1
+'''
+
+SRC_C = '''\
+def leaf(x):
+    return x + 2
+
+
+def ignored(x):
+    return x - 2
+'''
+
+
+def _graph(**over) -> SourceGraph:
+    return SourceGraph({"a": SRC_A, "b": SRC_B, "c": SRC_C} | over)
+
+
+def test_closure_reaches_transitive_cross_module_defs():
+    c = _graph().closure("a", "top")
+    assert {("a", "top"), ("b", "helper"), ("b", "CONST"),
+            ("b", "_inner"), ("c", "leaf")} <= c
+
+
+def test_closure_excludes_unreferenced_defs():
+    c = _graph().closure("a", "top")
+    assert ("b", "unrelated") not in c
+    assert ("c", "ignored") not in c
+    assert ("a", "other") not in c
+    # and the other direction: `other` touches nothing in b/c
+    c2 = _graph().closure("a", "other")
+    assert not {m for m, _ in c2} - {"a"}
+
+
+def test_digest_moves_with_reachable_edit_only():
+    base = _graph().digest("a", "top")
+    # editing a REACHABLE helper body moves the digest
+    edited = _graph(b=SRC_B.replace("return _inner(x) + 1",
+                                    "return _inner(x) + 2"))
+    assert edited.digest("a", "top") != base
+    # editing an UNREACHABLE def does not — per-key precision, the
+    # property the whole-module hash lacked
+    unrel = _graph(b=SRC_B.replace("return x - 1", "return x - 3"))
+    assert unrel.digest("a", "top") == base
+    # the unreachable def IS covered for keys that use it
+    assert unrel.digest("b", "unrelated") != _graph().digest(
+        "b", "unrelated")
+
+
+def test_unresolvable_symbol_degrades_to_whole_module():
+    # d re-exports helper; a2 imports it from d — d has no top-level
+    # def `h2`, so coverage degrades to ALL of d, never to silence
+    src_d = "from .b import helper as h2\n"
+    src_a2 = ("from .d import h2\n\n\ndef top2(x):\n    return h2(x)\n")
+    g = SourceGraph({"a2": src_a2, "b": SRC_B, "d": src_d})
+    c = g.closure("a2", "top2")
+    assert ("d", WHOLE) in c
+    # any edit to d moves the digest
+    g2 = SourceGraph({"a2": src_a2, "b": SRC_B,
+                      "d": src_d + "X = 1\n"})
+    assert g.digest("a2", "top2") != g2.digest("a2", "top2")
+
+
+def test_bare_module_alias_hashes_whole_module():
+    src = "from . import c as CC\n\n\ndef f(g):\n    return g(CC)\n"
+    g = SourceGraph({"m": src, "c": SRC_C})
+    assert ("c", WHOLE) in g.closure("m", "f")
+
+
+def test_import_block_changes_move_digest():
+    # swapping an EXTERNAL alias target can change semantics without
+    # changing any reachable def's body — the import block hash covers it
+    g1 = _graph()
+    g2 = _graph(a=SRC_A.replace("import os", "import posixpath as os"))
+    assert g1.digest("a", "other") != g2.digest("a", "other")
+
+
+def test_real_package_stream_keys_are_covered_and_independent():
+    from tripgogo_vector_search_spark.plans import registry
+    g = package_graph()
+
+    def closure_of(key):
+        fn = _unwrap(registry.QUERIES[key])
+        mod = fn.__module__.split("tripgogo_vector_search_spark.")[-1]
+        return g.closure(mod, fn.__name__), fn
+
+    # soundness: the probe logic in operators/dedup.py and the minhash
+    # kernel are IN stream_minhash_probe's closure (the r7 scheme's hole)
+    c_probe, fn_probe = closure_of("stream_minhash_probe")
+    assert ("operators.dedup", "minhash_probe") in c_probe
+    assert ("operators.dedup", "minhash_bands") in c_probe
+    assert ("functions.kernels", "minhash_signature_udf") in c_probe
+    # precision: the plain window agg does not reach dedup at all
+    c_wagg, fn_wagg = closure_of("stream_window_agg")
+    assert not {m for m, _ in c_wagg} & {"operators.dedup",
+                                         "functions.kernels"}
+    # no degraded whole-module coverage anywhere in the stream closures:
+    # every reference in the real package resolves to a named definition
+    for key in [k for k in registry.QUERIES if k.startswith("stream_")]:
+        c, _fn = closure_of(key)
+        degraded = sorted(m for m, n in c if n == WHOLE)
+        assert not degraded, (key, degraded)
+    # distinct reachable sets -> distinct digests
+    assert (g.digest_for_function(fn_probe)
+            != g.digest_for_function(fn_wagg))

@@ -13,9 +13,11 @@ that drift a test failure:
   stripped — everything else, operator tree included, is significant).
   ``stream_*`` keys would execute a real micro-batch stream just to
   build their plan, so they are fingerprinted at source level instead:
-  sha256 of ``streaming/ingest.py`` plus the registry function's own
-  source — coarser (any ingest.py edit flags every stream key), which
-  errs on the re-verify side.
+  the transitive module-level source closure reachable from the
+  registry function (tools/source_closure.py) — per-key, so an edit
+  flags exactly the stream keys whose behavior it can touch, and
+  cross-module, so behavior hosted outside ingest.py (e.g.
+  operators/dedup.py's probe) is covered too.
 * Plans only NAME a Python UDF — a kernel body edit changes results
   without changing the plan string — so any key whose plan contains a
   Python stage (EvalPython / *InPandas / UDTF) additionally mixes in a
@@ -102,13 +104,23 @@ def _unwrap(fn):
 
 
 def _source_fingerprint(name: str, fn) -> str:
-    ingest = os.path.join(REPO, "tripgogo_vector_search_spark",
-                          "streaming", "ingest.py")
-    with open(ingest, "rb") as f:
-        body = f.read()
-    src = inspect.getsource(_unwrap(fn)).encode()
-    return hashlib.sha256(body + b"\0" + src + b"\0"
-                          + _KERNEL_HASH.encode()).hexdigest()
+    """Per-key source fingerprint for ``stream_*`` keys: sha256 of the
+    transitive module-level source closure reachable from the registry
+    function (tools/source_closure.py) — the key's own source
+    (decorator + oracle SQL included), every package definition it
+    statically references, and everything those reach, across ALL
+    package modules. Replaces the r7 whole-``ingest.py`` hash, which
+    failed both ways: any ingest.py edit re-flagged all ten stream
+    keys (10 of r8's 50 driver slots went to exactly that), while a
+    result-changing edit in ANOTHER module was invisible
+    (``stream_minhash_probe``'s probe logic lives in
+    operators/dedup.py — a green fingerprint over changed behavior,
+    the precise hole this gate exists to close). Kernel modules no
+    longer need the global ``_KERNEL_HASH`` mix-in here: a kernel a
+    stream key uses is IN its closure (e.g. kernels.py's
+    minhash_signature_udf via dedup.minhash_bands)."""
+    from tools.source_closure import package_graph
+    return package_graph().digest_for_function(_unwrap(fn))
 
 
 _PKG = os.path.join(REPO, "tripgogo_vector_search_spark")
