@@ -58,3 +58,40 @@ def test_stale_cache_generations_pruned_on_regen(tmp_path):
     assert len(gens) == 1  # exactly one surviving generation
     assert not os.path.exists(p1)
     assert os.path.exists(p_other)  # other sf untouched
+
+
+def test_materialized_leaf_versioned_by_builder_source(tmp_path):
+    """r8: `src=` bakes the builder functions' transitive source-
+    closure digest (introspect.py) into the cache leaf, so a kernel or
+    builder edit rebuilds the index instead of serving one computed by
+    old code. Stability and src-sensitivity of the leaf derivation;
+    'an edit moves the digest' itself is pinned by
+    tests/test_source_closure.py on synthetic graphs."""
+    import re
+
+    from tripgogo_vector_search_spark.operators import dedup as DD
+    from tripgogo_vector_search_spark.plans.registry import (
+        _materialized_index)
+
+    d = str(tmp_path / "sf0.5")
+    os.makedirs(d)
+    _write(os.path.join(d, "documents.parquet"), b"docs")
+    built = []
+
+    def build(p):
+        os.makedirs(p, exist_ok=True)
+        _write(os.path.join(p, "_SUCCESS"), b"")
+        built.append(p)
+
+    p_plain = _materialized_index(None, d, "idx", build)
+    p_src = _materialized_index(None, d, "idx", build,
+                                src=(DD.minhash_bands,))
+    # versioned leaf: 8-hex digest suffix, distinct from the plain path
+    assert re.search(r"idx-[0-9a-f]{8}$", p_src) and p_src != p_plain
+    # deterministic: same src -> same path, and _SUCCESS short-circuits
+    assert _materialized_index(None, d, "idx", build,
+                               src=(DD.minhash_bands,)) == p_src
+    assert len(built) == 2
+    # different builder code -> different generation
+    assert _materialized_index(None, d, "idx", build,
+                               src=(DD.ngram_docset,)) != p_src

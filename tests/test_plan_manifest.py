@@ -100,6 +100,49 @@ def test_no_unqueued_plan_drift(spark, plans):
     assert set(got) == set(registry.QUERIES)
 
 
+# Source-level markers that define a Python kernel. Distinct from
+# tools.plan_manifest._PLAN_PY_MARKERS, which match the PLAN text.
+_KERNEL_SRC_MARKERS = ("InPandas(", "pandas_udf", "mapInArrow", "@udtf",
+                      "udtf(")
+
+
+def test_python_path_keys_closure_reaches_their_kernels(plans):
+    """Safety net for the per-key kernel fingerprinting: every key
+    whose plan contains a Python stage must have at least one
+    kernel-defining source in its transitive closure (or define the
+    kernel inline in its own registry function). If the closure's
+    static resolution ever silently missed a kernel reference, the
+    key's fingerprint would stop covering the kernel body — the exact
+    stale-evidence hole the gate exists for — and this test goes red
+    instead."""
+    from tools.plan_manifest import _PLAN_PY_MARKERS, _unwrap
+    from tripgogo_vector_search_spark.introspect import package_graph
+    from tripgogo_vector_search_spark.plans import registry
+
+    g = package_graph()
+    uncovered = []
+    python_keys = set()
+    for name, plan in plans.items():
+        if plan is None or not any(m in plan for m in _PLAN_PY_MARKERS):
+            continue
+        python_keys.add(name)
+        fn = _unwrap(registry.QUERIES[name])
+        mod = fn.__module__.split("tripgogo_vector_search_spark.")[-1]
+        srcs = g.closure_sources(mod, fn.__name__).values()
+        if not any(mk in s for s in srcs for mk in _KERNEL_SRC_MARKERS):
+            uncovered.append(name)
+    # the sweep is only meaningful if it actually saw the known
+    # python-path keys (most dedup/ANN keys read MATERIALIZED kernel
+    # output from parquet, so their query plans are kernel-free and
+    # kernel coverage rides the index cache keying instead)
+    assert {"embed_text", "udtf_ngrams", "multimodal_features",
+            "sim_join_gemm"} <= python_keys
+    assert not uncovered, (
+        "python-path keys whose source closure reaches NO kernel "
+        f"definition — their kernel bodies are unfingerprinted: "
+        f"{uncovered}")
+
+
 def _indent(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 

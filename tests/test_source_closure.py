@@ -1,4 +1,4 @@
-"""tools/source_closure.py — the per-key stream-fingerprint basis.
+"""tripgogo_vector_search_spark/introspect.py — the per-key stream-fingerprint basis.
 
 The drift gate's guarantee for ``stream_*`` keys is only as strong as
 this closure: it must (a) reach every package definition a stream key
@@ -18,7 +18,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.plan_manifest import _unwrap  # noqa: E402
-from tools.source_closure import WHOLE, SourceGraph, package_graph  # noqa: E402
+from tripgogo_vector_search_spark.introspect import (WHOLE, SourceGraph,  # noqa: E402
+                                                    package_graph)  # noqa: E402
 
 SRC_A = '''\
 import os

@@ -14,15 +14,15 @@ that drift a test failure:
   ``stream_*`` keys would execute a real micro-batch stream just to
   build their plan, so they are fingerprinted at source level instead:
   the transitive module-level source closure reachable from the
-  registry function (tools/source_closure.py) — per-key, so an edit
+  registry function (tripgogo_vector_search_spark/introspect.py) — per-key, so an edit
   flags exactly the stream keys whose behavior it can touch, and
   cross-module, so behavior hosted outside ingest.py (e.g.
   operators/dedup.py's probe) is covered too.
 * Plans only NAME a Python UDF — a kernel body edit changes results
   without changing the plan string — so any key whose plan contains a
-  Python stage (EvalPython / *InPandas / UDTF) additionally mixes in a
-  hash of every kernel-defining module; one kernel edit flags every
-  python-path key for re-verification.
+  Python stage (EvalPython / *InPandas / UDTF) additionally mixes in
+  its transitive source closure (tripgogo_vector_search_spark/introspect.py): a kernel
+  edit flags exactly the keys whose closure reaches that kernel.
 * ``tests/plan_manifest.json`` records the fingerprints as of the last
   time the manifest was regenerated — the workflow regenerates it in
   the same commit that queues changed keys in ``_CHECK_FIRST``, so the
@@ -106,7 +106,7 @@ def _unwrap(fn):
 def _source_fingerprint(name: str, fn) -> str:
     """Per-key source fingerprint for ``stream_*`` keys: sha256 of the
     transitive module-level source closure reachable from the registry
-    function (tools/source_closure.py) — the key's own source
+    function (tripgogo_vector_search_spark/introspect.py) — the key's own source
     (decorator + oracle SQL included), every package definition it
     statically references, and everything those reach, across ALL
     package modules. Replaces the r7 whole-``ingest.py`` hash, which
@@ -119,43 +119,10 @@ def _source_fingerprint(name: str, fn) -> str:
     longer need the global ``_KERNEL_HASH`` mix-in here: a kernel a
     stream key uses is IN its closure (e.g. kernels.py's
     minhash_signature_udf via dedup.minhash_bands)."""
-    from tools.source_closure import package_graph
+    from tripgogo_vector_search_spark.introspect import package_graph
     return package_graph().digest_for_function(_unwrap(fn))
 
 
-_PKG = os.path.join(REPO, "tripgogo_vector_search_spark")
-_PY_MARKERS = ("InPandas(", "pandas_udf", "mapInArrow", "@udtf")
-
-
-def _kernel_hash() -> str:
-    """Hash of every module that defines a Python-side kernel (pandas
-    UDF / mapInPandas / UDTF). A kernel BODY change alters results but
-    not the plan string — plans only name the UDF — so python-path
-    keys mix this into their fingerprint; any kernel edit flags them
-    all for re-verification (coarse on purpose, errs to re-verify).
-
-    plans/registry.py is excluded even though it hosts a few inline
-    kernels: it is edited every round, so including it would flag all
-    python-path keys on every unrelated registry change. Inline
-    registry kernels are covered instead by hashing the key's OWN
-    function source (fingerprint_one)."""
-    h = hashlib.sha256()
-    for root, _dirs, files in sorted(os.walk(_PKG)):
-        for fname in sorted(files):
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(root, fname)
-            if path.endswith(os.path.join("plans", "registry.py")):
-                continue
-            with open(path, "rb") as f:
-                body = f.read()
-            if any(m.encode() in body for m in _PY_MARKERS):
-                h.update(os.path.relpath(path, _PKG).encode())
-                h.update(body)
-    return h.hexdigest()
-
-
-_KERNEL_HASH = _kernel_hash()
 _PLAN_PY_MARKERS = ("EvalPython", "InPandas", "pythonUDF", "PythonUDTF",
                     "MapInArrow")
 
@@ -185,11 +152,20 @@ def fingerprint_one(spark, name: str, sf_dir: str = SF_SMOKE,
     if plan is None:
         plan = plan_text(spark, name, sf_dir)
     if any(m in plan for m in _PLAN_PY_MARKERS):
-        # kernel modules + this key's own function source (covers
-        # kernels defined inline in the registry query function)
-        plan = (plan + "\nKERNELS " + _KERNEL_HASH
-                + "\nFN " + hashlib.sha256(
-                    inspect.getsource(_unwrap(fn)).encode()).hexdigest())
+        # Plans only NAME a Python UDF — a kernel body edit changes
+        # results without changing the plan string — so python-path
+        # keys mix in the key's transitive source closure (own
+        # function source — covers inline registry kernels and the
+        # @query oracle — plus every package definition it reaches,
+        # kernels included). Per-key: a kernel edit flags exactly the
+        # keys whose closure contains it, not every python-path key
+        # (the r8 global-_KERNEL_HASH scheme did the latter, spending
+        # driver-window slots on keys the edit could not affect).
+        # tests/test_source_closure.py pins that every python-path
+        # key's closure actually reaches its kernel definitions.
+        from tripgogo_vector_search_spark.introspect import package_graph
+        plan = ("PYSRC " + package_graph().digest_for_function(_unwrap(fn))
+                + "\n" + plan)
     return hashlib.sha256(plan.encode()).hexdigest()
 
 

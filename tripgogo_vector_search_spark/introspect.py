@@ -1,6 +1,18 @@
 """Per-callable transitive SOURCE closure over the package's
-module-level definitions — the precision layer for the drift gate's
-``stream_*`` fingerprints (tools/plan_manifest.py).
+module-level definitions.
+
+Two consumers, one question — "which code can this callable's result
+depend on?":
+
+* the drift gate (tools/plan_manifest.py) fingerprints ``stream_*``
+  and python-path keys with it, so a result-changing source edit
+  anywhere in a key's reach re-queues exactly that key for driver
+  re-verification;
+* the materialized-index cache (plans/registry.py:_materialized_index)
+  bakes the builder's closure digest into the cache leaf, so a kernel
+  or builder edit REBUILDS the index instead of silently serving one
+  computed by the old code (the production analogue: index tables are
+  versioned by code revision as well as corpus snapshot).
 
 Why: ``stream_*`` keys cannot be fingerprinted by plan text (building
 their plan runs a live micro-batch stream), so they are fingerprinted
@@ -50,9 +62,8 @@ import hashlib
 import os
 from dataclasses import dataclass, field
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PKG_NAME = "tripgogo_vector_search_spark"
-PKG_ROOT = os.path.join(REPO, PKG_NAME)
+PKG_ROOT = os.path.dirname(os.path.abspath(__file__))
+PKG_NAME = os.path.basename(PKG_ROOT)
 
 # alias -> (target module rel-dotted, symbol | None); symbol None means
 # the alias IS the module object (import m / from pkg import m)
@@ -290,6 +301,23 @@ class SourceGraph:
                 h.update(info.import_block.encode())
                 h.update(b"\1")
         return h.hexdigest()
+
+    def closure_sources(self, mod: str, name: str) -> dict[tuple[str, str],
+                                                           str]:
+        """The closure's (module, symbol) -> source text map — what the
+        digest hashes; exposed so tests can assert reachability
+        properties (e.g. a python-path key's closure contains its
+        kernel definitions)."""
+        out: dict[tuple[str, str], str] = {}
+        for smod, snm in self.closure(mod, name):
+            info = self._mods.get(smod)
+            if info is None:
+                continue
+            if snm == WHOLE:
+                out[(smod, snm)] = info.source
+            elif snm in info.defs:
+                out[(smod, snm)] = info.defs[snm].source
+        return out
 
     def digest_for_function(self, fn) -> str:
         mod = fn.__module__

@@ -385,7 +385,8 @@ def _shingle_inv_index(spark, sf_dir):
         spark, sf_dir, "shingle_inv_index",
         lambda p: DD.shingle_inverted_index(
             _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3)
-        .write.mode("overwrite").parquet(p))
+        .write.mode("overwrite").parquet(p),
+        src=(DD.shingle_inverted_index,))
     return spark.read.parquet(path)
 
 
@@ -401,7 +402,8 @@ def _minhash_band_index(spark, sf_dir):
         lambda p: DD.minhash_bands(
             _t(spark, sf_dir, "documents"), "text", "doc_id",
             shingle_n=3, num_hashes=16, bands=4)
-        .write.mode("overwrite").parquet(p))
+        .write.mode("overwrite").parquet(p),
+        src=(DD.minhash_bands,))
     return spark.read.parquet(path)
 
 
@@ -486,14 +488,16 @@ def ngram_jaccard_prefix_q(spark, sf_dir):
     materialized once per corpus (same pattern as the ANN indexes), so
     the join's two references to it are cheap parquet scans, not two
     recomputes of the shingle pipeline. The scale path at 100 TB."""
-    # leaf is versioned: the docset's on-disk schema changed (string rk ->
-    # xxhash64 rk) and _materialized_index only rebuilds on a missing
-    # _SUCCESS marker, not on code changes
+    # The manual _v2 suffix records a real near-miss (the docset's
+    # on-disk schema changed string rk -> xxhash64 rk and the index
+    # did not rebuild); src= now versions the leaf by the builder's
+    # source-closure digest, so that class of stale index is automatic
     path = _materialized_index(
         spark, sf_dir, "ngram_docset_v2",
         lambda p: DD.ngram_docset(_t(spark, sf_dir, "documents"),
                                   "text", "doc_id", shingle_n=3)
-        .write.mode("overwrite").parquet(p))
+        .write.mode("overwrite").parquet(p),
+        src=(DD.ngram_docset,))
     return DD.ngram_jaccard_prefix_join(spark.read.parquet(path),
                                         t=0.5)
 
@@ -782,12 +786,29 @@ _BUCKET_SQL = "('b' || " + " || ".join(
     "THEN '1' ELSE '0' END)"
     for p in _PLANES) + ")"
 
-def _materialized_index(spark, sf_dir, leaf, build) -> str:
+def _materialized_index(spark, sf_dir, leaf, build, src=()) -> str:
     """Build-once-per-corpus index materialization: `build(path)` runs
-    only when the index directory has no successful write marker. The
-    test corpora are immutable per sf_dir; a real deployment would key
-    this on the corpus snapshot/version."""
+    only when the index directory has no successful write marker.
+
+    ``src`` names the functions whose code the index content depends on
+    (the kernel/builder the lambda calls); their transitive source-
+    closure digest (introspect.py — same machinery as the drift gate's
+    stream fingerprints) is baked into the cache leaf, so an edit to
+    the builder, its kernel, or anything they reach REBUILDS the index
+    instead of silently serving one computed by the old code. Before
+    r8 this relied on manually bumping `_v1` suffixes — the ngram
+    docset's `_v2` comment records the near-miss that motivated it.
+    The corpus side is keyed by `_cache_dir`'s fixture fingerprint;
+    the production analogue versions an index table by corpus snapshot
+    AND code revision."""
+    import hashlib
     import os
+    if src:
+        from ..introspect import package_graph
+        g = package_graph()
+        digest = hashlib.md5("|".join(sorted(
+            g.digest_for_function(f) for f in src)).encode()).hexdigest()[:8]
+        leaf = f"{leaf}-{digest}"
     path = _cache_dir(sf_dir, leaf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build(path)
@@ -808,7 +829,8 @@ def _doc_embed_path(spark, sf_dir) -> str:
         lambda p: widen(_t(spark, sf_dir, "documents"))
         .select("doc_id",
                 hash_embed_udf(normalized=False)(F.col("text")).alias("v"))
-        .write.mode("overwrite").parquet(p))
+        .write.mode("overwrite").parquet(p),
+        src=(hash_embed_udf,))
 
 
 def _simhash_sigs_path(spark, sf_dir) -> str:
@@ -819,7 +841,8 @@ def _simhash_sigs_path(spark, sf_dir) -> str:
         spark, sf_dir, "simhash_sigs_v1",
         lambda p: DD.simhash_signatures(_t(spark, sf_dir, "documents"),
                                         "text", "doc_id")
-        .write.mode("overwrite").parquet(p))
+        .write.mode("overwrite").parquet(p),
+        src=(DD.simhash_signatures,))
 
 
 @query("ann_lsh",
@@ -838,7 +861,8 @@ def ann_lsh_q(spark, sf_dir):
     path = _materialized_index(
         spark, sf_dir, "ann_lsh_index",
         lambda p: ANN.materialize_lsh_index(
-            _t(spark, sf_dir, "embeddings"), p, planes=_PLANES))
+            _t(spark, sf_dir, "embeddings"), p, planes=_PLANES),
+        src=(ANN.materialize_lsh_index,))
     return ANN.lsh_search_materialized(spark, path, QUERY_VEC, k=3,
                                        planes=_PLANES)
 
@@ -872,7 +896,8 @@ def ann_ivf_q(spark, sf_dir):
     path = _materialized_index(
         spark, sf_dir, "ann_ivf_index",
         lambda p: ANN.materialize_ivf_index(
-            _t(spark, sf_dir, "embeddings"), p, n_cells=16))
+            _t(spark, sf_dir, "embeddings"), p, n_cells=16),
+        src=(ANN.materialize_ivf_index,))
     return ANN.ivf_search_materialized(spark, path, QUERY_VEC,
                                        k=3, n_cells=16, nprobe=2)
 
@@ -2703,7 +2728,8 @@ def ann_knn_join_q(spark, sf_dir):
     path = _materialized_index(
         spark, sf_dir, "ann_ivf_index",
         lambda p: ANN.materialize_ivf_index(
-            _t(spark, sf_dir, "embeddings"), p, n_cells=16))
+            _t(spark, sf_dir, "embeddings"), p, n_cells=16),
+        src=(ANN.materialize_ivf_index,))
     queries = (_t(spark, sf_dir, "embeddings")
                .filter(F.col("vec_id") % 100 == 7)
                .select(F.col("vec_id").alias("qid"),
@@ -4656,7 +4682,8 @@ def ann_recall_eval(spark, sf_dir):
     path = _materialized_index(
         spark, sf_dir, "ann_ivf_index",
         lambda p: ANN.materialize_ivf_index(
-            _t(spark, sf_dir, "embeddings"), p, n_cells=16))
+            _t(spark, sf_dir, "embeddings"), p, n_cells=16),
+        src=(ANN.materialize_ivf_index,))
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") % 100 == 7)
                .select(F.col("vec_id").alias("qid"),
@@ -7028,7 +7055,8 @@ def ann_index_occupancy(spark, sf_dir):
     path = _materialized_index(
         spark, sf_dir, "ann_lsh_index",
         lambda p: ANN.materialize_lsh_index(
-            _t(spark, sf_dir, "embeddings"), p, planes=_PLANES))
+            _t(spark, sf_dir, "embeddings"), p, planes=_PLANES),
+        src=(ANN.materialize_lsh_index,))
     idx = spark.read.parquet(path)
     occ = (idx.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
     return occ.agg(
