@@ -95,3 +95,33 @@ def test_materialized_leaf_versioned_by_builder_source(tmp_path):
     # different builder code -> different generation
     assert _materialized_index(None, d, "idx", build,
                                src=(DD.ngram_docset,)) != p_src
+
+
+def test_stale_leaf_generations_pruned_on_rebuild(tmp_path):
+    """A leaf built by a different code version (or the pre-versioning
+    bare leaf) is removed when the current version's leaf is derived —
+    stale index generations cannot be read again, so they must not
+    accumulate across edits."""
+    from tripgogo_vector_search_spark.operators import dedup as DD
+    from tripgogo_vector_search_spark.plans.registry import (
+        _materialized_index)
+
+    d = str(tmp_path / "sf0.7")
+    os.makedirs(d)
+    _write(os.path.join(d, "documents.parquet"), b"docs")
+
+    def build(p):
+        os.makedirs(p, exist_ok=True)
+        _write(os.path.join(p, "_SUCCESS"), b"")
+
+    bare = _materialized_index(None, d, "idx", build)          # pre-versioning
+    fake_old = os.path.join(os.path.dirname(bare), "idx-0123abcd")
+    build(fake_old)                                            # other version
+    keep = os.path.join(os.path.dirname(bare), "idx2")         # OTHER leaf
+    build(keep)
+    cur = _materialized_index(None, d, "idx", build,
+                              src=(DD.minhash_bands,))
+    assert os.path.isdir(cur)
+    assert not os.path.exists(bare)        # bare leaf pruned
+    assert not os.path.exists(fake_old)    # other-version leaf pruned
+    assert os.path.isdir(keep)             # unrelated leaf untouched

@@ -808,7 +808,21 @@ def _materialized_index(spark, sf_dir, leaf, build, src=()) -> str:
         g = package_graph()
         digest = hashlib.md5("|".join(sorted(
             g.digest_for_function(f) for f in src)).encode()).hexdigest()[:8]
-        leaf = f"{leaf}-{digest}"
+        versioned = f"{leaf}-{digest}"
+        # prune siblings of this leaf built by other code versions
+        # (same base + different digest, or the pre-versioning bare
+        # leaf): they can never be read again, so keeping them only
+        # grows disk across edits — mirroring _cache_dir's pruning of
+        # stale corpus generations
+        import re
+        import shutil
+        gen_dir = os.path.dirname(_cache_dir(sf_dir, versioned))
+        stale = re.compile(re.escape(leaf) + r"(-[0-9a-f]{8})?$")
+        for sib in os.listdir(gen_dir):
+            if sib != versioned and stale.fullmatch(sib):
+                shutil.rmtree(os.path.join(gen_dir, sib),
+                              ignore_errors=True)
+        leaf = versioned
     path = _cache_dir(sf_dir, leaf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build(path)
