@@ -152,3 +152,77 @@ def test_real_package_stream_keys_are_covered_and_independent():
     # distinct reachable sets -> distinct digests
     assert (g.digest_for_function(fn_probe)
             != g.digest_for_function(fn_wagg))
+
+
+# ---------------------------------------------------------------------------
+# Property: on ARBITRARY module/reference graphs, the digest moves iff
+# the edited definition is reachable — checked against an independent
+# ground-truth BFS over the generating structure, not the AST.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _module_graphs(draw):
+    n_mods = draw(st.integers(2, 3))
+    n_defs = [draw(st.integers(2, 4)) for _ in range(n_mods)]
+    all_defs = [(m, f"d{m}_{k}") for m in range(n_mods)
+                for k in range(n_defs[m])]
+    refs = {}
+    for sym in all_defs:
+        others = [s for s in all_defs if s != sym]
+        refs[sym] = draw(st.sets(st.sampled_from(others), max_size=3))
+    target = draw(st.sampled_from(all_defs))
+    edited = draw(st.sampled_from(all_defs))
+    return n_mods, all_defs, refs, target, edited
+
+
+def _render(n_mods, all_defs, refs, bump):
+    """Generate module sources; `bump` maps a symbol to a literal
+    offset so a 'source edit' is a one-literal change."""
+    sources = {}
+    for m in range(n_mods):
+        lines = []
+        mine = [s for s in all_defs if s[0] == m]
+        foreign = sorted({r for s in mine for r in refs[s] if r[0] != m})
+        for fm, fd in foreign:
+            lines.append(f"from .m{fm} import {fd}")
+        for _, name in mine:
+            body = " + ".join([str(100 + bump.get((m, name), 0))]
+                              + [d for _, d in sorted(refs[(m, name)])])
+            lines.append(f"def {name}(arg):\n    return {body}")
+        sources[f"m{m}"] = "\n".join(lines) + "\n"
+    return sources
+
+
+def _truth_closure(refs, seed):
+    seen, todo = set(), [seed]
+    while todo:
+        s = todo.pop()
+        if s in seen:
+            continue
+        seen.add(s)
+        todo.extend(refs[s])
+    return seen
+
+
+@settings(max_examples=60, deadline=None)
+@given(_module_graphs())
+def test_digest_moves_iff_edit_is_reachable(case):
+    n_mods, all_defs, refs, target, edited = case
+    g1 = SourceGraph(_render(n_mods, all_defs, refs, {}))
+    g2 = SourceGraph(_render(n_mods, all_defs, refs, {edited: 1}))
+    tmod, tname = f"m{target[0]}", target[1]
+    truth = _truth_closure(refs, target)
+    # closure symbol set matches the independent ground truth exactly
+    got = {s for s in g1.closure(tmod, tname) if s[1] != WHOLE}
+    assert got == {(f"m{m}", d) for m, d in truth}
+    moved = g1.digest(tmod, tname) != g2.digest(tmod, tname)
+    if edited in truth:
+        assert moved, (target, edited, "reachable edit must move digest")
+    else:
+        # a def-body literal bump never touches import lines, so the
+        # only way an unreachable edit could move the digest is a
+        # resolution bug pulling the def into the closure
+        assert not moved, (target, edited, "unreachable edit moved digest")
