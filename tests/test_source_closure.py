@@ -226,3 +226,11 @@ def test_digest_moves_iff_edit_is_reachable(case):
         # only way an unreachable edit could move the digest is a
         # resolution bug pulling the def into the closure
         assert not moved, (target, edited, "unreachable edit moved digest")
+
+
+def test_digest_for_unknown_callable_fails_loud():
+    """A digest over an empty closure would be a fingerprint that never
+    moves — the gate must refuse, not silently accept."""
+    import pytest
+    with pytest.raises(ValueError):
+        package_graph().digest_for_function(os.path.join)

@@ -177,8 +177,6 @@ class SourceGraph:
                     os.sep, ".")
                 if rel.endswith(".__init__"):
                     rel = rel[:-len(".__init__")]
-                elif rel == "__init__":
-                    pass
                 with open(path, encoding="utf-8") as f:
                     sources[rel] = f.read()
         return cls(sources)
@@ -323,6 +321,13 @@ class SourceGraph:
         mod = fn.__module__
         rel = (mod[len(PKG_NAME):].lstrip(".")
                if mod.startswith(PKG_NAME) else mod)
+        if rel not in self._mods or fn.__name__ not in self._mods[rel].defs:
+            # a digest over an empty closure would be a stable hash of
+            # NOTHING — a fingerprint that never moves. Fail loud: the
+            # gate and the index cache must never key on that.
+            raise ValueError(
+                f"{mod}.{fn.__name__} is not a module-level definition "
+                "of this package — cannot fingerprint its source reach")
         return self.digest(rel, fn.__name__)
 
 
