@@ -234,3 +234,24 @@ def test_digest_for_unknown_callable_fails_loud():
     import pytest
     with pytest.raises(ValueError):
         package_graph().digest_for_function(os.path.join)
+
+
+def test_index_reader_fingerprints_chain_to_builder_digest(spark):
+    """A key that reads a materialized index must carry the index's
+    source-versioned leaf in its fingerprint text: the leaf digest is
+    the builder's closure digest, so (with
+    test_digest_moves_iff_edit_is_reachable) a builder/kernel edit
+    moves every reader's fingerprint. Without the INDEXES line the
+    optimized plan shows only `Relation [...] parquet` — the index
+    would rebuild under a new leaf and the readers' evidence would
+    stay green over changed results."""
+    import re
+
+    from tools.plan_manifest import plan_text
+
+    txt = plan_text(spark, "minhash_dedup")
+    assert re.search(r"INDEXES .*minhash_band_index-[0-9a-f]{8}", txt)
+    txt2 = plan_text(spark, "ann_lsh")
+    assert re.search(r"INDEXES .*ann_lsh_index-[0-9a-f]{8}", txt2)
+    # a key with no materialized index gets no INDEXES line
+    assert "INDEXES" not in plan_text(spark, "filtered_knn")

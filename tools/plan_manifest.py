@@ -129,12 +129,27 @@ _PLAN_PY_MARKERS = ("EvalPython", "InPandas", "pythonUDF", "PythonUDTF",
 
 def plan_text(spark, name: str, sf_dir: str = SF_SMOKE) -> str | None:
     """Normalized optimized-plan text for a batch key; None for
-    ``stream_*`` keys (building their plan would run a live stream)."""
+    ``stream_*`` keys (building their plan would run a live stream).
+
+    Keys that read a MATERIALIZED index get an extra ``INDEXES`` line
+    naming the source-versioned leaves their construction touched
+    (registry._TOUCHED_INDEXES — the optimized logical plan prints
+    ``Relation [...] parquet`` with the location elided, so the leaf
+    digest appears nowhere in the plan text itself). The leaf digest
+    is the builder's source-closure digest, so an edit to an index
+    builder or its kernels moves every reader key's fingerprint —
+    without this, the index would silently REBUILD (new leaf) and the
+    readers' results would change while their evidence stayed green:
+    the same stale-evidence class the stream-closure fix removed."""
     from tripgogo_vector_search_spark.plans import registry
     if name.startswith("stream_"):
         return None
+    registry._TOUCHED_INDEXES.clear()
     df = registry.QUERIES[name](spark, sf_dir)
-    return _normalize(df._jdf.queryExecution().optimizedPlan().toString())
+    text = _normalize(df._jdf.queryExecution().optimizedPlan().toString())
+    if registry._TOUCHED_INDEXES:
+        text += "\nINDEXES " + " ".join(sorted(registry._TOUCHED_INDEXES))
+    return text
 
 
 def collect_plans(spark, sf_dir: str = SF_SMOKE) -> dict[str, str | None]:

@@ -786,6 +786,16 @@ _BUCKET_SQL = "('b' || " + " || ".join(
     "THEN '1' ELSE '0' END)"
     for p in _PLANES) + ")"
 
+# Versioned index leaves touched while BUILDING the current query —
+# read by tools/plan_manifest.py, which clears it, constructs a key's
+# DataFrame, then appends the touched leaves to the fingerprint text.
+# The optimized logical plan prints `Relation [...] parquet` with the
+# file location elided, so without this an edit to an index BUILDER
+# (which moves the leaf digest and rebuilds the index, changing the
+# reader's results) would leave every reader key's fingerprint green.
+_TOUCHED_INDEXES: set = set()
+
+
 def _materialized_index(spark, sf_dir, leaf, build, src=()) -> str:
     """Build-once-per-corpus index materialization: `build(path)` runs
     only when the index directory has no successful write marker.
@@ -823,6 +833,7 @@ def _materialized_index(spark, sf_dir, leaf, build, src=()) -> str:
                 shutil.rmtree(os.path.join(gen_dir, sib),
                               ignore_errors=True)
         leaf = versioned
+        _TOUCHED_INDEXES.add(leaf)
     path = _cache_dir(sf_dir, leaf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build(path)
