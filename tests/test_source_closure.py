@@ -255,3 +255,46 @@ def test_index_reader_fingerprints_chain_to_builder_digest(spark):
     assert re.search(r"INDEXES .*ann_lsh_index-[0-9a-f]{8}", txt2)
     # a key with no materialized index gets no INDEXES line
     assert "INDEXES" not in plan_text(spark, "filtered_knn")
+
+
+def test_simulated_dedup_edit_flags_exactly_the_reaching_keys():
+    """End-to-end mutation check on the REAL package: rebuild the
+    source graph with operators/dedup.py edited and verify the digest
+    moves for precisely the callables whose closure reaches that
+    module — the stream keys that probe the band index and the
+    band-index BUILDER (whose digest is the readers' cache-leaf
+    version), and for nothing else."""
+    from tripgogo_vector_search_spark.operators.ann import (
+        materialize_lsh_index)
+    from tripgogo_vector_search_spark.operators.dedup import minhash_bands
+    from tripgogo_vector_search_spark.plans import registry
+
+    g1 = package_graph()
+    sources = {m: info.source for m, info in g1._mods.items()}
+    # edit the BODY of minhash_bands (an APPENDED unused definition
+    # correctly moves nothing — per-def precision)
+    marker = "rows_per_band = num_hashes // bands"
+    assert marker in sources["operators.dedup"]
+    sources["operators.dedup"] = sources["operators.dedup"].replace(
+        marker, marker + "  # edited")
+    g2 = SourceGraph(sources)
+
+    def moved(fn):
+        return g1.digest_for_function(fn) != g2.digest_for_function(fn)
+
+    # the band-index builder's own digest moves -> every reader key's
+    # cache leaf + INDEXES fingerprint line moves with it
+    assert moved(minhash_bands)
+    # an index builder that never touches dedup is unaffected
+    assert not moved(materialize_lsh_index)
+    # stream keys: flagged iff their closure includes the edited def
+    for key in [k for k in registry.QUERIES if k.startswith("stream_")]:
+        fn = _unwrap(registry.QUERIES[key])
+        mod = fn.__module__.split("tripgogo_vector_search_spark.")[-1]
+        reaches = (("operators.dedup", "minhash_bands")
+                   in g1.closure(mod, fn.__name__))
+        assert moved(fn) == reaches, (key, reaches)
+    # and exactly one stream key reaches it — the probe
+    probes = [k for k in registry.QUERIES if k.startswith("stream_")
+              and moved(_unwrap(registry.QUERIES[k]))]
+    assert probes == ["stream_minhash_probe"]
