@@ -85,6 +85,16 @@ _CHECK_FIRST = [
     "stream_dedup", "stream_static_join", "stream_stream_join",
     "stream_foreach_sink", "stream_quality_filter",
     "stream_event_alert", "stream_hop_window",
+    # NOTE on unqueued manifest regenerations (late r8): three
+    # fingerprint-SCHEME migrations (per-key source closures for
+    # stream and python-path keys; INDEXES chaining for materialized-
+    # index readers) moved the manifest entries of some keys that are
+    # not queued here. Those are representation changes only — the
+    # commits (d5270de, 0bf6708, 985329b) touch no plan-building or
+    # kernel source, every optimized plan and index is byte-identical,
+    # and the full driver-sim (225/225 oracle matches) was re-run
+    # after each — so the keys' existing driver rows still describe
+    # the behavior at HEAD.
     # --- re-confirmation anchors (unchanged plans, core §2 ids;
     # trimmed to fit the 50-slot window — the six dropped this round
     # (to_vector, l2_normalize, match_score, sim_join, tpch_q3,
