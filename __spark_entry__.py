@@ -27,84 +27,51 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 8. Head = every key whose physical plan changed THIS
+    # ROUND 9. Head = every key whose physical plan changed THIS
     # round, in the tree at this commit. Plan drift vs the last driver
     # row is enforced by tests/test_plan_manifest.py (fingerprints +
     # kernel hashes); a fingerprint that moves while its key is absent
     # from this head is a red test.
     #
-    # The exact-quantile family (VERDICT r7 "What's wrong #1" + the
-    # r8 partitioned-window gate's finds): per-group corpus-scale
-    # sort/value buffers — F.percentile aggregates (median_agg,
-    # approx_quantiles' exact side) and row_number windows PARTITIONed
-    # by bounded-cardinality keys (quartile_agg, percentile_cont_exact,
-    # value_outlier_iqr, median_impute, quality_gate) — replaced by
-    # the distributed rank selection of operators/quantile.py
-    # (deterministic width_bucket ids -> count/value-histogram
-    # cumulative ranks; no row-scale sort anywhere). Oracles unchanged.
+    # The nine width_bucket rank/quantile keys (VERDICT r8 "What's
+    # wrong #1"): the r8 equi-width-between-group-min/max bucketing
+    # degenerated to one fat bucket (a single-task corpus sort) on
+    # heavy-tailed/outlier-stretched values. Re-planned onto a fixed
+    # two-level signed-log grid + capped row-side min/max-snapped
+    # split (operators/rank.py:with_bucket_id): one row-pass of
+    # exact fine-cell stats, all adaptivity on the bounded frame,
+    # same source-scan count as r8 (orders_rfm: 5), flat 1x-8x on the
+    # new lognormal+outlier slope fixture (72.8 s -> 5.3 s at 8x).
+    # Oracles unchanged.
     "median_agg", "approx_quantiles", "quartile_agg",
     "percentile_cont_exact", "value_outlier_iqr", "median_impute",
-    "quality_gate",
-    #   ntile_bands / orders_rfm — operators/rank.py rewritten from
-    #     the persist-dependent range-repartition rank to the
-    #     deterministic width_bucket two-phase rank (no cached frame,
-    #     recompute-safe; VERDICT r7 "What's wrong #3");
-    #   quality_by_length_decile — bounds persist removed (the
-    #     never-unpersisted cache leak; the flat branch recomputes the
-    #     aggregate-scale histogram), eager-build contract documented
-    #     per ADVICE r7;
-    #   dedup_components / dedup_keep_best / near_dup_cluster_stats /
-    #     near_dup_cross_source / dedup_cluster_examples —
-    #     connected_components now returns an eager localCheckpoint
-    #     and unpersists its loop caches (was: final label frame
-    #     stayed cached in the caller's session forever).
-    "ntile_bands", "orders_rfm", "quality_by_length_decile",
+    "quality_gate", "ntile_bands", "orders_rfm",
+    # Component-family keys (VERDICT r8 "What's wrong #2"):
+    # connected_components now fails loud on max_iter non-convergence
+    # (converged assert; chain-graph test proves it fires) — behavior
+    # change on the shared kernel, so every component-consuming key
+    # re-rows.
     "dedup_components", "dedup_keep_best", "near_dup_cluster_stats",
     "near_dup_cross_source", "dedup_cluster_examples",
-    # NEW keys this round (VERDICT r7 list #6 breadth): cross-snapshot
-    # embedding refresh (fingerprint-diff work-list + per-source cost
-    # report), the wider seeded-recall PII screen family
-    # (email/US-phone/SSN/IPv4 detectors, per-doc and per-source), and
-    # the incremental NEAR-dup probe (new batch vs the materialized
-    # corpus band index, min-per-bucket — completes the incremental
-    # trio with incremental_dedup and embed_refresh_worklist).
-    "embed_refresh_worklist", "embed_refresh_stats", "pii_screen",
-    "pii_prevalence", "minhash_refresh", "embed_evict_list",
-    "stream_minhash_probe",
-    # The other stream_* keys: their BEHAVIOR is unchanged, but every
-    # stream fingerprint moved this round — first when adding
-    # stream_minhash_probe to streaming/ingest.py under the r7
-    # whole-module source hash, then again when that hash was replaced
-    # by the per-key transitive source closure
-    # (tools/source_closure.py; fixes the scheme's soundness hole —
-    # cross-module behavior like dedup.minhash_probe was invisible —
-    # and stops one ingest.py edit from re-queueing all stream keys
-    # in future rounds). All ten are queued for fresh rows rather
-    # than carried on hashes that no longer back them.
-    "stream_window_agg", "stream_embed", "stream_sessionize",
-    "stream_dedup", "stream_static_join", "stream_stream_join",
-    "stream_foreach_sink", "stream_quality_filter",
-    "stream_event_alert", "stream_hop_window",
-    # NOTE on unqueued manifest regenerations (late r8): three
-    # fingerprint-SCHEME migrations (per-key source closures for
-    # stream and python-path keys; INDEXES chaining for materialized-
-    # index readers) moved the manifest entries of some keys that are
-    # not queued here. Those are representation changes only — the
-    # commits (d5270de, 0bf6708, 985329b) touch no plan-building or
-    # kernel source, every optimized plan and index is byte-identical,
-    # and the full driver-sim (225/225 oracle matches) was re-run
-    # after each — so the keys' existing driver rows still describe
-    # the behavior at HEAD.
-    # --- re-confirmation anchors (unchanged plans, core §2 ids;
-    # trimmed to fit the 50-slot window — the six dropped this round
-    # (to_vector, l2_normalize, match_score, sim_join, tpch_q3,
-    # tpch_q18) all hold fresh r7 rows and current fingerprints) ---
-    "table_scan", "project", "filter_predicates", "sort_limit",
-    "cosine_distance", "knn_topk",
-    "groupby_agg", "exact_dedup", "window_topk",
-    "text_stats", "json_extract", "minhash_dedup",
-    "simhash_dedup", "ngram_jaccard", "embedding_near_dup", "ann_lsh",
-    "ann_ivf", "embed_text",
+    # NEW keys this round (VERDICT r8 list #4/#5/#6): the index
+    # compaction job that applies the r8 evict list, the end-to-end
+    # incremental refresh cycle, and the international PII battery
+    # (E.164 / IBAN / Luhn-checked cards) with pii_screen/prevalence
+    # re-rowed on the widened detector set.
+    "index_compact", "corpus_refresh_cycle", "pii_screen",
+    "pii_prevalence", "pii_intl_screen",
+    # --- rotation (VERDICT r8 #3): the r02 cohort — keys whose newest
+    # driver row predates r03 (two fingerprint schemes ago). The drift
+    # gate argues the rows are still valid; fresh rows are stronger
+    # evidence. 30 of 43 this round, the rest in r10. ---
+    "csv_scan", "jdbc_sink", "result_fetch", "llm_generate",
+    "tpch_q1", "tpch_q6", "global_sort", "sessionize",
+    "asof_join", "range_join", "time_bucket_rollup",
+    "deterministic_sample", "rolling_fingerprint", "group_zscore",
+    "salted_agg", "running_agg", "window_funcs", "window_frame",
+    "window_first_last", "pivot_agg", "cube_agg", "rollup_agg",
+    "stats_agg", "approx_distinct", "count_distinct", "distinct_vals",
+    "set_ops", "set_ops_all", "having_agg", "collect_agg",
 ]
 
 

@@ -19,6 +19,7 @@ inversions like 2x > 4x; the same discipline as bench.py's min-of-3).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -127,6 +128,29 @@ def replicated_sf_dir(k: int) -> str:
 
 def noop(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def heavy_tail_frame(spark, k: int, n_groups: int = 4):
+    """Adversarial input for the width_bucket rank/quantile family
+    (VERDICT r8 "What's wrong #1"): a lognormal(5, 2) body — values
+    spread multiplicatively over ~18 e-folds — plus ONE 1e12 outlier
+    per group. The outlier stretches each group's min->max span so a
+    RAW equi-width bucketing collapses the entire body into bucket 1
+    (a single-task sort again); the fixture exists to prove the
+    shipped bucketing stays flat on exactly this shape. Deterministic
+    (hash-seeded Box-Muller), 1.5M rows per scale unit."""
+    n = 1_500_000 * k
+    base = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.col("id"), F.lit(n_groups)).cast("int").alias("grp"))
+    u1 = ((F.pmod(F.hash(F.col("id"), F.lit(1)).cast("bigint"),
+                  F.lit(2147483647)) + 1) / 2147483648.0)
+    u2 = ((F.pmod(F.hash(F.col("id"), F.lit(2)).cast("bigint"),
+                  F.lit(2147483647)) + 1) / 2147483648.0)
+    z = F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
+    v = (F.when(F.col("id") < n_groups, F.lit(1.0e12))
+         .otherwise(F.exp(F.lit(5.0) + F.lit(2.0) * z)))
+    return base.select("id", "grp", v.alias("v"))
 
 
 def run(spark, op: str, k: int) -> dict:
@@ -297,6 +321,26 @@ def run(spark, op: str, k: int) -> dict:
         else:
             QUERIES[op](spark, d).collect()
         elapsed = time.perf_counter() - t0
+    elif op in ("quantile_heavy_tail", "rank_heavy_tail"):
+        # the r9 adversarial fixture (VERDICT r8 "Next round" #1): the
+        # SHIPPED operators on a lognormal-body + 1e12-outlier value
+        # column, group keys fixed so per-group rows grow with k — a
+        # bucketing that degenerates to one fat bucket shows a
+        # single-task-sort slope here, a balanced one stays flat
+        from tripgogo_vector_search_spark.operators.quantile import (
+            quantiles_cont)
+        from tripgogo_vector_search_spark.operators.rank import (
+            with_global_rank)
+        hf = heavy_tail_frame(spark, k)
+        t0 = time.perf_counter()
+        if op == "quantile_heavy_tail":
+            quantiles_cont(hf, ["grp"], "v",
+                           [("q25", 0.25), ("q50", 0.5),
+                            ("q90", 0.9)]).collect()
+        else:
+            noop(with_global_rank(hf, "v", ["id"], partition_cols=["grp"],
+                                  rank_col="rk"))
+        elapsed = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown op {op}")
     return {"op": op, "scale": k, "sec": round(elapsed, 2), **extra}
@@ -315,7 +359,9 @@ def main() -> None:
      .format("noop").mode("overwrite").save())
     repeats = int(os.environ.get("SPARK_GRAFT_SLOPE_REPEATS", "2"))
     for op in ops:
-        for k in (1, 2, 4):
+        # the heavy-tail fixture is synthetic (no replica parquet), so
+        # the 8x point the verdict asked for is cheap to include
+        for k in ((1, 2, 4, 8) if op.endswith("heavy_tail") else (1, 2, 4)):
             best = None
             for _ in range(max(repeats, 1)):
                 r = run(spark, op, k)

@@ -8,10 +8,13 @@ quantile only needs the one or two straddling ORDER STATISTICS, and an
 order statistic is rank-selectable from counts:
 
 1. bucket every row deterministically on the value
-   (operators/rank.py:with_bucket_id — equi-width between the group
-   min/max, equal values always share a bucket);
-2. one count aggregate + a cumulative window over the |groups|x|B|
-   count frame gives each bucket's rank span and the group total ``n``
+   (operators/rank.py:with_bucket_id — a fixed two-level signed-log
+   grid plus a capped row-side min/max-snapped split of over-full
+   cells, so heavy-tailed/outlier-stretched values cannot collapse
+   into one fat bucket; equal values always share a bucket);
+2. the per-bucket count aggregate + a cumulative window over that
+   bounded count frame gives each bucket's rank span and the group
+   total ``n``
    — hence, by exploding the requested quantiles against each bucket
    row and keeping the spans that contain a target rank, each target's
    OWNING BUCKET, all without touching rows again;
@@ -23,8 +26,9 @@ order statistic is rank-selectable from counts:
    the target value off its cumulative ranks.
 
 No row-level sort anywhere: the only ordered windows run over count
-aggregates. Three column-pruned scans total (min/max, bucket counts,
-pruned histogram), no corpus shuffle, no persist — every derived frame
+aggregates. Four column-pruned scans total (fine-cell statistics,
+bucket counts, and the offsets/histogram pair), no corpus shuffle, no
+persist — every derived frame
 hangs off a single reference to the count aggregate so Catalyst's
 column pruning cannot fan the plan out into re-scans.
 
@@ -78,9 +82,9 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
     ``value_col`` (original type) plus the group row count."""
     g = list(group_cols)
     base = df.select(*g, value_col)
-    d2, _b = with_bucket_id(base, value_col, partition_cols=g,
-                            num_buckets=num_buckets)
-    offs = bucket_offsets(d2, partition_cols=g)
+    d2, counts = with_bucket_id(base, value_col, partition_cols=g,
+                                num_buckets=num_buckets)
+    offs = bucket_offsets(counts, partition_cols=g)
     # owning bucket per target rank (one pass over the count frame —
     # the targets explode off the SAME rows that carry the spans, so
     # no second count subtree exists for pruning to diverge):
