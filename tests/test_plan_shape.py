@@ -1454,3 +1454,37 @@ def test_prefix_join_verify_intersect_evaluated_once(spark):
              and ("Condition" in ln or "Project" in ln)]
     assert not evals, evals
     assert "EvalPython" not in plan
+
+
+def test_refresh_cycle_embeds_only_the_delta(spark):
+    """corpus_refresh_cycle (r9): the ONE ArrowEvalPython in the plan
+    (tree + detail print = 2 occurrences) must sit above the worklist
+    join's filtered output — the 'new or changed' delta — never over
+    the full corpus scan; carried vectors flow from the store without
+    any Python stage. The union tops out in TakeOrderedAndProject (the
+    probe), not a global sort."""
+    plan = plan_of(QUERIES["corpus_refresh_cycle"](spark, SF_CORRECTNESS))
+    assert plan.count("ArrowEvalPython") <= 2
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0].splitlines()
+    idx = [i for i, ln in enumerate(tree) if "ArrowEvalPython" in ln]
+    assert len(idx) == 1
+    below = "\n".join(tree[idx[0]:idx[0] + 5])
+    # the UDF's child chain: Project -> Filter -> the LeftOuter
+    # worklist join (new: no store row; changed: fingerprint moved)
+    assert "Filter" in below and "LeftOuter" in below, below
+
+
+def test_index_compact_readback_is_plain_pruned_scan(spark):
+    """index_compact's returned frame is a straight readback of the
+    compacted store — one parquet scan of the partitioned index, no
+    Python, no joins (all compaction work happened in the build-time
+    side effect, which tests/test_index_compact.py pins file-by-file)."""
+    plan = plan_of(QUERIES["index_compact"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "embed_snapshot_store" in ln]
+    assert len(scans) == 1, plan
