@@ -128,3 +128,55 @@ def test_ann_knn_join_self_hit_and_recall(spark, tmp_path):
         hits += len({r.vec_id for r in rows} & set(exact))
     recall = hits / (3 * len(by_q))
     assert recall >= 0.5, recall
+
+
+def test_intl_detectors_seeded_recall(spark, docs):
+    """r9 international battery: each detector finds EXACTLY its seeded
+    span — no cross-detector bleed except the documented one (a 13+
+    digit E.164 body is, structurally, a card CANDIDATE)."""
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" tel +4915112345679 iban DE89370400440532013000"
+              " card 4111111111111111 and 4111111111111112 end"))
+    cand, valid = CP.card_counts(synth)
+    rows = docs.select(
+        F.regexp_count(synth, F.lit(CP.E164_RE)).alias("e164"),
+        F.regexp_count(synth, F.lit(CP.IBAN_RE)).alias("iban"),
+        cand.alias("cand"), valid.alias("valid")).collect()
+    for r in rows:
+        assert r.e164 == 1
+        assert r.iban == 1
+        # candidates: valid card + off-by-one card + the E.164 digits
+        assert r.cand == 3
+        # ...but Luhn keeps only the real one
+        assert r.valid == 1
+
+
+def test_luhn_expression_matches_reference(spark):
+    """The Catalyst Luhn expression == the textbook algorithm on
+    deterministic pseudo-random digit strings of every candidate
+    length, plus known-good/known-bad cards."""
+    import random
+
+    def ref(s: str) -> bool:
+        tot = 0
+        for i, ch in enumerate(reversed(s), 1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    rng = random.Random(99)
+    cases = ["4111111111111111", "4111111111111112", "378282246310005",
+             "5500005555555559", "4915112345678", "4915112345679"]
+    cases += ["".join(rng.choice("0123456789")
+                      for _ in range(rng.randint(13, 19)))
+              for _ in range(60)]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r["s"]: r["ok"] for r in
+           df.select("s", CP.luhn_valid(F.col("s")).alias("ok")).collect()}
+    for s in cases:
+        assert got[s] == ref(s), s

@@ -32,6 +32,18 @@ SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 US_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 
+# r9 international set (VERDICT r8 list #6). E.164: '+' then 8-15
+# digits, no leading zero ('\b' cannot anchor before '+', so only the
+# trailing boundary is a word boundary). IBAN: structural form —
+# country code, two check digits, 11-30 alphanumerics (the mod-97
+# arithmetic is NOT checked here; a compliance screen flags structural
+# candidates and the redaction stage is format-preserving either way).
+# Credit cards get BOTH a structural candidate pattern and a full Luhn
+# check (luhn_valid below, a pure Catalyst expression).
+E164_RE = r"\+[1-9][0-9]{7,14}\b"
+IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+CARD_RE = r"\b[0-9]{13,19}\b"
+
 #: (output column, pattern) — the screen's detector battery, shared by
 #: the Spark side and the oracle-SQL generator so both engines always
 #: run the same regexes.
@@ -40,6 +52,8 @@ PII_DETECTORS: list[tuple[str, str]] = [
     ("n_phone", US_PHONE_RE),
     ("n_ssn", SSN_RE),
     ("n_ipv4", IPV4_RE),
+    ("n_e164", E164_RE),
+    ("n_iban", IBAN_RE),
 ]
 
 
@@ -49,6 +63,36 @@ def pii_screen_counts(col: Column | str) -> list[Column]:
     c = F.col(col) if isinstance(col, str) else col
     return [F.regexp_count(c, F.lit(pat)).cast("bigint").alias(name)
             for name, pat in PII_DETECTORS]
+
+
+def luhn_valid(c: Column) -> Column:
+    """Luhn checksum of a digit-string column as a pure Catalyst
+    expression (no Python, no UDF): from the RIGHT, double every
+    second digit, subtract 9 when the double exceeds 9, and the total
+    must be divisible by 10. The higher-order functions evaluate
+    interpreted, but over one short candidate string per row — bounded
+    per-row work, no shuffle, linear in matches."""
+    idx = F.sequence(F.lit(1), F.length(c))
+
+    def term(i):
+        d = F.substr(c, F.length(c) - i + 1, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(i % 2 == 0,
+                      F.when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+
+    total = F.aggregate(F.transform(idx, term), F.lit(0), lambda a, x: a + x)
+    return total % 10 == 0
+
+
+def card_counts(col: Column | str) -> tuple[Column, Column]:
+    """(candidate, Luhn-valid) credit-card match counts: structural
+    13-19-digit candidates from one regexp extraction, then the Luhn
+    filter keeps real card numbers — the arithmetic runs as a codegen-
+    free but JVM-side expression over each row's few candidates."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.regexp_extract_all(c, F.lit(CARD_RE), 0)
+    return (F.size(cands).cast("bigint"),
+            F.size(F.filter(cands, luhn_valid)).cast("bigint"))
 
 
 def chunk_documents(docs: DataFrame, text_col: str = "text",

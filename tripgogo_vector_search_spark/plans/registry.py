@@ -7612,7 +7612,21 @@ _PII_SYNTH_SQL = (
     " || CASE WHEN doc_id % 13 = 0 THEN ' ssn 078-05-1120' ELSE '' END"
     " || CASE WHEN doc_id % 17 = 0 THEN ' ip 10.0.'"
     "      || CAST(doc_id % 256 AS VARCHAR) || '.'"
-    "      || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END")
+    "      || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END"
+    # r9 international cohorts. The E.164 number is deliberately
+    # Luhn-INVALID (the valid '...678' variant would also count as a
+    # credit card — 13 contiguous digits ARE a structural candidate,
+    # which n_card_cand records in both engines). %29 seeds a
+    # Luhn-VALID card, %31 a candidate failing the checksum by one —
+    # the pair that makes the Luhn filter observable in oracle-compared
+    # values, not just in unit tests.
+    " || CASE WHEN doc_id % 19 = 0 THEN ' tel +4915112345679' ELSE '' END"
+    " || CASE WHEN doc_id % 23 = 0"
+    "      THEN ' iban DE89370400440532013000' ELSE '' END"
+    " || CASE WHEN doc_id % 29 = 0 THEN ' card 4111111111111111'"
+    "      ELSE '' END"
+    " || CASE WHEN doc_id % 31 = 0 THEN ' card 4111111111111112'"
+    "      ELSE '' END")
 
 
 def _pii_synth_col() -> Column:
@@ -7629,7 +7643,11 @@ def _pii_synth_col() -> Column:
         piece(did % 13 == 0, F.lit(" ssn 078-05-1120")),
         piece(did % 17 == 0, F.lit(" ip 10.0."),
               (did % 256).cast("string"), F.lit("."),
-              (did % 250 + 1).cast("string")))
+              (did % 250 + 1).cast("string")),
+        piece(did % 19 == 0, F.lit(" tel +4915112345679")),
+        piece(did % 23 == 0, F.lit(" iban DE89370400440532013000")),
+        piece(did % 29 == 0, F.lit(" card 4111111111111111")),
+        piece(did % 31 == 0, F.lit(" card 4111111111111112")))
 
 
 def _pii_counts_sql(synth: str) -> list[str]:
@@ -7644,11 +7662,14 @@ def _pii_counts_sql(synth: str) -> list[str]:
             c AS (SELECT doc_id, source,
                          {', '.join(_pii_counts_sql('synth'))}
                   FROM s)
-          SELECT doc_id, source, n_email, n_phone, n_ssn, n_ipv4
-          FROM c WHERE n_email + n_phone + n_ssn + n_ipv4 > 0""")
+          SELECT doc_id, source, n_email, n_phone, n_ssn, n_ipv4,
+                 n_e164, n_iban
+          FROM c WHERE n_email + n_phone + n_ssn + n_ipv4
+                       + n_e164 + n_iban > 0""")
 def pii_screen(spark, sf_dir):
-    """Multi-detector PII screen (email / US phone / SSN / IPv4 —
-    operators/corpus.py:PII_DETECTORS, Java/RE2-common) over the
+    """Multi-detector PII screen (email / US phone / SSN / IPv4 /
+    E.164 / IBAN — operators/corpus.py:PII_DETECTORS,
+    Java/RE2-common) over the
     seeded corpus: per-document typed match counts, emitting only
     flagged docs — the work-list a redaction or quarantine stage
     consumes. Pure regexp projection + filter: JVM-side, no keyed
@@ -7678,8 +7699,13 @@ def pii_screen(spark, sf_dir):
                    AS docs_ssn,
                  CAST(count(*) FILTER (WHERE n_ipv4 > 0) AS BIGINT)
                    AS docs_ipv4,
+                 CAST(count(*) FILTER (WHERE n_e164 > 0) AS BIGINT)
+                   AS docs_e164,
+                 CAST(count(*) FILTER (WHERE n_iban > 0) AS BIGINT)
+                   AS docs_iban,
                  round(count(*) FILTER (WHERE n_email + n_phone + n_ssn
-                                              + n_ipv4 > 0)
+                                              + n_ipv4 + n_e164
+                                              + n_iban > 0)
                        / count(*)::DOUBLE, 6) AS pii_rate
           FROM c GROUP BY source""")
 def pii_prevalence(spark, sf_dir):
@@ -7700,6 +7726,61 @@ def pii_prevalence(spark, sf_dir):
             .agg(cnt.alias("n_docs"), *docs_of,
                  F.round(F.sum(any_hit.cast("long"))
                          / cnt.cast("double"), 6).alias("pii_rate")))
+
+
+def _luhn_sql(s: str) -> str:
+    """DuckDB Luhn checksum over digit string ``s`` — the exact
+    arithmetic of operators/corpus.py:luhn_valid, for oracle parity."""
+    d = f"CAST(substring({s}, length({s}) - i + 1, 1) AS INT)"
+    return (f"list_sum(list_transform(generate_series(1, length({s})), "
+            f"i -> CASE WHEN i % 2 = 0 THEN "
+            f"CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END "
+            f"ELSE {d} END)) % 10 = 0")
+
+
+def _intl_counts_sql() -> str:
+    from ..operators import corpus as CP_
+    n = lambda pat: f"CAST(len(regexp_extract_all(synth, '{pat}')) AS BIGINT)"  # noqa: E731
+    return (f"{n(CP_.E164_RE)} AS n_e164, {n(CP_.IBAN_RE)} AS n_iban, "
+            f"{n(CP_.CARD_RE)} AS n_card_cand, "
+            f"CAST(len(list_filter(regexp_extract_all(synth, "
+            f"'{CP_.CARD_RE}'), cc -> {_luhn_sql('cc')})) AS BIGINT)"
+            f" AS n_card")
+
+
+@query("pii_intl_screen",
+       f"""WITH s AS (SELECT doc_id, source, {_PII_SYNTH_SQL} AS synth
+                      FROM documents),
+            c AS (SELECT doc_id, source, {_intl_counts_sql()} FROM s)
+          SELECT doc_id, source, n_e164, n_iban, n_card_cand, n_card
+          FROM c WHERE n_e164 + n_iban + n_card_cand > 0""")
+def pii_intl_screen(spark, sf_dir):
+    """International PII screen (VERDICT r8 list #6): E.164 phones,
+    structural IBANs, and credit cards with the FULL Luhn checksum —
+    per-doc candidate and valid counts, flagged docs only. The Luhn
+    arithmetic (operators/corpus.py:luhn_valid) is a pure Catalyst
+    expression (sequence/transform/aggregate over each candidate's
+    digits — no UDF, no Python), and the oracle re-implements the same
+    arithmetic in DuckDB SQL, so the checksum itself is value-pinned:
+    the %29 cohort seeds a valid card, the %31 cohort one failing the
+    checksum by a single digit (n_card_cand=1, n_card=0), and the
+    Luhn-invalid E.164 cohort shows up as a structural candidate but
+    never a valid card. Same scale shape as pii_screen: one regexp
+    projection + filter, no keyed shuffle, linear in bytes."""
+    from ..operators import corpus as CP_
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    synth = _pii_synth_col()
+    cand, valid = CP_.card_counts(synth)
+    c = d.select(
+        "doc_id", "source",
+        F.regexp_count(synth, F.lit(CP_.E164_RE)).cast("bigint")
+        .alias("n_e164"),
+        F.regexp_count(synth, F.lit(CP_.IBAN_RE)).cast("bigint")
+        .alias("n_iban"),
+        cand.alias("n_card_cand"), valid.alias("n_card"))
+    return c.filter((F.col("n_e164") + F.col("n_iban")
+                     + F.col("n_card_cand")) > 0)
 
 
 # The shared minhash CTE up to the band index (no pair stage) — the
