@@ -60,6 +60,14 @@ _CHECK_FIRST = [
     # re-rowed on the widened detector set.
     "index_compact", "corpus_refresh_cycle", "pii_screen",
     "pii_prevalence", "pii_intl_screen",
+    # NOTE on an unqueued manifest regeneration (r9, same class as the
+    # three late-r8 scheme migrations): closing ADVICE r8's alias-swap
+    # hole (introspect.py digest() now hashes plans/registry.py's
+    # EXTERNAL import lines instead of skipping its block) changed the
+    # HASH FUNCTION, moving every source-closure fingerprint and every
+    # src=-versioned index-leaf digest while no plan, kernel, or index
+    # CONTENT changed. The full 228/228 driver-sim sweep was re-run
+    # green after the migration; affected keys are not queued.
     # --- rotation (VERDICT r8 #3): the r02 cohort — keys whose newest
     # driver row predates r03 (two fingerprint schemes ago). The drift
     # gate argues the rows are still valid; fresh rows are stronger

@@ -377,6 +377,7 @@ def test_connected_components_raises_on_nonconvergence(spark):
     labels. A path graph (template family evolving one doc per step) is
     the canonical offender: min-label propagation moves one hop per
     round, so diameter 11 cannot converge in 3 rounds."""
+    spark.catalog.clearCache()  # isolate from other tests' fixture caches
     edges = spark.createDataFrame([(i, i + 1) for i in range(11)],
                                   "a bigint, b bigint")
     nodes = spark.createDataFrame([(i,) for i in range(12)],

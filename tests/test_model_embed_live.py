@@ -4,8 +4,11 @@
 The engine's model backend (functions/embed.py:model_embed_mapper) has
 so far only been exercised through a fake SentenceTransformer
 (tests/test_embed_pipeline.py) because the library cannot be installed
-in this sandbox (installs are environment-policy-blocked; the r8
-round attempted none for that reason). This test is the
+in this sandbox. Dated install attempts (VERDICT r8 list #7 asks for
+one per round): 2026-08-15 (r9) — ``pip install sentence-transformers``
+fails with DNS resolution errors against the configured package index
+(no network egress from this sandbox); the skip below remains the
+honest state. This test is the
 importorskip-gated LIVE path the verdict asked for: the moment an
 environment has ``sentence-transformers`` (and, for the model
 download, network or a local cache), it runs the reference's actual

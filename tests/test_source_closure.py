@@ -124,6 +124,35 @@ def test_import_block_changes_move_digest():
     assert g1.digest("a", "other") != g2.digest("a", "other")
 
 
+def test_registry_external_alias_swap_moves_digest_internal_noise_does_not():
+    """ADVICE r8 (introspect.py digest soundness gap): plans/registry.py
+    contributes ONLY its external import lines — so a per-round registry
+    edit that appends package-internal imports moves nothing, while
+    repointing an external binding (the alias-swap hole) flags every
+    key that can reach registry code."""
+    reg = '''\
+import os
+from .b import helper
+
+
+def regkey(x):
+    return helper(os.sep + str(x))
+'''
+    def graph(reg_src):
+        return SourceGraph({"plans.registry": reg_src, "plans": "",
+                            "plans.b": SRC_B, "b": SRC_B})
+    # the registry module must resolve .b relative to plans/
+    g1 = graph(reg)
+    base = g1.digest("plans.registry", "regkey")
+    # appending an INTERNAL import (per-round key-adding churn): no move
+    g2 = graph(reg.replace("from .b import helper",
+                           "from .b import helper\nfrom . import b as BB"))
+    assert g2.digest("plans.registry", "regkey") == base
+    # swapping the EXTERNAL binding: must move
+    g3 = graph(reg.replace("import os", "import posixpath as os"))
+    assert g3.digest("plans.registry", "regkey") != base
+
+
 def test_real_package_stream_keys_are_covered_and_independent():
     from tripgogo_vector_search_spark.plans import registry
     g = package_graph()

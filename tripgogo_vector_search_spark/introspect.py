@@ -50,9 +50,11 @@ Honest limits (documented, deliberately conservative where cheap):
   target module;
 * each touched module's top-level import block is hashed too, so an
   external-alias swap (``import x as F``) cannot change semantics
-  invisibly — EXCEPT ``plans/registry.py``'s, which is edited every
-  round and whose per-definition sources (decorator + oracle SQL
-  included) are what actually carry per-key meaning.
+  invisibly. ``plans/registry.py`` — edited every round, per-definition
+  sources carry the per-key meaning — contributes only its EXTERNAL
+  import lines (r9): internal-import churn from adding keys cannot
+  move unrelated fingerprints, while repointing an external binding
+  still flags every key that can reach it.
 """
 
 from __future__ import annotations
@@ -145,6 +147,19 @@ def _collect_refs(node: ast.AST, cur_mod: str,
     return d
 
 
+def _is_external_import(node: ast.stmt) -> bool:
+    """True when a top-level import statement binds names from OUTSIDE
+    this package: relative imports are internal by construction;
+    absolute ones are internal iff they target the package itself."""
+    if isinstance(node, ast.ImportFrom):
+        if node.level > 0:
+            return False
+        return not (node.module or "").startswith(PKG_NAME)
+    if isinstance(node, ast.Import):
+        return not any(a.name.startswith(PKG_NAME) for a in node.names)
+    return False
+
+
 @dataclass
 class ModuleInfo:
     name: str
@@ -152,6 +167,7 @@ class ModuleInfo:
     defs: dict[str, _Def]
     top_imports: ImportMap
     import_block: str
+    external_import_block: str
 
 
 class SourceGraph:
@@ -188,13 +204,18 @@ class SourceGraph:
         defs: dict[str, _Def] = {}
         top_imports: ImportMap = {}
         import_lines: list[str] = []
+        ext_import_lines: list[str] = []
         for node in tree.body:
             if isinstance(node, ast.ImportFrom):
                 top_imports.update(_resolve_import_from(name, node, known))
                 import_lines.append(_def_source(lines, node))
+                if _is_external_import(node):
+                    ext_import_lines.append(_def_source(lines, node))
             elif isinstance(node, ast.Import):
                 top_imports.update(_resolve_plain_import(node))
                 import_lines.append(_def_source(lines, node))
+                if _is_external_import(node):
+                    ext_import_lines.append(_def_source(lines, node))
             elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                                    ast.ClassDef)):
                 d = _collect_refs(node, name, known)
@@ -217,7 +238,8 @@ class SourceGraph:
                                 defs[tn.id] = d
         return ModuleInfo(name=name, source=src, defs=defs,
                           top_imports=top_imports,
-                          import_block="\n".join(import_lines))
+                          import_block="\n".join(import_lines),
+                          external_import_block="\n".join(ext_import_lines))
 
     # -- closure ---------------------------------------------------------
 
@@ -271,8 +293,15 @@ class SourceGraph:
 
     def digest(self, mod: str, name: str) -> str:
         """sha256 over the closure's sorted (module, symbol, source)
-        set plus each touched module's import block (except
-        plans/registry.py's — see module docstring)."""
+        set plus each touched module's import block. plans/registry.py
+        is special-cased to its EXTERNAL import lines only (r9, ADVICE
+        r8): hashing its full block would move every source-closure
+        fingerprint on each per-round registry edit (new keys append
+        internal imports), while hashing nothing left an alias swap of
+        an external binding (``import x as F``) able to change every
+        registry key's behavior with all fingerprints green.
+        Package-internal bindings need no import-line hash anywhere —
+        closure resolution follows them to the definitions they name."""
         syms = self.closure(mod, name)
         h = hashlib.sha256()
         for smod, snm in sorted(syms):
@@ -291,13 +320,14 @@ class SourceGraph:
             h.update(src.encode())
             h.update(b"\1")
         for smod in sorted({m for m, _ in syms}):
-            if smod == "plans.registry":
-                continue
             info = self._mods.get(smod)
-            if info is not None:
-                h.update(f"{smod}:<imports>\0".encode())
-                h.update(info.import_block.encode())
-                h.update(b"\1")
+            if info is None:
+                continue
+            block = (info.external_import_block
+                     if smod == "plans.registry" else info.import_block)
+            h.update(f"{smod}:<imports>\0".encode())
+            h.update(block.encode())
+            h.update(b"\1")
         return h.hexdigest()
 
     def closure_sources(self, mod: str, name: str) -> dict[tuple[str, str],

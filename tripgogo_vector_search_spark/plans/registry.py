@@ -821,17 +821,26 @@ def _materialized_index(spark, sf_dir, leaf, build, src=()) -> str:
         versioned = f"{leaf}-{digest}"
         # prune siblings of this leaf built by other code versions
         # (same base + different digest, or the pre-versioning bare
-        # leaf): they can never be read again, so keeping them only
-        # grows disk across edits — mirroring _cache_dir's pruning of
-        # stale corpus generations
+        # leaf): they can never be read again BY THIS REVISION, so
+        # keeping them only grows disk across edits — mirroring
+        # _cache_dir's pruning of stale corpus generations. ADVICE r8:
+        # prune only when THIS revision's leaf is about to be (re)built
+        # — a concurrent process running older code (parallel pytest
+        # workers, overlapping bench/sweep across a checkout switch)
+        # keeps its live directory as long as the current revision's
+        # index is already on disk, which is the steady state; the
+        # remaining race window is one build per code edit instead of
+        # every derivation.
         import re
         import shutil
         gen_dir = os.path.dirname(_cache_dir(sf_dir, versioned))
-        stale = re.compile(re.escape(leaf) + r"(-[0-9a-f]{8})?$")
-        for sib in os.listdir(gen_dir):
-            if sib != versioned and stale.fullmatch(sib):
-                shutil.rmtree(os.path.join(gen_dir, sib),
-                              ignore_errors=True)
+        if not os.path.exists(os.path.join(gen_dir, versioned,
+                                           "_SUCCESS")):
+            stale = re.compile(re.escape(leaf) + r"(-[0-9a-f]{8})?$")
+            for sib in os.listdir(gen_dir):
+                if sib != versioned and stale.fullmatch(sib):
+                    shutil.rmtree(os.path.join(gen_dir, sib),
+                                  ignore_errors=True)
         leaf = versioned
         _TOUCHED_INDEXES.add(leaf)
     path = _cache_dir(sf_dir, leaf)
@@ -5951,6 +5960,12 @@ def orc_roundtrip(spark, sf_dir):
     copy is materialized once per corpus like the ANN indexes; the
     read-back scan gets the same pushdown/pruning treatment
     (ORC PushedFilters pinned in the plan test)."""
+    # src=() DELIBERATELY (ADVICE r8): this leaf is a pure format
+    # roundtrip of the fixture table — no package kernel or builder
+    # logic can change its content, so there is no code revision to
+    # version it by; the corpus fingerprint in _cache_dir is the only
+    # real dependency. Every other leaf passes src= and is chained
+    # into the INDEXES fingerprint line.
     path = _materialized_index(
         spark, sf_dir, "orders_orc",
         lambda p: _t(spark, sf_dir, "orders").write
