@@ -46,13 +46,19 @@ _CHECK_FIRST = [
     "median_agg", "approx_quantiles", "quartile_agg",
     "percentile_cont_exact", "value_outlier_iqr", "median_impute",
     "quality_gate", "ntile_bands", "orders_rfm",
-    # Component-family keys (VERDICT r8 "What's wrong #2"):
-    # connected_components now fails loud on max_iter non-convergence
-    # (converged assert; chain-graph test proves it fires) — behavior
-    # change on the shared kernel, so every component-consuming key
-    # re-rows.
+    # Component-family keys (VERDICT r8 "What's wrong #2" + the r9
+    # pointer-jumping upgrade): connected_components now fails loud on
+    # max_iter non-convergence (chain-graph test proves it fires),
+    # runs per-round localCheckpoints (the cache-only loop's logical
+    # tree doubled per round), and path-doubles labels (O(log
+    # diameter) rounds) — behavior changes on the shared kernel, so
+    # every component-consuming key re-rows. observed_ingest rides
+    # along: closing the LogicalRDD drift-gate blindspot (see
+    # tools/plan_manifest.py:_PLAN_PY_MARKERS) re-keyed every
+    # LogicalRDD-leaf fingerprint, and it is the one such key not
+    # already queued here.
     "dedup_components", "dedup_keep_best", "near_dup_cluster_stats",
-    "near_dup_cross_source", "dedup_cluster_examples",
+    "near_dup_cross_source", "dedup_cluster_examples", "observed_ingest",
     # NEW keys this round (VERDICT r8 list #4/#5/#6): the index
     # compaction job that applies the r8 evict list, the end-to-end
     # incremental refresh cycle, and the international PII battery

@@ -390,3 +390,16 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # the same graph converges with the default budget: one component
     out = DD.connected_components(edges, nodes, "doc_id")
     assert {r["component_id"] for r in out.collect()} == {0}
+
+
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """r9 pointer jumping: a diameter-200 path graph converges within
+    the DEFAULT round budget (max_iter=25) — pure hash-min moves one
+    hop per round and would need 200; path doubling needs ~log2(200).
+    One component, labeled by its minimum id."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  "a bigint, b bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(201)],
+                                  "doc_id bigint")
+    out = DD.connected_components(edges, nodes, "doc_id")
+    assert {r["component_id"] for r in out.collect()} == {0}

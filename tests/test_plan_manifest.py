@@ -122,8 +122,14 @@ def test_python_path_keys_closure_reaches_their_kernels(plans):
     g = package_graph()
     uncovered = []
     python_keys = set()
+    # only plans with an actual Python STAGE owe a kernel in their
+    # closure; LogicalRDD-leaf keys (r9 marker) are source-covered for
+    # their eager builder code, which is plain driver logic, not an
+    # Arrow kernel (e.g. the CC loop, result_fetch's roundtrip)
+    stage_markers = tuple(m for m in _PLAN_PY_MARKERS
+                          if m != "LogicalRDD")
     for name, plan in plans.items():
-        if plan is None or not any(m in plan for m in _PLAN_PY_MARKERS):
+        if plan is None or not any(m in plan for m in stage_markers):
             continue
         python_keys.add(name)
         fn = _unwrap(registry.QUERIES[name])
@@ -347,3 +353,30 @@ def test_partitioned_window_gate_is_red_on_the_r7_class(plans):
     # and the gate still fails the current tree's plans if any window
     # of this class were reintroduced — proven by running it for real:
     assert not _window_violations(plans, partitioned=True)
+
+
+def test_logicalrdd_keys_mix_in_source_closure(spark, plans):
+    """r9 gate fix: a LogicalRDD leaf means part of the computation ran
+    eagerly at build time (the CC loop's checkpoint, result_fetch's
+    roundtrip), so the plan text cannot witness that code — found when
+    the pointer-jumping rewrite of connected_components moved NO
+    fingerprint. Every such key's fingerprint input must carry the
+    PYSRC source-closure line, and the component keys' closures must
+    actually reach connected_components."""
+    from tools.plan_manifest import _PLAN_PY_MARKERS, _unwrap
+    from tripgogo_vector_search_spark.introspect import package_graph
+    from tripgogo_vector_search_spark.plans import registry
+
+    assert "LogicalRDD" in _PLAN_PY_MARKERS
+    rdd_keys = {n for n, p in plans.items()
+                if p is not None and "LogicalRDD" in p}
+    assert {"dedup_components", "dedup_keep_best",
+            "near_dup_cluster_stats"} <= rdd_keys
+    g = package_graph()
+    for name in ("dedup_components", "dedup_keep_best",
+                 "near_dup_cluster_stats", "near_dup_cross_source",
+                 "dedup_cluster_examples"):
+        fn = _unwrap(registry.QUERIES[name])
+        mod = fn.__module__.split("tripgogo_vector_search_spark.")[-1]
+        assert ("operators.dedup", "connected_components") in \
+            g.closure(mod, fn.__name__), name

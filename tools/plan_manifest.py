@@ -124,7 +124,17 @@ def _source_fingerprint(name: str, fn) -> str:
 
 
 _PLAN_PY_MARKERS = ("EvalPython", "InPandas", "pythonUDF", "PythonUDTF",
-                    "MapInArrow")
+                    "MapInArrow",
+                    # r9: a LogicalRDD leaf means part of the key's
+                    # computation ran EAGERLY at build time (the
+                    # connected-components loop returns a checkpoint
+                    # projection) — the plan text cannot witness the
+                    # loop's code at all, the same blindness as a
+                    # named-only UDF. Found when the r9 pointer-jumping
+                    # rewrite of the CC loop moved NO fingerprint: the
+                    # earlier fail-loud change was only flagged because
+                    # it happened to alter the returned plan's shape.
+                    "LogicalRDD")
 
 
 def plan_text(spark, name: str, sf_dir: str = SF_SMOKE) -> str | None:
