@@ -115,3 +115,34 @@ def test_minhash_kernel_equals_expression(spark, texts):
         expr_sig.alias("e")).collect()
     for r in rows:
         assert r["k"] == r["e"]
+
+
+def test_dup_ngram_kernel_equals_expression(spark):
+    """functions/kernels.py:dup_ngram_fraction_udf ==
+    operators/corpus.py:dup_ngram_fraction (the pure-expression spec)
+    after the shared Spark-side round — on the fixture corpus AND on
+    synthetic overlap/point-mass/short-doc corners."""
+    from pyspark.sql import functions as F
+
+    from tripgogo_vector_search_spark.functions.kernels import (
+        dup_ngram_fraction_udf)
+    from tripgogo_vector_search_spark.functions.text import words
+    from tripgogo_vector_search_spark.operators.corpus import (
+        dup_ngram_fraction)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    synth = spark.createDataFrame(
+        [(1000, "a b a b a b"), (1001, "x y z x y z x y z"),
+         (1002, "w"), (1003, "s s s s"),
+         (1004, "p q p r p q p")], "doc_id bigint, text string")
+    for frame in (docs, synth):
+        rows = frame.select(
+            "doc_id",
+            F.round(dup_ngram_fraction_udf("text", 2), 6).alias("k2"),
+            F.round(dup_ngram_fraction_udf("text", 3), 6).alias("k3"),
+            dup_ngram_fraction(words("text"), 2).alias("e2"),
+            dup_ngram_fraction(words("text"), 3).alias("e3")).collect()
+        for r in rows:
+            assert r["k2"] == r["e2"], r
+            assert r["k3"] == r["e3"], r

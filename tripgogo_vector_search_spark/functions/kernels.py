@@ -197,3 +197,51 @@ def quantize_stats_udf(vec_col: ColumnOrName) -> Column:
                              "max_err": maxes, "sq_err_sum": sqs})
 
     return _q(_c(vec_col))
+
+
+def dup_ngram_fraction_udf(text_col: ColumnOrName, n: int) -> Column:
+    """Gopher-style duplicate n-gram word coverage per document: the
+    fraction of single-space-split words covered by an n-gram occurring
+    at least twice in the document, UNROUNDED (callers apply
+    ``F.round(..., 6)`` Spark-side so both the kernel and the pure
+    expression round with the same HALF_UP engine — python's round()
+    is banker's and can diverge on decimal ties); 0.0 when the doc has
+    fewer than ``n`` words. Value-identical (after the caller's round)
+    to
+    ``operators/corpus.py:dup_ngram_fraction`` (the pure-expression
+    spec, pinned equal in tests) — this kernel exists because even the
+    lambda-variable-only expression shape pays ~4 interpreted
+    struct-sorts per row and was the sweep's slowest query (6 s at
+    sf0.1); the dict-based counter is O(len) per doc and Arrow-batched.
+    Scale: scalar pandas_udf => per-partition batches, map-only,
+    embarrassingly parallel."""
+
+    @pandas_udf("double")
+    def _frac(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            w = t.split(" ")
+            m = len(w)
+            if m < n:
+                out.append(0.0)
+                continue
+            grams = [" ".join(w[i:i + n]) for i in range(m - n + 1)]
+            counts: dict[str, int] = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            covered = 0
+            prev_end = -1  # last covered 0-based word index
+            for i, g in enumerate(grams):
+                if counts[g] > 1:
+                    lo = max(i, prev_end + 1)
+                    hi = i + n - 1
+                    if hi >= lo:
+                        covered += hi - lo + 1
+                        prev_end = hi
+            out.append(covered / m)
+        return pd.Series(out)
+
+    return _frac(_c(text_col))

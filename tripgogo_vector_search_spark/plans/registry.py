@@ -7845,18 +7845,25 @@ def dup_ngram_fraction_q(spark, sf_dir):
     fraction of words covered by a 2-gram / 3-gram that repeats WITHIN
     the document (operators/corpus.py:dup_ngram_fraction) — the
     quality filters that catch template loops and stutter that
-    single-word repetition_stats cannot. Pure per-row array
-    expressions: no shuffle anywhere, linear in corpus rows, O(len^2)
-    bounded in-row work — at 100 TB this is a map-only pass."""
+    single-word repetition_stats cannot. Served by the Arrow kernel
+    (functions/kernels.py:dup_ngram_fraction_udf — O(len) dict counter
+    per doc, pinned value-equal to the pure-expression spec in
+    tests/test_kernel_equivalence.py): even the hardened
+    lambda-variable-only expression pays ~4 interpreted struct-sorts
+    per row and was the r9 sweep's slowest query at 6 s / sf0.1; the
+    kernel runs it in well under a second. No shuffle anywhere, linear
+    in corpus rows — at 100 TB this is a map-only pass."""
+    from ..functions.kernels import dup_ngram_fraction_udf
     from ..functions.text import words
-    from ..operators import corpus as CP_
     from ..partitioning import widen
     d = widen(_t(spark, sf_dir, "documents"))
     ws = words("text")
     return d.select(
         "doc_id", F.size(ws).cast("bigint").alias("n_words"),
-        CP_.dup_ngram_fraction(ws, 2).alias("dup2gram_frac"),
-        CP_.dup_ngram_fraction(ws, 3).alias("dup3gram_frac"))
+        F.round(dup_ngram_fraction_udf("text", 2), 6)
+        .alias("dup2gram_frac"),
+        F.round(dup_ngram_fraction_udf("text", 3), 6)
+        .alias("dup3gram_frac"))
 
 
 @query("boilerplate_ngrams",
