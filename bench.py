@@ -121,6 +121,8 @@ HEADLINE_R8 = {
 HEADLINE_R9 = {
     "index_compact": "noop",
     "corpus_refresh_cycle": "collect",
+    "dup_ngram_fraction": "noop",
+    "boilerplate_ngrams": "collect",
 }
 
 
