@@ -141,3 +141,28 @@ def test_rank_exact_on_heavy_tail_values(spark):
     want = {r["id"]: r["rk"] for r in
             df.select("id", F.row_number().over(w).alias("rk")).collect()}
     assert got == want
+
+
+def test_old_equi_width_scheme_is_red_on_the_adversary(spark):
+    """Red-on-the-old-shape proof: the r8 bucketing (equi-width
+    width_bucket between the group min/max over the RAW value) puts
+    essentially the whole corpus into one bucket on the
+    lognormal+outlier adversary — the single-task-sort failure this
+    round's scheme exists to prevent. If someone 'simplifies' the
+    bucketing back, this documents exactly what breaks."""
+    rng = random.Random(42)
+    n = 20_000
+    vals = [math.exp(rng.gauss(5, 2)) for _ in range(n)] + [1e12]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "id bigint, v double").repartition(8)
+    mm = df.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    old = (df.crossJoin(F.broadcast(mm))
+           .select(F.least(F.width_bucket("v", "mn", "mx", F.lit(B)),
+                           F.lit(B)).alias("bkt")))
+    mx = (old.groupBy("bkt").count()
+          .agg(F.max("count").alias("mx")).collect()[0]["mx"])
+    # the outlier stretches the range so >99.9% of rows share bucket 1
+    assert mx > len(vals) * 0.999, mx
+    # ...which is the shape the shipped scheme keeps under the cap
+    assert mx > 20 * _fair_cap(len(vals))
