@@ -67,6 +67,12 @@ the same graceful shape as a tie group, never a corrupt rank; raising
 Offsets-frame bound: thin e-fold cells contribute <= ~1500 rows per
 group (the whole grid), fat cells <= B x K fine rows, splits <= B x B
 sub-rows — bounded regardless of data, broadcast by construction.
+Operating arithmetic at production settings: with B =
+spark.sql.shuffle.partitions = 200 and the default K = 1024 the
+bucket-plan/offsets frames cap at ~205k small rows per group (a few
+MB serialized) — comfortably broadcastable for bounded group counts;
+pass ``num_buckets`` explicitly if a deployment pairs thousands of
+groups with a very large shuffle-partition count.
 
 A point mass of EQUAL values always lands in one bucket by
 construction (required for rank correctness: equal keys must share a
