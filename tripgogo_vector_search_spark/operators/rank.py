@@ -245,8 +245,9 @@ def with_global_rank(df: DataFrame, value_col: str,
              else F.col(value_col).asc()]
     order += [F.col(c).asc() for c in tiebreak_cols]
     wl = W.partitionBy(*g, "_bkt").orderBy(*order)
-    # offsets are |groups|x|B| rows (both bounded by contract/config):
-    # pinned broadcast by construction
+    # offsets are bounded by the grid/cap arithmetic in the module
+    # docstring (~|groups| x (grid + B*K) rows worst case): pinned
+    # broadcast by construction
     out = (d2.join(F.broadcast(offs), [*g, "_bkt"])
            .withColumn(rank_col,
                        (F.col("_off") + F.row_number().over(wl))
