@@ -123,3 +123,40 @@ def test_ntile_closed_form_matches_window_ntile(spark):
             F.round(F.percent_rank().over(w), 6).alias("p"),
             F.round(F.cume_dist().over(w), 6).alias("c")).collect()}
         assert got == want, (n, got, want)
+
+
+# ---------------------------------------------------------------------------
+# property-based: arbitrary value sets (heavy tails, ties via the
+# integer lattice, negatives, tiny groups) vs Spark's own window
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_RANK_VALS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),
+              st.one_of(
+                  st.integers(min_value=-3, max_value=3).map(float),
+                  st.floats(min_value=-1e12, max_value=1e12,
+                            allow_nan=False, allow_infinity=False),
+                  st.floats(min_value=-1.0, max_value=1.0,
+                            allow_nan=False, allow_infinity=False))),
+    min_size=1, max_size=50)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_RANK_VALS)
+def test_property_grouped_rank_matches_window(spark, rows):
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id bigint, grp int, v double").repartition(4)
+    got = {r["id"]: (r["rk"], r["n"]) for r in
+           with_global_rank(df, "v", ["id"], partition_cols=["grp"],
+                            rank_col="rk", total_col="n").collect()}
+    w = W.partitionBy("grp").orderBy("v", "id")
+    want = {r["id"]: (r["rk"], r["n"]) for r in df.select(
+        "id", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"))
+        .collect()}
+    assert got == want

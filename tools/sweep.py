@@ -53,10 +53,25 @@ def main() -> None:
             failures.append(name)
             spark.catalog.clearCache()
             print(f"FAIL {name}: {exc!r}", flush=True)
+    # Storage-level observability (ADVICE r8): localCheckpoint blocks
+    # live OUTSIDE the cache manager, so the per-key gate above cannot
+    # see them. Their release is deterministic for everything except
+    # final result frames (freed when the python reference dies +
+    # ContextCleaner runs, which is async), so this is a REPORT, not a
+    # gate: after dropping all references and a GC nudge, count RDDs
+    # still holding cached partitions. A steadily growing number across
+    # rounds would mean a release-hook regression.
+    import gc
+    gc.collect()
+    time.sleep(2)
+    jsc = spark.sparkContext._jsc.sc()
+    resident = [i.id() for i in jsc.getRDDStorageInfo()
+                if i.numCachedPartitions() > 0]
     print(json.dumps({
         "sf_dir": sf_dir, "n_queries": len(QUERIES),
         "n_failed": len(failures), "failed": failures,
         "n_leaked": len(leakers), "leaked": leakers,
+        "resident_checkpoint_rdds": len(resident),
         "total_sec": round(sum(timings.values()), 1),
         "slowest": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
     }))
