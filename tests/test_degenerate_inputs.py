@@ -126,3 +126,55 @@ def test_quartile_agg_group_of_one(spark):
             for q in (0.25, 0.5, 0.75)]
     [row] = r.groupBy("c_nationkey").agg(*aggs).collect()
     assert (row.q25, row.q50, row.q75) == (42.5, 42.5, 42.5)
+
+
+def test_dup_ngram_and_luhn_on_null_empty_and_single(spark):
+    """r9 operators on broken rows: NULL text flows through the Arrow
+    kernel as NULL, empty/single-word docs score 0.0, and the Luhn
+    card counter treats digit-free text as zero candidates."""
+    from tripgogo_vector_search_spark.functions.kernels import (
+        dup_ngram_fraction_udf)
+    from tripgogo_vector_search_spark.operators import corpus as CP
+
+    rows = [(1, None), (2, ""), (3, "one"), (4, "a a a")]
+    docs = _corpus(spark, rows)
+    got = {r.doc_id: r.d2 for r in docs.select(
+        "doc_id", F.round(dup_ngram_fraction_udf("text", 2), 6)
+        .alias("d2")).collect()}
+    assert got[1] is None
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[4] == 1.0
+    cand, valid = CP.card_counts("text")
+    cc = {r.doc_id: (r.c, r.v) for r in docs.select(
+        "doc_id", cand.alias("c"), valid.alias("v")).collect()}
+    for i in (2, 3, 4):
+        assert cc[i] == (0, 0)
+
+
+def test_compaction_on_empty_evict_and_full_evict(spark, tmp_path):
+    """Index compaction extremes: nothing retired is a no-op; EVERY
+    row retired removes every partition directory and leaves a store
+    that reads back empty (schema intact via the _SUCCESS-adjacent
+    parquet metadata is not required — callers treat an all-retired
+    store as gone)."""
+    import os
+
+    from tripgogo_vector_search_spark.operators.index_maintenance import (
+        compact_partitioned_store)
+
+    path = str(tmp_path / "store")
+    (spark.range(100)
+     .select(F.col("id").alias("doc_id"),
+             F.floor(F.col("id") / 32).alias("id_range"))
+     .write.mode("overwrite").partitionBy("id_range").parquet(path))
+    # no-op: everything current
+    stats = compact_partitioned_store(
+        spark, path, spark.range(100).select(F.col("id").alias("doc_id")))
+    assert stats["evicted_rows"] == 0
+    # full evict: zero current ids -> all four partitions removed
+    stats = compact_partitioned_store(
+        spark, path,
+        spark.range(0).select(F.col("id").alias("doc_id")))
+    assert stats == {"evicted_rows": 100, "affected_partitions": 4,
+                     "removed_partitions": 4}
+    assert not [d for d in os.listdir(path) if d.startswith("id_range=")]
