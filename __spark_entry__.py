@@ -27,68 +27,54 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 9. Head = every key whose physical plan changed THIS
-    # round, in the tree at this commit. Plan drift vs the last driver
-    # row is enforced by tests/test_plan_manifest.py (fingerprints +
-    # kernel hashes); a fingerprint that moves while its key is absent
-    # from this head is a red test.
+    # ROUND 10. Head = every key whose physical plan or source closure
+    # changed THIS round, in the tree at this commit (drift gate:
+    # tests/test_plan_manifest.py).
     #
-    # The nine width_bucket rank/quantile keys (VERDICT r8 "What's
-    # wrong #1"): the r8 equi-width-between-group-min/max bucketing
-    # degenerated to one fat bucket (a single-task corpus sort) on
-    # heavy-tailed/outlier-stretched values. Re-planned onto a fixed
-    # two-level signed-log grid + capped row-side min/max-snapped
-    # split (operators/rank.py:with_bucket_id): one row-pass of
-    # exact fine-cell stats, all adaptivity on the bounded frame,
-    # same source-scan count as r8 (orders_rfm: 5), flat 1x-8x on the
-    # new lognormal+outlier slope fixture (72.8 s -> 5.3 s at 8x).
-    # Oracles unchanged.
+    # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
+    # medium fix: the evaluated fractional part t - floor(t) rounds to
+    # exactly 1.0 for t in (-2^-54, 0), so the unclamped fine-cell id
+    # hit K and overflowed the composite-id radix into the next e-fold
+    # cell's slot — tiny negatives could out-sort non-negatives under a
+    # fat+split cell (operators/rank.py: F.least clamp; red-on-old
+    # proof in tests/test_bucket_balance.py). Oracles unchanged.
     "median_agg", "approx_quantiles", "quartile_agg",
     "percentile_cont_exact", "value_outlier_iqr", "median_impute",
     "quality_gate", "ntile_bands", "orders_rfm",
-    # Component-family keys (VERDICT r8 "What's wrong #2" + the r9
-    # pointer-jumping upgrade): connected_components now fails loud on
-    # max_iter non-convergence (chain-graph test proves it fires),
-    # runs per-round localCheckpoints (the cache-only loop's logical
-    # tree doubled per round), and path-doubles labels (O(log
-    # diameter) rounds) — behavior changes on the shared kernel, so
-    # every component-consuming key re-rows. observed_ingest rides
-    # along: closing the LogicalRDD drift-gate blindspot (see
-    # tools/plan_manifest.py:_PLAN_PY_MARKERS) re-keyed every
-    # LogicalRDD-leaf fingerprint, and it is the one such key not
-    # already queued here.
+    # Index-maintenance keys (VERDICT r9 list #1/#5): fully-retired
+    # partition cleanup now goes through the Hadoop FileSystem API
+    # (cluster-real — file:// pinned in tests/test_index_compact.py),
+    # and the NEW composed refresh_compact_cycle runs worklist ->
+    # delta-only embed -> partition-local upsert -> compaction as one
+    # job, returning the final store state (oracle embeds the current
+    # corpus from scratch — sharp on routing AND eviction).
+    "index_compact", "corpus_refresh_cycle", "refresh_compact_cycle",
+    # Component-family keys re-row for the durable-checkpoint knob
+    # (VERDICT r9 list #4): connected_components(durable=True) swaps
+    # localCheckpoint for reliable .checkpoint() under
+    # setCheckpointDir, deleting superseded rounds' file sets through
+    # the Hadoop FS API; default behavior unchanged, but the shared
+    # kernel's source closure moved.
     "dedup_components", "dedup_keep_best", "near_dup_cluster_stats",
-    "near_dup_cross_source", "dedup_cluster_examples", "observed_ingest",
-    # NEW keys this round (VERDICT r8 list #4/#5/#6 + breadth): the
-    # index compaction job that applies the r8 evict list, the
-    # end-to-end incremental refresh cycle, the international PII
-    # battery (E.164 / IBAN / Luhn-checked cards) with
-    # pii_screen/prevalence re-rowed on the widened detector set, and
-    # the Gopher-style phrase-repetition pair (per-doc duplicate
-    # 2/3-gram coverage + the corpus boilerplate-ngram report).
-    "index_compact", "corpus_refresh_cycle", "pii_screen",
-    "pii_prevalence", "pii_intl_screen", "dup_ngram_fraction",
-    "boilerplate_ngrams",
-    # NOTE on an unqueued manifest regeneration (r9, same class as the
-    # three late-r8 scheme migrations): closing ADVICE r8's alias-swap
-    # hole (introspect.py digest() now hashes plans/registry.py's
-    # EXTERNAL import lines instead of skipping its block) changed the
-    # HASH FUNCTION, moving every source-closure fingerprint and every
-    # src=-versioned index-leaf digest while no plan, kernel, or index
-    # CONTENT changed. The full 228/228 driver-sim sweep was re-run
-    # green after the migration; affected keys are not queued.
-    # --- rotation (VERDICT r8 #3): the r02 cohort — keys whose newest
-    # driver row predates r03 (two fingerprint schemes ago). The drift
-    # gate argues the rows are still valid; fresh rows are stronger
-    # evidence. 30 of 43 this round, the rest in r10. ---
-    "csv_scan", "jdbc_sink", "result_fetch", "llm_generate",
-    "tpch_q1", "tpch_q6", "global_sort", "sessionize",
-    "asof_join", "range_join", "time_bucket_rollup",
-    "deterministic_sample", "rolling_fingerprint", "group_zscore",
-    "salted_agg", "running_agg", "window_funcs", "window_frame",
-    "window_first_last", "pivot_agg", "cube_agg", "rollup_agg",
-    "stats_agg", "approx_distinct", "count_distinct", "distinct_vals",
-    "set_ops", "having_agg",
+    "near_dup_cross_source", "dedup_cluster_examples",
+    # dup_ngram_fraction re-rows for the ADVICE r9 NULL fix: the pure
+    # expression and the oracle now NULL-propagate like the Arrow
+    # kernel (a NULL doc scores NULL, not 0.0).
+    "dup_ngram_fraction",
+    # --- rotation (VERDICT r9 list #2): first the r01/r02 residue
+    # (closing r8 list #3), then the oldest of the r03 cohort — 71
+    # keys' newest rows still predate r05, more than one 50-slot
+    # window holds, so the remainder continues in r11. ---
+    "scalar_funcs", "case_when", "array_funcs", "string_funcs",
+    "date_funcs", "scalar_subquery", "correlated_subquery",
+    "explode_tokens", "collect_agg", "set_ops_all", "null_funcs",
+    "like_filter", "vector_distances", "map_funcs", "udtf_ngrams",
+    "argmax_agg", "cdc_upsert", "chunk_docs", "decontaminate",
+    "entropy_score", "event_gap_stats", "funnel_stages",
+    "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
+    "incremental_dedup", "json_scan", "label_centroids",
+    "minhash_jaccard_estimate", "mode_agg", "normalize_text",
+    "pack_sequences",
 ]
 
 

@@ -166,3 +166,45 @@ def test_old_equi_width_scheme_is_red_on_the_adversary(spark):
     assert mx > len(vals) * 0.999, mx
     # ...which is the shape the shipped scheme keeps under the cap
     assert mx > 20 * _fair_cap(len(vals))
+
+
+def test_tiny_negative_sliver_stays_below_nonnegatives(spark):
+    """ADVICE r9 regression: for t in (-2^-54, 0) the evaluated
+    fractional part t - floor(t) = t + 1 rounds to exactly 1.0, so the
+    unclamped fine-cell id hit K and overflowed the (K+1) radix into
+    the NEXT e-fold cell's thin slot. With the [-1, 0) e-fold cell fat
+    AND its sliver fine cell split (c3 >= 1) while [0, 1) stays thin
+    (c3 = 0), tiny negatives then sorted AFTER non-negatives —
+    corrupt ranks, not just a merged bucket. The generic monotonicity
+    test only exercises thin cells and cannot catch this."""
+    # 2000 distinct values in (-5.6e-17, 0): every one triggers the
+    # frac(t) == 1.0 rounding; together they overfill BOTH the e-fold
+    # cell (fine level activates) and the sliver fine cell itself
+    # (min/max split activates, c3 in [1, B])
+    vals = [-k * 2.5e-20 for k in range(1, 2001)]
+    # ...while [0, 1)'s e-fold cell stays under the fair-share cap
+    vals += [k * 0.01 for k in range(60)]
+    n = len(vals)
+    assert 2000 > _fair_cap(n) > 60  # the shape the bug needs
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id bigint, v double").repartition(8)
+    d2, counts = with_bucket_id(df, "v", num_buckets=B)
+    rows = sorted((r["v"], r["_bkt"]) for r in
+                  d2.select("v", "_bkt").collect())
+    for (v1, b1), (v2, b2) in zip(rows, rows[1:]):
+        assert b1 <= b2, (v1, b1, v2, b2)
+    # every negative strictly below every non-negative bucket-wise OR
+    # merged into the same bucket — never above
+    neg_max = max(b for v, b in rows if v < 0)
+    pos_min = min(b for v, b in rows if v >= 0)
+    assert neg_max <= pos_min
+    # the occupancy cap still holds on this shape
+    mx = counts.agg(F.max("_cnt").alias("mx")).collect()[0]["mx"]
+    assert mx <= 5 * _fair_cap(n), mx
+    # and exact ranks survive end-to-end
+    got = {r["id"]: r["rk"] for r in
+           with_global_rank(df, "v", ["id"], rank_col="rk").collect()}
+    w = W.orderBy("v", "id")
+    want = {r["id"]: r["rk"] for r in
+            df.select("id", F.row_number().over(w).alias("rk")).collect()}
+    assert got == want

@@ -403,3 +403,62 @@ def test_connected_components_log_rounds_on_deep_chain(spark):
                                   "doc_id bigint")
     out = DD.connected_components(edges, nodes, "doc_id")
     assert {r["component_id"] for r in out.collect()} == {0}
+
+
+def test_connected_components_durable_checkpoint_mode(spark, tmp_path):
+    """VERDICT r9 list #4: `durable=True` swaps every loop
+    materialization for a RELIABLE .checkpoint() under the context's
+    checkpoint dir — the fault-tolerant mode for long-lived clusters
+    where localCheckpoint blocks die with an executor. Pins: identical
+    labels to local mode, no executor blocks left stored, superseded
+    rounds' checkpoint file sets deleted as the loop advances (at most
+    ~two label frames' files remain), and a loud error when no
+    checkpoint dir is configured."""
+    import os
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)],
+        "a bigint, b bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(41)] + [(100,), (101,), (102,)],
+        "doc_id bigint")
+    want = {r["doc_id"]: r["component_id"] for r in
+            DD.connected_components(edges, nodes, "doc_id").collect()}
+
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        DD.connected_components(edges, nodes, "doc_id", durable=True)
+
+    jsc = sc._jsc.sc()
+
+    def stored_ids():
+        return {i.id() for i in jsc.getRDDStorageInfo()
+                if i.numCachedPartitions() > 0}
+
+    blocks_before = stored_ids()
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        out = DD.connected_components(edges, nodes, "doc_id",
+                                      durable=True)
+        got = {r["doc_id"]: r["component_id"] for r in out.collect()}
+        assert got == want
+        # durable mode stores nothing on executors...
+        assert stored_ids() <= blocks_before
+        # ...and superseded rounds' file sets were deleted through the
+        # Hadoop FileSystem API as the loop advanced: only the final
+        # label frame's files (and at most one sibling) remain
+        rdd_dirs = []
+        for root, dirs, files in os.walk(ckpt):
+            if files and any(f.startswith("part-") for f in files):
+                rdd_dirs.append(root)
+        assert 0 < len(rdd_dirs) <= 2, rdd_dirs
+    finally:
+        # best-effort reset so later in-session users see the fixture
+        # default again (localCheckpoint ignores the dir either way)
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                spark._jvm.scala.Option.apply(None))
+        except Exception:
+            pass

@@ -132,10 +132,14 @@ def test_dup_ngram_kernel_equals_expression(spark):
 
     docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
             .select("doc_id", "text"))
+    # the NULL row (ADVICE r9): both sides must yield NULL, not 0.0 —
+    # the expression used to fall through when(m >= n) to the 0.0
+    # branch on NULL while the kernel propagated NULL
     synth = spark.createDataFrame(
         [(1000, "a b a b a b"), (1001, "x y z x y z x y z"),
          (1002, "w"), (1003, "s s s s"),
-         (1004, "p q p r p q p")], "doc_id bigint, text string")
+         (1004, "p q p r p q p"), (1005, None)],
+        "doc_id bigint, text string")
     for frame in (docs, synth):
         rows = frame.select(
             "doc_id",
@@ -146,3 +150,8 @@ def test_dup_ngram_kernel_equals_expression(spark):
         for r in rows:
             assert r["k2"] == r["e2"], r
             assert r["k3"] == r["e3"], r
+    null_row = [r for r in synth.select(
+        "doc_id", dup_ngram_fraction(words("text"), 2).alias("e2"),
+        F.round(dup_ngram_fraction_udf("text", 2), 6).alias("k2"))
+        .collect() if r["doc_id"] == 1005][0]
+    assert null_row["e2"] is None and null_row["k2"] is None

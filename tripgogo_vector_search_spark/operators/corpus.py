@@ -191,7 +191,13 @@ def dup_ngram_fraction(ws: Column, n: int) -> Column:
                 F.lit(0))).alias("tot")),
         lambda a: a["tot"])
     frac = covered_cnt.cast("double") / m.cast("double")
-    return F.when(m >= n, F.round(frac, 6)).otherwise(F.lit(0.0))
+    # NULL-propagating (ADVICE r9): a NULL document must yield NULL,
+    # matching the Arrow kernel (functions/kernels.py) — the bare
+    # when/otherwise let the NULL m >= n predicate fall through to the
+    # 0.0 branch, so a NULL doc scored like an empty one and the
+    # pinned kernel == expression claim was false on NULL rows
+    return (F.when(m.isNull(), F.lit(None).cast("double"))
+            .when(m >= n, F.round(frac, 6)).otherwise(F.lit(0.0)))
 
 
 def redact_pii(col: Column | str) -> Column:

@@ -150,10 +150,16 @@ def with_bucket_id(df: DataFrame, value_col: str, *, descending: bool = False,
     K = fine_cells
     t = _log_key(value_col, descending)
     # both grid levels are pure per-row expressions — no data pass, so
-    # no outlier can influence any other row's cell. frac(t) < 1 in
-    # IEEE arithmetic, so c2 is always in [0, K-1].
+    # no outlier can influence any other row's cell. frac(t) is NOT
+    # always < 1 as evaluated: for t in (-2^-54, 0) the sum t -
+    # floor(t) = t + 1 rounds to exactly 1.0 (ADVICE r9), which would
+    # give _c2 = K and overflow the (K+1) radix of the composite id
+    # below into the NEXT e-fold cell's slot — so clamp to K-1; the
+    # top sliver merges into fine cell K-1, which is value-adjacent
+    # and therefore rank-safe (merging only ever coarsens a bucket).
     d = (df.withColumn("_c1", (F.floor(t) + _GRID_SHIFT).cast("int"))
-         .withColumn("_c2", F.floor((t - F.floor(t)) * K).cast("int")))
+         .withColumn("_c2", F.least(F.floor((t - F.floor(t)) * K),
+                                    F.lit(K - 1)).cast("int")))
     # the ONE row-pass aggregate: exact, order-independent statistics
     # (count/min/max only — no floating-point sums) per occupied fine
     # cell; map-side partial aggregation bounds the shuffle
