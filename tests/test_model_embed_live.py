@@ -7,8 +7,9 @@ so far only been exercised through a fake SentenceTransformer
 in this sandbox. Dated install attempts (VERDICT r8 list #7 asks for
 one per round): 2026-08-15 (r9) — ``pip install sentence-transformers``
 fails with DNS resolution errors against the configured package index
-(no network egress from this sandbox); the skip below remains the
-honest state. This test is the
+(no network egress from this sandbox); 2026-08-15 (r10) — retried,
+same DNS failure (``Name or service not known`` on the index host and
+on a direct HTTPS probe); the skip below remains the honest state. This test is the
 importorskip-gated LIVE path the verdict asked for: the moment an
 environment has ``sentence-transformers`` (and, for the model
 download, network or a local cache), it runs the reference's actual

@@ -1,36 +1,50 @@
 """Exact distributed quantiles WITHOUT a per-group corpus-scale sort
-buffer — the r8 re-plan of the exact-quantile family (VERDICT r7
-"What's wrong #1").
+buffer — r10 re-plan of the exact-quantile family (claw-back of the r9
+hardening's constant factor, VERDICT r9 list #3).
 
 ``F.percentile`` / a rank window partitioned by a bounded-cardinality
 key both accumulate ~|corpus|/|groups| values in one task. But a
 quantile only needs the one or two straddling ORDER STATISTICS, and an
-order statistic is rank-selectable from counts:
+order statistic is rank-selectable from counts. The r10 shape exploits
+what the r8/r9 plans did not: the fine-cell statistics frame is
+BOUNDED and already contains every count needed to locate each
+target's owning cell — so no second corpus-scale aggregate (the r9
+per-bucket count pass) is needed at all:
 
-1. bucket every row deterministically on the value
-   (operators/rank.py:with_bucket_id — a fixed two-level signed-log
-   grid plus a capped row-side min/max-snapped split of over-full
-   cells, so heavy-tailed/outlier-stretched values cannot collapse
-   into one fat bucket; equal values always share a bucket);
-2. the per-bucket count aggregate + a cumulative window over that
-   bounded count frame gives each bucket's rank span and the group
-   total ``n``
-   — hence, by exploding the requested quantiles against each bucket
-   row and keeping the spans that contain a target rank, each target's
-   OWNING BUCKET, all without touching rows again;
-3. an inner join against that tiny target frame BOTH prunes the second
-   row scan to the ~|targets| owning buckets AND attaches the target
-   rank; the per-(bucket, target) VALUE histogram (a map-side
-   combinable aggregate — a point mass of equal values collapses to
-   one histogram row, so value skew makes this CHEAPER) then yields
-   the target value off its cumulative ranks.
+1. ONE row-pass aggregate computes (count, min, max) of the signed-log
+   grid key per occupied fine cell (the same fixed two-level grid as
+   ``operators/rank.py:with_bucket_id`` — outlier-immune by
+   construction, equal values always share a cell);
+2. every target rank's OWNING FINE CELL falls out of a cumulative
+   window over that bounded frame alone (grid order is monotone in the
+   value): ``off < rk <= off + cnt``. The targets frame is
+   <= 2*|qs| rows per group — broadcast by construction;
+3. ONE probe pass joins rows to the broadcast targets on the cell id —
+   only owning-cell rows survive the join — and aggregates the
+   per-(target, sub-cell, value) histogram, where the sub-cell id is
+   the capped min/max-snapped equi-width split of over-cap cells
+   (rank.py's level-3 refinement, evaluated inline: ``_m``/``_x`` ride
+   the broadcast). A point mass collapses to one histogram row, so
+   value skew makes this CHEAPER;
+4. the straddling order statistic is picked by two bounded cumulative
+   steps: sub-cell totals (an aggregate of the histogram;
+   <= 2*|qs|*(B+1) rows per group) locate each target's owning
+   SUB-cell and its base offset, and a per-(target, sub-cell) value
+   window — a task bounded by the distinct values of ONE sub-cell, the
+   same bound the r9 plan carried — yields the value at the target
+   rank.
 
-No row-level sort anywhere: the only ordered windows run over count
-aggregates. Four column-pruned scans total (fine-cell statistics,
-bucket counts, and the offsets/histogram pair), no corpus shuffle, no
-persist — every derived frame
-hangs off a single reference to the count aggregate so Catalyst's
-column pruning cannot fan the plan out into re-scans.
+Plan economics vs r9 (measured at sf0.1): the r9 shape computed the
+row+plan join twice (once for bucketed rows, once for the per-bucket
+count aggregate) — four source scans and a corpus-scale hash-aggregate;
+this shape scans the source for the stats pass and the probe pass
+(the histogram branch and its sub-cell-totals branch re-derive the
+probe, and AQE's ReusedExchange collapses the duplicated partial
+aggregate), with every other frame bounded. Honest residual, same
+class as rank.py's documented one: a sub-resolution value cluster
+sharing a fine cell with a straggler keeps a straggler-pinned span, so
+one sub-cell's histogram can stay large — one fat (parallel-peer)
+window task per affected target, never a wrong quantile.
 
 ``mode="disc"`` selects the value at rank ``ceil(q*n)``
 (PERCENTILE_DISC); ``mode="cont"`` selects both straddles of position
@@ -39,7 +53,7 @@ keep their ORIGINAL type (DECIMAL stays DECIMAL); only the
 interpolation arithmetic is double.
 
 Caller contract: value non-null; ``group_cols`` bounded cardinality
-(the min/max and target frames are broadcast).
+(the stats and target frames are broadcast).
 """
 
 from __future__ import annotations
@@ -48,7 +62,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .rank import bucket_offsets, with_bucket_id
+from .rank import _GRID_SHIFT, _clamped_width_bucket, _log_key
 
 
 def _target_structs(named_qs: Sequence[tuple[str, float]],
@@ -76,41 +90,95 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
                              value_col: str,
                              named_qs: Sequence[tuple[str, float]], *,
                              mode: str = "cont",
-                             num_buckets: int | None = None) -> DataFrame:
+                             num_buckets: int | None = None,
+                             fine_cells: int = 1024) -> DataFrame:
     """Long frame ``(group_cols..., _tag, _v, _n)``: for each group and
     each requested quantile, the straddling order statistic(s) of
     ``value_col`` (original type) plus the group row count."""
+    spark = df.sparkSession
     g = list(group_cols)
+    B = num_buckets or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism)
+    K = fine_cells
+    t = _log_key(value_col, False)
+    c1 = (F.floor(t) + _GRID_SHIFT).cast("int")
+    # clamped exactly like rank.py: frac(t) rounds to 1.0 for tiny
+    # negative t (ADVICE r9), and the grid must stay monotone
+    c2 = F.least(F.floor((t - F.floor(t)) * K),
+                 F.lit(K - 1)).cast("int")
     base = df.select(*g, value_col)
-    d2, counts = with_bucket_id(base, value_col, partition_cols=g,
-                                num_buckets=num_buckets)
-    offs = bucket_offsets(counts, partition_cols=g)
-    # owning bucket per target rank (one pass over the count frame —
-    # the targets explode off the SAME rows that carry the spans, so
-    # no second count subtree exists for pruning to diverge):
-    # _off < _rk <= _off + _cnt
-    t2 = (offs.select(*g, "_bkt", "_off", "_cnt", "_n",
-                      F.explode(F.array(*_target_structs(named_qs, mode)))
-                      .alias("_t"))
+    # the ONE row-pass stats aggregate (exact, order-independent:
+    # count/min/max only); map-side partials bound the shuffle
+    s = (base.withColumn("_c1", c1).withColumn("_c2", c2)
+         .groupBy(*g, "_c1", "_c2")
+         .agg(F.count(F.lit(1)).alias("_cnt"),
+              F.min(t).alias("_m"), F.max(t).alias("_x")))
+    # cumulative rank offsets + group totals over the BOUNDED stats
+    # frame only — grid order (_c1, _c2) is monotone in the value
+    wc = (W.partitionBy(*g) if g else W.partitionBy()) \
+        .orderBy("_c1", "_c2")
+    s2 = s.select(
+        *g, "_c1", "_c2", "_cnt", "_m", "_x",
+        F.coalesce(F.sum("_cnt").over(
+            wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0))
+        .alias("_off"),
+        F.sum("_cnt").over(
+            wc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("_n"))
+    # owning fine cell per target rank: the targets explode off the
+    # SAME bounded rows that carry the spans — no row pass, no second
+    # count subtree. _split flags over-cap cells for the row-side
+    # min/max-snapped refinement (a point mass is unsplittable).
+    cap = F.greatest(F.ceil(F.col("_n") / B), F.lit(B))
+    t2 = (s2.withColumn("_cap", cap)
+          .select(*g, "_c1", "_c2", "_cnt", "_m", "_x", "_off", "_n",
+                  ((F.col("_cnt") > F.col("_cap"))
+                   & (F.col("_m") < F.col("_x"))).alias("_split"),
+                  F.explode(F.array(*_target_structs(named_qs, mode)))
+                  .alias("_t"))
           .filter((F.col("_off") < F.col("_t._rk"))
                   & (F.col("_t._rk") <= F.col("_off") + F.col("_cnt")))
-          .select(*g, "_bkt", "_off", "_n",
+          .select(*g, "_c1", "_c2", "_m", "_x", "_off", "_n", "_split",
                   F.col("_t._tag").alias("_tag"),
                   F.col("_t._rk").alias("_rk")))
-    # inner join against the <= |groups|*2*|qs|-row target frame:
-    # prunes the scan to owning buckets AND attaches the target; the
-    # value histogram collapses equal values, and its cumulative
-    # window runs per (group, bucket, target) over aggregate rows only
-    selj = d2.join(F.broadcast(t2), [*g, "_bkt"])
-    vh = (selj.groupBy(*g, "_bkt", "_tag", "_rk", "_off", "_n", value_col)
+    # ONE probe pass: rows of owning cells only (inner broadcast join
+    # on the cell id — <= 2*|qs| rows per group on the build side);
+    # the per-(target, sub-cell, value) histogram is map-side
+    # combinable and collapses ties
+    sub = F.when(F.col("_split"),
+                 _clamped_width_bucket(t, F.col("_m"), F.col("_x"), B)) \
+        .otherwise(F.lit(0))
+    pr = (base.withColumn("_c1", c1).withColumn("_c2", c2)
+          .join(F.broadcast(t2), [*g, "_c1", "_c2"]))
+    vh = (pr.groupBy(*g, "_tag", "_rk", "_off", "_n",
+                     sub.alias("_sub"), value_col)
           .agg(F.count(F.lit(1)).alias("_vc")))
-    wv = W.partitionBy(*g, "_bkt", "_tag").orderBy(value_col)
-    vh2 = vh.select(
+    # owning SUB-cell per target: totals per (group, target, sub-cell)
+    # are a bounded aggregate of the histogram (<= 2*|qs|*(B+1) rows
+    # per group); the cumulative window runs over those aggregate rows
+    st = (vh.groupBy(*g, "_tag", "_rk", "_off", "_n", "_sub")
+          .agg(F.sum("_vc").alias("_sc")))
+    ws = W.partitionBy(*g, "_tag").orderBy("_sub")
+    t3 = (st.select(
+            *g, "_tag", "_rk", "_n", "_sub",
+            (F.col("_off") + F.coalesce(F.sum("_sc").over(
+                ws.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
+            .alias("_base"),
+            F.col("_sc"))
+          .filter((F.col("_base") < F.col("_rk"))
+                  & (F.col("_rk") <= F.col("_base") + F.col("_sc")))
+          .select(*g, "_tag", "_sub", "_base"))
+    # final pick: value cumulative WITHIN the owning sub-cell — the
+    # window task is bounded by that sub-cell's distinct values
+    selj = vh.join(F.broadcast(t3), [*g, "_tag", "_sub"])
+    wv = W.partitionBy(*g, "_tag").orderBy(value_col)
+    vh2 = selj.select(
         *g, "_tag", "_rk", "_n", F.col(value_col).alias("_v"),
-        (F.col("_off") + F.coalesce(F.sum("_vc").over(
+        (F.col("_base") + F.coalesce(F.sum("_vc").over(
             wv.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
         .alias("_vb"),
-        (F.col("_off") + F.sum("_vc").over(
+        (F.col("_base") + F.sum("_vc").over(
             wv.rowsBetween(W.unboundedPreceding, 0))).alias("_vt"))
     return (vh2.filter((F.col("_vb") < F.col("_rk"))
                        & (F.col("_rk") <= F.col("_vt")))

@@ -37,10 +37,15 @@ heavy-tail-hardened bucketing r9):
    repeated plan subtrees here: a chain of adaptive levels joined
    level-by-level doubles the source scans per level (measured 9
    orders scans for the 2-level-chain variant vs 5 for this shape);
-4. a per-(group, bucket) count aggregate feeds the cumulative-offset
-   window (aggregate rows only), and ``rank = offset(bucket) +
-   row_number() within (group, bucket)``: each task sorts only its
-   own bucket slice.
+4. the per-(group, bucket) count frame is DERIVED from the bounded
+   stats frame for every non-split bucket (thin e-fold cells merge
+   their fine rows, fat-unsplit fine cells map one-to-one); only the
+   <= B split cells per group re-probe their rows for sub-bucket
+   occupancy (an inner broadcast join AQE eliminates entirely when
+   nothing splits — r10, replacing r9's second corpus-scale count
+   aggregate). The cumulative-offset window runs over those bounded
+   count rows only, and ``rank = offset(bucket) + row_number() within
+   (group, bucket)``: each task sorts only its own bucket slice.
 
 ``B`` defaults to ``spark.sql.shuffle.partitions`` and carries the
 same operating contract as any shuffle: size it so a partition
@@ -198,7 +203,36 @@ def with_bucket_id(df: DataFrame, value_col: str, *, descending: bool = False,
     bkt = ((F.col("_c1").cast("bigint") * (K + 1) + c2m) * (B + 2) + c3)
     out = (r.withColumn(bucket_col, bkt)
            .drop("_c1", "_c2", "_split", "_m", "_x"))
-    counts = out.groupBy(*g, bucket_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # per-(group, bucket) counts WITHOUT a second corpus-scale
+    # aggregate (r10, VERDICT r9 list #3): every non-split bucket's
+    # count is already in the bounded stats frame — thin e-fold cells
+    # merge their fine rows, fat-unsplit fine cells map one-to-one —
+    # so only SPLIT cells (<= B per group can be over the cap) need
+    # their rows re-probed for sub-bucket occupancy. The probe is an
+    # inner broadcast join against the split plan rows: when no cell
+    # splits (the common case), AQE's empty-relation propagation
+    # eliminates the probe scan at runtime. The r9 shape aggregated
+    # the full row frame a second time — a corpus-scale hash-aggregate
+    # plus a duplicated row+plan join that this derivation deletes.
+    ns_bkt = F.when(
+        F.col("_cnt1") <= F.col("_cap"),
+        F.col("_c1").cast("bigint") * (K + 1) * (B + 2)) \
+        .otherwise((F.col("_c1").cast("bigint") * (K + 1)
+                    + F.col("_c2") + 1) * (B + 2))
+    split_cell = ((F.col("_cnt1") > F.col("_cap"))
+                  & (F.col("_cnt") > F.col("_cap"))
+                  & (F.col("_m") < F.col("_x")))
+    nonsplit = (s2.filter(~split_cell)
+                .groupBy(*g, ns_bkt.alias(bucket_col))
+                .agg(F.sum("_cnt").alias("_cnt")))
+    split_bkt = ((F.col("_c1").cast("bigint") * (K + 1)
+                  + F.col("_c2") + 1) * (B + 2)
+                 + _clamped_width_bucket(t, F.col("_m"), F.col("_x"), B))
+    split = (d.join(F.broadcast(plan.filter("_split")),
+                    [*g, "_c1", "_c2"])
+             .groupBy(*g, split_bkt.alias(bucket_col))
+             .agg(F.count(F.lit(1)).alias("_cnt")))
+    counts = nonsplit.unionByName(split)
     return out, counts
 
 
@@ -234,13 +268,13 @@ def with_global_rank(df: DataFrame, value_col: str,
     count. (value, tiebreaks) must be unique per group, so
     rank == row_number == dense_rank. Fully lazy and deterministic:
     no persist, no sampling; recomputation always reproduces the same
-    bucket ids. Honest trade (ADVICE r8): the input IS scanned once
-    for the fine-cell statistics, once for the per-bucket counts, and
-    twice more through the offsets/rank pair (four narrow
-    column-pruned reads total), and ReusedExchange does NOT
-    collapse them when the input is itself an aggregate
-    (test_plan_shape pins orders_rfm's scan count); recompute-per-read
-    was chosen over the r7 persist-based plan deliberately — a cached
+    bucket ids. Honest trade (ADVICE r8, r10 shape): the input is
+    scanned once for the row-side bucket join, once per stats-frame
+    reference (the bucket plan and the derived non-split counts — AQE
+    reuses the partial-aggregate exchange at runtime), plus the
+    split-cell probe scan that AQE's empty-relation propagation
+    eliminates whenever nothing splits; recompute-per-read was chosen
+    over the r7 persist-based plan deliberately — a cached
     corpus-scale frame cost memory/eviction hazards at 100 TB, while
     the extra reads are parallel column-pruned scans."""
     g = list(partition_cols)
