@@ -160,3 +160,29 @@ def test_property_grouped_rank_matches_window(spark, rows):
         F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n"))
         .collect()}
     assert got == want
+
+
+def test_rank_runtime_reuses_stats_and_skips_empty_split_probe(spark):
+    """r10 claw-back (VERDICT r9 list #3), pinned on the EXECUTED
+    plan: the per-bucket counts derive from the bounded stats frame,
+    so at runtime AQE must (a) reuse the stats partial-aggregate
+    exchange across the bucket-plan and derived-counts references and
+    (b) eliminate the split-cell probe scan entirely when no cell
+    splits — the common case. If either regresses, the plan pays the
+    r9 shape's duplicated stats computation or an always-on extra
+    corpus scan."""
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [(i, rng.uniform(0, 1000.0)) for i in range(5000)],
+        "id bigint, v double").repartition(8)
+    out = with_global_rank(df, "v", ["id"], rank_col="rk")
+    out.collect()
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    final = txt.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
+    # the split probe's inner join (empty build side) must be pruned
+    # from the final plan: exactly two source references remain — the
+    # row side and ONE stats lineage (plus its ReusedExchange)
+    assert final.count("Scan ExistingRDD") + final.count("LocalTableScan") \
+        <= 2, final
