@@ -125,6 +125,13 @@ HEADLINE_R9 = {
     "boilerplate_ngrams": "collect",
 }
 
+# Round-10 group: the composed nightly-refresh artifact (upsert +
+# compaction against one partitioned store; timing includes the
+# idempotent no-op re-check of both halves, like index_compact's).
+HEADLINE_R10 = {
+    "refresh_compact_cycle": "noop",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -173,7 +180,7 @@ def main() -> None:
     # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
                    | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8
-                   | HEADLINE_R9)
+                   | HEADLINE_R9 | HEADLINE_R10)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
     for name, action in all_queries.items():
