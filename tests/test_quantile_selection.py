@@ -172,3 +172,45 @@ def test_property_selection_matches_reference(spark, rows, q):
         assert got_c[g] == pytest.approx(_ref_cont(vals, q),
                                          abs=1e-9), ("cont", g, vals)
         assert got_d[g] == _ref_disc(vals, q), ("disc", g, vals)
+
+
+def test_split_cell_selection_exact(spark):
+    """r10 path, split branch forced: a tight cluster of DISTINCT
+    values (1e-5 relative spread — inside one ~0.1%-relative fine
+    cell) overfills its cell, so the owning-cell probe must refine
+    through the min/max-snapped sub-cell split (_sub > 0) and still
+    pick the exact order statistics. A spread group rides along to
+    keep the stats frame heterogeneous."""
+    rng = random.Random(9)
+    rows = ([(0, 1e9 * (1.0 + k * 1e-8)) for k in range(2000)]
+            + [(1, rng.uniform(0, 1000)) for _ in range(100)])
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "grp int, v double").repartition(8)
+    got = {r["grp"]: tuple(r[name] for name, _ in QS)
+           for r in quantiles_cont(df, ["grp"], "v", QS).collect()}
+    by_grp: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for g, vals in by_grp.items():
+        want = tuple(_ref_cont(vals, q) for _, q in QS)
+        assert got[g] == pytest.approx(want, rel=1e-12), g
+
+
+def test_tiny_negative_sliver_quantiles_exact(spark):
+    """ADVICE r9 regression through the QUANTILE path: values in
+    (-5.6e-17, 0) hit the frac(t) == 1.0 rounding, so without the
+    clamp their fine-cell id would overflow into the next e-fold
+    cell's slot and the owning-cell offsets would disorder. Exact
+    disc/cont selection across the negative/non-negative boundary."""
+    vals = [-k * 2.5e-20 for k in range(1, 1001)] + \
+           [k * 0.001 for k in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double") \
+        .repartition(8)
+    qs = [("q10", 0.10), ("q50", 0.50), ("q95", 0.95)]
+    got = quantiles_disc(df, [], "v", qs).collect()[0]
+    for name, q in qs:
+        assert got[name] == _ref_disc(vals, q), (name, got[name])
+    gotc = quantiles_cont(df, [], "v", qs).collect()[0]
+    for name, q in qs:
+        assert gotc[name] == pytest.approx(_ref_cont(vals, q),
+                                           abs=1e-18), name
