@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from tripgogo_vector_search_spark.operators.index_maintenance import (
@@ -138,3 +139,32 @@ def test_compaction_removes_retired_partition_via_hadoop_fs_uri(
     again = compact_partitioned_store(spark, path, current)
     assert again == {"evicted_rows": 0, "affected_partitions": 0,
                      "removed_partitions": 0}
+
+
+def test_compaction_refuses_total_retirement_but_allows_partial_wipe(
+        spark, tmp_path):
+    """r10 drop-guard: an evict set covering every row of every
+    partition would delete the store and leave an unreadable directory
+    (no parquet footer -> the next read AND the idempotent re-check
+    both raise AnalysisException) — that is store deletion, not
+    compaction, and almost always an upstream failure's empty
+    current-corpus frame. The routine must refuse loudly and leave the
+    store untouched; wiping every AFFECTED partition while unaffected
+    partitions still hold rows must still proceed."""
+    path = str(tmp_path / "store")
+    _build_store(spark, path, n=128)  # ranges 0..1
+    before = _file_state(path)
+    empty = spark.range(0).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="refusing"):
+        compact_partitioned_store(spark, path, empty)
+    assert _file_state(path) == before  # untouched, still readable
+    assert spark.read.parquet(path).count() == 128
+    # partial wipe: range 1 (ids 64..127) fully retired, range 0 kept
+    # entirely — surviving_ranges is empty (no AFFECTED partition has
+    # survivors) yet the store survives, so the guard must not fire
+    current = spark.range(64).select(F.col("id").alias("doc_id"))
+    stats = compact_partitioned_store(spark, path, current)
+    assert stats == {"evicted_rows": 64, "affected_partitions": 1,
+                     "removed_partitions": 1}
+    assert not os.path.isdir(os.path.join(path, "id_range=1"))
+    assert spark.read.parquet(path).count() == 64

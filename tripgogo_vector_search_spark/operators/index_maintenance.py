@@ -43,7 +43,13 @@ Mechanics, all standard Spark:
   as the write lands.
 
 The routine is idempotent: a second run finds an empty evict set and
-returns without writing.
+returns without writing. One guarded corner (r10): an evict set that
+covers EVERY row of EVERY partition would delete the store outright
+and leave an unreadable directory (no parquet footer to infer a schema
+from — breaking every later read, including the idempotent re-check);
+that is store deletion, not compaction, so the routine refuses with a
+ValueError instead — drop the store explicitly if a full drain is
+intentional.
 """
 
 from __future__ import annotations
@@ -83,6 +89,34 @@ def compact_partitioned_store(spark: SparkSession, path: str,
                  .localCheckpoint(eager=True))
     surviving_ranges = {r[part_col] for r in
                         survivors.select(part_col).distinct().collect()}
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not surviving_ranges:
+        # no survivor anywhere in the affected ranges: if the
+        # retirement also covers every partition the store HAS, this
+        # run would delete the whole index and leave an unreadable
+        # directory (no parquet footer left to infer a schema from —
+        # the next read, and therefore the next compaction, would
+        # raise). That is store DELETION, not compaction; refuse
+        # loudly — the production analogue of a drop guard, because an
+        # empty current snapshot is far more often an upstream-failure
+        # artifact than an intentional drain. The check is one bounded
+        # FS listing (r10; tests/test_index_compact.py pins both the
+        # refusal and the partial-store case that must still proceed).
+        part_prefix = f"{part_col}="
+        on_disk = {st.getPath().getName()
+                   for st in fs.listStatus(hpath)
+                   if st.isDirectory()
+                   and st.getPath().getName().startswith(part_prefix)}
+        if on_disk <= {f"{part_col}={r}" for r in by_range}:
+            _release_local_checkpoint(survivors)  # (empty, but hygienic)
+            raise ValueError(
+                "compact_partitioned_store: the evict set covers every "
+                f"row of every partition of {path} — refusing to "
+                "compact the store out of existence (an empty "
+                "current-corpus frame is usually an upstream failure); "
+                "drop the store explicitly if the drain is intentional")
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, None)
     try:
@@ -104,9 +138,6 @@ def compact_partitioned_store(spark: SparkSession, path: str,
         # Hadoop FileSystem resolved FROM the store path, so hdfs://,
         # s3a:// and file:// stores all take the same code path as a
         # bare local path (module docstring; VERDICT r9 #1)
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         for rng in fully_retired:
             part_dir = jvm.org.apache.hadoop.fs.Path(
                 hpath, f"{part_col}={rng}")
