@@ -214,3 +214,25 @@ def test_tiny_negative_sliver_quantiles_exact(spark):
     for name, q in qs:
         assert gotc[name] == pytest.approx(_ref_cont(vals, q),
                                            abs=1e-18), name
+
+
+def test_quantile_runtime_two_scans_one_reuse(spark):
+    """r10 plan economics, pinned on the EXECUTED plan: the selection
+    reads the source exactly twice — the stats pass and the probe pass
+    — and AQE collapses the probe's duplicated lineage (the sub-cell
+    totals branch and the value-pick branch both derive from the same
+    histogram) into a ReusedExchange. If this regresses, the plan pays
+    the r9 shape's extra corpus aggregate or an additional scan."""
+    rng = random.Random(4)
+    df = spark.createDataFrame(
+        [(i % 3, rng.uniform(0, 1000.0)) for i in range(4000)],
+        "grp int, v double").repartition(8)
+    out = quantiles_cont(df, ["grp"], "v", QS)
+    out.collect()
+    final = (out._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "isFinalPlan=true" in final
+    scans = [ln for ln in final.splitlines()
+             if "Scan ExistingRDD" in ln or "LocalTableScan" in ln]
+    assert len(scans) <= 2, final
+    assert "ReusedExchange" in final, final
