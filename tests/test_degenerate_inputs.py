@@ -152,12 +152,14 @@ def test_dup_ngram_and_luhn_on_null_empty_and_single(spark):
 
 
 def test_compaction_on_empty_evict_and_full_evict(spark, tmp_path):
-    """Index compaction extremes: nothing retired is a no-op; EVERY
-    row retired removes every partition directory and leaves a store
-    that reads back empty (schema intact via the _SUCCESS-adjacent
-    parquet metadata is not required — callers treat an all-retired
-    store as gone)."""
+    """Index compaction extremes: nothing retired is a no-op; an evict
+    set covering EVERY row of EVERY partition is refused (that is store
+    deletion, not compaction — an empty current-corpus frame is usually
+    an upstream failure) and the store is left byte-readable with all
+    rows intact."""
     import os
+
+    import pytest
 
     from tripgogo_vector_search_spark.operators.index_maintenance import (
         compact_partitioned_store)
@@ -171,10 +173,11 @@ def test_compaction_on_empty_evict_and_full_evict(spark, tmp_path):
     stats = compact_partitioned_store(
         spark, path, spark.range(100).select(F.col("id").alias("doc_id")))
     assert stats["evicted_rows"] == 0
-    # full evict: zero current ids -> all four partitions removed
-    stats = compact_partitioned_store(
-        spark, path,
-        spark.range(0).select(F.col("id").alias("doc_id")))
-    assert stats == {"evicted_rows": 100, "affected_partitions": 4,
-                     "removed_partitions": 4}
-    assert not [d for d in os.listdir(path) if d.startswith("id_range=")]
+    # full evict: zero current ids -> refused loudly, store untouched
+    with pytest.raises(ValueError, match="refusing to compact"):
+        compact_partitioned_store(
+            spark, path,
+            spark.range(0).select(F.col("id").alias("doc_id")))
+    assert len([d for d in os.listdir(path)
+                if d.startswith("id_range=")]) == 4
+    assert spark.read.parquet(path).count() == 100
