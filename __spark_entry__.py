@@ -61,6 +61,12 @@ _CHECK_FIRST = [
     # expression and the oracle now NULL-propagate like the Arrow
     # kernel (a NULL doc scores NULL, not 0.0).
     "dup_ngram_fraction",
+    # quality_by_length_decile re-rows for the lazy conversion
+    # (VERDICT r9 "What's wrong #3"): the build-time straddle collect
+    # + literal IN is replaced by a broadcast join against the
+    # <=10-row boundary frame — building the plan no longer runs a
+    # job. Oracle unchanged.
+    "quality_by_length_decile",
     # --- rotation (VERDICT r9 list #2): first the r01/r02 residue
     # (closing r8 list #3), then the oldest of the r03 cohort — 71
     # keys' newest rows still predate r05, more than one 50-slot
@@ -74,7 +80,6 @@ _CHECK_FIRST = [
     "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
     "incremental_dedup", "json_scan", "label_centroids",
     "minhash_jaccard_estimate", "mode_agg", "normalize_text",
-    "pack_sequences",
 ]
 
 

