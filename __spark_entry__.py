@@ -27,9 +27,16 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 10. Head = every key whose physical plan or source closure
-    # changed THIS round, in the tree at this commit (drift gate:
-    # tests/test_plan_manifest.py).
+    # ROUND 10. Head = keys NEW this round, then every key whose
+    # physical plan or source closure changed THIS round, in the tree
+    # at this commit (drift gate: tests/test_plan_manifest.py).
+    #
+    # NEW: cross-document duplicate-paragraph exposure (MassiveText's
+    # dup-paragraph signal) and the train->eval split leakage audit
+    # (GPT-3-style decontamination at the engine's own deterministic
+    # split boundary) — operators/corpus.py:dup_paragraph_stats,
+    # split_contamination.
+    "dup_paragraph_fraction", "split_contamination_audit",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -79,7 +86,7 @@ _CHECK_FIRST = [
     "entropy_score", "event_gap_stats", "funnel_stages",
     "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
     "incremental_dedup", "json_scan", "label_centroids",
-    "minhash_jaccard_estimate", "mode_agg", "normalize_text",
+    "minhash_jaccard_estimate",
 ]
 
 

@@ -130,6 +130,8 @@ HEADLINE_R9 = {
 # idempotent no-op re-check of both halves, like index_compact's).
 HEADLINE_R10 = {
     "refresh_compact_cycle": "noop",
+    "dup_paragraph_fraction": "collect",
+    "split_contamination_audit": "collect",
 }
 
 

@@ -181,3 +181,51 @@ def test_compaction_on_empty_evict_and_full_evict(spark, tmp_path):
     assert len([d for d in os.listdir(path)
                 if d.startswith("id_range=")]) == 4
     assert spark.read.parquet(path).count() == 100
+
+
+def test_paragraph_family_on_degenerate_corpora(spark):
+    """r10 paragraph hygiene: empty corpus, NULL text, and all-short
+    corpora flow through dup_paragraph_stats / split_contamination
+    with every document accounted for and zero false duplicates.
+    20 identical words make exactly one full paragraph, so two docs
+    sharing it are mutual dups; a 19-word doc has zero paragraphs but
+    still counts in n_docs."""
+    from tripgogo_vector_search_spark.operators import corpus as CP
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string")
+
+    empty = mk([])
+    assert CP.dup_paragraph_stats(empty).count() == 0
+    assert CP.split_contamination(empty).count() == 0
+
+    para = " ".join(["w%d" % i for i in range(20)])
+    docs = mk([(1, None, "a"),            # NULL text: 0 paras
+               (2, "", "a"),              # empty: 0 paras
+               (3, "only three words", "a"),   # short: 0 paras
+               (4, para, "a"),            # dup pair across docs
+               (5, para, "b"),
+               (6, " ".join(["u%d" % i for i in range(25)]), "b")])
+    out = {r.source: r for r in CP.dup_paragraph_stats(docs).collect()}
+    assert out["a"].n_docs == 4 and out["a"].n_paras == 1
+    assert out["a"].dup_paras == 1 and out["a"].dup_doc_fraction == 0.25
+    # source b: doc 5 dup, doc 6's single unique para is not
+    assert out["b"].n_docs == 2 and out["b"].n_paras == 2
+    assert out["b"].dup_paras == 1 and out["b"].dup_para_fraction == 0.5
+    # a source with ONLY short docs reports NULL para fraction, 0 docs
+    shorts = mk([(7, "tiny", "c"), (8, None, "c")])
+    row = CP.dup_paragraph_stats(shorts).collect()[0]
+    assert row.n_paras == 0 and row.dup_para_fraction is None
+    assert row.dup_doc_fraction == 0.0
+    # short docs must NOT co-locate or collide via the NULL sentinel:
+    # two NULL-text docs are not each other's duplicates
+    assert row.dup_paras == 0
+
+    # split audit on a train-only corpus: no eval rows, empty result
+    import hashlib
+    ids_train = [i for i in range(200)
+                 if hashlib.md5(str(i).encode()).hexdigest()[0]
+                 not in "cdef"][:2]
+    only_train = mk([(i, para, "a") for i in ids_train])
+    assert CP.split_contamination(only_train).count() == 0

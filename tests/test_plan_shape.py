@@ -1432,6 +1432,35 @@ def test_quality_by_length_decile_no_global_sort(spark):
     assert "EvalPython" not in plan
 
 
+def test_dup_paragraph_fraction_counts_join_no_window(spark):
+    """Cross-doc duplicate-paragraph exposure (r10): paragraph
+    multiplicity is a partial-aggregated groupBy on the hash key joined
+    back on that key — NOT a window, which would co-locate every
+    occurrence of a hot boilerplate paragraph (and every short doc's
+    NULL row) into one task with no AQE skew mitigation. The join key
+    is the sentinel-coalesced hash, so NULL rows stay uniform. Then
+    id-keyed and bounded source-keyed aggregates. No Python."""
+    plan = plan_of(QUERIES["dup_paragraph_fraction"](spark,
+                                                     SF_CORRECTNESS))
+    assert "Window" not in plan, plan
+    assert re.search(r"Left keys \[1\]: \[_wkey#\d+", plan), plan
+    assert "EvalPython" not in plan
+
+
+def test_split_contamination_semi_join_on_hash(spark):
+    """Split leakage audit (r10): eval paragraphs probe the DISTINCT
+    train-key set through a LEFT SEMI join on the md5 key. The train
+    side is pre-aggregated (distinct) before the join, so a hot
+    paragraph costs one row; the build side is the planner's call from
+    stats (broadcast at toy SF, sort-merge at corpus scale) — nothing
+    is F.broadcast-forced. No Python anywhere."""
+    plan = plan_of(QUERIES["split_contamination_audit"](spark,
+                                                        SF_CORRECTNESS))
+    assert "LeftSemi" in plan, plan
+    assert re.search(r"Left keys \[1\]: \[para_hash#\d+", plan), plan
+    assert "EvalPython" not in plan
+
+
 def test_share_trend_and_dup_multiplicity_cascaded(spark):
     """Both composition artifacts are cascaded aggregates with shrinking
     outputs; the share join broadcasts the tiny month totals."""

@@ -324,6 +324,17 @@ def run(spark, op: str, k: int) -> dict:
         else:
             QUERIES[op](spark, d).collect()
         elapsed = time.perf_counter() - t0
+    elif op in ("dup_paragraph_fraction", "split_contamination_audit"):
+        # r10 corpus-hygiene keys: paragraph-hash window count and the
+        # train->eval semi-join probe. Replication multiplies every
+        # paragraph's corpus multiplicity (duplicate rows land in the
+        # same md5 partition), so a plan that expanded pairs instead of
+        # counting rows would show a superlinear slope here.
+        from tripgogo_vector_search_spark.plans.registry import QUERIES
+        d = replicated_sf_dir(k)
+        t0 = time.perf_counter()
+        QUERIES[op](spark, d).collect()
+        elapsed = time.perf_counter() - t0
     elif op in ("quantile_heavy_tail", "rank_heavy_tail"):
         # the r9 adversarial fixture (VERDICT r8 "Next round" #1): the
         # SHIPPED operators on a lognormal-body + 1e12-outlier value

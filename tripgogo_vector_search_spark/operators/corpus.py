@@ -240,3 +240,134 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(id_col, "word", F.round(score, 6).alias("tfidf")))
+
+
+# -- paragraph-level duplication / split hygiene (r10) ---------------------
+
+# "Paragraph" for this corpus: a non-overlapping full PARA_WORDS-word
+# segment (the testdata text carries no newlines, so the MassiveText
+# paragraph unit is approximated by a fixed word window; on a corpus
+# with real structure, swap `words` for a split on '\n\n' and the rest
+# of the family is unchanged).
+PARA_WORDS = 20
+
+
+def paragraph_hashes(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", size: int = PARA_WORDS,
+                     extra_cols: tuple = ()) -> DataFrame:
+    """Explode each document into md5 keys of its non-overlapping full
+    `size`-word segments. Documents shorter than `size` words produce a
+    single NULL-hash row (explode_outer), so downstream per-doc
+    aggregates still see every document without a corpus join-back.
+
+    Scale shape: pure flatMap — one projection + explode, zero
+    shuffles; output rows ~ total_words / size.
+    """
+    ws = words(text_col)
+    n_full = F.floor(F.size(ws) / F.lit(size)).cast("int")
+    starts = F.when(
+        n_full >= 1,
+        F.sequence(F.lit(1), (n_full - F.lit(1)) * F.lit(size) + F.lit(1),
+                   F.lit(size)))  # otherwise NULL -> explode_outer keeps row
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, size))))
+    return docs.select(id_col, *extra_cols,
+                       F.explode_outer(hashes).alias("para_hash"))
+
+
+def dup_paragraph_stats(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", group_col: str = "source",
+                        size: int = PARA_WORDS) -> DataFrame:
+    """MassiveText-style duplicate-paragraph exposure per `group_col`:
+    of each source's paragraphs, how many occur (verbatim) more than
+    once ANYWHERE in the corpus, and what fraction of its documents
+    carry at least one such paragraph. The cross-document counterpart
+    of repetition_stats (within-doc) and boilerplate_ngrams (n-gram
+    df): this is the signal MassiveText thresholds to drop documents
+    whose content is mostly corpus boilerplate.
+
+    Scale shape: explode_outer (flatMap) -> multiplicity per key as a
+    partial-aggregated groupBy, joined back on the SAME key (a window
+    would co-locate every occurrence of a hot boilerplate paragraph —
+    and every short doc's NULL row — into one task with no mitigation;
+    the join form shrinks the build side to one row per distinct
+    paragraph and lets AQE split a skewed probe partition) -> per-doc
+    aggregate (uniform id key) -> bounded per-source aggregate. NULL
+    hashes (docs shorter than `size` words) are keyed by a per-doc
+    sentinel that cannot collide with an md5, so they neither co-locate
+    nor count as duplicates. Never all-pairs; a hot paragraph costs
+    rows, not pairs.
+    """
+    paras = (paragraph_hashes(docs, text_col, id_col, size,
+                              extra_cols=(group_col,))
+             .withColumn("_wkey", F.coalesce(
+                 F.col("para_hash"),
+                 F.concat(F.lit("short:"),
+                          F.col(id_col).cast("string")))))
+    counts = paras.groupBy("_wkey").agg(F.count(F.lit(1)).alias("mult"))
+    per_doc = (paras.join(counts, "_wkey")
+               .groupBy(id_col, group_col)
+               .agg(F.count(F.col("para_hash")).alias("n_paras"),
+                    F.sum(F.when(F.col("para_hash").isNotNull()
+                                 & (F.col("mult") > 1), 1)
+                          .otherwise(0)).alias("dup_paras")))
+    return (per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_paras").cast("bigint").alias("n_paras"),
+        F.sum("dup_paras").cast("bigint").alias("dup_paras"),
+        F.round(F.sum("dup_paras").cast("double")
+                / F.when(F.sum("n_paras") > 0, F.sum("n_paras")), 6)
+        .alias("dup_para_fraction"),
+        F.round(F.sum(F.when(F.col("dup_paras") > 0, 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6)
+        .alias("dup_doc_fraction")))
+
+
+def split_assignment(id_col: str = "doc_id") -> Column:
+    """Deterministic 75/12.5/12.5 train/val/test assignment from the
+    first md5 nibble of the id — engine-independent, stable across
+    reruns/repartitions, and recomputable by any downstream consumer
+    (same contract as the deterministic_sample key)."""
+    n = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return (F.when(n.isin("c", "d"), F.lit("val"))
+            .when(n.isin("e", "f"), F.lit("test"))
+            .otherwise(F.lit("train")))
+
+
+def split_contamination(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", group_col: str = "source",
+                        size: int = PARA_WORDS) -> DataFrame:
+    """Train->eval leakage audit at paragraph granularity: for each
+    (split, source) cell of the val/test partitions, the count and
+    fraction of documents sharing at least one verbatim PARA_WORDS-word
+    segment with ANY train document — the GPT-3 13-gram benchmark-
+    decontamination check applied to the engine's own split boundary
+    (`decontaminate` screens against an external benchmark with a
+    broadcast vocabulary; here BOTH sides are corpus-scale, so the
+    probe is a shuffled semi-join, never a forced broadcast).
+
+    Scale shape: flatMap explode -> distinct train keys (uniform md5,
+    map-side partial) -> LEFT SEMI join on the hash key (AQE may
+    broadcast the eval side's hits at runtime; nothing is forced) ->
+    distinct eval hit ids -> bounded (split x source) aggregate.
+    """
+    sp = split_assignment(id_col)
+    paras = (paragraph_hashes(docs.withColumn("split", sp), text_col,
+                              id_col, size, extra_cols=("split",))
+             .filter(F.col("para_hash").isNotNull()))
+    train_keys = (paras.filter(F.col("split") == "train")
+                  .select("para_hash").distinct())
+    hits = (paras.filter(F.col("split") != "train")
+            .join(train_keys, "para_hash", "left_semi")
+            .select(id_col).distinct()
+            .withColumn("_hit", F.lit(1)))
+    base = (docs.select(id_col, group_col).withColumn("split", sp)
+            .filter(F.col("split") != "train"))
+    return (base.join(hits, id_col, "left")
+            .groupBy("split", group_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint")
+                 .alias("contaminated_docs"),
+                 F.round(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("contamination_fraction")))

@@ -8005,6 +8005,87 @@ def boilerplate_ngrams_q(spark, sf_dir):
             .limit(30))
 
 
+@query("dup_paragraph_fraction",
+       f"""WITH w AS (SELECT doc_id, source, {sql_words('text')} AS ws
+                      FROM documents),
+           u AS (SELECT doc_id,
+                        md5(array_to_string(
+                            list_slice(ws, i, i + {CP.PARA_WORDS - 1}),
+                            ' ')) AS h
+                 FROM w, unnest(generate_series(
+                     1, len(ws) - {CP.PARA_WORDS - 1},
+                     {CP.PARA_WORDS})) AS t(i)),
+           c AS (SELECT h, count(*) AS mult FROM u GROUP BY h),
+           p AS (SELECT u.doc_id, count(*) AS n_paras,
+                        sum(CASE WHEN c.mult > 1 THEN 1 ELSE 0 END)
+                          AS dup_paras
+                 FROM u JOIN c USING (h) GROUP BY u.doc_id),
+           d AS (SELECT doc.source, COALESCE(p.n_paras, 0) AS n_paras,
+                        COALESCE(p.dup_paras, 0) AS dup_paras
+                 FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id)
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_paras) AS BIGINT) AS n_paras,
+                  CAST(sum(dup_paras) AS BIGINT) AS dup_paras,
+                  round(sum(dup_paras)::DOUBLE / nullif(sum(n_paras), 0), 6)
+                    AS dup_para_fraction,
+                  round(sum(CASE WHEN dup_paras > 0 THEN 1 ELSE 0 END)::DOUBLE
+                        / count(*), 6) AS dup_doc_fraction
+           FROM d GROUP BY source""")
+def dup_paragraph_fraction_q(spark, sf_dir):
+    """Cross-document duplicate-paragraph exposure per source
+    (MassiveText's dup-paragraph signal over 20-word segments; the
+    corpus counterpart of the within-doc dup_ngram_fraction). One
+    row-scale shuffle on the uniform md5 key — the multiplicity count
+    is a window on that key, not a join-back — then id-keyed and
+    bounded source-keyed aggregates (operators/corpus.py:
+    dup_paragraph_stats)."""
+    return CP.dup_paragraph_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("split_contamination_audit",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+           u AS (SELECT doc_id,
+                        md5(array_to_string(
+                            list_slice(ws, i, i + {CP.PARA_WORDS - 1}),
+                            ' ')) AS h
+                 FROM w, unnest(generate_series(
+                     1, len(ws) - {CP.PARA_WORDS - 1},
+                     {CP.PARA_WORDS})) AS t(i)),
+           s AS (SELECT doc_id, source,
+                        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                  IN ('c', 'd') THEN 'val'
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                  IN ('e', 'f') THEN 'test'
+                             ELSE 'train' END AS split
+                 FROM documents),
+           tk AS (SELECT DISTINCT u.h FROM u JOIN s USING (doc_id)
+                  WHERE s.split = 'train'),
+           hit AS (SELECT DISTINCT u.doc_id FROM u JOIN s USING (doc_id)
+                   WHERE s.split <> 'train'
+                     AND u.h IN (SELECT h FROM tk))
+           SELECT s.split, s.source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS contaminated_docs,
+                  round(sum(CASE WHEN hit.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                    AS contamination_fraction
+           FROM s LEFT JOIN hit ON s.doc_id = hit.doc_id
+           WHERE s.split <> 'train'
+           GROUP BY s.split, s.source""")
+def split_contamination_audit_q(spark, sf_dir):
+    """Train->eval leakage at the engine's own deterministic split
+    boundary: per (split, source), the share of val/test documents
+    sharing a verbatim 20-word segment with any train document — the
+    GPT-3-style decontamination audit a training pipeline runs before
+    shipping a split (operators/corpus.py:split_contamination; the
+    existing `decontaminate` key screens against a small external
+    benchmark with a broadcast vocabulary — here both sides are
+    corpus-scale, so the probe is a shuffled semi-join)."""
+    return CP.split_contamination(_t(spark, sf_dir, "documents"))
+
+
 # The shared minhash CTE up to the band index (no pair stage) — the
 # refresh probe aggregates buckets instead of expanding pairs.
 _MINHASH_BANDS_CTE = f"""
