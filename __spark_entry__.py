@@ -35,8 +35,11 @@ _CHECK_FIRST = [
     # dup-paragraph signal) and the train->eval split leakage audit
     # (GPT-3-style decontamination at the engine's own deterministic
     # split boundary) — operators/corpus.py:dup_paragraph_stats,
-    # split_contamination.
+    # split_contamination — and DSIR importance weighting (Xie et al.
+    # 2023: hashed-bigram log importance weights of a target slice vs
+    # the raw corpus, DECIMAL-exact across engines).
     "dup_paragraph_fraction", "split_contamination_audit",
+    "dsir_importance_weights",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -86,7 +89,6 @@ _CHECK_FIRST = [
     "entropy_score", "event_gap_stats", "funnel_stages",
     "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
     "incremental_dedup", "json_scan", "label_centroids",
-    "minhash_jaccard_estimate",
 ]
 
 

@@ -132,6 +132,7 @@ HEADLINE_R10 = {
     "refresh_compact_cycle": "noop",
     "dup_paragraph_fraction": "collect",
     "split_contamination_audit": "collect",
+    "dsir_importance_weights": "noop",
 }
 
 

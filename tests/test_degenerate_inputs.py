@@ -229,3 +229,34 @@ def test_paragraph_family_on_degenerate_corpora(spark):
                  not in "cdef"][:2]
     only_train = mk([(i, para, "a") for i in ids_train])
     assert CP.split_contamination(only_train).count() == 0
+
+
+def test_dsir_on_degenerate_corpora(spark):
+    """r10 DSIR: empty corpus, no-target corpus, and gram-less docs
+    flow through; a raw doc identical to the target slice scores
+    positive, an alien doc scores negative, and a 1-word doc keeps
+    weight exactly 0 (no grams -> empty product)."""
+    from tripgogo_vector_search_spark.operators import corpus as CP
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    tgt = (F.col("doc_id") % 2 == 0)
+    assert CP.dsir_importance_weights(mk([]), tgt).count() == 0
+    # no target rows: smoothing keeps every delta finite, no crash
+    only_raw = mk([(1, "a b c"), (3, "x y z")])
+    rows = {r.doc_id: r for r in
+            CP.dsir_importance_weights(only_raw, tgt).collect()}
+    assert set(rows) == {1, 3}
+    # target-lookalike vs alien vocabulary, plus a gram-less doc
+    docs = mk([(0, "the cat sat on the mat"),
+               (2, "the cat sat on the hat"),
+               (1, "the cat sat on the mat"),      # = target: positive
+               (3, "zq xw vv kk jj pp qq rr"),     # alien: negative
+               (5, "single")])                     # 0 grams: weight 0
+    out = {r.doc_id: r for r in
+           CP.dsir_importance_weights(docs, tgt).collect()}
+    assert out[1].selected and out[1].log_weight > 0
+    assert not out[3].selected and out[3].log_weight < 0
+    assert out[5].n_grams == 0 and out[5].log_weight == 0.0
+    assert not out[5].selected

@@ -1461,6 +1461,24 @@ def test_split_contamination_semi_join_on_hash(spark):
     assert "EvalPython" not in plan
 
 
+def test_dsir_broadcasts_bounded_stats_only(spark):
+    """DSIR importance weighting (r10): the only broadcast sides are
+    the <=64-row bucket-delta frame and the scalar totals (the one
+    BroadcastNestedLoopJoin Cross is that scalar crossJoin — policy-
+    allowed); corpus-scale frames shuffle on uniform (id, bucket) and
+    id keys. The per-doc accumulation is DECIMAL (order-free), no
+    Python anywhere."""
+    plan = plan_of(QUERIES["dsir_importance_weights"](spark,
+                                                      SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan, plan
+    # the delta frame reaches the row-scale join as a broadcast build
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one cross join, and it is the scalar-totals broadcast
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_share_trend_and_dup_multiplicity_cascaded(spark):
     """Both composition artifacts are cascaded aggregates with shrinking
     outputs; the share join broadcasts the tiny month totals."""

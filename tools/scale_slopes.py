@@ -324,16 +324,23 @@ def run(spark, op: str, k: int) -> dict:
         else:
             QUERIES[op](spark, d).collect()
         elapsed = time.perf_counter() - t0
-    elif op in ("dup_paragraph_fraction", "split_contamination_audit"):
-        # r10 corpus-hygiene keys: paragraph-hash window count and the
-        # train->eval semi-join probe. Replication multiplies every
-        # paragraph's corpus multiplicity (duplicate rows land in the
-        # same md5 partition), so a plan that expanded pairs instead of
-        # counting rows would show a superlinear slope here.
+    elif op in ("dup_paragraph_fraction", "split_contamination_audit",
+                "dsir_importance_weights"):
+        # r10 corpus-hygiene keys: paragraph-hash multiplicity join,
+        # the train->eval semi-join probe, and DSIR weighting.
+        # Replication multiplies every paragraph's corpus multiplicity
+        # (duplicate rows land in the same md5 partition), so a plan
+        # that expanded pairs instead of counting rows would show a
+        # superlinear slope here.
         from tripgogo_vector_search_spark.plans.registry import QUERIES
         d = replicated_sf_dir(k)
         t0 = time.perf_counter()
-        QUERIES[op](spark, d).collect()
+        if op == "dsir_importance_weights":
+            # row-per-doc output: noop sink, don't time driver transfer
+            QUERIES[op](spark, d).write.format("noop").mode(
+                "overwrite").save()
+        else:
+            QUERIES[op](spark, d).collect()
         elapsed = time.perf_counter() - t0
     elif op in ("quantile_heavy_tail", "rank_heavy_tail"):
         # the r9 adversarial fixture (VERDICT r8 "Next round" #1): the

@@ -371,3 +371,136 @@ def split_contamination(docs: DataFrame, text_col: str = "text",
                  F.round(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("contamination_fraction")))
+
+
+# -- DSIR-style importance weighting (r10) ----------------------------------
+
+DSIR_BUCKETS = 64  # 2^6: the same 6-bit md5 bucket space as hash_embed
+
+
+def _md5_bucket(c: Column, bits: int = 6) -> Column:
+    """6-bit feature-hash bucket from the high bits of the first `bits`
+    md5 hex nibbles — byte-identical to functions/embed.py's bucket and
+    oracle_helpers.sql_hash_bucket, so the feature space is shared and
+    engine-independent. A NULL input maps to the RESERVED bucket
+    2^bits (one past the real 0..2^bits-1 range) rather than to NULL
+    or to bucket 0: the bit-fold's otherwise(0) would silently count a
+    NULL as a real bucket-0 feature (caught by the degenerate
+    battery), and a NULL bucket makes Spark push an
+    isnotnull(gram)-simplified filter into the outer-join build side's
+    aggregate subtree, breaking exchange reuse with its sibling — a
+    non-null sentinel id keeps every consumer's subtree identical and
+    is excluded arithmetically inside the aggregates instead."""
+    h = F.md5(c)
+    b = F.lit(0)
+    for i in range(bits):
+        b = b * 2 + F.when(h.substr(i + 1, 1)
+                           .isin(*"89abcdef"), 1).otherwise(0)
+    return F.when(c.isNull(), F.lit(1 << bits)).otherwise(b)
+
+
+def dsir_importance_weights(docs: DataFrame, is_target: Column,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every RAW document by the log importance
+    weight of a hashed bag-of-bigrams model fit on a TARGET slice —
+    log w(x) = sum_b c_b(x) * ln(p_target[b] / p_raw[b]) with add-1
+    smoothing over DSIR_BUCKETS feature buckets. Documents with
+    positive log weight look more like the target distribution than
+    the raw corpus; `selected` flags them (the resampling step then
+    draws by weight — deterministic_sample composes on top).
+
+    Engine-independent by construction: bucket probabilities reduce to
+    integer count ratios, the per-bucket log-ratio is truncated to
+    DECIMAL(28,12) (absorbing last-ulp ln() differences between
+    libm implementations), and the per-doc sum accumulates in DECIMAL —
+    exact and order-free — so the oracle comparison is value-sharp.
+
+    Scale shape: bigram explode (flatMap) -> (doc, bucket) counts
+    [shuffle 1, uniform two-part key] -> the bucket stats frame is a
+    BOUNDED (<= DSIR_BUCKETS rows) aggregate of that, broadcast back
+    with its scalar totals -> per-doc DECIMAL sum [shuffle 2, uniform
+    id key] -> left join onto the raw doc list so gram-less docs keep
+    weight 0. No Python, no corpus-side broadcast, no skew (md5
+    buckets are uniform by construction).
+    """
+    K = DSIR_BUCKETS
+    # ws is projected to a REAL column before the transform: an outer
+    # EXPRESSION referenced inside an interpreted lambda body is
+    # re-evaluated on every lambda call (the split would re-run once
+    # per gram — the dup_ngram_fraction lesson), a column reference is
+    # evaluated once per row.
+    ws = F.col("_ws")
+    # gram-less docs (NULL text / <2 words) emit ONE sentinel NULL-gram
+    # row instead of vanishing from the explode: that keeps every raw
+    # doc reachable from this single frame, so no documents join-back
+    # is needed at the end (a LeftOuter join-back infers
+    # IsNotNull(doc_id) into this branch's scan and breaks exchange
+    # reuse with the stats branch)
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+    ).otherwise(F.array(F.lit(None).cast("string")))
+    tagged = (docs.select(id_col, is_target.alias("_t"),
+                          words(text_col).alias("_ws"))
+              .select(id_col, "_t", F.explode(grams).alias("gram")))
+    # _t is an AGGREGATED value, not a grouping key: it is functionally
+    # dependent on the id anyway, and keeping it out of the keys stops
+    # Catalyst pushing the probe branch's ~_t filter below this
+    # aggregate — which would make the two consumers' exchanges differ
+    # and force the corpus-scale explode+md5 subtree to run twice.
+    # With identical exchanges the physical planner inserts a
+    # ReusedExchange: one scan, one shuffle, two readers (plan-pinned).
+    db = (tagged.groupBy(id_col, _md5_bucket(F.col("gram")).alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("c"), F.max("_t").alias("_t")))
+    # the sentinel-bucket (id = K) group stays in the frame — a FILTER
+    # on the grouping key would push below the shared aggregate and
+    # break exchange reuse — and is excluded ARITHMETICALLY: tot's and
+    # per_doc's aggregates condition on bucket < K inside the agg
+    # expressions, which nothing can push down
+    stats = (db.groupBy("bucket")
+             .agg(F.sum(F.when(F.col("_t"), F.col("c")).otherwise(0))
+                  .alias("ct"),
+                  F.sum(F.when(~F.col("_t"), F.col("c")).otherwise(0))
+                  .alias("cr")))
+    tot = stats.agg(
+        F.sum(F.when(F.col("bucket") < K, F.col("ct"))
+              .otherwise(0)).alias("tt"),
+        F.sum(F.when(F.col("bucket") < K, F.col("cr"))
+              .otherwise(0)).alias("tr"))
+    # integer ratio -> one IEEE division -> one ln() -> DECIMAL(28,12):
+    # every engine computes the same double up to the log's last ulp,
+    # which the decimal truncation absorbs
+    delta = (stats.crossJoin(F.broadcast(tot))
+             .select("bucket",
+                     F.log(((F.col("ct") + 1) * (F.col("tr") + K))
+                           .cast("double")
+                           / ((F.col("tt") + K) * (F.col("cr") + 1))
+                           .cast("double"))
+                     .cast("decimal(28,12)").alias("d")))
+    # c is cast to DECIMAL(9,0) so the product is DECIMAL(38,12) — a
+    # bare bigint*decimal(28,12) overflows precision 38 and Spark
+    # silently drops the scale to 6, truncating every term at 1e-6
+    # (measured: 3e-6 drift vs the oracle); DuckDB keeps scale 12.
+    # LEFT join (semantically inner: every db bucket exists in delta by
+    # construction) — an INNER join pushes an isnotnull(bucket) filter
+    # into this branch's aggregate subtree, breaking exchange reuse
+    # with the stats branch. Sentinel rows DO match delta's bucket-K
+    # row, so both aggregates mask bucket >= K terms to zero/null.
+    per_doc = (db.filter(~F.col("_t"))
+               .join(F.broadcast(delta), "bucket", "left")
+               .groupBy(id_col)
+               .agg(F.sum(F.when(F.col("bucket") < K, F.col("c"))
+                          .otherwise(0)).alias("n_grams"),
+                    F.sum(F.when(F.col("bucket") < K,
+                                 F.col("c").cast("decimal(9,0)")
+                                 * F.col("d"))).alias("s")))
+    return (per_doc
+            .select(id_col,
+                    F.col("n_grams").cast("bigint").alias("n_grams"),
+                    F.round(F.coalesce(F.col("s"), F.lit(0))
+                            .cast("double"), 6).alias("log_weight"),
+                    (F.coalesce(F.col("s"), F.lit(0)) > 0)
+                    .alias("selected")))

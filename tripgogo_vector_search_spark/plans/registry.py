@@ -8005,6 +8005,53 @@ def boilerplate_ngrams_q(spark, sf_dir):
             .limit(30))
 
 
+@query("dsir_importance_weights",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+           g AS (SELECT doc_id, doc_id % 7 = 0 AS t,
+                        unnest(CASE WHEN len(ws) >= 2 THEN
+                            list_transform(generate_series(1, len(ws) - 1),
+                                i -> array_to_string(
+                                    list_slice(ws, i, i + 1), ' '))
+                            ELSE []::VARCHAR[] END) AS gram
+                 FROM w),
+           db AS (SELECT doc_id, t,
+                         {sql_hash_bucket('md5(gram)', 6)} AS bucket,
+                         count(*) AS c
+                  FROM g GROUP BY 1, 2, 3),
+           st AS (SELECT bucket,
+                         sum(CASE WHEN t THEN c ELSE 0 END) AS ct,
+                         sum(CASE WHEN NOT t THEN c ELSE 0 END) AS cr
+                  FROM db GROUP BY bucket),
+           tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM st),
+           delta AS (SELECT bucket,
+                            CAST(ln(((ct + 1) * (tr + {CP.DSIR_BUCKETS}))::DOUBLE
+                                    / ((tt + {CP.DSIR_BUCKETS}) * (cr + 1))::DOUBLE)
+                                 AS DECIMAL(28,12)) AS d
+                     FROM st, tot),
+           p AS (SELECT db.doc_id, sum(db.c) AS n_grams,
+                        sum(CAST(db.c AS DECIMAL(9,0)) * delta.d) AS s
+                 FROM db JOIN delta USING (bucket)
+                 WHERE NOT db.t GROUP BY db.doc_id)
+           SELECT d.doc_id,
+                  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+                  round(COALESCE(p.s, 0)::DOUBLE, 6) AS log_weight,
+                  COALESCE(p.s, 0) > 0 AS selected
+           FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+           WHERE d.doc_id % 7 <> 0""")
+def dsir_importance_weights_q(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): every
+    raw document scored by the log importance weight of a hashed
+    bag-of-bigrams model fit on the target slice (the doc_id%7
+    'curated' cohort — the same proxy-slice convention as
+    decontaminate's benchmark split). Integer count ratios + one ln()
+    truncated to DECIMAL(28,12) + DECIMAL per-doc accumulation make
+    the float path engine-exact (operators/corpus.py:
+    dsir_importance_weights)."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.dsir_importance_weights(d, F.col("doc_id") % 7 == 0)
+
+
 @query("dup_paragraph_fraction",
        f"""WITH w AS (SELECT doc_id, source, {sql_words('text')} AS ws
                       FROM documents),
