@@ -133,6 +133,7 @@ HEADLINE_R10 = {
     "dup_paragraph_fraction": "collect",
     "split_contamination_audit": "collect",
     "dsir_importance_weights": "noop",
+    "dup_paragraph_removal": "noop",
 }
 
 

@@ -260,3 +260,37 @@ def test_dsir_on_degenerate_corpora(spark):
     assert not out[3].selected and out[3].log_weight < 0
     assert out[5].n_grams == 0 and out[5].log_weight == 0.0
     assert not out[5].selected
+
+
+def test_dup_paragraph_removal_semantics(spark):
+    """r10 removal transform: NULL text stays NULL, short docs pass
+    through verbatim, the globally-first occurrence (smallest
+    (doc_id, seg_idx)) survives — including in-document repeats — and
+    a fully-duplicated doc with no tail cleans to the empty string."""
+    from tripgogo_vector_search_spark.operators import corpus as CP
+
+    para_a = " ".join("a%d" % i for i in range(20))
+    para_b = " ".join("b%d" % i for i in range(20))
+    para_c = " ".join("c%d" % i for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, None),
+         (2, "short doc"),
+         (3, para_a + " " + para_b + " tail words"),   # first owner of a, b
+         (4, para_b),                                   # dup of b: removed -> ""
+         (5, para_c + " " + para_c),                    # in-doc repeat: 2nd removed
+         (6, para_a),                                   # doc 3 owns a: removed
+         ], "doc_id bigint, text string")
+    out = {r.doc_id: r for r in CP.dup_paragraph_removal(docs).collect()}
+    assert out[1].clean_text is None and out[1].n_paras == 0
+    assert out[2].clean_text == "short doc" and out[2].n_removed == 0
+    assert out[3].clean_text == para_a + " " + para_b + " tail words"
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 1
+    assert out[5].clean_text == para_c and out[5].n_removed == 1
+    assert out[6].clean_text == "" and out[6].n_removed == 1
+    # idempotency: removing from the cleaned corpus removes nothing
+    cleaned = CP.dup_paragraph_removal(
+        spark.createDataFrame(
+            [(r.doc_id, r.clean_text) for r in out.values()],
+            "doc_id bigint, text string"))
+    assert {r.n_removed for r in cleaned.collect()} == {0}

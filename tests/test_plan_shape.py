@@ -1479,6 +1479,20 @@ def test_dsir_broadcasts_bounded_stats_only(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_dup_paragraph_removal_min_struct_no_window(spark):
+    """Duplicate-span removal (r10): the per-hash first occurrence is a
+    partial-aggregated min(struct) groupBy joined back on the hash key
+    — never a window on the hash (hot boilerplate would single-task),
+    and only REMOVED (doc, idx) slivers travel to the per-doc
+    collect_set. No Python."""
+    plan = plan_of(QUERIES["dup_paragraph_removal"](spark,
+                                                    SF_CORRECTNESS))
+    assert "Window" not in plan, plan
+    assert re.search(r"Left keys \[1\]: \[h#\d+", plan), plan
+    assert "collect_set" in plan, plan
+    assert "EvalPython" not in plan
+
+
 def test_share_trend_and_dup_multiplicity_cascaded(spark):
     """Both composition artifacts are cascaded aggregates with shrinking
     outputs; the share join broadcasts the tiny month totals."""

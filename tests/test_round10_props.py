@@ -135,3 +135,32 @@ def test_dsir_matches_python_reference(spark):
         assert r.log_weight == pytest.approx(round(float(s), 6),
                                              abs=2e-6), doc_id
         assert r.selected == (s > 0), doc_id
+
+
+def test_dup_paragraph_removal_matches_python_reference(spark):
+    got = {r.doc_id: r for r in
+           QUERIES["dup_paragraph_removal"](spark, SF).collect()}
+    first = {}
+    per_doc = []
+    for doc_id, text, _ in sorted(_docs()):
+        hs = _paras(text)
+        for i, h in enumerate(hs):
+            first.setdefault(h, (doc_id, i))
+        per_doc.append((doc_id, text, hs))
+    for doc_id, text, hs in per_doc:
+        r = got[doc_id]
+        if text is None:
+            assert (r.n_paras, r.n_removed, r.clean_text) == (0, 0, None)
+            continue
+        ws = text.split(" ")
+        kept, removed = [], 0
+        for i, h in enumerate(hs):
+            if first[h] == (doc_id, i):
+                kept.append(" ".join(ws[i * PARA:(i + 1) * PARA]))
+            else:
+                removed += 1
+        tail = ws[len(hs) * PARA:]
+        if tail:
+            kept.append(" ".join(tail))
+        assert r.n_paras == len(hs) and r.n_removed == removed, doc_id
+        assert r.clean_text == " ".join(kept), doc_id

@@ -325,7 +325,7 @@ def run(spark, op: str, k: int) -> dict:
             QUERIES[op](spark, d).collect()
         elapsed = time.perf_counter() - t0
     elif op in ("dup_paragraph_fraction", "split_contamination_audit",
-                "dsir_importance_weights"):
+                "dsir_importance_weights", "dup_paragraph_removal"):
         # r10 corpus-hygiene keys: paragraph-hash multiplicity join,
         # the train->eval semi-join probe, and DSIR weighting.
         # Replication multiplies every paragraph's corpus multiplicity
@@ -335,7 +335,7 @@ def run(spark, op: str, k: int) -> dict:
         from tripgogo_vector_search_spark.plans.registry import QUERIES
         d = replicated_sf_dir(k)
         t0 = time.perf_counter()
-        if op == "dsir_importance_weights":
+        if op in ("dsir_importance_weights", "dup_paragraph_removal"):
             # row-per-doc output: noop sink, don't time driver transfer
             QUERIES[op](spark, d).write.format("noop").mode(
                 "overwrite").save()

@@ -504,3 +504,72 @@ def dsir_importance_weights(docs: DataFrame, is_target: Column,
                             .cast("double"), 6).alias("log_weight"),
                     (F.coalesce(F.col("s"), F.lit(0)) > 0)
                     .alias("selected")))
+
+
+def dup_paragraph_removal(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          size: int = PARA_WORDS) -> DataFrame:
+    """The cleaning TRANSFORM behind dup_paragraph_stats (Lee et al.
+    2022, arXiv:2107.06499 — exact duplicate-span removal, here at
+    paragraph granularity): every non-first occurrence of a duplicated
+    `size`-word segment is dropped and the document text is rebuilt
+    from its kept segments plus the (<size-word) tail. "First" is the
+    globally smallest (doc_id, seg_idx) — deterministic under any
+    partitioning. NULL text stays NULL; a document shorter than `size`
+    words passes through verbatim.
+
+    Scale shape: segment-hash explode (flatMap) -> per-hash first-
+    occurrence via min(struct) — a partial-aggregating groupBy, NOT a
+    window, so a boilerplate paragraph repeated a million times is
+    pre-aggregated map-side instead of sorted in one task -> join back
+    on the hash key (AQE splits skewed probe partitions) -> the
+    REMOVED (doc, idx) slivers — only duplicates travel — collect to a
+    bounded per-doc set [shuffle, uniform id key] -> one broadcast-free
+    left join onto the corpus scan rebuilds the text with array ops.
+    Reconstruction cost is one pass over each doc's words; removed-set
+    size is bounded by doc length / size.
+    """
+    ws = F.col("_ws")
+    n_full = F.floor(F.size(ws) / F.lit(size)).cast("int")
+    base = docs.withColumn("_ws", words(text_col))
+    idx = F.explode(F.when(
+        n_full >= 1,
+        F.sequence(F.lit(0), n_full - F.lit(1)))).alias("idx")
+    paras = (base.select(id_col, idx, "_ws")
+             .select(id_col, "idx",
+                     F.md5(F.concat_ws(" ", F.slice(
+                         ws, F.col("idx") * size + 1, size))).alias("h")))
+    first = (paras.groupBy("h")
+             .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("idx").alias("i"))).alias("f"),
+                  F.count(F.lit(1)).alias("mult")))
+    removed = (paras.join(first, "h")
+               .filter((F.col("mult") > 1)
+                       & ((F.col(id_col) != F.col("f.d"))
+                          | (F.col("idx") != F.col("f.i"))))
+               .groupBy(id_col)
+               .agg(F.collect_set("idx").alias("_rm")))
+    seg_or_null = lambda i: F.when(  # noqa: E731
+        F.array_contains(F.col("_rm"), i), F.lit(None).cast("string")
+    ).otherwise(F.concat_ws(" ", F.slice(ws, i * size + 1, size)))
+    tail_len = F.size(ws) - n_full * size
+    tail = F.when(tail_len > 0,
+                  F.concat_ws(" ", F.slice(ws, n_full * size + 1,
+                                           F.greatest(tail_len, F.lit(1)))))
+    segs = F.when(
+        n_full >= 1,
+        F.transform(F.sequence(F.lit(0), n_full - F.lit(1)), seg_or_null)
+    ).otherwise(F.array().cast("array<string>"))
+    kept = F.filter(F.concat(segs, F.array(tail)),
+                    lambda x: x.isNotNull())
+    return (base.join(removed, id_col, "left")
+            .withColumn("_rm", F.coalesce(
+                "_rm", F.array().cast("array<int>")))
+            .select(id_col,
+                    F.coalesce(n_full, F.lit(0)).cast("bigint")
+                    .alias("n_paras"),
+                    F.size("_rm").cast("bigint").alias("n_removed"),
+                    F.when(F.col(text_col).isNull(),
+                           F.lit(None).cast("string"))
+                    .otherwise(F.concat_ws(" ", kept))
+                    .alias("clean_text")))

@@ -8089,6 +8089,63 @@ def dup_paragraph_fraction_q(spark, sf_dir):
     return CP.dup_paragraph_stats(_t(spark, sf_dir, "documents"))
 
 
+@query("dup_paragraph_removal",
+       f"""WITH w AS (SELECT doc_id, text, {sql_words('text')} AS ws
+                      FROM documents),
+           u AS (SELECT doc_id, CAST(i AS INT) AS idx,
+                        md5(array_to_string(
+                            list_slice(ws, i * {CP.PARA_WORDS} + 1,
+                                       i * {CP.PARA_WORDS} + {CP.PARA_WORDS}),
+                            ' ')) AS h
+                 FROM w, unnest(generate_series(
+                     0, CAST(len(ws) // {CP.PARA_WORDS} AS INT) - 1))
+                     AS t(i)),
+           k AS (SELECT doc_id, idx,
+                        row_number() OVER (PARTITION BY h
+                                           ORDER BY doc_id, idx) AS rn
+                 FROM u),
+           rm AS (SELECT doc_id, list(idx) AS rm
+                  FROM k WHERE rn > 1 GROUP BY doc_id)
+           SELECT w.doc_id,
+                  CAST(COALESCE(len(w.ws) // {CP.PARA_WORDS}, 0) AS BIGINT)
+                    AS n_paras,
+                  CAST(COALESCE(len(rm.rm), 0) AS BIGINT) AS n_removed,
+                  CASE WHEN w.text IS NULL THEN NULL ELSE
+                    -- COALESCE: DuckDB's array_to_string([]) is NULL,
+                    -- Spark's concat_ws over an empty array is ''
+                    COALESCE(array_to_string(list_filter(list_append(
+                      CASE WHEN len(w.ws) // {CP.PARA_WORDS} >= 1 THEN
+                        list_transform(
+                          generate_series(
+                              0, CAST(len(w.ws) // {CP.PARA_WORDS} AS INT) - 1),
+                          i -> CASE WHEN list_contains(rm.rm, CAST(i AS INT))
+                                    THEN NULL
+                                    ELSE array_to_string(list_slice(
+                                        w.ws, i * {CP.PARA_WORDS} + 1,
+                                        i * {CP.PARA_WORDS} + {CP.PARA_WORDS}),
+                                        ' ') END)
+                      ELSE []::VARCHAR[] END,
+                      CASE WHEN len(w.ws) % {CP.PARA_WORDS} > 0 THEN
+                        array_to_string(list_slice(
+                            w.ws,
+                            (len(w.ws) // {CP.PARA_WORDS}) * {CP.PARA_WORDS} + 1,
+                            len(w.ws)), ' ')
+                      ELSE NULL END),
+                      x -> x IS NOT NULL), ' '), '')
+                  END AS clean_text
+           FROM w LEFT JOIN rm ON w.doc_id = rm.doc_id""")
+def dup_paragraph_removal_q(spark, sf_dir):
+    """Duplicate-span REMOVAL (Lee et al. 2022, arXiv:2107.06499, at
+    paragraph granularity): the cleaning transform behind
+    dup_paragraph_fraction — non-first occurrences of duplicated
+    20-word segments are dropped and each document's text is rebuilt
+    from its kept segments plus the short tail. First occurrence =
+    globally smallest (doc_id, seg_idx) via a partial-aggregated
+    min(struct) per hash, never a window on the hash key
+    (operators/corpus.py:dup_paragraph_removal)."""
+    return CP.dup_paragraph_removal(_t(spark, sf_dir, "documents"))
+
+
 @query("split_contamination_audit",
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
                       FROM documents),
