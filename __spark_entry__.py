@@ -40,6 +40,7 @@ _CHECK_FIRST = [
     # the raw corpus, DECIMAL-exact across engines).
     "dup_paragraph_fraction", "split_contamination_audit",
     "dsir_importance_weights", "dup_paragraph_removal",
+    "stream_paragraph_probe",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -88,7 +89,7 @@ _CHECK_FIRST = [
     "argmax_agg", "cdc_upsert", "chunk_docs", "decontaminate",
     "entropy_score", "event_gap_stats", "funnel_stages",
     "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
-    "incremental_dedup", "json_scan",
+    "incremental_dedup",
 ]
 
 

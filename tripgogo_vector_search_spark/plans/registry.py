@@ -8251,6 +8251,44 @@ def stream_minhash_probe_q(spark, sf_dir):
     return out
 
 
+@query("stream_paragraph_probe",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+           u AS (SELECT doc_id,
+                        md5(array_to_string(
+                            list_slice(ws, i, i + {CP.PARA_WORDS - 1}),
+                            ' ')) AS h
+                 FROM w, unnest(generate_series(
+                     1, len(ws) - {CP.PARA_WORDS - 1},
+                     {CP.PARA_WORDS})) AS t(i)),
+           corp AS (SELECT DISTINCT h FROM u WHERE doc_id % 10 <> 3),
+           hit AS (SELECT doc_id, count(*) AS n FROM u
+                   WHERE doc_id % 10 = 3
+                     AND h IN (SELECT h FROM corp)
+                   GROUP BY doc_id)
+           SELECT d.doc_id,
+                  CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_dup_paras,
+                  hit.n IS NOT NULL AS is_dup
+           FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+           WHERE d.doc_id % 10 = 3""")
+def stream_paragraph_probe_q(spark, sf_dir):
+    """The streaming form of the paragraph-dedup screen: arriving docs
+    (the doc_id%10==3 cohort) probed per micro-batch (foreachBatch)
+    against the static snapshot corpus's distinct paragraph-hash set,
+    sunk idempotently to per-batch parquet partitions. Verdicts depend
+    only on each doc's own segment hashes + the static set, so the
+    read-back equals the batch probe's oracle exactly, whatever the
+    micro-batch boundaries (streaming/ingest.py:
+    stream_paragraph_probe)."""
+    from ..streaming.ingest import stream_paragraph_probe
+    d = _t(spark, sf_dir, "documents")
+    corpus = (CP.paragraph_hashes(d.filter(F.col("doc_id") % 10 != 3))
+              .filter(F.col("para_hash").isNotNull())
+              .select("para_hash").distinct())
+    return stream_paragraph_probe(spark, sf_dir, corpus,
+                                  _cache_dir(sf_dir, "stream_para_probe"))
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------

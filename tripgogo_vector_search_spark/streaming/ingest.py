@@ -342,3 +342,56 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str,
         "user_id", "view_id", "buy_id",
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
         F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_time"))
+
+
+def stream_paragraph_probe(spark: SparkSession, sf_dir: str,
+                           corpus_paras: DataFrame,
+                           out_dir: str) -> DataFrame:
+    """Streaming duplicate-paragraph screen (the r10 paragraph family's
+    online half, mirroring stream_minhash_probe): docs arriving on the
+    stream (the doc_id%10==3 'new since the snapshot' cohort) have
+    their 20-word segment hashes probed per micro-batch against the
+    STATIC corpus paragraph-hash set — the screen a firehose ingest
+    runs before admitting a document whose content is already in the
+    training corpus verbatim.
+
+    Each doc's verdict depends only on its own segment hashes plus the
+    static set, so the result is micro-batch-partitioning-INDEPENDENT
+    and equals the batch probe exactly; no watermark or streaming
+    state. Sink idempotence: each batch overwrites its own batch_id=N
+    partition (exactly-once by idempotence). At 100 TB the corpus set
+    is the DISTINCT-hash aggregate of the paragraph index — one row
+    per distinct paragraph, rebuilt only at snapshot refresh."""
+    import shutil
+
+    from ..operators import corpus as CP
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_chk", ignore_errors=True)
+    docs = (spark.readStream.format("parquet").schema(DOCS_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet").load(sf_dir)
+            .filter(F.col("doc_id") % 10 == 3))
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        paras = (CP.paragraph_hashes(bdf)
+                 .filter(F.col("para_hash").isNotNull()))
+        hits = (paras.join(corpus_paras, "para_hash", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n")))
+        verdict = (bdf.select("doc_id").join(hits, "doc_id", "left")
+                   .select("doc_id",
+                           F.coalesce("n", F.lit(0)).cast("bigint")
+                           .alias("n_dup_paras"),
+                           F.col("n").isNotNull().alias("is_dup")))
+        verdict.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}")
+
+    q = (docs.writeStream.outputMode("append")
+         .option("checkpointLocation", out_dir + "_chk")
+         .foreachBatch(write_batch).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.read.parquet(out_dir)
+            .select("doc_id", "n_dup_paras", "is_dup"))
