@@ -41,6 +41,11 @@ _CHECK_FIRST = [
     "dup_paragraph_fraction", "split_contamination_audit",
     "dsir_importance_weights", "dup_paragraph_removal",
     "stream_paragraph_probe",
+    # boilerplate_ngrams re-rows for the r10 HOF fix: the 3-gram
+    # lambda read the word array as an OUTER expression, re-running
+    # the split per gram (O(len^2) per doc; measured 3.3x on
+    # 2000-word docs) — now a projected column.
+    "boilerplate_ngrams",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -89,7 +94,6 @@ _CHECK_FIRST = [
     "argmax_agg", "cdc_upsert", "chunk_docs", "decontaminate",
     "entropy_score", "event_gap_stats", "funnel_stages",
     "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
-    "incremental_dedup",
 ]
 
 

@@ -104,9 +104,13 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
     the final chunk may be shorter than `size`.
 
     Scale shape: one projection + explode (flatMap) — embarrassingly
-    parallel, zero shuffles, output rows ~ n_docs * len/stride.
+    parallel, zero shuffles, output rows ~ n_docs * len/stride. The
+    word array is projected to a REAL column before the transform
+    (r10): an outer expression inside an interpreted lambda
+    re-evaluates per chunk — the split would re-run len/stride times
+    per doc, O(len^2/stride) on production-length documents.
     """
-    ws = words(text_col)
+    ws = F.col("_cws")
     starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)),
                         F.lit(stride))
     chunks = F.transform(starts, lambda i: F.struct(
@@ -114,7 +118,8 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
         F.concat_ws(" ", F.slice(ws, i, size)).alias("chunk_text"),
         F.least(F.size(ws) - i + 1, F.lit(size)).cast("bigint")
         .alias("n_words")))
-    return (docs.select(id_col, F.explode(chunks).alias("c"))
+    return (docs.select(id_col, words(text_col).alias("_cws"))
+            .select(id_col, F.explode(chunks).alias("c"))
             .select(id_col, F.col("c.chunk_id").alias("chunk_id"),
                     F.col("c.chunk_text").alias("chunk_text"),
                     F.col("c.n_words").alias("n_words")))
@@ -261,9 +266,13 @@ def paragraph_hashes(docs: DataFrame, text_col: str = "text",
     aggregates still see every document without a corpus join-back.
 
     Scale shape: pure flatMap — one projection + explode, zero
-    shuffles; output rows ~ total_words / size.
+    shuffles; output rows ~ total_words / size. The word array is
+    projected to a REAL column before the transform: an outer
+    expression referenced inside an interpreted lambda re-evaluates
+    per element (the split would re-run once per segment — O(len^2/
+    size) per doc), a column reference is evaluated once per row.
     """
-    ws = words(text_col)
+    ws = F.col("_pws")
     n_full = F.floor(F.size(ws) / F.lit(size)).cast("int")
     starts = F.when(
         n_full >= 1,
@@ -271,8 +280,10 @@ def paragraph_hashes(docs: DataFrame, text_col: str = "text",
                    F.lit(size)))  # otherwise NULL -> explode_outer keeps row
     hashes = F.transform(
         starts, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, size))))
-    return docs.select(id_col, *extra_cols,
-                       F.explode_outer(hashes).alias("para_hash"))
+    return (docs.select(id_col, *extra_cols,
+                        words(text_col).alias("_pws"))
+            .select(id_col, *extra_cols,
+                    F.explode_outer(hashes).alias("para_hash")))
 
 
 def dup_paragraph_stats(docs: DataFrame, text_col: str = "text",

@@ -7988,11 +7988,16 @@ def boilerplate_ngrams_q(spark, sf_dir):
     from ..functions.text import words
     from ..partitioning import widen
     d = widen(_t(spark, sf_dir, "documents"))
-    ws = words("text")
+    # words projected to a real column before the transform (r10): an
+    # outer expression inside an interpreted lambda re-evaluates per
+    # 3-gram — the split would re-run len-2 times per doc, O(len^2)
+    # on production-length documents
+    ws = F.col("_bws")
     g3 = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size(ws) - 2),
         lambda i: F.concat_ws(" ", F.slice(ws, i, 3))))
-    g = (d.filter(F.size(ws) >= 3)
+    g = (d.select("doc_id", words("text").alias("_bws"))
+         .filter(F.size(ws) >= 3)
          .select("doc_id", F.explode(g3).alias("ngram")))
     dfreq = g.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
