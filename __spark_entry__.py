@@ -41,11 +41,18 @@ _CHECK_FIRST = [
     "dup_paragraph_fraction", "split_contamination_audit",
     "dsir_importance_weights", "dup_paragraph_removal",
     "stream_paragraph_probe",
-    # boilerplate_ngrams re-rows for the r10 HOF fix: the 3-gram
-    # lambda read the word array as an OUTER expression, re-running
-    # the split per gram (O(len^2) per doc; measured 3.3x on
-    # 2000-word docs) — now a projected column.
-    "boilerplate_ngrams",
+    # HOF-sweep re-rows (r10): these lambdas read the word array as an
+    # OUTER expression, re-running the split per gram/shingle —
+    # O(len^2) per doc, measured 3.3x on 2000-word docs.
+    # boilerplate_ngrams projects the array to a column; the shared
+    # shingles() expression now binds it once as a lambda variable,
+    # moving the fingerprints of every expression-shingle consumer
+    # (the minhash SIGNATURE paths use the Arrow kernel and are
+    # unmoved).
+    "boilerplate_ngrams", "ngram_jaccard", "ngram_jaccard_prefix",
+    "containment_join", "jaccard_topk_per_doc", "novelty_by_source",
+    "shingle_df_histogram", "minhash_band_recall",
+    "minhash_threshold_sweep", "minhash_jaccard_estimate",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -90,10 +97,8 @@ _CHECK_FIRST = [
     "scalar_funcs", "case_when", "array_funcs", "string_funcs",
     "date_funcs", "scalar_subquery", "correlated_subquery",
     "explode_tokens", "collect_agg", "set_ops_all", "null_funcs",
-    "like_filter", "vector_distances", "map_funcs", "udtf_ngrams",
-    "argmax_agg", "cdc_upsert", "chunk_docs", "decontaminate",
-    "entropy_score", "event_gap_stats", "funnel_stages",
-    "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
+    "like_filter", "vector_distances", "map_funcs",
+    "chunk_docs", "decontaminate",
 ]
 
 

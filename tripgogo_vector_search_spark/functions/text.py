@@ -45,13 +45,22 @@ def token_count(col: ColumnOrName) -> Column:
 
 def shingles(col: ColumnOrName, n: int = 3) -> Column:
     """Word n-gram shingles: ``n`` consecutive words joined by a space.
-    Documents shorter than ``n`` words yield an empty list."""
-    w = words(col)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(w) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
-    return F.when(F.size(w) >= n, make).otherwise(F.array().cast("array<string>"))
+    Documents shorter than ``n`` words yield an empty list.
+
+    The words array is bound ONCE as a lambda variable (the outer
+    one-element transform) so the inner per-shingle lambda touches only
+    lambda variables: an outer expression referenced inside an
+    interpreted lambda body re-evaluates per call, which here would
+    re-run the split once per shingle — O(len^2) per document (the r10
+    HOF sweep; measured 3.3x on 2000-word docs for the 20-word
+    variant, worse for 3-grams)."""
+    def make(w):
+        return F.when(
+            F.size(w) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(w) - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+    return F.transform(F.array(words(col)), make)[0]
 
 
 def punct_ratio(col: ColumnOrName) -> Column:
