@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "containment_join", "jaccard_topk_per_doc", "novelty_by_source",
     "shingle_df_histogram", "minhash_band_recall",
     "minhash_threshold_sweep", "minhash_jaccard_estimate",
+    "repetition_filter",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -97,7 +98,7 @@ _CHECK_FIRST = [
     "scalar_funcs", "case_when", "array_funcs", "string_funcs",
     "date_funcs", "scalar_subquery", "correlated_subquery",
     "explode_tokens", "collect_agg", "set_ops_all", "null_funcs",
-    "like_filter", "vector_distances", "map_funcs",
+    "like_filter", "vector_distances",
     "chunk_docs", "decontaminate",
 ]
 
