@@ -54,6 +54,9 @@ _CHECK_FIRST = [
     "shingle_df_histogram", "minhash_band_recall",
     "minhash_threshold_sweep", "minhash_jaccard_estimate",
     "repetition_filter",
+    # l2_normalize bound-norm fix (30x: the norm fold re-ran per
+    # element); stream_embed's closure reaches the same function.
+    "l2_normalize", "stream_embed",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -97,8 +100,8 @@ _CHECK_FIRST = [
     # window holds, so the remainder continues in r11. ---
     "scalar_funcs", "case_when", "array_funcs", "string_funcs",
     "date_funcs", "scalar_subquery", "correlated_subquery",
-    "explode_tokens", "collect_agg", "set_ops_all", "null_funcs",
-    "like_filter", "vector_distances",
+    "explode_tokens", "collect_agg", "set_ops_all",
+    "vector_distances",
     "chunk_docs", "decontaminate",
 ]
 

@@ -64,9 +64,19 @@ def l2_norm(v: ColumnOrName) -> Column:
 def l2_normalize(v: ColumnOrName) -> Column:
     """Unit-normalize (reference: ``normalize_embeddings=True`` at embed
     time, ingest_hotels.py:23). Zero vectors normalize to NULL elements
-    rather than NaN/inf."""
-    n = l2_norm(v)
-    return F.transform(_c(v), lambda x: F.when(n > 0, x.cast("double") / n))
+    rather than NaN/inf.
+
+    The (vector, norm) pair is bound ONCE as a lambda variable (r10 HOF
+    sweep): referencing the norm expression inside the per-element
+    lambda re-evaluates the O(dim) dot-product fold per element —
+    O(dim^2) per vector, measured 30x slower (25.7 s -> 0.87 s on 200k
+    64-dim vectors) than this bound shape."""
+    bound = F.array(F.struct(_c(v).alias("v"), l2_norm(v).alias("n")))
+    return F.transform(
+        bound,
+        lambda p: F.transform(
+            p["v"],
+            lambda x: F.when(p["n"] > 0, x.cast("double") / p["n"])))[0]
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
