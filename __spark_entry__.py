@@ -94,10 +94,14 @@ _CHECK_FIRST = [
     # <=10-row boundary frame — building the plan no longer runs a
     # job. Oracle unchanged.
     "quality_by_length_decile",
-    # --- rotation (VERDICT r9 list #2): first the r01/r02 residue
-    # (closing r8 list #3), then the oldest of the r03 cohort — 71
-    # keys' newest rows still predate r05, more than one 50-slot
-    # window holds, so the remainder continues in r11. ---
+    # --- rotation (VERDICT r9 list #2): the r01/r02 residue, minus
+    # four (null_funcs, like_filter, map_funcs, udtf_ngrams) displaced
+    # by this round's changed-plan keys — changed plans NEED fresh
+    # rows, rotation keys' old rows stay valid. chunk_docs and
+    # decontaminate are both rotation AND changed (the HOF sweep moved
+    # their closures). The r03 cohort and the displaced four continue
+    # in r11 — 71 keys' newest rows predate r05, more than one window
+    # holds. ---
     "scalar_funcs", "case_when", "array_funcs", "string_funcs",
     "date_funcs", "scalar_subquery", "correlated_subquery",
     "explode_tokens", "collect_agg", "set_ops_all",
