@@ -57,6 +57,10 @@ _CHECK_FIRST = [
     # l2_normalize bound-norm fix (30x: the norm fold re-ran per
     # element); stream_embed's closure reaches the same function.
     "l2_normalize", "stream_embed",
+    # NEW: container-magic intake audit over typed binary content
+    # (operators/multimodal.py:sniff_magic — byte-exact vs the DuckDB
+    # BLOB oracle, no codec).
+    "multimodal_magic_audit",
     #
     # The nine width_bucket rank/quantile keys re-row for the ADVICE r9
     # medium fix: the evaluated fractional part t - floor(t) rounds to
@@ -105,7 +109,6 @@ _CHECK_FIRST = [
     "scalar_funcs", "case_when", "array_funcs", "string_funcs",
     "date_funcs", "scalar_subquery", "correlated_subquery",
     "explode_tokens", "collect_agg", "set_ops_all",
-    "vector_distances",
     "chunk_docs", "decontaminate",
 ]
 

@@ -294,3 +294,27 @@ def test_dup_paragraph_removal_semantics(spark):
             [(r.doc_id, r.clean_text) for r in out.values()],
             "doc_id bigint, text string"))
     assert {r.n_removed for r in cleaned.collect()} == {0}
+
+
+def test_multimodal_magic_sniff_degenerates(spark):
+    """r10 container sniffing: NULL text (unreadable object) sniffs as
+    unknown; an empty payload still classifies from its magic alone; a
+    payload whose TEXT begins with a magic string classifies by the
+    real (prepended) magic, not the content echo."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        sniff_magic, synth_media_corpus)
+
+    docs = spark.createDataFrame(
+        [(0, None),          # PNG slot but NULL text -> NULL content
+         (3, ""),            # PNG magic + empty payload
+         (4, "RIFF not really"),   # JPEG slot, text echoes RIFF
+         (5, "plain words")],      # RIFF slot
+        "doc_id bigint, text string")
+    m = synth_media_corpus(docs)
+    out = {r.media_id: r.mime for r in
+           m.select("media_id",
+                    sniff_magic(F.col("content")).alias("mime")).collect()}
+    assert out[0] == "unknown"
+    assert out[3] == "image/png"
+    assert out[4] == "image/jpeg"
+    assert out[5] == "audio/wav"

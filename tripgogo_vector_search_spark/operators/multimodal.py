@@ -92,3 +92,41 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     raise NotImplementedError(
         "image resize requires a codec library (PIL/opencv), not available "
         "in this environment; the mapInPandas plumbing is extract_features")
+
+
+# -- container sniffing (r10): typed binary ops, no codec ------------------
+
+#: real container magic numbers (PNG / JPEG / RIFF-WAV)
+MAGIC_PNG = bytes([0x89, 0x50, 0x4E, 0x47])
+MAGIC_JPEG = bytes([0xFF, 0xD8, 0xFF])
+MAGIC_RIFF = b"RIFF"
+
+
+def synth_media_corpus(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic mixed-container binary corpus: each document's
+    UTF-8 payload prefixed with a REAL container magic chosen by
+    id % 3 — the offline stand-in for a mixed image/audio lake whose
+    byte-level structure (not just its metadata) is inspectable.
+    NULL text yields NULL content (an unreadable object)."""
+    k = F.col(id_col) % 3
+    magic = (F.when(k == 0, F.lit(MAGIC_PNG))
+             .when(k == 1, F.lit(MAGIC_JPEG))
+             .otherwise(F.lit(MAGIC_RIFF)))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(magic, F.encode(F.col(text_col), "UTF-8"))
+        .alias("content"))
+
+
+def sniff_magic(content) -> "F.Column":
+    """Container type from leading magic bytes as a pure Catalyst
+    expression over the hex prefix (DuckDB 1.0 has no BLOB substring,
+    so both engines compare substr(hex(content)) — 2 hex chars per
+    byte, byte-exact and codec-free). Unrecognized or NULL payloads
+    sniff as 'unknown'."""
+    hx = F.hex(content)
+    return (F.when(F.substring(hx, 1, 8) == "89504E47", F.lit("image/png"))
+            .when(F.substring(hx, 1, 6) == "FFD8FF", F.lit("image/jpeg"))
+            .when(F.substring(hx, 1, 8) == "52494646", F.lit("audio/wav"))
+            .otherwise(F.lit("unknown")))

@@ -8010,6 +8010,45 @@ def boilerplate_ngrams_q(spark, sf_dir):
             .limit(30))
 
 
+@query("multimodal_magic_audit",
+       r"""WITH m AS (SELECT CASE WHEN doc_id % 3 = 0 THEN '\x89PNG'::BLOB
+                                  WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF'::BLOB
+                                  ELSE 'RIFF'::BLOB END
+                             || encode(text) AS content
+                      FROM documents),
+           s AS (SELECT CASE WHEN substr(hex(content), 1, 8) = '89504E47'
+                                  THEN 'image/png'
+                             WHEN substr(hex(content), 1, 6) = 'FFD8FF'
+                                  THEN 'image/jpeg'
+                             WHEN substr(hex(content), 1, 8) = '52494646'
+                                  THEN 'audio/wav'
+                             ELSE 'unknown' END AS mime,
+                        octet_length(content) AS n
+                 FROM m)
+           SELECT mime, CAST(count(*) AS BIGINT) AS n_media,
+                  CAST(sum(n) AS BIGINT) AS total_bytes,
+                  round(avg(n), 6) AS avg_bytes
+           FROM s GROUP BY mime""")
+def multimodal_magic_audit_q(spark, sf_dir):
+    """Media-lake intake audit over TYPED BINARY content: container
+    kind sniffed from leading magic bytes (PNG/JPEG/RIFF) as a pure
+    Catalyst expression over the hex prefix — byte-level binary-column
+    semantics proven engine-exact vs the DuckDB BLOB oracle, with no
+    codec anywhere (the decode stage stays the documented env-bound
+    stub; this is the classification pass that routes each object to
+    its decoder). Projection + bounded-key aggregate with map-side
+    partials; payload bytes never leave the executors
+    (operators/multimodal.py:synth_media_corpus, sniff_magic)."""
+    from ..operators.multimodal import sniff_magic, synth_media_corpus
+    m = synth_media_corpus(_t(spark, sf_dir, "documents"))
+    s = m.select(sniff_magic(F.col("content")).alias("mime"),
+                 F.length("content").alias("n"))
+    return (s.groupBy("mime")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_media"),
+                 F.sum("n").cast("bigint").alias("total_bytes"),
+                 F.round(F.avg("n"), 6).alias("avg_bytes")))
+
+
 @query("dsir_importance_weights",
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
                       FROM documents),
