@@ -177,6 +177,19 @@ def main() -> None:
         spark.range(1 << 25).repartition(32).count()
         return time.perf_counter() - t0
 
+    def io_floor_once() -> float:
+        # r10: a second, SCAN-BOUND marker — the shuffle marker above
+        # is CPU/shuffle-bound and under-captured I/O-side contention
+        # in the r10 samples (scan/explode-heavy keys drifted 1.5x
+        # while the shuffle floor moved 1.0-1.3x). A full-byte read of
+        # the documents text column (sum of lengths defeats the
+        # footer-count shortcut) tracks exactly the axis those keys
+        # sit on.
+        t0 = time.perf_counter()
+        (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+         .agg(F.sum(F.length("text"))).collect())
+        return time.perf_counter() - t0
+
     # min of THREE full passes (r5 — was 2 + a >2s third pass): the r4
     # numbers drifted a uniform +18% with no plan changes, which
     # min-of-2 let through; a third sample of EVERYTHING costs ~40 s
@@ -187,10 +200,12 @@ def main() -> None:
                    | HEADLINE_R9 | HEADLINE_R10)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
+    io_noise = io_floor_once()
     for name, action in all_queries.items():
         timings[name] = run_once(name, action)
     for _ in range(2):
         noise = min(noise, noise_floor_once())
+        io_noise = min(io_noise, io_floor_once())
         for name, action in all_queries.items():
             timings[name] = round(min(timings[name], run_once(name, action)), 3)
 
@@ -205,6 +220,10 @@ def main() -> None:
         # min-of-3 of the fixed plan-free shuffle marker; compare
         # across rounds to separate host load from plan cost
         "noise_floor_sec": round(noise, 3),
+        # min-of-3 of the fixed scan-bound marker (full-byte read of
+        # lineitem): the shuffle marker is CPU-bound and misses
+        # I/O-side contention, which hits scan/explode-heavy keys
+        "io_floor_sec": round(io_noise, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
