@@ -117,24 +117,33 @@ def quantize(v: ColumnOrName, scale: ColumnOrName) -> Column:
     engine-native round() so every engine (and the DuckDB oracle)
     reproduces codes bit-for-bit. NULL scale (zero vector) -> all-zero
     codes."""
-    s = _c(scale)
+    # scale bound once as a lambda variable (r10 HOF sweep): a caller
+    # passing the quantize_scale(...) EXPRESSION would otherwise
+    # re-evaluate that array_max fold per element
+    bound = F.array(F.struct(_c(v).alias("v"), _c(scale).alias("s")))
     return F.transform(
-        _c(v),
-        lambda x: F.when(s.isNotNull(),
-                         F.floor(x.cast("double") / s + F.lit(0.5)))
-        .otherwise(F.lit(0)).cast("long"))
+        bound,
+        lambda p: F.transform(
+            p["v"],
+            lambda x: F.when(p["s"].isNotNull(),
+                             F.floor(x.cast("double") / p["s"] + F.lit(0.5)))
+            .otherwise(F.lit(0)).cast("long")))[0]
 
 
 def dequantize_error(v: ColumnOrName, scale: ColumnOrName) -> Column:
     """Max absolute reconstruction error ``max|x - q*scale|`` of the
     round-trip; bounded by scale/2 for in-range values. Zero vectors
     reconstruct exactly (error 0)."""
-    s = _c(scale)
+    # same one-element binding as quantize (r10 HOF sweep)
+    bound = F.array(F.struct(_c(v).alias("v"), _c(scale).alias("s")))
     err = F.transform(
-        _c(v),
-        lambda x: F.when(
-            s.isNotNull(),
-            F.abs(x.cast("double")
-                  - F.floor(x.cast("double") / s + F.lit(0.5)) * s))
-        .otherwise(F.lit(0.0)))
-    return F.array_max(err)
+        bound,
+        lambda p: F.array_max(F.transform(
+            p["v"],
+            lambda x: F.when(
+                p["s"].isNotNull(),
+                F.abs(x.cast("double")
+                      - F.floor(x.cast("double") / p["s"] + F.lit(0.5))
+                      * p["s"]))
+            .otherwise(F.lit(0.0)))))
+    return err[0]
