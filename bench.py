@@ -221,8 +221,9 @@ def main() -> None:
         # across rounds to separate host load from plan cost
         "noise_floor_sec": round(noise, 3),
         # min-of-3 of the fixed scan-bound marker (full-byte read of
-        # lineitem): the shuffle marker is CPU-bound and misses
-        # I/O-side contention, which hits scan/explode-heavy keys
+        # the documents text column): the shuffle marker is CPU-bound
+        # and misses I/O-side contention, which hits scan/explode-heavy
+        # keys
         "io_floor_sec": round(io_noise, 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -119,10 +119,13 @@ def test_dsir_matches_python_reference(spark):
     for doc_id, counts in db.items():
         (ct if target[doc_id] else cr).update(counts)
     tt, tr = sum(ct.values()), sum(cr.values())
-    # mirror the engine contract exactly: one IEEE division, one ln,
+    # mirror the engine contract exactly: each factor cast to double
+    # BEFORE the multiply (the int64-overflow-safe ADVICE r10 form —
+    # float(a)*float(b), not float(a*b)), one IEEE division, one ln,
     # quantized to 12 decimals (DECIMAL(28,12)), DECIMAL accumulation
     delta = {b: Decimal(repr(round(math.log(
-        ((ct[b] + 1) * (tr + K)) / ((tt + K) * (cr[b] + 1))), 12)))
+        float(ct[b] + 1) * float(tr + K)
+        / (float(tt + K) * float(cr[b] + 1))), 12)))
         for b in set(ct) | set(cr)}
     raw_ids = [d for d, t in target.items() if not t]
     assert set(got) == set(raw_ids)

@@ -496,15 +496,19 @@ def dsir_importance_weights(docs: DataFrame, is_target: Column,
               .otherwise(0)).alias("tt"),
         F.sum(F.when(F.col("bucket") < K, F.col("cr"))
               .otherwise(0)).alias("tr"))
-    # integer ratio -> one IEEE division -> one ln() -> DECIMAL(28,12):
-    # every engine computes the same double up to the log's last ulp,
-    # which the decimal truncation absorbs
+    # each FACTOR is cast to double BEFORE the multiply: at the 100 TB
+    # design point (tr ~ 1e13, hot-bucket ct ~ 1e10) the bigint product
+    # (ct+1)*(tr+K) exceeds int64 and non-ANSI Spark would wrap
+    # silently (flipping the log-weight sign) while DuckDB raises —
+    # double*double is exact-enough (each factor < 2^53) and, crucially,
+    # the SAME IEEE operation in both engines. Then one IEEE division,
+    # one ln(), DECIMAL(28,12) truncation absorbing the log's last ulp.
     delta = (stats.crossJoin(F.broadcast(tot))
              .select("bucket",
-                     F.log(((F.col("ct") + 1) * (F.col("tr") + K))
-                           .cast("double")
-                           / ((F.col("tt") + K) * (F.col("cr") + 1))
-                           .cast("double"))
+                     F.log((F.col("ct") + 1).cast("double")
+                           * (F.col("tr") + K).cast("double")
+                           / ((F.col("tt") + K).cast("double")
+                              * (F.col("cr") + 1).cast("double")))
                      .cast("decimal(28,12)").alias("d")))
     # c is cast to DECIMAL(9,0) so the product is DECIMAL(38,12) — a
     # bare bigint*decimal(28,12) overflows precision 38 and Spark

@@ -8069,8 +8069,10 @@ def multimodal_magic_audit_q(spark, sf_dir):
                   FROM db GROUP BY bucket),
            tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM st),
            delta AS (SELECT bucket,
-                            CAST(ln(((ct + 1) * (tr + {CP.DSIR_BUCKETS}))::DOUBLE
-                                    / ((tt + {CP.DSIR_BUCKETS}) * (cr + 1))::DOUBLE)
+                            CAST(ln((ct + 1)::DOUBLE
+                                    * (tr + {CP.DSIR_BUCKETS})::DOUBLE
+                                    / ((tt + {CP.DSIR_BUCKETS})::DOUBLE
+                                       * (cr + 1)::DOUBLE))
                                  AS DECIMAL(28,12)) AS d
                      FROM st, tot),
            p AS (SELECT db.doc_id, sum(db.c) AS n_grams,
@@ -8088,10 +8090,11 @@ def dsir_importance_weights_q(spark, sf_dir):
     raw document scored by the log importance weight of a hashed
     bag-of-bigrams model fit on the target slice (the doc_id%7
     'curated' cohort — the same proxy-slice convention as
-    decontaminate's benchmark split). Integer count ratios + one ln()
-    truncated to DECIMAL(28,12) + DECIMAL per-doc accumulation make
-    the float path engine-exact (operators/corpus.py:
-    dsir_importance_weights)."""
+    decontaminate's benchmark split). Each ratio factor is cast to
+    double BEFORE multiplying (int64-safe at the 1e13-gram design
+    point, identical IEEE ops in both engines) + one ln() truncated to
+    DECIMAL(28,12) + DECIMAL per-doc accumulation make the float path
+    engine-exact (operators/corpus.py:dsir_importance_weights)."""
     d = _t(spark, sf_dir, "documents")
     return CP.dsir_importance_weights(d, F.col("doc_id") % 7 == 0)
 
@@ -8125,11 +8128,13 @@ def dsir_importance_weights_q(spark, sf_dir):
 def dup_paragraph_fraction_q(spark, sf_dir):
     """Cross-document duplicate-paragraph exposure per source
     (MassiveText's dup-paragraph signal over 20-word segments; the
-    corpus counterpart of the within-doc dup_ngram_fraction). One
-    row-scale shuffle on the uniform md5 key — the multiplicity count
-    is a window on that key, not a join-back — then id-keyed and
-    bounded source-keyed aggregates (operators/corpus.py:
-    dup_paragraph_stats)."""
+    corpus counterpart of the within-doc dup_ngram_fraction). The
+    multiplicity count is a partial-aggregated groupBy on the uniform
+    md5 key JOINED BACK on that key — never a window, whose single
+    sorted per-key task a hot boilerplate paragraph would serialize
+    (plan-shape-pinned: test_plan_shape.py asserts join, Window
+    banned) — then id-keyed and bounded source-keyed aggregates
+    (operators/corpus.py:dup_paragraph_stats)."""
     return CP.dup_paragraph_stats(_t(spark, sf_dir, "documents"))
 
 
