@@ -37,6 +37,14 @@ _CHECK_FIRST = [
     # non-ANSI Spark would wrap silently while DuckDB raises. Same
     # IEEE ops both engines; oracle updated in the same commit.
     "dsir_importance_weights",
+    # Rank-path constant-factor clawback (VERDICT r10 list #2): the
+    # rank offset now decomposes into a stats-frame-only cell base
+    # offset plus a probe-derived sub-offset inside split cells
+    # (operators/rank.py:with_global_rank), so the base/plan/split
+    # broadcasts materialize concurrently instead of chained through
+    # the probe — eight sequential jobs down to five, 0.72 -> 0.56 s
+    # for the rank core at sf0.1. Oracles unchanged.
+    "ntile_bands", "orders_rfm",
 ]
 
 
