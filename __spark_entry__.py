@@ -37,6 +37,12 @@ _CHECK_FIRST = [
     # non-ANSI Spark would wrap silently while DuckDB raises. Same
     # IEEE ops both engines; oracle updated in the same commit.
     "dsir_importance_weights",
+    # NEW: DSIR's importance-RESAMPLING draw (Xie et al. 2023 §2) —
+    # Gumbel-top-k over the gated log weights with md5 uniforms, the
+    # overflow-free log-domain form of weighted_sample's
+    # Efraimidis-Spirakis key (operators/corpus.py:dsir_resample;
+    # plain-Python membership check in tests/test_round11_props.py).
+    "dsir_resample",
     # Rank-path constant-factor clawback (VERDICT r10 list #2): the
     # rank offset now decomposes into a stats-frame-only cell base
     # offset plus a probe-derived sub-offset inside split cells

@@ -536,6 +536,50 @@ def dsir_importance_weights(docs: DataFrame, is_target: Column,
                     .alias("selected")))
 
 
+def md5_uniform(c: Column) -> Column:
+    """Deterministic uniform in (0, 1) from a key column: the first 8
+    md5 hex digits as a 32-bit integer, midpoint-shifted. The same
+    content-hash-uniform convention as the weighted_sample query —
+    reruns, repartitionings and engines all agree because there is no
+    RNG anywhere."""
+    h8 = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10) \
+        .cast("double")
+    return (h8 + F.lit(0.5)) / F.lit(float(2 ** 32))
+
+
+def dsir_resample(docs: DataFrame, is_target: Column, n: int = 100,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The DRAW half of DSIR (Xie et al. 2023, arXiv:2302.03169 §2:
+    importance RESAMPLING, not just scoring): sample ``n`` raw
+    documents without replacement with probability proportional to
+    their importance weight w(x) = exp(log_weight), composed from
+    :func:`dsir_importance_weights` and the Gumbel-top-k draw —
+    rank by ``log_weight - ln(-ln(u))`` with ``u`` a deterministic
+    md5 uniform and keep the top ``n``. Gumbel-top-k is the
+    numerically safe form of the Efraimidis-Spirakis ``u^(1/w)`` key
+    the weighted_sample query uses (the same monotone transform
+    ``-ln(-ln(.))`` maps one key to the other), working directly in
+    the log-weight domain so ``exp(log_weight)`` can never overflow.
+
+    Engine-exact by the same conventions as its two parents: the
+    log weight is the DECIMAL-gated dsir output (already rounded to
+    1e-6), the uniform is pure md5 integer arithmetic, and the rank
+    key is rounded to a 1e-12 grid to absorb libm last-ulp skew, with
+    the id as tiebreak. Scale shape: the weights frame's two uniform
+    shuffles, then ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject — per-partition heaps merged on one
+    n-row reduce, never a global sort."""
+    w = dsir_importance_weights(docs, is_target, text_col=text_col,
+                                id_col=id_col)
+    u = md5_uniform(F.col(id_col))
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 12)
+    return (w.withColumn("_k", key)
+            .orderBy(F.col("_k").desc(), F.col(id_col).asc())
+            .limit(n)
+            .select(id_col, "n_grams", "log_weight"))
+
+
 def dup_paragraph_removal(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           size: int = PARA_WORDS) -> DataFrame:

@@ -8099,6 +8099,64 @@ def dsir_importance_weights_q(spark, sf_dir):
     return CP.dsir_importance_weights(d, F.col("doc_id") % 7 == 0)
 
 
+@query("dsir_resample",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+           g AS (SELECT doc_id, doc_id % 7 = 0 AS t,
+                        unnest(CASE WHEN len(ws) >= 2 THEN
+                            list_transform(generate_series(1, len(ws) - 1),
+                                i -> array_to_string(
+                                    list_slice(ws, i, i + 1), ' '))
+                            ELSE []::VARCHAR[] END) AS gram
+                 FROM w),
+           db AS (SELECT doc_id, t,
+                         {sql_hash_bucket('md5(gram)', 6)} AS bucket,
+                         count(*) AS c
+                  FROM g GROUP BY 1, 2, 3),
+           st AS (SELECT bucket,
+                         sum(CASE WHEN t THEN c ELSE 0 END) AS ct,
+                         sum(CASE WHEN NOT t THEN c ELSE 0 END) AS cr
+                  FROM db GROUP BY bucket),
+           tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM st),
+           delta AS (SELECT bucket,
+                            CAST(ln((ct + 1)::DOUBLE
+                                    * (tr + {CP.DSIR_BUCKETS})::DOUBLE
+                                    / ((tt + {CP.DSIR_BUCKETS})::DOUBLE
+                                       * (cr + 1)::DOUBLE))
+                                 AS DECIMAL(28,12)) AS d
+                     FROM st, tot),
+           p AS (SELECT db.doc_id, sum(db.c) AS n_grams,
+                        sum(CAST(db.c AS DECIMAL(9,0)) * delta.d) AS s
+                 FROM db JOIN delta USING (bucket)
+                 WHERE NOT db.t GROUP BY db.doc_id),
+           lw AS (SELECT d.doc_id,
+                         CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+                         round(COALESCE(p.s, 0)::DOUBLE, 6) AS log_weight
+                  FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+                  WHERE d.doc_id % 7 <> 0),
+           u AS (SELECT *,
+                        (list_sum(list_transform(generate_series(1, 8),
+                           i -> (strpos('0123456789abcdef',
+                                        substring(md5(CAST(doc_id AS VARCHAR)),
+                                                  i, 1)) - 1)
+                                * 16^(8-i))) + 0.5) / 4294967296.0 AS uu
+                 FROM lw)
+          SELECT doc_id, n_grams, log_weight FROM u
+          ORDER BY round(log_weight - ln(-ln(uu)), 12) DESC, doc_id ASC
+          LIMIT 100""")
+def dsir_resample_q(spark, sf_dir):
+    """DSIR's importance-RESAMPLING draw (Xie et al. 2023 §2 — the
+    paper's point is the draw, not just the score): 100 raw documents
+    sampled without replacement proportionally to exp(log_weight),
+    via the Gumbel-top-k key log_weight - ln(-ln(u)) over md5
+    uniforms — the overflow-free log-domain form of weighted_sample's
+    Efraimidis-Spirakis u^(1/w) key. Deterministic across engines
+    and partitionings; compiles to TakeOrderedAndProject
+    (operators/corpus.py:dsir_resample)."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.dsir_resample(d, F.col("doc_id") % 7 == 0)
+
+
 @query("dup_paragraph_fraction",
        f"""WITH w AS (SELECT doc_id, source, {sql_words('text')} AS ws
                       FROM documents),
