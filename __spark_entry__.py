@@ -51,6 +51,13 @@ _CHECK_FIRST = [
     # the probe — eight sequential jobs down to five, 0.72 -> 0.56 s
     # for the rank core at sf0.1. Oracles unchanged.
     "ntile_bands", "orders_rfm",
+    # Maintenance-path durability (VERDICT r10 list #6 / "What's wrong
+    # #4"): compact/upsert/refresh in-flight state now goes through the
+    # same `durable=` _checkpoint knob as the CC loop
+    # (operators/index_maintenance.py) — default local behavior
+    # unchanged, but the source closure these keys fingerprint moved.
+    # Durable mode pinned byte-identical in tests/test_refresh_compact.
+    "index_compact", "refresh_compact_cycle",
 ]
 
 
