@@ -136,6 +136,14 @@ HEADLINE_R10 = {
     "dup_paragraph_removal": "noop",
 }
 
+# Round-11 group: the DSIR resampling draw (weights + Gumbel-top-k)
+# and the WAV container decode (Catalyst synthesis + Arrow chunk-walk
+# kernel over every payload byte).
+HEADLINE_R11 = {
+    "dsir_resample": "collect",
+    "multimodal_wav_stats": "noop",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -197,7 +205,7 @@ def main() -> None:
     # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
                    | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8
-                   | HEADLINE_R9 | HEADLINE_R10)
+                   | HEADLINE_R9 | HEADLINE_R10 | HEADLINE_R11)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
     io_noise = io_floor_once()
