@@ -65,6 +65,29 @@ _CHECK_FIRST = [
     # DuckDB oracle derives the same stats synthesis-side; stdlib
     # `wave` round-trips both directions (tests/test_round11_props.py).
     "multimodal_wav_stats",
+    # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
+    # their newest green driver row predates r05 — two+ fingerprint
+    # schemes old. tools/rotation.py ordering: the full r02 cohort,
+    # the full r03 cohort, then r04 oldest-first up to the 50-key
+    # window. Re-rowing them retires the stale-evidence debt the
+    # drift gate can only freeze, not refresh.
+    # r02:
+    "like_filter", "map_funcs", "null_funcs", "udtf_ngrams",
+    "vector_distances",
+    # r03:
+    "argmax_agg", "cdc_upsert", "entropy_score", "event_gap_stats",
+    "funnel_stages", "grouped_agg_udaf", "histogram_fixed_bins",
+    "hll_union_rollup", "incremental_dedup", "json_scan",
+    "label_centroids", "mode_agg", "normalize_text", "pack_sequences",
+    "partitioned_sink", "pii_redact", "pivot_table", "regex_funcs",
+    "salted_join", "schema_evolution", "skew_stats",
+    "stratified_sample", "time_weighted_avg", "tpch_q4",
+    "unpivot_metrics", "weighted_sample", "zorder_key",
+    # r04 (window remainder):
+    "corr_pairs", "dedup_rate_by_source", "embedding_drift",
+    "event_rate_profile", "event_transitions", "group_sample_balanced",
+    "hop_window_agg", "kmeans_assign", "kmeans_lloyd",
+    "kmv_distinct_sketch", "lang_confusion",
 ]
 
 

@@ -9,7 +9,10 @@ one per round): 2026-08-15 (r9) — ``pip install sentence-transformers``
 fails with DNS resolution errors against the configured package index
 (no network egress from this sandbox); 2026-08-15 (r10) — retried,
 same DNS failure (``Name or service not known`` on the index host and
-on a direct HTTPS probe); the skip below remains the honest state. This test is the
+on a direct HTTPS probe); 2026-08-16 (r11) — retried, ``pip install``
+now reports "No matching distribution found for sentence-transformers
+(from versions: none)" — the index is still unreachable, the module
+remains unimportable; the skip below remains the honest state. This test is the
 importorskip-gated LIVE path the verdict asked for: the moment an
 environment has ``sentence-transformers`` (and, for the model
 download, network or a local cache), it runs the reference's actual
