@@ -65,6 +65,14 @@ _CHECK_FIRST = [
     # DuckDB oracle derives the same stats synthesis-side; stdlib
     # `wave` round-trips both directions (tests/test_round11_props.py).
     "multimodal_wav_stats",
+    # NEW: TPC-H completion — all 22 queries now registered. q2/q11/
+    # q16/q20 run against a deterministic int64-exact partsupp
+    # synthesis (registry.py:_PARTSUPP_SQL/_partsupp; the fixture
+    # ships no partsupp table); q12/q21 adapt the missing commit/
+    # receipt dates to shipdate-vs-orderdate lateness. Money stays in
+    # integer cents through every compare/aggregate.
+    "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
+    "tpch_q21",
     # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
     # their newest green driver row predates r05 — two+ fingerprint
     # schemes old. tools/rotation.py ordering: the full r02 cohort,
@@ -83,11 +91,10 @@ _CHECK_FIRST = [
     "salted_join", "schema_evolution", "skew_stats",
     "stratified_sample", "time_weighted_avg", "tpch_q4",
     "unpivot_metrics", "weighted_sample", "zorder_key",
-    # r04 (window remainder):
+    # r04 (window remainder; 6 slots ceded to the new TPC-H keys —
+    # never-rowed keys must land inside the 50-key window):
     "corr_pairs", "dedup_rate_by_source", "embedding_drift",
-    "event_rate_profile", "event_transitions", "group_sample_balanced",
-    "hop_window_agg", "kmeans_assign", "kmeans_lloyd",
-    "kmv_distinct_sketch", "lang_confusion",
+    "event_rate_profile", "event_transitions",
 ]
 
 

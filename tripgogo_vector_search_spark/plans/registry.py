@@ -4409,6 +4409,343 @@ def tpch_q22(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-11: TPC-H completion (q2/q11/q12/q16/q20/q21 -> all 22)
+# --------------------------------------------------------------------------
+# The fixture ships no partsupp table, so the four queries that need one
+# run against a DETERMINISTIC synthesis: each part gets exactly 4
+# supplier rows, ps_suppkey = (p_partkey*4 + i) % |supplier| (distinct
+# for i in 0..3 whenever |supplier| >= 4, uniform across suppliers),
+# with integer-exact availqty and supply-cost-in-CENTS columns — pure
+# int64 arithmetic, so Spark and DuckDB compute byte-identical rows
+# from the same parquet with no float anywhere in the keys. Costs stay
+# cents (bigint) through every join/compare/aggregate; dollars appear
+# only in final projections as round(cents/100.0, 2).
+
+_PARTSUPP_SQL = """WITH scnt AS (SELECT count(*) AS s_cnt FROM supplier),
+ partsupp AS (
+   SELECT p_partkey AS ps_partkey,
+          (p_partkey * 4 + g.i) % s_cnt AS ps_suppkey,
+          (p_partkey * 7 + g.i * 11) % 9999 + 1 AS ps_availqty,
+          (p_partkey * 29 + g.i * 37) % 90000 + 10000 AS ps_cents
+   FROM part, scnt CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) g)"""
+
+
+def _partsupp(spark, sf_dir):
+    """The Spark half of the partsupp synthesis (see _PARTSUPP_SQL).
+    |supplier| arrives as a broadcast one-row aggregate (bounded by
+    construction — never a collect), the 4-way fanout is one explode
+    of a literal array: the frame stays lazy and costs |part| * 4 rows
+    with no shuffle."""
+    scnt = (_t(spark, sf_dir, "supplier")
+            .agg(F.count(F.lit(1)).alias("s_cnt")))
+    p = (_t(spark, sf_dir, "part").select("p_partkey")
+         .crossJoin(F.broadcast(scnt))
+         .select("p_partkey", "s_cnt",
+                 F.explode(F.array(*[F.lit(i) for i in range(4)]))
+                 .alias("i")))
+    return p.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt"))
+        .cast("bigint").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("i") * 11) % 9999 + 1)
+        .cast("bigint").alias("ps_availqty"),
+        ((F.col("p_partkey") * 29 + F.col("i") * 37) % 90000 + 10000)
+        .cast("bigint").alias("ps_cents"))
+
+
+@query("tpch_q2",
+       _PARTSUPP_SQL + """,
+ eur AS (SELECT ps.ps_partkey, ps.ps_cents, s.s_acctbal, s.s_name,
+                n.n_name
+         FROM partsupp ps, supplier s, nation n, region r
+         WHERE s.s_suppkey = ps.ps_suppkey
+           AND s.s_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+ pf AS (SELECT p_partkey, p_brand FROM part
+        WHERE p_size <= 15 AND p_type = 'STANDARD'),
+ eurf AS (SELECT e.*, pf.p_brand
+          FROM eur e JOIN pf ON pf.p_partkey = e.ps_partkey),
+ mn AS (SELECT ps_partkey, min(ps_cents) AS mc FROM eurf GROUP BY 1)
+ SELECT e.s_acctbal, e.s_name, e.n_name,
+        CAST(e.ps_partkey AS BIGINT) AS p_partkey, e.p_brand,
+        round(e.ps_cents / 100.0, 2) AS ps_supplycost
+ FROM eurf e
+ JOIN mn ON e.ps_partkey = mn.ps_partkey AND e.ps_cents = mn.mc
+ ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey,
+          ps_supplycost
+ LIMIT 100""")
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier; p_size <= 15 / p_type =
+    'STANDARD' / region EUROPE adapted to the fixture's columns, p_brand
+    stands in for the missing p_mfgr). The correlated min becomes one
+    partial+final aggregate per partkey over the region-filtered
+    partsupp, joined back on (partkey, cents) — cents compare
+    integer-exact, so 'equals the minimum' can never float-drift.
+    nation/region broadcast (fixed 25/5 rows); supplier and part SCALE
+    with SF so neither is force-broadcast — the planner picks broadcast
+    at toy SF and sort-merge at 100 TB. ORDER BY covers every output
+    column, so the LIMIT-100 cutoff is multiset-deterministic under
+    ties; Spark plans it as TakeOrderedAndProject."""
+    ps = _partsupp(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    pf = (_t(spark, sf_dir, "part")
+          .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+          .select("p_partkey", "p_brand"))
+    eurf = (ps.join(sn, F.col("ps_suppkey") == F.col("s_suppkey"))
+            .join(pf, F.col("ps_partkey") == F.col("p_partkey")))
+    mn = (eurf.groupBy(F.col("ps_partkey").alias("mn_pk"))
+          .agg(F.min("ps_cents").alias("mc")))
+    out = eurf.join(mn, (F.col("ps_partkey") == F.col("mn_pk"))
+                    & (F.col("ps_cents") == F.col("mc")))
+    return (out.select(
+        "s_acctbal", "s_name", "n_name",
+        F.col("ps_partkey").alias("p_partkey"), "p_brand",
+        F.round(F.col("ps_cents") / F.lit(100.0), 2).alias("ps_supplycost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey", "ps_supplycost")
+        .limit(100))
+
+
+@query("tpch_q11",
+       _PARTSUPP_SQL + """,
+ natps AS (SELECT ps.ps_partkey, ps.ps_cents * ps.ps_availqty AS v
+           FROM partsupp ps, supplier s, nation n
+           WHERE s.s_suppkey = ps.ps_suppkey
+             AND s.s_nationkey = n.n_nationkey
+             AND n.n_name = 'NATION_6'),
+ agg AS (SELECT ps_partkey, sum(v) AS value_c FROM natps GROUP BY 1),
+ tot AS (SELECT sum(value_c) AS t, count(*) AS np FROM agg)
+ SELECT CAST(a.ps_partkey AS BIGINT) AS ps_partkey,
+        round(a.value_c / 100.0, 2) AS value
+ FROM agg a, tot
+ WHERE a.value_c * tot.np > 2 * tot.t""")
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock; NATION_6 for GERMANY, and the
+    fixed-fraction HAVING adapted scale-free to 'value > 2x the mean
+    part value' so the result stays non-degenerate at every SF). The
+    threshold compare cross-multiplies to value * n_parts > 2 * total
+    in exact int64 cents (no float at the boundary; headroom to
+    ~SF 1e4 — past that, widen to DECIMAL). Plan: one aggregate per
+    partkey over the nation-filtered partsupp, then a one-row
+    (total, count) aggregate OF THE AGGREGATE broadcasts back — the
+    second pass reads |parts-in-nation| rows, never partsupp. The
+    reference TPC-H ORDER BY value DESC is omitted: the output scales
+    with SF, so a global result sort is the consumer's cut to make
+    (compose sort_limit for a top-k) — the repo's global-sort policy
+    gate bans it here by design."""
+    ps = _partsupp(spark, sf_dir)
+    n = (_t(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_6"))
+    sn = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey"))
+    agg = (ps.join(sn, F.col("ps_suppkey") == F.col("s_suppkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_cents") * F.col("ps_availqty"))
+                .alias("value_c")))
+    tot = agg.agg(F.sum("value_c").alias("t"),
+                  F.count(F.lit(1)).alias("np"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .filter(F.col("value_c") * F.col("np") > 2 * F.col("t"))
+            .select("ps_partkey",
+                    F.round(F.col("value_c") / F.lit(100.0), 2)
+                    .alias("value")))
+
+
+@query("tpch_q12",
+       """SELECT l_returnflag,
+                 count(*) FILTER (WHERE o_orderpriority IN
+                     ('1-URGENT', '2-HIGH')) AS high_line_count,
+                 count(*) FILTER (WHERE o_orderpriority NOT IN
+                     ('1-URGENT', '2-HIGH')) AS low_line_count
+          FROM orders, lineitem
+          WHERE o_orderkey = l_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_returnflag""")
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority split, adapted: l_returnflag
+    stands in for the missing l_shipmode, and 'shipped more than 30
+    days after ordering' for the missing commit/receipt-date lateness
+    test). The priority split is ONE conditional aggregate — never a
+    job per bucket. The year filter pushes to the lineitem scan; the
+    fact-fact join shuffles both sides on orderkey once; final
+    aggregate on the 3-value flag key is map-side partial."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_shipdate", "l_returnflag"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, (F.col("o_orderkey") == F.col("l_orderkey"))
+                & (F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+@query("tpch_q16",
+       _PARTSUPP_SQL + """
+ SELECT p_brand, p_type, p_size,
+        count(DISTINCT ps_suppkey) AS supplier_cnt
+ FROM partsupp, part
+ WHERE p_partkey = ps_partkey
+   AND p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+   AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+   AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+ GROUP BY 1, 2, 3""")
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship; 'complaint' suppliers
+    adapted to s_acctbal < 0 since the fixture has no s_comment).
+    The exclusion is a LEFT ANTI join against the negative-balance
+    sliver (never NOT-IN-over-collect); count(DISTINCT suppkey)
+    shuffles on the (brand, type, size) key once. Both partsupp and
+    part scale with SF — no forced broadcast anywhere."""
+    ps = _partsupp(spark, sf_dir)
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#45")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (ps.join(p, F.col("ps_partkey") == F.col("p_partkey"))
+            .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"),
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt")))
+
+
+@query("tpch_q20",
+       _PARTSUPP_SQL + """,
+ sold AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2),
+ cand AS (SELECT DISTINCT ps.ps_suppkey
+          FROM partsupp ps
+          JOIN part p ON p.p_partkey = ps.ps_partkey
+                     AND p.p_name LIKE 'small%'
+          JOIN sold ON sold.l_partkey = ps.ps_partkey
+                   AND sold.l_suppkey = ps.ps_suppkey
+          WHERE ps.ps_availqty > 0.5 * sold.q)
+ SELECT s.s_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey
+ FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+ WHERE n.n_name = 'NATION_6'
+   AND s.s_suppkey IN (SELECT ps_suppkey FROM cand)""")
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion: suppliers of 'small%'
+    parts holding excess stock vs a year's sales; NATION_6 for CANADA,
+    s_suppkey for the missing s_address). The correlated half-of-sales
+    subquery becomes ONE aggregate of the year's lineitem per
+    (partkey, suppkey) joined to partsupp on the same composite key —
+    co-partitioned, no row explosion; l_quantity is integral so the
+    double sum is order-exact and 0.5*q cannot float-drift the
+    compare. An empty sales group excludes the pair on both engines
+    (inner join here = NULL-compare FALSE in the oracle). The final
+    IN is a LEFT SEMI against the DISTINCT candidate suppliers. The
+    reference ORDER BY s_name is omitted — supplier-scale output, and
+    the global-sort policy gate bans unbounded result sorts."""
+    ps = _partsupp(spark, sf_dir)
+    pn = (_t(spark, sf_dir, "part")
+          .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    sold = (_t(spark, sf_dir, "lineitem")
+            .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("l_quantity").alias("q")))
+    cand = (ps.join(pn, F.col("ps_partkey") == F.col("p_partkey"))
+            .join(sold, (F.col("l_partkey") == F.col("ps_partkey"))
+                  & (F.col("l_suppkey") == F.col("ps_suppkey")))
+            .filter(F.col("ps_availqty") > 0.5 * F.col("q"))
+            .select("ps_suppkey").distinct())
+    n = (_t(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_6"))
+    return (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"),
+                  "left_semi")
+            .select("s_name", "s_suppkey"))
+
+
+@query("tpch_q21",
+       """WITH lo AS (SELECT l_orderkey, l_suppkey,
+                 CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      AS INT) AS late
+          FROM lineitem, orders
+          WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+ per_order AS (SELECT l_orderkey,
+                      count(DISTINCT l_suppkey) AS n_supp,
+                      count(DISTINCT CASE WHEN late = 1
+                            THEN l_suppkey END) AS n_late
+               FROM lo GROUP BY 1)
+ SELECT s.s_name, count(*) AS numwait
+ FROM lo
+ JOIN per_order po ON lo.l_orderkey = po.l_orderkey
+ JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+ JOIN nation n ON n.n_nationkey = s.s_nationkey
+ WHERE lo.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+   AND n.n_name = 'NATION_6'
+ GROUP BY s.s_name
+ ORDER BY numwait DESC, s.s_name
+ LIMIT 100""")
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting; 'shipped >60 days
+    after ordering' stands in for the missing receipt>commit test,
+    NATION_6 for SAUDI ARABIA). The double correlated EXISTS / NOT
+    EXISTS collapses into ONE per-order aggregate — n_supp distinct
+    suppliers, n_late distinct LATE suppliers — joined back to the
+    late rows: EXISTS(other supplier) = n_supp >= 2, NOT EXISTS(other
+    late supplier) = n_late = 1 given the row itself is late. Two
+    orderkey-keyed shuffles total (aggregate + join-back,
+    co-partitioned) instead of three correlated probes of lineitem;
+    supplier attaches afterward, when only qualifying rows remain.
+    Group key IS s_name, so the LIMIT's (numwait DESC, s_name) order
+    is tie-free deterministic."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    lo = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                  .cast("int").alias("late")))
+    per_order = (lo.groupBy(F.col("l_orderkey").alias("po_ok"))
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(
+                          F.when(F.col("late") == 1, F.col("l_suppkey")))
+                      .alias("n_late")))
+    n = (_t(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_6"))
+    sn = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name"))
+    return (lo.filter(F.col("late") == 1)
+            .join(per_order, (F.col("l_orderkey") == F.col("po_ok"))
+                  & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+            .join(sn, F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100))
+
+
+# --------------------------------------------------------------------------
 # Round-3f: corpus-level vocabulary / calibration / data-quality artifacts
 # --------------------------------------------------------------------------
 
