@@ -73,6 +73,13 @@ _CHECK_FIRST = [
     # integer cents through every compare/aggregate.
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "tpch_q21",
+    # NEW: CCNet-style hashed-LM perplexity scoring (Wenzek et al.
+    # 2020 §4.3) — per-doc bigram cross-entropy vs the curated slice
+    # (operators/corpus.py:lm_cross_entropy, the one-sided DSIR
+    # sibling) and the pipeline's head/middle/tail terciles composed
+    # through quantiles_disc. DECIMAL-exact; plain-Python third
+    # implementation in tests/test_round11_props.py.
+    "lm_cross_entropy", "ccnet_ppl_buckets",
     # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
     # their newest green driver row predates r05 — two+ fingerprint
     # schemes old. tools/rotation.py ordering: the full r02 cohort,
@@ -91,10 +98,9 @@ _CHECK_FIRST = [
     "salted_join", "schema_evolution", "skew_stats",
     "stratified_sample", "time_weighted_avg", "tpch_q4",
     "unpivot_metrics", "weighted_sample", "zorder_key",
-    # r04 (window remainder; 6 slots ceded to the new TPC-H keys —
+    # r04 (window remainder; 8 slots ceded to the new TPC-H/LM keys —
     # never-rowed keys must land inside the 50-key window):
     "corr_pairs", "dedup_rate_by_source", "embedding_drift",
-    "event_rate_profile", "event_transitions",
 ]
 
 

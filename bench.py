@@ -147,6 +147,8 @@ HEADLINE_R11 = {
     # min-cost join-back over the synthesized partsupp)
     "tpch_q21": "collect",
     "tpch_q2": "collect",
+    # the full CCNet chain: hashed-LM scoring + tercile selection
+    "ccnet_ppl_buckets": "collect",
 }
 
 

@@ -1479,6 +1479,41 @@ def test_dsir_broadcasts_bounded_stats_only(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_lm_cross_entropy_dsir_plan_discipline(spark):
+    """CCNet hashed-LM scoring (r11): the one-sided DSIR sibling keeps
+    the same plan economics — the only broadcast sides are the <=64-row
+    log-prob frame and the scalar total (the single
+    BroadcastNestedLoopJoin Cross); corpus-scale frames shuffle on
+    uniform (id, bucket)/id keys; DECIMAL accumulation, no Python, no
+    Window. Executed-plan check: AQE collapses the LM and probe
+    consumers' identical explode+md5 subtrees into a ReusedExchange —
+    one corpus scan feeds both."""
+    df = QUERIES["lm_cross_entropy"](spark, SF_CORRECTNESS)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
+
+
+def test_ccnet_ppl_buckets_thresholds_broadcast(spark):
+    """CCNet terciles (r11): the threshold frame is a bounded
+    quantiles_disc output broadcast back onto the scored docs — no
+    corpus-scale window anywhere (the rank selection's windows all run
+    over bounded histogram frames); per-bucket means accumulate in
+    DECIMAL. No Python."""
+    plan = plan_of(QUERIES["ccnet_ppl_buckets"](spark, SF_CORRECTNESS))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin Cross" in plan, plan
+
+
 def test_dup_paragraph_removal_min_struct_no_window(spark):
     """Duplicate-span removal (r10): the per-hash first occurrence is a
     partial-aggregated min(struct) groupBy joined back on the hash key

@@ -87,6 +87,72 @@ def test_dsir_resample_membership_matches_python_draw(spark):
     assert set(want) != set(by_weight)
 
 
+# -- CCNet hashed-LM perplexity scoring --------------------------------------
+
+def _lm_ce_python() -> dict[int, tuple[int, float | None]]:
+    """lm_cross_entropy replayed in plain Python: add-1-smoothed bucket
+    log-probs from the doc_id%7 reference slice, per-doc DECIMAL sum,
+    ce = round(-float(s)/n, 6)."""
+    db = collections.defaultdict(collections.Counter)
+    ref = {}
+    for doc_id, text in _docs():
+        ws = text.split(" ") if text is not None else []
+        ref[doc_id] = doc_id % 7 == 0
+        for i in range(len(ws) - 1):
+            db[doc_id][_bucket(ws[i] + " " + ws[i + 1])] += 1
+    ct = collections.Counter()
+    for doc_id, counts in db.items():
+        if ref[doc_id]:
+            ct.update(counts)
+    tt = sum(ct.values())
+    lp = {b: Decimal(repr(round(
+        math.log(float(ct[b] + 1) / float(tt + K)), 12)))
+        for b in range(K)}
+    out = {}
+    for doc_id, is_ref in ref.items():
+        if is_ref:
+            continue
+        counts = db.get(doc_id, {})
+        n = sum(counts.values())
+        if n == 0:
+            out[doc_id] = (0, None)
+            continue
+        s = sum((Decimal(c) * lp[b] for b, c in counts.items()),
+                Decimal(0))
+        out[doc_id] = (n, round(-float(s) / n, 6))
+    return out
+
+
+def test_lm_cross_entropy_matches_python_reference(spark):
+    """The full chain (shared explode, DECIMAL log-probs, DECIMAL
+    accumulation) equals a from-scratch Python recomputation — the
+    third implementation that catches a mistake the Spark plan and its
+    SQL oracle could share."""
+    got = {r["doc_id"]: (r["n_grams"], r["cross_entropy"]) for r in
+           QUERIES["lm_cross_entropy"](spark, SF).collect()}
+    assert got == _lm_ce_python()
+
+
+def test_ccnet_buckets_match_python_terciles(spark):
+    """Tercile membership and per-bucket DECIMAL means replayed in
+    plain Python with the same rank rule (value at rank ceil(q*n))."""
+    ce = sorted(v for _n, v in _lm_ce_python().values()
+                if v is not None)
+    n = len(ce)
+    t1 = ce[max(math.ceil((1 / 3) * n), 1) - 1]
+    t2 = ce[max(math.ceil((2 / 3) * n), 1) - 1]
+    want = {}
+    for label, vals in (
+            ("head", [v for v in ce if v <= t1]),
+            ("middle", [v for v in ce if t1 < v <= t2]),
+            ("tail", [v for v in ce if v > t2])):
+        s = sum((Decimal(repr(v)) for v in vals), Decimal(0))
+        want[label] = (len(vals), round(float(s) / len(vals), 6))
+    got = {r["ppl_bucket"]: (r["n_docs"], r["avg_ce"]) for r in
+           QUERIES["ccnet_ppl_buckets"](spark, SF).collect()}
+    assert got == want
+
+
 # -- WAV/PCM decode (VERDICT r10 list #5) -----------------------------------
 
 def _expected_wav_stats(doc_id: int, text: str | None):

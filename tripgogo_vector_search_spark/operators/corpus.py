@@ -580,6 +580,72 @@ def dsir_resample(docs: DataFrame, is_target: Column, n: int = 100,
             .select(id_col, "n_grams", "log_weight"))
 
 
+def lm_cross_entropy(docs: DataFrame, is_reference: Column,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3 — the perplexity filter LLaMA's and
+    RedPajama's data pipelines apply with KenLM, here as a hashed
+    bigram LM so the model is a bounded frame instead of an external
+    artifact): every RAW document is scored by the cross-entropy of
+    its bigrams under an add-1-smoothed LM fit on the REFERENCE slice,
+    H(x) = -(1/n) sum_g ln p_ref[bucket(g)] over the shared
+    DSIR_BUCKETS feature space. Low cross-entropy = reference-like
+    text (CCNet's 'head'); the tercile bucketing CCNet cuts on
+    composes on top (registry: ccnet_ppl_buckets). Gram-less docs
+    (NULL text / <2 words) score NULL, never 0 — 'no evidence' and
+    'perfectly reference-like' must not collide.
+
+    Engine-independent the same way as :func:`dsir_importance_weights`
+    (this is its one-sided sibling — same explode, same sentinel
+    bucket, same ReusedExchange discipline): probabilities reduce to
+    integer count ratios, each log factor is cast to double BEFORE the
+    divide (int64-safe at any SF), the per-bucket log-prob truncates
+    to DECIMAL(28,12) absorbing libm last-ulp skew, and the per-doc
+    accumulation is DECIMAL — exact and order-free. Scale shape: one
+    corpus bigram explode feeding both the bounded (<= DSIR_BUCKETS
+    rows) LM frame and the per-doc probe via a reused exchange; the
+    LM broadcasts back; two uniform md5-keyed shuffles total."""
+    K = DSIR_BUCKETS
+    ws = F.col("_ws")
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+    ).otherwise(F.array(F.lit(None).cast("string")))
+    tagged = (docs.select(id_col, is_reference.alias("_t"),
+                          words(text_col).alias("_ws"))
+              .select(id_col, "_t", F.explode(grams).alias("gram")))
+    db = (tagged.groupBy(id_col,
+                         _md5_bucket(F.col("gram")).alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("c"), F.max("_t").alias("_t")))
+    stats = (db.groupBy("bucket")
+             .agg(F.sum(F.when(F.col("_t"), F.col("c")).otherwise(0))
+                  .alias("ct")))
+    tot = stats.agg(
+        F.sum(F.when(F.col("bucket") < K, F.col("ct"))
+              .otherwise(0)).alias("tt"))
+    logp = (stats.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    F.log((F.col("ct") + 1).cast("double")
+                          / (F.col("tt") + K).cast("double"))
+                    .cast("decimal(28,12)").alias("lp")))
+    per_doc = (db.filter(~F.col("_t"))
+               .join(F.broadcast(logp), "bucket", "left")
+               .groupBy(id_col)
+               .agg(F.sum(F.when(F.col("bucket") < K, F.col("c"))
+                          .otherwise(0)).alias("n_grams"),
+                    F.sum(F.when(F.col("bucket") < K,
+                                 F.col("c").cast("decimal(9,0)")
+                                 * F.col("lp"))).alias("s")))
+    return (per_doc
+            .select(id_col,
+                    F.col("n_grams").cast("bigint").alias("n_grams"),
+                    F.round(-F.col("s").cast("double")
+                            / F.col("n_grams"), 6)
+                    .alias("cross_entropy")))
+
+
 def dup_paragraph_removal(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           size: int = PARA_WORDS) -> DataFrame:

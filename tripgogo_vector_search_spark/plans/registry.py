@@ -8562,6 +8562,117 @@ def dsir_resample_q(spark, sf_dir):
     return CP.dsir_resample(d, F.col("doc_id") % 7 == 0)
 
 
+# The CCNet-style hashed-LM scoring core, shared by lm_cross_entropy
+# and ccnet_ppl_buckets: reference slice = the doc_id%7 'curated'
+# cohort (the DSIR convention), add-1-smoothed bucket log-probs in
+# DECIMAL(28,12), per-doc DECIMAL accumulation, gram-less docs NULL.
+_LM_CE_SQL = f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
+                      FROM documents),
+           g AS (SELECT doc_id, doc_id % 7 = 0 AS t,
+                        unnest(CASE WHEN len(ws) >= 2 THEN
+                            list_transform(generate_series(1, len(ws) - 1),
+                                i -> array_to_string(
+                                    list_slice(ws, i, i + 1), ' '))
+                            ELSE []::VARCHAR[] END) AS gram
+                 FROM w),
+           db AS (SELECT doc_id, t,
+                         {sql_hash_bucket('md5(gram)', 6)} AS bucket,
+                         count(*) AS c
+                  FROM g GROUP BY 1, 2, 3),
+           st AS (SELECT bucket,
+                         sum(CASE WHEN t THEN c ELSE 0 END) AS ct
+                  FROM db GROUP BY bucket),
+           tot AS (SELECT sum(ct) AS tt FROM st),
+           lp AS (SELECT bucket,
+                         CAST(ln((ct + 1)::DOUBLE
+                                 / (tt + {CP.DSIR_BUCKETS})::DOUBLE)
+                              AS DECIMAL(28,12)) AS lp
+                  FROM st, tot),
+           p AS (SELECT db.doc_id, sum(db.c) AS n_grams,
+                        sum(CAST(db.c AS DECIMAL(9,0)) * lp.lp) AS s
+                 FROM db JOIN lp USING (bucket)
+                 WHERE NOT db.t GROUP BY db.doc_id),
+           ce AS (SELECT d.doc_id,
+                         CAST(COALESCE(p.n_grams, 0) AS BIGINT)
+                           AS n_grams,
+                         round(-(p.s::DOUBLE) / p.n_grams, 6)
+                           AS cross_entropy
+                  FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+                  WHERE d.doc_id % 7 <> 0)"""
+
+
+@query("lm_cross_entropy",
+       _LM_CE_SQL + "\n          SELECT * FROM ce")
+def lm_cross_entropy_q(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3 — the perplexity filter the LLaMA/RedPajama
+    pipelines run with KenLM, as a hashed bigram LM so the model is a
+    bounded broadcastable frame): every raw document's cross-entropy
+    under an add-1-smoothed bigram LM fit on the doc_id%7 'curated'
+    slice. DECIMAL-exact across engines by the DSIR conventions
+    (operators/corpus.py:lm_cross_entropy — its one-sided sibling:
+    same single corpus explode shared between the LM and probe
+    consumers via ReusedExchange, same sentinel bucket, factors cast
+    to double before the divide). Gram-less docs score NULL, not 0.
+    Reference parity: corpus quality screening ahead of
+    ingest_hotels.py-style embedding ingest."""
+    d = _t(spark, sf_dir, "documents")
+    return CP.lm_cross_entropy(d, F.col("doc_id") % 7 == 0)
+
+
+@query("ccnet_ppl_buckets",
+       _LM_CE_SQL + """,
+           cef AS (SELECT * FROM ce WHERE cross_entropy IS NOT NULL),
+           r AS (SELECT cross_entropy,
+                        row_number() OVER (ORDER BY cross_entropy,
+                                           doc_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM cef),
+           th AS (SELECT min(CASE WHEN rn >= greatest(
+                              ceil((1.0/3) * n), 1)
+                              THEN cross_entropy END) AS t1,
+                         min(CASE WHEN rn >= greatest(
+                              ceil((2.0/3) * n), 1)
+                              THEN cross_entropy END) AS t2
+                  FROM r),
+           lab AS (SELECT CASE WHEN cross_entropy <= t1 THEN 'head'
+                               WHEN cross_entropy <= t2 THEN 'middle'
+                               ELSE 'tail' END AS ppl_bucket,
+                          cross_entropy
+                   FROM cef, th)
+          SELECT ppl_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                 round(CAST(sum(CAST(cross_entropy AS DECIMAL(18,6)))
+                            AS DOUBLE) / count(*), 6) AS avg_ce
+          FROM lab GROUP BY ppl_bucket""")
+def ccnet_ppl_buckets_q(spark, sf_dir):
+    """CCNet's head/middle/tail perplexity terciles (Wenzek et al.
+    2020 §4.3 — the pipeline keeps 'head', optionally 'middle', drops
+    'tail'): scored docs bucketed at the exact discrete terciles of
+    their cross-entropy. Composes lm_cross_entropy with the
+    distributed rank selection (operators/quantile.py:quantiles_disc
+    — value at rank ceil(q*n) read off bucketed histograms, no
+    row-scale sort task anywhere; the oracle's global row_number is
+    DuckDB-side only). The 2-row threshold frame broadcasts back;
+    per-bucket means accumulate in DECIMAL(18,6) over the 6dp-rounded
+    scores, so the average is order-exact."""
+    d = _t(spark, sf_dir, "documents")
+    from ..operators.quantile import quantiles_disc
+    ce = (CP.lm_cross_entropy(d, F.col("doc_id") % 7 == 0)
+          .filter(F.col("cross_entropy").isNotNull()))
+    th = quantiles_disc(ce, [], "cross_entropy",
+                        [("t1", 1 / 3), ("t2", 2 / 3)])
+    lab = (ce.crossJoin(F.broadcast(th))
+           .select(F.when(F.col("cross_entropy") <= F.col("t1"), "head")
+                   .when(F.col("cross_entropy") <= F.col("t2"), "middle")
+                   .otherwise("tail").alias("ppl_bucket"),
+                   "cross_entropy"))
+    return (lab.groupBy("ppl_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.round(F.sum(F.col("cross_entropy")
+                               .cast("decimal(18,6)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_ce")))
+
+
 @query("dup_paragraph_fraction",
        f"""WITH w AS (SELECT doc_id, source, {sql_words('text')} AS ws
                       FROM documents),
