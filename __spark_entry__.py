@@ -80,6 +80,12 @@ _CHECK_FIRST = [
     # through quantiles_disc. DECIMAL-exact; plain-Python third
     # implementation in tests/test_round11_props.py.
     "lm_cross_entropy", "ccnet_ppl_buckets",
+    # NEW: Gopher's published document-quality rule battery (Rae et
+    # al. 2021, arXiv:2112.11446 A1.1) — named per-doc flags + keep
+    # verdict, every threshold cross-multiplied integer arithmetic
+    # (functions/text.py:gopher_rules; plain-Python replay in
+    # tests/test_round11_props.py). Map-only, no shuffle.
+    "gopher_quality_gate",
     # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
     # their newest green driver row predates r05 — two+ fingerprint
     # schemes old. tools/rotation.py ordering: the full r02 cohort,
@@ -98,9 +104,9 @@ _CHECK_FIRST = [
     "salted_join", "schema_evolution", "skew_stats",
     "stratified_sample", "time_weighted_avg", "tpch_q4",
     "unpivot_metrics", "weighted_sample", "zorder_key",
-    # r04 (window remainder; 8 slots ceded to the new TPC-H/LM keys —
-    # never-rowed keys must land inside the 50-key window):
-    "corr_pairs", "dedup_rate_by_source", "embedding_drift",
+    # r04 (window remainder; 9 slots ceded to the new TPC-H/LM/Gopher
+    # keys — never-rowed keys must land inside the 50-key window):
+    "corr_pairs", "dedup_rate_by_source",
 ]
 
 

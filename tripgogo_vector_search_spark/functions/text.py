@@ -89,6 +89,40 @@ def quality_score(col: ColumnOrName) -> Column:
     return F.round(len_score * punct_pen * wlen_score, 6)
 
 
+def gopher_rules(col: ColumnOrName) -> dict[str, Column]:
+    """Gopher's document-level quality rules (Rae et al. 2021,
+    arXiv:2112.11446, Appendix A1.1) as named boolean columns, with
+    the published thresholds verbatim: 50..100,000 words; mean word
+    length in [3, 10]; >=80% of words contain an alphabetic character;
+    >=2 stop words; symbol-to-word ratio (# or ...) <= 0.1. The
+    line-based rules (bullet/ellipsis line fractions) are omitted —
+    the fixture corpus carries no newlines — and noted as such where
+    the battery is registered. Every threshold compare is
+    cross-multiplied integer arithmetic over the shared single-space
+    word split: no float sits on any keep/drop boundary, so both
+    engines agree exactly. NULL text propagates NULL flags (an
+    unreadable doc is not 'failed', it is unknown)."""
+    c = _c(col)
+    w = words(c)
+    n = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0).cast("bigint"),
+                          lambda acc, t: acc + F.length(t))
+    n_alpha = F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.filter(
+        w, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = ((F.length(c)
+              - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+             / F.lit(3)).cast("bigint")
+    return {
+        "word_count_ok": (n >= 50) & (n <= 100_000),
+        "mean_word_len_ok": (sum_len >= 3 * n) & (sum_len <= 10 * n),
+        "alpha_words_ok": n_alpha * 5 >= n.cast("bigint") * 4,
+        "stopwords_ok": stop_hits >= 2,
+        "symbol_ratio_ok": (n_hash + n_ell) * 10 <= n.cast("bigint"),
+    }
+
+
 def lang_scores(col: ColumnOrName) -> dict[str, Column]:
     """Stopword-hit count per candidate language."""
     w = F.transform(words(col), F.lower)

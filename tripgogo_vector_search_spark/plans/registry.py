@@ -8673,6 +8673,60 @@ def ccnet_ppl_buckets_q(spark, sf_dir):
                          / F.count(F.lit(1)), 6).alias("avg_ce")))
 
 
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+
+@query("gopher_quality_gate",
+       f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws,
+                             length(text) AS tl,
+                             length(replace(text, '#', '')) AS t_nohash,
+                             length(replace(text, '...', '')) AS t_noell
+                      FROM documents),
+           m AS (SELECT doc_id, len(ws) AS n,
+                        list_sum(list_transform(ws,
+                            t -> length(t))) AS sum_len,
+                        len(list_filter(ws,
+                            t -> regexp_matches(t, '[A-Za-z]')))
+                          AS n_alpha,
+                        len(list_filter(ws,
+                            t -> lower(t) IN ({_GOPHER_STOP_SQL})))
+                          AS stop_hits,
+                        (tl - t_nohash) + (tl - t_noell) // 3 AS n_sym
+                 FROM w)
+           SELECT doc_id,
+                  n >= 50 AND n <= 100000 AS word_count_ok,
+                  sum_len >= 3 * n AND sum_len <= 10 * n
+                    AS mean_word_len_ok,
+                  n_alpha * 5 >= n * 4 AS alpha_words_ok,
+                  stop_hits >= 2 AS stopwords_ok,
+                  n_sym * 10 <= n AS symbol_ratio_ok,
+                  (n >= 50 AND n <= 100000)
+                    AND (sum_len >= 3 * n AND sum_len <= 10 * n)
+                    AND n_alpha * 5 >= n * 4
+                    AND stop_hits >= 2
+                    AND n_sym * 10 <= n AS keep
+           FROM m""")
+def gopher_quality_gate_q(spark, sf_dir):
+    """Gopher's published document-quality rule battery (Rae et al.
+    2021, arXiv:2112.11446, Appendix A1.1) as per-doc named flags plus
+    the composite keep verdict — the repetition rules are covered
+    separately by dup_ngram_fraction/repetition_filter, and the
+    line-based rules are omitted because the fixture corpus carries no
+    newlines (documented in functions/text.py:gopher_rules). Every
+    threshold is cross-multiplied integer arithmetic over the shared
+    word split — no float on any keep/drop boundary, so the DuckDB
+    comparison is exact by construction. Scale: one projection over
+    the scan (map-only, codegen'd HOFs with all arrays bound as
+    lambda inputs), no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    flags = TX.gopher_rules(F.col("text"))
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return d.select("doc_id",
+                    *[c.alias(name) for name, c in flags.items()],
+                    keep.alias("keep"))
+
+
 @query("dup_paragraph_fraction",
        f"""WITH w AS (SELECT doc_id, source, {sql_words('text')} AS ws
                       FROM documents),
