@@ -86,6 +86,17 @@ _CHECK_FIRST = [
     # (functions/text.py:gopher_rules; plain-Python replay in
     # tests/test_round11_props.py). Map-only, no shuffle.
     "gopher_quality_gate",
+    # NEW: product quantization (Jegou et al. 2011) — pq_encode_error
+    # compresses every embedding to 4 codebook ids + reconstruction
+    # MSE; pq_adc_topk is the asymmetric-distance top-10 over CODES
+    # with the exact distance riding along. While building these the
+    # engines' FLOAT->DECIMAL casts were found to disagree at ~1e-9
+    # (DuckDB converts float32 directly, Spark promotes through
+    # double); all embedding DECIMAL accumulations now route
+    # explicitly through DOUBLE on both sides, which also moved
+    # kmeans_lloyd's and embedding_drift's plans/oracles — both
+    # re-queued here.
+    "pq_encode_error", "pq_adc_topk", "embedding_drift",
     # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
     # their newest green driver row predates r05 — two+ fingerprint
     # schemes old. tools/rotation.py ordering: the full r02 cohort,
@@ -103,10 +114,11 @@ _CHECK_FIRST = [
     "partitioned_sink", "pii_redact", "pivot_table", "regex_funcs",
     "salted_join", "schema_evolution", "skew_stats",
     "stratified_sample", "time_weighted_avg", "tpch_q4",
-    "unpivot_metrics", "weighted_sample", "zorder_key",
-    # r04 (window remainder; 9 slots ceded to the new TPC-H/LM/Gopher
-    # keys — never-rowed keys must land inside the 50-key window):
-    "corr_pairs", "dedup_rate_by_source",
+    "unpivot_metrics", "weighted_sample",
+    # (the r04 remainder and zorder_key ceded their slots to this
+    # round's 12 new keys + 2 re-plans — never-rowed/changed keys must
+    # land inside the 50-key window; the r03/r04 stale tail continues
+    # next round)
 ]
 
 

@@ -149,6 +149,8 @@ HEADLINE_R11 = {
     "tpch_q2": "collect",
     # the full CCNet chain: hashed-LM scoring + tercile selection
     "ccnet_ppl_buckets": "collect",
+    # PQ: codebook train + encode + ADC top-10 in one plan
+    "pq_adc_topk": "collect",
 }
 
 

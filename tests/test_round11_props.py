@@ -153,6 +153,144 @@ def test_ccnet_buckets_match_python_terciles(spark):
     assert got == want
 
 
+# -- Product quantization -----------------------------------------------------
+
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
+
+
+def _pq_python():
+    """pq_encode_error replayed in plain Python: float32 elements
+    promoted to double, sequential-order L2^2 folds, DECIMAL(.,12)
+    HALF_UP centroid sums (the cast both engines now share), one Lloyd
+    round, (d, cid)-tiebroken argmin."""
+    from decimal import ROUND_HALF_UP
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vecs = {i: [float(x) for x in v] for i, v in
+            zip(t.column(0).to_pylist(), t.column(1).to_pylist())}
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def sub(v, m):
+        return v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+
+    def assign(cb):
+        out = {}
+        for i, v in vecs.items():
+            for m in range(_PQ_M):
+                xs = sub(v, m)
+                best = min((l2sq(xs, cv), cid)
+                           for cid, cv in cb[m].items())
+                out[(i, m)] = (best[1], best[0])
+        return out
+
+    c0 = {m: {cid: sub(vecs[cid], m) for cid in range(_PQ_K)}
+          for m in range(_PQ_M)}
+    a1 = assign(c0)
+    c1 = {m: {} for m in range(_PQ_M)}
+    for m in range(_PQ_M):
+        for cid in range(_PQ_K):
+            members = [sub(vecs[i], m) for i in vecs
+                       if a1[(i, m)][0] == cid]
+            if not members:
+                continue
+            c1[m][cid] = [
+                float(sum((Decimal(repr(xs[d])).quantize(
+                    Decimal("1e-12"), rounding=ROUND_HALF_UP)
+                    for xs in members), Decimal(0))) / len(members)
+                for d in range(_PQ_SUB)]
+    a2 = assign(c1)
+    out = {}
+    for i in vecs:
+        codes = ",".join(str(a2[(i, m)][0]) for m in range(_PQ_M))
+        s = 0.0
+        for m in range(_PQ_M):
+            s = s + a2[(i, m)][1]
+        out[i] = (codes, round(s / (_PQ_M * _PQ_SUB), 6))
+    return out
+
+
+def test_pq_encode_matches_python_reference(spark):
+    """Codebook training (DECIMAL Lloyd round), code assignment and
+    reconstruction error replayed from the raw parquet floats in plain
+    Python — the third implementation for the PQ family."""
+    got = {r["vec_id"]: (r["codes"], r["recon_mse"]) for r in
+           QUERIES["pq_encode_error"](spark, SF).collect()}
+    assert got == _pq_python()
+
+
+def test_pq_adc_matches_python_replay(spark):
+    """The ADC search replayed in plain Python over the replayed
+    codebooks/codes: per-subspace query-to-centroid LUT with the same
+    sequential folds, estimate = m-ordered LUT sum, top-10 by
+    (round(est, 6), vec_id). The whole cut must match — and the exact
+    column must equal brute-force L2^2 from the raw floats. (No recall
+    floor is asserted: the fixture embeddings are near-isotropic, so
+    exact distances concentrate in a ~5% band and k=8 codebooks
+    cannot rank inside it — the ADC contract here is estimator
+    fidelity, which IS sharp.)"""
+    from decimal import ROUND_HALF_UP
+
+    from tripgogo_vector_search_spark.plans.flagship import QUERY_VEC
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vecs = {i: [float(x) for x in v] for i, v in
+            zip(t.column(0).to_pylist(), t.column(1).to_pylist())}
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def sub(v, m):
+        return v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+
+    # rebuild c1 + codes exactly as _pq_python does
+    c0 = {m: {cid: sub(vecs[cid], m) for cid in range(_PQ_K)}
+          for m in range(_PQ_M)}
+
+    def assign(cb):
+        return {(i, m): min((l2sq(sub(v, m), cv), cid)
+                            for cid, cv in cb[m].items())[1]
+                for i, v in vecs.items() for m in range(_PQ_M)}
+
+    a1 = assign(c0)
+    c1 = {m: {} for m in range(_PQ_M)}
+    for m in range(_PQ_M):
+        for cid in range(_PQ_K):
+            members = [sub(vecs[i], m) for i in vecs
+                       if a1[(i, m)] == cid]
+            if members:
+                c1[m][cid] = [
+                    float(sum((Decimal(repr(xs[d])).quantize(
+                        Decimal("1e-12"), rounding=ROUND_HALF_UP)
+                        for xs in members), Decimal(0))) / len(members)
+                    for d in range(_PQ_SUB)]
+    a2 = assign(c1)
+    lut = {(m, cid): l2sq(sub(QUERY_VEC, m), cv)
+           for m in range(_PQ_M) for cid, cv in c1[m].items()}
+    est = {}
+    for i in vecs:
+        s = 0.0
+        for m in range(_PQ_M):
+            s = s + lut[(m, a2[(i, m)])]
+        est[i] = round(s, 6)
+    want = sorted(((est[i], i) for i in est))[:10]
+    got = QUERIES["pq_adc_topk"](spark, SF).collect()
+    got_pairs = sorted((r["approx_dist"], r["vec_id"]) for r in got)
+    assert got_pairs == want
+    for r in got:
+        assert r["exact_dist"] == round(
+            l2sq(vecs[r["vec_id"]], QUERY_VEC), 6)
+
+
 # -- Gopher rule battery -----------------------------------------------------
 
 _GOPHER_STOPS = {"the", "and", "of", "to", "in", "is", "that", "with",

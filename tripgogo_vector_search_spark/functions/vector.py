@@ -96,6 +96,17 @@ def euclidean_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def l2_sq(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Squared L2 distance as the same sequential double fold as
+    :func:`euclidean_distance` without the sqrt — the PQ/kmeans
+    assignment metric, engine-exact because both engines fold the
+    element order left-to-right (oracle_helpers.sql_l2_sq)."""
+    diffs = F.zip_with(_c(a), _c(b),
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def match_score(dist: ColumnOrName) -> Column:
     """The reference's derived similarity percentage:
     ``round((1 - distance) * 100, 2)`` (streamlit_app.py:221)."""

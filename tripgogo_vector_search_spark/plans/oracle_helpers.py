@@ -108,6 +108,14 @@ def sql_norm(a: str) -> str:
     return f"sqrt({sql_dot(a, a)})"
 
 
+def sql_l2_sq(a: str, b: str) -> str:
+    """Squared L2 distance — the same sequential element-order fold as
+    functions/vector.py:l2_sq."""
+    return (f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+            f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))")
+
+
 def sql_cosine_distance(a: str, b: str) -> str:
     return f"(1.0 - {sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
 

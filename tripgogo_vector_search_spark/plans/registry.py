@@ -28,8 +28,9 @@ from .flagship import DIM, QUERY_VEC, flagship_query
 from .oracle_helpers import (normalize_round_sign, sql_arr_int_str,
                              sql_arr_num6_str, sql_arr_str_str,
                              sql_cosine_distance, sql_dot, sql_double_list,
-                             sql_lsh_band_keys, sql_minhash_signature,
-                             sql_norm, sql_shingles, sql_simhash32,
+                             sql_l2_sq, sql_lsh_band_keys,
+                             sql_minhash_signature, sql_norm,
+                             sql_shingles, sql_simhash32,
                              sql_stopword_hits, sql_words)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -5842,7 +5843,8 @@ def _kmeans_sql() -> str:
                           unnest(generate_series(1, len(embedding))) AS d,
                           unnest(embedding) AS v
                    FROM a1),
-           s1 AS (SELECT cid, d, SUM(CAST(v AS DECIMAL(30,12))) AS s,
+           s1 AS (SELECT cid, d,
+                         SUM(CAST(v::DOUBLE AS DECIMAL(30,12))) AS s,
                          count(*) AS n
                   FROM ex1 GROUP BY cid, d),
            c1 AS (SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY d)
@@ -5884,7 +5886,8 @@ def kmeans_lloyd(spark, sf_dir):
         ex = assigned.select(
             "cid", F.posexplode("embedding").alias("d0", "v"))
         s = (ex.groupBy("cid", (F.col("d0") + 1).alias("d"))
-             .agg(F.sum(F.col("v").cast("decimal(30,12)")).alias("s"),
+             .agg(F.sum(F.col("v").cast("double")
+                        .cast("decimal(30,12)")).alias("s"),
                   F.count(F.lit(1)).alias("n")))
         return (s.select("cid", "d",
                          (F.col("s").cast("double") / F.col("n"))
@@ -5905,6 +5908,199 @@ def kmeans_lloyd(spark, sf_dir):
                      F.sum(F.round(F.col("dist"), 6).cast("decimal(18,6)"))
                      .cast("double") / F.count(F.lit(1)), 6)
                  .alias("mean_dist")))
+
+
+# --------------------------------------------------------------------------
+# Round-11: product quantization (Jegou et al. 2011, IEEE TPAMI 33(1))
+# --------------------------------------------------------------------------
+# The compression layer a 100 TB vector index actually stores: each
+# 64-dim embedding becomes _PQ_M=4 one-byte codes (one k=8 codebook per
+# 16-dim subspace, trained with one DECIMAL-exact Lloyd refinement from
+# deterministic seeds), and search scans CODES with an asymmetric
+# distance (ADC) lookup table instead of raw vectors — a 64x smaller
+# scan. Same engine-exactness toolkit as kmeans_lloyd: sequential
+# double folds for distances (sql_l2_sq), DECIMAL centroid updates,
+# per-vector fold over the m-sorted struct array so the 4-term sums
+# accumulate in a fixed order on both engines.
+
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
+
+
+def _pq_sql_prefix() -> str:
+    d0 = sql_l2_sq("x.xs", "c.cvec")
+    d1 = sql_l2_sq("x.xs", "c1.cvec")
+    return f"""WITH sub AS (SELECT unnest([0, 1, 2, 3]) AS m),
+ x AS (SELECT e.vec_id, sub.m,
+              list_slice(e.embedding, sub.m * {_PQ_SUB} + 1,
+                         sub.m * {_PQ_SUB} + {_PQ_SUB}) AS xs
+       FROM embeddings e, sub),
+ c0 AS (SELECT m, vec_id AS cid, xs AS cvec FROM x
+        WHERE vec_id < {_PQ_K}),
+ a1 AS (SELECT vec_id, m, xs, cid FROM (
+          SELECT x.vec_id, x.m, x.xs, c.cid, {d0} AS d,
+                 row_number() OVER (PARTITION BY x.vec_id, x.m
+                                    ORDER BY {d0} ASC, c.cid ASC) AS rn
+          FROM x JOIN c0 c ON c.m = x.m) q WHERE rn = 1),
+ ex AS (SELECT m, cid, unnest(generate_series(1, {_PQ_SUB})) AS d,
+               unnest(xs) AS v
+        FROM a1),
+ s1 AS (SELECT m, cid, d,
+               SUM(CAST(v::DOUBLE AS DECIMAL(30,12))) AS s,
+               count(*) AS n
+        FROM ex GROUP BY 1, 2, 3),
+ c1 AS (SELECT m, cid, list(CAST(s AS DOUBLE) / n ORDER BY d) AS cvec
+        FROM s1 GROUP BY m, cid),
+ a2 AS (SELECT vec_id, m, cid, d FROM (
+          SELECT x.vec_id, x.m, c1.cid, {d1} AS d,
+                 row_number() OVER (PARTITION BY x.vec_id, x.m
+                                    ORDER BY {d1} ASC, c1.cid ASC) AS rn
+          FROM x JOIN c1 ON c1.m = x.m) q WHERE rn = 1)"""
+
+
+def _pq_codebooks(spark, sf_dir):
+    """Per-subspace k-means codebooks (m, cid, cvec): sub-slices of the
+    first _PQ_K vectors refined by one Lloyd round with DECIMAL-summed
+    centroid updates — deterministic and engine-exact (the kmeans_lloyd
+    toolkit per subspace)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = (emb.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"))
+        .select("vec_id", "m",
+                F.slice("embedding", F.col("m") * _PQ_SUB + 1,
+                        _PQ_SUB).alias("xs")))
+    c0 = (x.filter(F.col("vec_id") < _PQ_K)
+          .select("m", F.col("vec_id").alias("cid"),
+                  F.col("xs").alias("cvec")))
+    a1 = _pq_assign(x, c0)
+    ex = a1.select("m", "cid", F.posexplode("xs").alias("d0", "v"))
+    s1 = (ex.groupBy("m", "cid", (F.col("d0") + 1).alias("d"))
+          .agg(F.sum(F.col("v").cast("double")
+                        .cast("decimal(30,12)")).alias("s"),
+               F.count(F.lit(1)).alias("n")))
+    c1 = (s1.select("m", "cid",
+                    (F.col("s").cast("double") / F.col("n")).alias("cv"),
+                    "d")
+          .groupBy("m", "cid")
+          .agg(F.array_sort(F.collect_list(F.struct("d", "cv")))
+               .alias("a"))
+          .select("m", "cid",
+                  F.transform("a", lambda s: s["cv"]).alias("cvec")))
+    return x, c1
+
+
+def _pq_assign(x, cb):
+    """Nearest codebook entry per (vector, subspace): broadcast the
+    bounded (m*k rows) codebook, argmin window partitioned by the
+    (vec_id, m) slicing key."""
+    d = V.l2_sq(F.col("xs"), F.col("cvec"))
+    w = W.partitionBy("vec_id", "m").orderBy(F.col("d").asc(),
+                                             F.col("cid").asc())
+    return (x.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", "xs", "cid", d.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "xs", "cid", "d"))
+
+
+@query("pq_encode_error",
+       _pq_sql_prefix() + f""",
+ per AS (SELECT vec_id,
+                list(cid ORDER BY m) AS cids,
+                list(d ORDER BY m) AS ds
+         FROM a2 GROUP BY vec_id)
+ SELECT vec_id,
+        array_to_string(list_transform(cids,
+            c -> CAST(c AS VARCHAR)), ',') AS codes,
+        round(list_sum(ds) / {_PQ_M * _PQ_SUB}, 6) AS recon_mse
+ FROM per""")
+def pq_encode_error_q(spark, sf_dir):
+    """Product quantization ENCODE (Jegou et al. 2011): every 64-dim
+    embedding compressed to 4 codebook ids (k=8 per 16-dim subspace,
+    codebooks = deterministic seeds + one DECIMAL-exact Lloyd round),
+    with the per-vector reconstruction MSE the encoder leaves behind —
+    the quality number a PQ deployment is sized by. The 4-term
+    error sum folds over the m-sorted array (fixed order on both
+    engines, no float-sum nondeterminism). Scale: the codebook is a
+    bounded m*k-row broadcast; encode is one argmin window per
+    (vec_id, m) slicing key — map-scale work, the stored index shrinks
+    64x (4 bytes vs 64 doubles). Reference parity: the compression
+    tier under COSINE_DISTANCE search (streamlit_app.py:64-67) at
+    corpus scales the raw-vector scan cannot serve."""
+    x, c1 = _pq_codebooks(spark, sf_dir)
+    a2 = _pq_assign(x, c1)
+    per = (a2.groupBy("vec_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("m", "cid", "d"))).alias("a")))
+    return per.select(
+        "vec_id",
+        F.array_join(F.transform("a", lambda s: s["cid"]
+                                 .cast("string")), ",").alias("codes"),
+        F.round(F.aggregate(F.transform("a", lambda s: s["d"]),
+                            F.lit(0.0), lambda acc, v: acc + v)
+                / F.lit(_PQ_M * _PQ_SUB), 6).alias("recon_mse"))
+
+
+def _pq_query_subs() -> list[list[float]]:
+    return [QUERY_VEC[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            for m in range(_PQ_M)]
+
+
+@query("pq_adc_topk",
+       _pq_sql_prefix() + f""",
+ lut AS (SELECT c1.m, c1.cid,
+                {sql_l2_sq("q.qs", "c1.cvec")} AS ld
+         FROM c1 JOIN (SELECT unnest([0,1,2,3]) AS m,
+                              unnest([{", ".join(sql_double_list(s) for s in _pq_query_subs())}]) AS qs) q
+           ON q.m = c1.m),
+ adc AS (SELECT a2.vec_id, list(lut.ld ORDER BY a2.m) AS lds
+         FROM a2 JOIN lut ON lut.m = a2.m AND lut.cid = a2.cid
+         GROUP BY a2.vec_id),
+ top AS (SELECT vec_id, round(list_sum(lds), 6) AS approx_dist
+         FROM adc
+         ORDER BY round(list_sum(lds), 6) ASC, vec_id ASC
+         LIMIT 10)
+ SELECT t.vec_id, t.approx_dist,
+        round({sql_l2_sq("e.embedding", sql_double_list(QUERY_VEC))}, 6)
+          AS exact_dist
+ FROM top t JOIN embeddings e ON e.vec_id = t.vec_id""")
+def pq_adc_topk_q(spark, sf_dir):
+    """PQ asymmetric-distance search (ADC, Jegou et al. 2011 §III):
+    top-10 by the lookup-table distance sum — the query is compared to
+    each subspace codebook ONCE (m*k lookup rows), then every stored
+    vector's distance estimate is 4 table lookups over its CODES, never
+    its floats. The exact distance of each hit rides along, so the
+    approximation error is visible in the result itself. Scale: after
+    the broadcast LUT join the scan reads codes only (64x less I/O
+    than raw vectors at 100 TB); the cut is TakeOrderedAndProject; the
+    10-row result joins back to raw embeddings for the exact column.
+    The 4-term ADC sums fold over the m-sorted array — fixed order,
+    engine-exact."""
+    x, c1 = _pq_codebooks(spark, sf_dir)
+    a2 = _pq_assign(x, c1).select("vec_id", "m", "cid")
+    qsubs = _pq_query_subs()
+    qs = F.element_at(
+        F.array(*[F.array(*[F.lit(v) for v in s]) for s in qsubs]),
+        F.col("m") + 1)
+    lut = c1.select("m", "cid",
+                    V.l2_sq(qs, F.col("cvec")).alias("ld"))
+    adc = (a2.join(F.broadcast(lut), ["m", "cid"])
+           .groupBy("vec_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("m", "ld"))).alias("a")))
+    top = (adc.select(
+        "vec_id",
+        F.round(F.aggregate(F.transform("a", lambda s: s["ld"]),
+                            F.lit(0.0), lambda acc, v: acc + v), 6)
+        .alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(10))
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(v) for v in QUERY_VEC])
+    return (top.join(emb, "vec_id")
+            .select("vec_id", "approx_dist",
+                    F.round(V.l2_sq(F.col("embedding"), qv), 6)
+                    .alias("exact_dist")))
 
 
 # --------------------------------------------------------------------------
@@ -5958,7 +6154,7 @@ def near_dup_cross_source(spark, sf_dir):
                                   unnest(embedding) AS v
                            FROM embeddings),
             s AS (SELECT label, half, d,
-                         SUM(CAST(v AS DECIMAL(30,12))) AS sv,
+                         SUM(CAST(v::DOUBLE AS DECIMAL(30,12))) AS sv,
                          count(*) AS n
                   FROM halves GROUP BY label, half, d),
             c AS (SELECT label, half,
@@ -5986,7 +6182,8 @@ def embedding_drift(spark, sf_dir):
     ex = emb.select("label", (F.col("vec_id") % 2).alias("half"),
                     F.posexplode("embedding").alias("d0", "v"))
     s = (ex.groupBy("label", "half", (F.col("d0") + 1).alias("d"))
-         .agg(F.sum(F.col("v").cast("decimal(30,12)")).alias("sv"),
+         .agg(F.sum(F.col("v").cast("double")
+                   .cast("decimal(30,12)")).alias("sv"),
               F.count(F.lit(1)).alias("n")))
     c = (s.select("label", "half", "d",
                   (F.col("sv").cast("double") / F.col("n")).alias("cv"),
