@@ -97,6 +97,11 @@ _CHECK_FIRST = [
     # kmeans_lloyd's and embedding_drift's plans/oracles — both
     # re-queued here.
     "pq_encode_error", "pq_adc_topk", "embedding_drift",
+    # NEW: Spark's NATIVE session-window aggregate (F.session_window)
+    # — the engine operator beside stream_sessionize's custom state
+    # machine; gap semantics (>= starts a new session) pinned against
+    # a gaps-and-islands oracle.
+    "session_window_agg",
     # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
     # their newest green driver row predates r05 — two+ fingerprint
     # schemes old. tools/rotation.py ordering: the full r02 cohort,
@@ -114,7 +119,7 @@ _CHECK_FIRST = [
     "partitioned_sink", "pii_redact", "pivot_table", "regex_funcs",
     "salted_join", "schema_evolution", "skew_stats",
     "stratified_sample", "time_weighted_avg", "tpch_q4",
-    "unpivot_metrics", "weighted_sample",
+    "unpivot_metrics",
     # (the r04 remainder and zorder_key ceded their slots to this
     # round's 12 new keys + 2 re-plans — never-rowed/changed keys must
     # land inside the 50-key window; the r03/r04 stale tail continues

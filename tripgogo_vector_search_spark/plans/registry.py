@@ -1957,6 +1957,53 @@ def stream_sessionize_q(spark, sf_dir):
                                mode="append")
 
 
+@query("session_window_agg",
+       f"""WITH x AS (
+             SELECT user_id, ts, event_id, value,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+           s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM x)
+           SELECT user_id,
+                  strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+                  strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                           '{_TS_FMT_DUCK}') AS session_end,
+                  COUNT(*) AS n_events,
+                  CAST(round(SUM(CAST(value AS DECIMAL(24,6))), 2)
+                       AS DOUBLE) AS value_sum
+           FROM s GROUP BY user_id, sid""")
+def session_window_agg_q(spark, sf_dir):
+    """Spark's NATIVE session-window aggregate (F.session_window — the
+    engine operator, vs stream_sessionize's custom
+    applyInPandasWithState state machine): per-user activity sessions
+    with a 30-minute inactivity gap, one groupBy(session_window,
+    user_id) — Spark merges events into half-open [first, last+gap)
+    windows inside the aggregate, so there is no per-user WindowExec
+    sort of raw events on this side (the oracle's gaps-and-islands
+    windows are DuckDB-only). Gap semantics pinned: Spark starts a NEW
+    session when the gap is >= the duration (half-open window end), so
+    the oracle's island break uses >=, not >. Sums ride DECIMAL.
+    Scale: one shuffle on the uniform user key; state is
+    per-(user, session) aggregate rows, never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    g = (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum(F.col("value").cast("decimal(24,6)")), 2)
+              .cast("double").alias("value_sum")))
+    return g.select(
+        "user_id",
+        F.date_format("session_window.start", _TS_FMT_SPARK)
+        .alias("session_start"),
+        F.date_format("session_window.end", _TS_FMT_SPARK)
+        .alias("session_end"),
+        "n_events", "value_sum")
+
+
 @query("salted_agg",
        """SELECT event_type, COUNT(*) AS n,
                  CAST(round(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)
