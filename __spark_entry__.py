@@ -102,6 +102,13 @@ _CHECK_FIRST = [
     # machine; gap semantics (>= starts a new session) pinned against
     # a gaps-and-islands oracle.
     "session_window_agg",
+    # NEW: the composed IVF+PQ index (FAISS's deployment layout) —
+    # driver-side probe selection, static cid pruning to 4/16 cells,
+    # ADC over CODES (scan reads vec_id+codes only, plan-pinned),
+    # 30-row shortlist exact-re-ranked to top-5. And xml_roundtrip:
+    # Spark 4's native XML source, full value parity through
+    # write+declared-schema read-back.
+    "ivfpq_topk", "xml_roundtrip",
     # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
     # their newest green driver row predates r05 — two+ fingerprint
     # schemes old. tools/rotation.py ordering: the full r02 cohort,
@@ -118,8 +125,7 @@ _CHECK_FIRST = [
     "label_centroids", "mode_agg", "normalize_text", "pack_sequences",
     "partitioned_sink", "pii_redact", "pivot_table", "regex_funcs",
     "salted_join", "schema_evolution", "skew_stats",
-    "stratified_sample", "time_weighted_avg", "tpch_q4",
-    "unpivot_metrics",
+    "stratified_sample", "time_weighted_avg",
     # (the r04 remainder and zorder_key ceded their slots to this
     # round's 12 new keys + 2 re-plans — never-rowed/changed keys must
     # land inside the 50-key window; the r03/r04 stale tail continues

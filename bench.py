@@ -151,6 +151,8 @@ HEADLINE_R11 = {
     "ccnet_ppl_buckets": "collect",
     # PQ: codebook train + encode + ADC top-10 in one plan
     "pq_adc_topk": "collect",
+    # the composed IVF+PQ search (pruned cells, codes-only ADC scan)
+    "ivfpq_topk": "collect",
 }
 
 

@@ -153,6 +153,21 @@ def test_ann_ivf_search_is_partition_pruned(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivfpq_search_is_partition_pruned_and_codes_only(spark):
+    """IVF+PQ (r11): probes prune the cid-partitioned composed index
+    statically (4 of 16 cells), the ADC shortlist's index scan reads
+    CODES — its ReadSchema must NOT include the raw embedding column
+    (the 64x-I/O claim; exact re-rank reads embeddings from the base
+    table for 30 rows only), and both cuts are TakeOrdered."""
+    import re
+    plan = plan_of(QUERIES["ivfpq_topk"](spark, SF_CORRECTNESS))
+    assert re.search(
+        r"PartitionFilters: \[cid#\d+ IN \(\d+,\d+,\d+,\d+\)\]", plan)
+    assert "TakeOrderedAndProject" in plan
+    m = re.search(r"ReadSchema: struct<vec_id:bigint,codes:[^>]*>", plan)
+    assert m, plan
+
+
 def test_dedup_plans_bound_shuffles_and_python(spark):
     """Shuffle-count ceilings for the dedup family (formatted explain
     prints each node twice — tree + detail — so ceilings are 2x the real

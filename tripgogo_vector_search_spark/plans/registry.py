@@ -6150,6 +6150,141 @@ def pq_adc_topk_q(spark, sf_dir):
                     .alias("exact_dist")))
 
 
+def _py_l2_sq(a, b) -> float:
+    """Driver-side squared L2 with the SAME sequential fold as
+    functions/vector.py:l2_sq / oracle_helpers.sql_l2_sq — probe/LUT
+    values computed on the driver must equal the engines'."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+    return acc
+
+
+def _build_ivfpq(spark, sf_dir, path):
+    """Materialize the composed IVF+PQ index: rows (vec_id, codes,
+    embedding) partitioned by IVF cell, with the bounded sidecars
+    `_centroids` (16 rows) and `_codebooks` (m*k rows) underscore-
+    prefixed so index scans skip them (the ann_ivf layout)."""
+    import os
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = ANN.build_ivf_index(emb, "embedding", "vec_id", 16)
+    x, c1 = _pq_codebooks(spark, sf_dir)
+    codes = (_pq_assign(x, c1).groupBy("vec_id")
+             .agg(F.array_sort(F.collect_list(F.struct("m", "cid")))
+                  .alias("a"))
+             .select("vec_id",
+                     F.transform("a", lambda s: s["cid"]).alias("codes")))
+    (ivf.join(codes, "vec_id")
+     .select("vec_id", "codes", "embedding", "cid")
+     .write.mode("overwrite").partitionBy("cid").parquet(path))
+    (emb.filter(F.col("vec_id") < 16)
+     .select(F.col("vec_id").alias("cid"),
+             F.col("embedding").alias("cvec"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(path, "_centroids")))
+    (c1.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_codebooks")))
+
+
+@query("ivfpq_topk",
+       _pq_sql_prefix() + f""",
+ ivc AS (SELECT vec_id AS cid, embedding AS cvec
+         FROM embeddings WHERE vec_id < 16),
+ ivassign AS (SELECT vec_id, ivcid FROM (
+     SELECT e.vec_id, ivc.cid AS ivcid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {sql_cosine_distance('e.embedding', 'ivc.cvec')}
+                       ASC, ivc.cid ASC) AS rn
+     FROM embeddings e CROSS JOIN ivc) q WHERE rn = 1),
+ probes AS (SELECT cid FROM (
+     SELECT cid, row_number() OVER (
+       ORDER BY {sql_cosine_distance('cvec', _QV)} ASC, cid ASC) AS rn
+     FROM ivc) WHERE rn <= 4),
+ lut AS (SELECT c1.m, c1.cid, {sql_l2_sq("q.qs", "c1.cvec")} AS ld
+         FROM c1 JOIN (SELECT unnest([0,1,2,3]) AS m,
+                unnest([{", ".join(sql_double_list(s) for s in _pq_query_subs())}]) AS qs) q
+           ON q.m = c1.m),
+ cand AS (SELECT a2.vec_id, list(lut.ld ORDER BY a2.m) AS lds
+          FROM a2
+          JOIN ivassign iv ON iv.vec_id = a2.vec_id
+          JOIN probes p ON p.cid = iv.ivcid
+          JOIN lut ON lut.m = a2.m AND lut.cid = a2.cid
+          GROUP BY a2.vec_id),
+ short AS (SELECT vec_id, round(list_sum(lds), 6) AS approx_dist
+           FROM cand
+           ORDER BY round(list_sum(lds), 6) ASC, vec_id ASC
+           LIMIT 30)
+ SELECT s.vec_id,
+        round({sql_cosine_distance('e.embedding', _QV)}, 6)
+          AS distance_score,
+        s.approx_dist
+ FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+ ORDER BY {sql_cosine_distance('e.embedding', _QV)} ASC, s.vec_id ASC
+ LIMIT 5""")
+def ivfpq_topk_q(spark, sf_dir):
+    """The composed index a 100 TB vector search actually deploys
+    (FAISS's IVF+PQ layout, Jegou et al. 2011 §V): IVF cell pruning x
+    PQ code scan x exact re-rank. Probe selection runs driver-side
+    over the 16-row `_centroids` sidecar (bounded collect, the ann_ivf
+    contract) -> the cid filter statically prunes the partitioned
+    index to 4 of 16 cells -> inside probed cells the ADC estimate is
+    4 literal-array lookups over each row's CODES (the scan projects
+    vec_id+codes — at 100 TB that is cells/4 of the corpus at 4 bytes
+    per vector, not 64 doubles) -> the 30-row ADC shortlist joins back
+    to raw embeddings for the exact cosine top-5, approx_dist riding
+    along so the estimator error is visible. LUT values are computed
+    driver-side from the `_codebooks` sidecar with the same sequential
+    fold the engines use — engine-exact end to end."""
+    path = _materialized_index(
+        spark, sf_dir, "ivfpq_index",
+        lambda p: _build_ivfpq(spark, sf_dir, p),
+        src=(_build_ivfpq, _pq_codebooks, _pq_assign,
+             ANN.build_ivf_index))
+    import os
+    cents = spark.read.parquet(os.path.join(path, "_centroids")).collect()
+
+    def cos_dist(a, b):
+        import math
+        na = math.sqrt(sum(float(x) * float(x) for x in a)) or 1.0
+        nb = math.sqrt(sum(float(x) * float(x) for x in b)) or 1.0
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + float(x) * float(y)
+        return 1.0 - s / (na * nb)
+
+    probes = [r.cid for r in sorted(
+        cents, key=lambda r: (cos_dist(r.cvec, QUERY_VEC), r.cid))[:4]]
+    cbs = spark.read.parquet(os.path.join(path, "_codebooks")).collect()
+    qsubs = _pq_query_subs()
+    flat = [0.0] * (_PQ_M * _PQ_K)
+    for r in cbs:
+        flat[r["m"] * _PQ_K + r["cid"]] = _py_l2_sq(qsubs[r["m"]],
+                                                    r["cvec"])
+    flat_col = F.array(*[F.lit(v) for v in flat])
+    cand = (spark.read.parquet(path)
+            .filter(F.col("cid").isin(probes)))
+    est = None
+    for m in range(_PQ_M):
+        term = F.element_at(flat_col,
+                            (F.lit(m * _PQ_K)
+                             + F.element_at("codes", m + 1) + 1)
+                            .cast("int"))
+        est = term if est is None else est + term
+    short = (cand.select("vec_id",
+                         F.round(est, 6).alias("approx_dist"))
+             .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+             .limit(30))
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(v) for v in QUERY_VEC])
+    d = V.cosine_distance(F.col("embedding"), qv)
+    return (short.join(emb, "vec_id")
+            .select("vec_id", d.alias("_d"), "approx_dist")
+            .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+            .limit(5)
+            .select("vec_id", F.round("_d", 6).alias("distance_score"),
+                    "approx_dist"))
+
+
 # --------------------------------------------------------------------------
 # Round-3m: provenance contamination, embedding drift monitoring
 # --------------------------------------------------------------------------
@@ -6556,6 +6691,38 @@ def orc_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                          .cast("double"), 2).alias("total")))
+
+
+@query("xml_roundtrip",
+       """SELECT c_mktsegment, count(*) AS n,
+                 CAST(round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                 AS DOUBLE), 2) AS DOUBLE) AS total_bal
+          FROM customer GROUP BY c_mktsegment""")
+def xml_roundtrip(spark, sf_dir):
+    """Row-tag XML, full value parity (Spark 4's NATIVE xml source —
+    the ingestion path for feed/registry estates that still speak
+    XML): customer is written with rowTag records and read back under
+    a DECLARED schema (longs, doubles, strings through text-and-back;
+    Java's round-trip double formatting makes the re-parsed
+    c_acctbal bit-identical). The aggregate over the XML copy must
+    equal the oracle computed from the original parquet. Same
+    materialize-once discipline as the ORC/ANN artifacts; src=()
+    deliberately — a pure format roundtrip of the fixture table (the
+    orc_roundtrip rationale)."""
+    path = _materialized_index(
+        spark, sf_dir, "customer_xml",
+        lambda p: _t(spark, sf_dir, "customer").write
+        .mode("overwrite").format("xml")
+        .option("rootTag", "customers").option("rowTag", "customer")
+        .save(p))
+    c = (spark.read.format("xml").option("rowTag", "customer")
+         .schema("c_custkey bigint, c_name string, c_nationkey bigint, "
+                 "c_acctbal double, c_mktsegment string")
+         .load(path))
+    return (c.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("total_bal")))
 
 
 @query("resample_zero_fill",
