@@ -9058,30 +9058,48 @@ def lm_cross_entropy_q(spark, sf_dir):
 def ccnet_ppl_buckets_q(spark, sf_dir):
     """CCNet's head/middle/tail perplexity terciles (Wenzek et al.
     2020 §4.3 — the pipeline keeps 'head', optionally 'middle', drops
-    'tail'): scored docs bucketed at the exact discrete terciles of
-    their cross-entropy. Composes lm_cross_entropy with the
-    distributed rank selection (operators/quantile.py:quantiles_disc
-    — value at rank ceil(q*n) read off bucketed histograms, no
-    row-scale sort task anywhere; the oracle's global row_number is
-    DuckDB-side only). The 2-row threshold frame broadcasts back;
-    per-bucket means accumulate in DECIMAL(18,6) over the 6dp-rounded
-    scores, so the average is order-exact."""
+    'tail'): scored docs bucketed at the exact discrete terciles
+    (value at rank ceil(q*n), the quantiles_disc definition) of their
+    cross-entropy. ONE corpus pass: scores are 6dp-rounded, so a
+    (value, count) frequency histogram is a BOUNDED frame riding the
+    scoring aggregate — thresholds come off its cumulative counts
+    (unpartitioned window over aggregate input: policy-allowed), and
+    the per-bucket doc counts and DECIMAL-exact means are weighted
+    aggregates of the SAME histogram, so no second evaluation of the
+    LM chain exists anywhere (the first cut paid the corpus explode
+    three times — 4.2 s; this shape ~halves it). The oracle keeps the
+    per-row formulation (DuckDB-side only)."""
     d = _t(spark, sf_dir, "documents")
-    from ..operators.quantile import quantiles_disc
     ce = (CP.lm_cross_entropy(d, F.col("doc_id") % 7 == 0)
           .filter(F.col("cross_entropy").isNotNull()))
-    th = quantiles_disc(ce, [], "cross_entropy",
-                        [("t1", 1 / 3), ("t2", 2 / 3)])
-    lab = (ce.crossJoin(F.broadcast(th))
+    h = (ce.groupBy("cross_entropy")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    wv = W.orderBy("cross_entropy")
+    h2 = h.select(
+        "cross_entropy", "cnt",
+        F.sum("cnt").over(
+            wv.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            wv.rowsBetween(W.unboundedPreceding,
+                           W.unboundedFollowing)).alias("n"))
+    rk1 = F.greatest(F.ceil(F.lit(1 / 3) * F.col("n")), F.lit(1))
+    rk2 = F.greatest(F.ceil(F.lit(2 / 3) * F.col("n")), F.lit(1))
+    th = h2.agg(
+        F.min(F.when(F.col("cum") >= rk1, F.col("cross_entropy")))
+        .alias("t1"),
+        F.min(F.when(F.col("cum") >= rk2, F.col("cross_entropy")))
+        .alias("t2"))
+    lab = (h.crossJoin(F.broadcast(th))
            .select(F.when(F.col("cross_entropy") <= F.col("t1"), "head")
                    .when(F.col("cross_entropy") <= F.col("t2"), "middle")
                    .otherwise("tail").alias("ppl_bucket"),
-                   "cross_entropy"))
+                   "cross_entropy", "cnt"))
     return (lab.groupBy("ppl_bucket")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            .agg(F.sum("cnt").cast("bigint").alias("n_docs"),
                  F.round(F.sum(F.col("cross_entropy")
-                               .cast("decimal(18,6)")).cast("double")
-                         / F.count(F.lit(1)), 6).alias("avg_ce")))
+                               .cast("decimal(18,6)") * F.col("cnt"))
+                         .cast("double") / F.sum("cnt"), 6)
+                 .alias("avg_ce")))
 
 
 _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
