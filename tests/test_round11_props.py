@@ -450,6 +450,73 @@ def test_wav_decode_rejects_unreadable_payloads():
     assert parse_wav(spliced) == parse_wav(base)
 
 
+def test_parse_wav_total_on_arbitrary_bytes():
+    """Fuzz the container walk: ANY byte string decodes to a tuple or
+    None — never an exception (a 100 TB media lake feeds the decoder
+    truncated, mislabeled and hostile objects; the chunk walk indexes
+    bytes from length fields it must never trust). Includes
+    RIFF-prefixed garbage so the walker itself is exercised, not just
+    the preamble check."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        parse_wav)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.binary(max_size=200),
+        st.binary(max_size=120).map(lambda b: b"RIFF" + b),
+        st.binary(max_size=120).map(
+            lambda b: b"RIFF" + bytes([len(b) % 256, 0, 0, 0])
+            + b"WAVE" + b)))
+    def run(data):
+        out = parse_wav(data)
+        assert out is None or (len(out) == 6 and out[3] >= 0)
+
+    run()
+
+
+def test_parse_wav_roundtrips_generated_wave_files():
+    """Generative round-trip against stdlib `wave`: random rate /
+    channel-count / frame-count files must decode to exactly the
+    header wave wrote and the RMS of the samples it carried."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        parse_wav)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 2), st.integers(1, 96000),
+           st.lists(st.integers(-32768, 32767), min_size=0,
+                    max_size=40))
+    def run(n_ch, rate, vals):
+        vals = vals[:len(vals) - (len(vals) % n_ch)]
+        buf = io.BytesIO()
+        ww = wave.open(buf, "wb")
+        ww.setnchannels(n_ch)
+        ww.setsampwidth(2)
+        ww.setframerate(rate)
+        ww.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+        ww.close()
+        got = parse_wav(buf.getvalue())
+        n_frames = len(vals) // n_ch
+        assert got[:4] == (rate, n_ch, 16, n_frames)
+        assert got[4] == n_frames * 1000.0 / rate
+        if vals:
+            ss = sum(v * v for v in vals)
+            assert got[5] == float(ss / len(vals)) ** 0.5
+        else:
+            assert got[5] is None
+
+    run()
+
+
 def test_wav_decode_plan_is_map_only(spark):
     """Scale pin: the decode is one Arrow pass over the scan — no
     Exchange (shuffle) anywhere in the physical plan; payload bytes
