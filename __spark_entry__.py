@@ -109,6 +109,12 @@ _CHECK_FIRST = [
     # Spark 4's native XML source, full value parity through
     # write+declared-schema read-back.
     "ivfpq_topk", "xml_roundtrip",
+    # NEW: the second real decode — genuine 24-bpp BMPs synthesized in
+    # Catalyst (real headers, stride-padded BGR rows) and decoded by
+    # an Arrow kernel (offset/stride walk, per-channel means; padding
+    # never enters the sums); with WAV+BMP real, the stub surface is
+    # exactly the compressed codecs.
+    "multimodal_bmp_stats",
     # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
     # their newest green driver row predates r05 — two+ fingerprint
     # schemes old. tools/rotation.py ordering: the full r02 cohort,
@@ -125,7 +131,7 @@ _CHECK_FIRST = [
     "label_centroids", "mode_agg", "normalize_text", "pack_sequences",
     "partitioned_sink", "pii_redact", "pivot_table", "regex_funcs",
     "salted_join", "schema_evolution", "skew_stats",
-    "stratified_sample", "time_weighted_avg",
+    "time_weighted_avg",
     # (the r04 remainder and zorder_key ceded their slots to this
     # round's 12 new keys + 2 re-plans — never-rowed/changed keys must
     # land inside the 50-key window; the r03/r04 stale tail continues

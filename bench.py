@@ -142,6 +142,7 @@ HEADLINE_R10 = {
 HEADLINE_R11 = {
     "dsir_resample": "collect",
     "multimodal_wav_stats": "noop",
+    "multimodal_bmp_stats": "noop",
     # TPC-H completion: the two heaviest of the six new queries (q21's
     # double-EXISTS collapse = two fact-fact orderkey shuffles; q2's
     # min-cost join-back over the synthesized partsupp)

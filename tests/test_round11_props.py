@@ -291,6 +291,111 @@ def test_pq_adc_matches_python_replay(spark):
             l2sq(vecs[r["vec_id"]], QUERY_VEC), 6)
 
 
+# -- BMP decode ---------------------------------------------------------------
+
+def _expected_bmp_stats(doc_id: int, text: str | None):
+    """The BMP synthesis-side contract with no container at all: width
+    by id%5, full BGR pixel rows from the text bytes, channel means
+    over the used bytes only (stride padding excluded)."""
+    if text is None:
+        return (None,) * 6
+    w = doc_id % 5 + 4
+    raw = text.encode("utf-8")
+    h = len(raw) // (3 * w)
+    if h < 1:
+        return (None,) * 6
+    used = raw[:3 * w * h]
+    n = w * h
+    sums = [0, 0, 0]
+    for i, byte in enumerate(used):
+        sums[i % 3] += byte
+
+    def r6(v: float) -> float:
+        # Spark's F.round(double, 6): HALF_UP over the double's exact
+        # binary expansion (Python's round is HALF_EVEN — it loses the
+        # exact .0000005 ties integer/2^k means produce, e.g.
+        # 12073/128 = 94.3203125)
+        from decimal import ROUND_HALF_UP
+        return float(Decimal(v).quantize(Decimal("1e-6"),
+                                         rounding=ROUND_HALF_UP))
+
+    return (w, h, n, r6(sums[0] / n), r6(sums[1] / n), r6(sums[2] / n))
+
+
+def test_bmp_decode_matches_no_container_reference(spark):
+    """The full chain (Catalyst BMP synthesis -> Arrow-kernel
+    stride-aware decode) equals a plain-Python recomputation that
+    never builds a container — a shared byte-layout mistake (e.g.
+    counting the stride padding into the channel sums) fails here."""
+    got = {r["media_id"]: tuple(r)[1:] for r in
+           QUERIES["multimodal_bmp_stats"](spark, SF).collect()}
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    want = {d: _expected_bmp_stats(d, x) for d, x in
+            zip(t.column(0).to_pylist(), t.column(1).to_pylist())}
+    assert got == want
+
+
+def test_parse_bmp_handles_real_layouts_and_rejects_the_rest():
+    """Hand-built files: top-down (negative height) decodes with
+    row-order-invariant means; 32-bpp / RLE-compressed / truncated
+    pixel data / zero-height are rejected as None, never misread."""
+    import struct
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        parse_bmp)
+
+    def bmp(w, h_field, planes=1, bpp=24, comp=0, px=b"", offset=54):
+        return (b"BM" + struct.pack("<I", offset + len(px))
+                + b"\0\0\0\0" + struct.pack("<I", offset)
+                + struct.pack("<I", 40)
+                + struct.pack("<ii", w, h_field)
+                + struct.pack("<HH", planes, bpp)
+                + struct.pack("<II", comp, len(px)) + b"\0" * 16 + px)
+
+    stride = (3 * 2 + 3) // 4 * 4
+    rows = (bytes([1, 2, 3, 4, 5, 6]) + b"\0" * (stride - 6)
+            + bytes([7, 8, 9, 10, 11, 12]) + b"\0" * (stride - 6))
+    up = parse_bmp(bmp(2, 2, px=rows))
+    down = parse_bmp(bmp(2, -2, px=rows))
+    assert up == down == (2, 2, 4, 5.5, 6.5, 7.5)
+    assert parse_bmp(bmp(2, 2, bpp=32, px=rows)) is None
+    assert parse_bmp(bmp(2, 2, comp=1, px=rows)) is None
+    assert parse_bmp(bmp(2, 0, px=rows)) is None
+    assert parse_bmp(bmp(2, 2, px=rows[:10])) is None  # truncated
+    assert parse_bmp(b"BM") is None
+
+
+def test_parse_bmp_total_on_arbitrary_bytes():
+    """Fuzz totality: any byte string — including 'BM'-prefixed
+    garbage with hostile offset/size fields — decodes to a tuple or
+    None, never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        parse_bmp)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.binary(max_size=200),
+        st.binary(max_size=160).map(lambda b: b"BM" + b)))
+    def run(data):
+        out = parse_bmp(data)
+        assert out is None or (len(out) == 6 and out[2] > 0)
+
+    run()
+
+
+def test_bmp_decode_plan_is_map_only(spark):
+    """Scale pin: one Arrow pass over the scan — no Exchange; pixel
+    bytes never move between executors."""
+    plan = (QUERIES["multimodal_bmp_stats"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
 # -- Gopher rule battery -----------------------------------------------------
 
 _GOPHER_STOPS = {"the", "and", "of", "to", "in", "is", "that", "with",

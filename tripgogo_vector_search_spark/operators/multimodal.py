@@ -3,11 +3,13 @@ typed metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schema, batch iteration, partition-preserving
 feature extraction) is real and tested. Decode coverage (r11): WAV/PCM
-is a REAL decode — :func:`parse_wav` / :func:`wav_stats_udf` walk the
-RIFF chunk list and compute sample-level stats with pure byte
-arithmetic, no codec library, byte-exact against a DuckDB BLOB oracle
-and round-tripped against stdlib ``wave``. Only pixel-codec decodes
-(JPEG/PNG) remain env-bound stubs:
+and 24-bpp BMP are REAL decodes — :func:`parse_wav` /
+:func:`wav_stats_udf` walk the RIFF chunk list and compute
+sample-level stats, :func:`parse_bmp` / :func:`bmp_stats_udf` honor
+the BMP offset/stride layout (top-down heights included) and compute
+pixel-level channel means — pure byte arithmetic, no codec library,
+byte-exact against DuckDB BLOB oracles, fuzz-total on hostile bytes.
+Only COMPRESSED-codec decodes (JPEG/PNG) remain env-bound stubs:
 
 * ``decode_backend="fake"`` (default) — deterministic byte-level features
   (content-addressed; no codec), so pipelines and tests run offline;
@@ -284,6 +286,158 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
     map-only Arrow pass, unreadable objects surfaced as NULL stats."""
     w = media.select("media_id",
                      wav_stats_udf(F.col("content")).alias("w"))
+    return w.select("media_id", "w.*")
+
+
+def synth_bmp_corpus(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic corpus of REAL 24-bpp uncompressed BMP files,
+    built with pure Catalyst byte arithmetic (no codec): each
+    document's UTF-8 bytes become BGR pixel rows of a
+    BITMAPFILEHEADER+BITMAPINFOHEADER image whose width cycles 4..8
+    px by ``id % 5``; height = as many full pixel rows as the text
+    provides, each row zero-padded to the format's 4-byte stride —
+    the stride-vs-row-bytes distinction is exactly what makes the
+    decode real. Every header field (file size, data offset, header
+    size, planes, bpp, compression=BI_RGB, image size) is the value a
+    real encoder writes. NULL text yields NULL content."""
+    w = (F.col(id_col) % 5 + 4).cast("bigint")
+    data_hex = F.hex(F.encode(F.col(text_col), "UTF-8"))
+    h = (F.length(data_hex) / 2 / (3 * w)).cast("bigint")
+    pad = (4 - (3 * w) % 4) % 4
+    img_size = (3 * w + pad) * h
+    rows_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), h - 1),
+            lambda r: F.concat(
+                F.substring(data_hex, (r * 6 * w + 1).cast("int"),
+                            (6 * w).cast("int")),
+                F.repeat(F.lit("00"), pad.cast("int")))), "")
+    hexfile = F.concat(
+        F.lit("424D"), _le_hex(img_size + 54, 4),      # 'BM', file size
+        F.lit("00000000"), _le_hex(F.lit(54), 4),      # reserved, offset
+        _le_hex(F.lit(40), 4),                         # infoheader size
+        _le_hex(w, 4), _le_hex(h, 4),                  # width, height
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(24), 2),   # planes, bpp
+        _le_hex(F.lit(0), 4), _le_hex(img_size, 4),    # BI_RGB, img size
+        _le_hex(F.lit(0), 4), _le_hex(F.lit(0), 4),    # x/y px-per-meter
+        _le_hex(F.lit(0), 4), _le_hex(F.lit(0), 4),    # palette counts
+        rows_hex)
+    return docs.select(F.col(id_col).alias("media_id"),
+                       F.unhex(hexfile).alias("content"))
+
+
+def parse_bmp(data: bytes | None) -> tuple | None:
+    """Plain-Python BMP decode — REAL pixel access, pure byte
+    arithmetic, no codec library: validates the 'BM' preamble, reads
+    the pixel-data offset and BITMAPINFOHEADER fields, rejects
+    anything but uncompressed 24-bpp (BI_RGB), honors the 4-byte row
+    stride (padding bytes NEVER enter the channel sums) and negative
+    heights (top-down storage). Returns ``(width, height, n_pixels,
+    mean_b, mean_g, mean_r)`` with means unrounded (callers round
+    engine-consistently), or ``None`` for unreadable payloads. The
+    executable spec behind :func:`bmp_stats_udf`."""
+    import struct
+
+    if data is None or len(data) < 54 or data[0:2] != b"BM":
+        return None
+    (offset,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40 or len(data) < 14 + hdr_size:
+        return None
+    width, height_s = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if width <= 0 or height_s == 0 or planes != 1 or bpp != 24 \
+            or compression != 0:
+        return None
+    height = abs(height_s)
+    stride = (3 * width + 3) // 4 * 4
+    if offset + stride * height > len(data):
+        return None
+    sb = sg = sr = 0
+    for r in range(height):
+        row = data[offset + r * stride:offset + r * stride + 3 * width]
+        for p in range(width):
+            sb += row[3 * p]
+            sg += row[3 * p + 1]
+            sr += row[3 * p + 2]
+    n_px = width * height
+    return (width, height, n_px,
+            sb / n_px, sg / n_px, sr / n_px)
+
+
+_BMP_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
+               "mean_b:double,mean_g:double,mean_r:double>")
+
+
+def bmp_stats_udf(content_col) -> "F.Column":
+    """Arrow-batched BMP decode: binary content -> image metadata +
+    per-channel means. Vectorizes :func:`parse_bmp` with numpy
+    stride-sliced channel sums (exact int64; identical doubles to the
+    plain-Python spec). Unreadable / compressed / non-24-bpp payloads
+    decode to an all-NULL struct, never an error. Map-only Arrow
+    pass; pixel bytes never leave the executors."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_BMP_STRUCT)
+    def _bmp(blobs: pd.Series) -> pd.DataFrame:
+        import struct
+
+        import numpy as np
+
+        cols = {k: [] for k in ("width", "height", "n_pixels",
+                                "mean_b", "mean_g", "mean_r")}
+
+        def emit(w=None, h=None, n=None, mb=None, mg=None, mr=None):
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_pixels"].append(n)
+            cols["mean_b"].append(mb)
+            cols["mean_g"].append(mg)
+            cols["mean_r"].append(mr)
+
+        for b in blobs:
+            data = bytes(b) if b is not None else None
+            if data is None or len(data) < 54 or data[0:2] != b"BM":
+                emit()
+                continue
+            (offset,) = struct.unpack("<I", data[10:14])
+            (hdr_size,) = struct.unpack("<I", data[14:18])
+            if hdr_size < 40 or len(data) < 14 + hdr_size:
+                emit()
+                continue
+            width, height_s = struct.unpack("<ii", data[18:26])
+            planes, bpp = struct.unpack("<HH", data[26:30])
+            (compression,) = struct.unpack("<I", data[30:34])
+            if width <= 0 or height_s == 0 or planes != 1 \
+                    or bpp != 24 or compression != 0:
+                emit()
+                continue
+            height = abs(height_s)
+            stride = (3 * width + 3) // 4 * 4
+            if offset + stride * height > len(data):
+                emit()
+                continue
+            px = (np.frombuffer(data, dtype=np.uint8,
+                                count=stride * height, offset=offset)
+                  .reshape(height, stride)[:, :3 * width]
+                  .reshape(-1, 3).astype(np.int64))
+            n_px = width * height
+            s = px.sum(axis=0)
+            emit(width, height, n_px,
+                 int(s[0]) / n_px, int(s[1]) / n_px, int(s[2]) / n_px)
+        return pd.DataFrame(cols)
+
+    return _bmp(content_col if not isinstance(content_col, str)
+                else F.col(content_col))
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """Per-object BMP decode over a (media_id, content) frame: one
+    map-only Arrow pass, unreadable objects surfaced as NULL stats."""
+    w = media.select("media_id",
+                     bmp_stats_udf(F.col("content")).alias("w"))
     return w.select("media_id", "w.*")
 
 

@@ -8865,6 +8865,65 @@ def multimodal_wav_stats_q(spark, sf_dir):
         F.round("rms", 6).alias("rms"))
 
 
+@query("multimodal_bmp_stats",
+       """WITH b AS (SELECT doc_id, doc_id % 5 + 4 AS w,
+                  upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS dlen
+           FROM documents),
+           p AS (SELECT doc_id, w, hx,
+                        dlen // (3 * w) AS h
+                 FROM b),
+           s AS (SELECT doc_id, w, h, hx,
+                        unnest(CASE WHEN h >= 1 THEN
+                               generate_series(0, 3 * w * h - 1)
+                               ELSE []::BIGINT[] END) AS i
+                 FROM p),
+           v AS (SELECT doc_id, i % 3 AS ch,
+                        ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                 FROM s),
+           q AS (SELECT doc_id,
+                        sum(CASE WHEN ch = 0 THEN u ELSE 0 END) AS sb,
+                        sum(CASE WHEN ch = 1 THEN u ELSE 0 END) AS sg,
+                        sum(CASE WHEN ch = 2 THEN u ELSE 0 END) AS sr,
+                        count(*) // 3 AS npx
+                 FROM v GROUP BY doc_id)
+           SELECT p.doc_id AS media_id,
+                  CAST(CASE WHEN p.h >= 1 THEN p.w END AS INT) AS width,
+                  CAST(CASE WHEN p.h >= 1 THEN p.h END AS INT)
+                    AS height,
+                  CAST(q.npx AS BIGINT) AS n_pixels,
+                  round(q.sb::DOUBLE / q.npx, 6) AS mean_b,
+                  round(q.sg::DOUBLE / q.npx, 6) AS mean_g,
+                  round(q.sr::DOUBLE / q.npx, 6) AS mean_r
+           FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_bmp_stats_q(spark, sf_dir):
+    """The SECOND real decode (after multimodal_wav_stats): the
+    documents table becomes genuine 24-bpp uncompressed BMP images via
+    pure Catalyst byte arithmetic (operators/multimodal.py:
+    synth_bmp_corpus — real FILEHEADER/INFOHEADER fields, BGR pixel
+    rows zero-padded to the format's 4-byte stride), and an
+    Arrow-batched kernel decodes them back: header validation, offset/
+    stride walk (padding bytes never enter the sums — the detail that
+    distinguishes a decode from a byte histogram), per-channel means
+    over exact int64 sums; top-down (negative-height) images and
+    non-BI_RGB payloads handled (bmp_stats_udf; plain-Python spec
+    parse_bmp pinned equal + fuzz-total in tests/test_round11_props).
+    The DuckDB oracle derives the same stats synthesis-side from the
+    text bytes. With WAV + BMP real, the NotImplementedError surface
+    is exactly the genuinely env-bound compressed codecs (JPEG/PNG).
+    Scale: map-only Arrow pass, no shuffle. Reference parity: media
+    metadata extraction the reference delegates to client-side
+    libraries (streamlit_app.py display layer)."""
+    from ..operators.multimodal import decode_bmp_stats, synth_bmp_corpus
+    m = synth_bmp_corpus(_t(spark, sf_dir, "documents"))
+    w = decode_bmp_stats(m)
+    return w.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"))
+
+
 @query("dsir_importance_weights",
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
                       FROM documents),
