@@ -318,3 +318,94 @@ def test_multimodal_magic_sniff_degenerates(spark):
     assert out[3] == "image/png"
     assert out[4] == "image/jpeg"
     assert out[5] == "audio/wav"
+
+
+def test_lm_cross_entropy_on_degenerate_corpora(spark):
+    """CCNet scoring (r11): empty corpus -> empty output; a corpus
+    with NO reference docs still scores (uniform add-1 LM); NULL and
+    gram-less docs score NULL, never 0; reference docs are excluded."""
+    from tripgogo_vector_search_spark.operators.corpus import (
+        lm_cross_entropy)
+
+    empty = _corpus(spark, [])
+    assert lm_cross_entropy(empty, F.col("doc_id") % 7 == 0).count() == 0
+    rows = [(1, None), (2, ""), (3, "one"), (4, "two words here ok"),
+            (7, "a reference document with several words")]
+    out = {r.doc_id: (r.n_grams, r.cross_entropy) for r in
+           lm_cross_entropy(_corpus(spark, rows),
+                            F.col("doc_id") % 7 == 0).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 7 is the reference slice
+    for i in (1, 2, 3):
+        assert out[i] == (0, None), (i, out[i])
+    assert out[4][0] == 3 and out[4][1] is not None and out[4][1] > 0
+    # no reference docs at all: add-1 smoothing alone defines the LM
+    out2 = {r.doc_id: r.cross_entropy for r in
+            lm_cross_entropy(_corpus(spark, rows),
+                             F.lit(False)).collect()}
+    assert out2[7] is not None and out2[7] > 0
+
+
+def test_pq_on_tiny_and_empty_corpora(spark):
+    """PQ (r11): a corpus smaller than the codebook seed count still
+    trains (fewer centroids) and encodes every vector; an empty
+    corpus encodes to an empty frame — no division by zero, no crash."""
+    import tripgogo_vector_search_spark.plans.registry as R
+
+    def encode(emb):
+        x = (emb.select(
+            "vec_id", "embedding",
+            F.explode(F.array(*[F.lit(m) for m in range(R._PQ_M)]))
+            .alias("m"))
+            .select("vec_id", "m",
+                    F.slice("embedding", F.col("m") * R._PQ_SUB + 1,
+                            R._PQ_SUB).alias("xs")))
+        c0 = (x.filter(F.col("vec_id") < R._PQ_K)
+              .select("m", F.col("vec_id").alias("cid"),
+                      F.col("xs").alias("cvec")))
+        a1 = R._pq_assign(x, c0)
+        return a1
+
+    dim = R._PQ_M * R._PQ_SUB
+    tiny = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(dim)]) for i in range(3)],
+        "vec_id bigint, embedding array<double>")
+    out = encode(tiny).collect()
+    assert len(out) == 3 * R._PQ_M
+    assert {r["cid"] for r in out} <= {0, 1, 2}
+    empty = spark.createDataFrame([], "vec_id bigint, "
+                                  "embedding array<double>")
+    assert encode(empty).count() == 0
+
+
+def test_gopher_gate_on_degenerate_text(spark):
+    """Gopher battery (r11): NULL text -> NULL flags (unknown, not
+    failed); empty text and single words get definite verdicts."""
+    import tripgogo_vector_search_spark.functions.text as TX
+
+    rows = [(1, None), (2, ""), (3, "the"), (4, "#### ... ####")]
+    flags = TX.gopher_rules(F.col("text"))
+    out = {r.doc_id: tuple(r)[1:] for r in
+           _corpus(spark, rows).select(
+               "doc_id", *[c.alias(k) for k, c in flags.items()])
+           .collect()}
+    assert all(v is None for v in out[1])
+    assert out[2][0] is False          # '' -> 1 empty word, count fails
+    assert out[3][3] is False          # one stop word < 2
+    assert out[4][4] is False          # symbol soup fails the ratio
+
+
+def test_session_window_on_empty_and_single_event(spark):
+    """Native session windows (r11): empty input -> empty output; one
+    event -> one session spanning [ts, ts+gap)."""
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 10.0)],
+        "user_id bigint, ts string, value double").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "value")
+    g = (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+         .agg(F.count(F.lit(1)).alias("n")))
+    row = g.collect()[0]
+    assert row["n"] == 1
+    assert str(row["session_window"]["end"]
+               - row["session_window"]["start"]) == "0:30:00"
+    assert g.filter(F.lit(False)).count() == 0
