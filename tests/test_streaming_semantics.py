@@ -130,3 +130,24 @@ def test_watermark_drops_late_event(spark, tmp_path):
     dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
                   for p in progress)
     assert dropped == 1
+
+
+def test_session_window_boundary_gap_merges(spark):
+    """The session_window_agg oracle's island-break convention (> not
+    >=), pinned against the ENGINE, not assumed: an event arriving
+    EXACTLY the gap duration after its predecessor MERGES into the
+    session (Spark extends a session window when next.ts <= prev.end);
+    one microsecond later starts a new one."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:30:00"),
+         (2, "2026-01-01 00:00:00"), (2, "2026-01-01 00:30:00.000001")],
+        "user_id bigint, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    g = (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+         .agg(F.count(F.lit(1)).alias("n")))
+    per_user = {r["user_id"]: r["cnt"] for r in
+                g.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()}
+    assert per_user == {1: 1, 2: 2}  # boundary merges; +1us splits

@@ -1961,7 +1961,7 @@ def stream_sessionize_q(spark, sf_dir):
        f"""WITH x AS (
              SELECT user_id, ts, event_id, value,
                     CASE WHEN lag(ts) OVER w IS NULL
-                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS new_s
              FROM events
              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
@@ -1985,9 +1985,13 @@ def session_window_agg_q(spark, sf_dir):
     user_id) — Spark merges events into half-open [first, last+gap)
     windows inside the aggregate, so there is no per-user WindowExec
     sort of raw events on this side (the oracle's gaps-and-islands
-    windows are DuckDB-only). Gap semantics pinned: Spark starts a NEW
-    session when the gap is >= the duration (half-open window end), so
-    the oracle's island break uses >=, not >. Sums ride DECIMAL.
+    windows are DuckDB-only). Gap semantics pinned BY CONSTRUCTION,
+    not assumed (tests/test_streaming_semantics.py:
+    test_session_window_boundary_gap_merges): an event EXACTLY gap
+    after its predecessor MERGES into the session (Spark extends the
+    window when next.ts <= prev.end), so the oracle's island break is
+    strictly >, matching stream_sessionize's convention. Sums ride
+    DECIMAL.
     Scale: one shuffle on the uniform user key; state is
     per-(user, session) aggregate rows, never raw events."""
     ev = _t(spark, sf_dir, "events")
