@@ -9130,8 +9130,9 @@ def ccnet_ppl_buckets_q(spark, sf_dir):
     the per-bucket doc counts and DECIMAL-exact means are weighted
     aggregates of the SAME histogram, so no second evaluation of the
     LM chain exists anywhere (the first cut paid the corpus explode
-    three times — 4.2 s; this shape ~halves it). The oracle keeps the
-    per-row formulation (DuckDB-side only)."""
+    three times: 4.0-4.3 s -> 3.0 s solo min-of-3 at sf0.1; the chain
+    itself dominates what remains). The oracle keeps the per-row
+    formulation (DuckDB-side only)."""
     d = _t(spark, sf_dir, "documents")
     ce = (CP.lm_cross_entropy(d, F.col("doc_id") % 7 == 0)
           .filter(F.col("cross_entropy").isNotNull()))
