@@ -27,115 +27,55 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 11. Head = keys NEW this round, then every key whose
+    # ROUND 12. Head = keys NEW this round, then every key whose
     # physical plan or source closure changed THIS round, in the tree
     # at this commit (drift gate: tests/test_plan_manifest.py).
     #
-    # ADVICE r10 medium fix: DSIR's log-ratio factors are each cast to
-    # double BEFORE the multiply — the bigint product (ct+1)*(tr+K)
-    # exceeds int64 at the 100 TB design point (tr ~ 1e13) and
-    # non-ANSI Spark would wrap silently while DuckDB raises. Same
-    # IEEE ops both engines; oracle updated in the same commit.
-    "dsir_importance_weights",
-    # NEW: DSIR's importance-RESAMPLING draw (Xie et al. 2023 §2) —
-    # Gumbel-top-k over the gated log weights with md5 uniforms, the
-    # overflow-free log-domain form of weighted_sample's
-    # Efraimidis-Spirakis key (operators/corpus.py:dsir_resample;
-    # plain-Python membership check in tests/test_round11_props.py).
-    "dsir_resample",
-    # Rank-path constant-factor clawback (VERDICT r10 list #2): the
-    # rank offset now decomposes into a stats-frame-only cell base
-    # offset plus a probe-derived sub-offset inside split cells
-    # (operators/rank.py:with_global_rank), so the base/plan/split
-    # broadcasts materialize concurrently instead of chained through
-    # the probe — eight sequential jobs down to five, 0.72 -> 0.56 s
-    # for the rank core at sf0.1. Oracles unchanged.
-    "ntile_bands", "orders_rfm",
-    # Maintenance-path durability (VERDICT r10 list #6 / "What's wrong
-    # #4"): compact/upsert/refresh in-flight state now goes through the
-    # same `durable=` _checkpoint knob as the CC loop
-    # (operators/index_maintenance.py) — default local behavior
-    # unchanged, but the source closure these keys fingerprint moved.
-    # Durable mode pinned byte-identical in tests/test_refresh_compact.
-    "index_compact", "refresh_compact_cycle",
-    # NEW: a REAL audio-container decode (VERDICT r10 list #5) — the
-    # documents table synthesized into genuine RIFF/WAVE 16-bit-PCM
-    # files with pure Catalyst byte arithmetic, then decoded (chunk
-    # walk, header fields, sample-level RMS) by an Arrow kernel;
-    # DuckDB oracle derives the same stats synthesis-side; stdlib
-    # `wave` round-trips both directions (tests/test_round11_props.py).
-    "multimodal_wav_stats",
-    # NEW: TPC-H completion — all 22 queries now registered. q2/q11/
-    # q16/q20 run against a deterministic int64-exact partsupp
-    # synthesis (registry.py:_PARTSUPP_SQL/_partsupp; the fixture
-    # ships no partsupp table); q12/q21 adapt the missing commit/
-    # receipt dates to shipdate-vs-orderdate lateness. Money stays in
-    # integer cents through every compare/aggregate.
-    "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-    "tpch_q21",
-    # NEW: CCNet-style hashed-LM perplexity scoring (Wenzek et al.
-    # 2020 §4.3) — per-doc bigram cross-entropy vs the curated slice
-    # (operators/corpus.py:lm_cross_entropy, the one-sided DSIR
-    # sibling) and the pipeline's head/middle/tail terciles composed
-    # through quantiles_disc. DECIMAL-exact; plain-Python third
-    # implementation in tests/test_round11_props.py.
-    "lm_cross_entropy", "ccnet_ppl_buckets",
-    # NEW: Gopher's published document-quality rule battery (Rae et
-    # al. 2021, arXiv:2112.11446 A1.1) — named per-doc flags + keep
-    # verdict, every threshold cross-multiplied integer arithmetic
-    # (functions/text.py:gopher_rules; plain-Python replay in
-    # tests/test_round11_props.py). Map-only, no shuffle.
-    "gopher_quality_gate",
-    # NEW: product quantization (Jegou et al. 2011) — pq_encode_error
-    # compresses every embedding to 4 codebook ids + reconstruction
-    # MSE; pq_adc_topk is the asymmetric-distance top-10 over CODES
-    # with the exact distance riding along. While building these the
-    # engines' FLOAT->DECIMAL casts were found to disagree at ~1e-9
-    # (DuckDB converts float32 directly, Spark promotes through
-    # double); all embedding DECIMAL accumulations now route
-    # explicitly through DOUBLE on both sides, which also moved
-    # kmeans_lloyd's and embedding_drift's plans/oracles — both
-    # re-queued here.
-    "pq_encode_error", "pq_adc_topk", "embedding_drift",
-    # NEW: Spark's NATIVE session-window aggregate (F.session_window)
-    # — the engine operator beside stream_sessionize's custom state
-    # machine; gap semantics (>= starts a new session) pinned against
-    # a gaps-and-islands oracle.
-    "session_window_agg",
-    # NEW: the composed IVF+PQ index (FAISS's deployment layout) —
-    # driver-side probe selection, static cid pruning to 4/16 cells,
-    # ADC over CODES (scan reads vec_id+codes only, plan-pinned),
-    # 30-row shortlist exact-re-ranked to top-5. And xml_roundtrip:
-    # Spark 4's native XML source, full value parity through
-    # write+declared-schema read-back.
-    "ivfpq_topk", "xml_roundtrip",
-    # NEW: the second real decode — genuine 24-bpp BMPs synthesized in
-    # Catalyst (real headers, stride-padded BGR rows) and decoded by
-    # an Arrow kernel (offset/stride walk, per-channel means; padding
-    # never enters the sums); with WAV+BMP real, the stub surface is
-    # exactly the compressed codecs.
+    # ADVICE r11 medium: kmeans_lloyd's plan+oracle moved in r11 (the
+    # float->DOUBLE->DECIMAL cast change) but only embedding_drift
+    # landed in the r11 window — kmeans_lloyd's fresh cross-engine row
+    # is owed and lands here first.
+    "kmeans_lloyd",
+    # ADVICE r11 low #1: synth_bmp_corpus now emits a header-only file
+    # at h=0 (the unguarded sequence(0,-1) appended two garbage rows);
+    # pinned in tests/test_round11_props.py.
     "multimodal_bmp_stats",
-    # ROTATION (VERDICT r10 list #3): plans unchanged this round, but
-    # their newest green driver row predates r05 — two+ fingerprint
-    # schemes old. tools/rotation.py ordering: the full r02 cohort,
-    # the full r03 cohort, then r04 oldest-first up to the 50-key
-    # window. Re-rowing them retires the stale-evidence debt the
-    # drift gate can only freeze, not refresh.
-    # r02:
-    "like_filter", "map_funcs", "null_funcs", "udtf_ngrams",
-    "vector_distances",
+    # ADVICE r11 low #2: tpch_q12's low_line_count is now count(*) -
+    # high on BOTH engines (the bare NOT IN / otherwise(1) pair
+    # diverged on NULL o_orderpriority).
+    "tpch_q12",
+    # VERDICT r11 carry (b): pq_encode_error / pq_adc_topk no longer
+    # retrain codebooks inline — both read the materialized ivfpq
+    # sidecars (registry.py:_ivfpq_path); Lloyd runs once, at index
+    # build. adc's scan now projects (vec_id, codes) only.
+    "pq_encode_error", "pq_adc_topk",
+    # VERDICT r11 carry (c): ccnet_ppl_buckets' tercile thresholds now
+    # ride quantile.py's order-statistics grid with the histogram's
+    # counts as multiplicities (grouped_order_statistics weight_col=)
+    # — the only value-level window left is inside the one owning
+    # sub-cell, rank.py's tested occupancy bound.
+    "ccnet_ppl_buckets",
+    # ROTATION (stale-evidence retirement, VERDICT r11 soft spot #2:
+    # 96 keys' newest green rows predate r08). Oldest first per
+    # tools/rotation.py: the full r03 cohort, the full r04 cohort
+    # (kmeans_lloyd already queued above), then r05 oldest-first up to
+    # the 50-key window. Plans unchanged — the drift gate pins them.
     # r03:
-    "argmax_agg", "cdc_upsert", "entropy_score", "event_gap_stats",
-    "funnel_stages", "grouped_agg_udaf", "histogram_fixed_bins",
-    "hll_union_rollup", "incremental_dedup", "json_scan",
-    "label_centroids", "mode_agg", "normalize_text", "pack_sequences",
-    "partitioned_sink", "pii_redact", "pivot_table", "regex_funcs",
-    "salted_join", "schema_evolution", "skew_stats",
-    "time_weighted_avg",
-    # (the r04 remainder and zorder_key ceded their slots to this
-    # round's 12 new keys + 2 re-plans — never-rowed/changed keys must
-    # land inside the 50-key window; the r03/r04 stale tail continues
-    # next round)
+    "stratified_sample", "tpch_q4", "unpivot_metrics",
+    "weighted_sample", "zorder_key",
+    # r04:
+    "corr_pairs", "dedup_rate_by_source", "event_rate_profile",
+    "event_transitions", "group_sample_balanced", "hop_window_agg",
+    "kmeans_assign", "kmv_distinct_sketch", "lang_confusion",
+    "lang_distinctive_terms", "mixture_weights",
+    "multimodal_frame_sample", "orc_roundtrip", "pipeline_funnel",
+    "sql_passthrough", "token_count_histogram", "tpch_q13",
+    "tpch_q22", "user_retention_cohorts", "vocab_topk",
+    # r05 (oldest-first fill; the r05 remainder continues next round):
+    "ann_index_occupancy", "ann_knn_join", "ann_recall_eval",
+    "bm25_score", "char_trigrams_top", "corpus_summary_report",
+    "daily_volume_anomalies", "dup_multiplicity_histogram",
+    "embed_quantize",
 ]
 
 

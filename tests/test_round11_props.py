@@ -336,6 +336,24 @@ def test_bmp_decode_matches_no_container_reference(spark):
     assert got == want
 
 
+def test_bmp_synth_height_zero_is_header_only(spark):
+    """A text too short for one pixel row must synthesize a 54-byte
+    header-only file whose size/height/image-size fields all say so —
+    ADVICE r11: the unguarded sequence(0, h-1) counted DOWN at h=0 and
+    appended two garbage rows after a height-0 header."""
+    import struct
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        synth_bmp_corpus)
+    docs = spark.createDataFrame([(0, "tiny")], "doc_id bigint, text string")
+    (blob,) = synth_bmp_corpus(docs).collect()[0][1:2]
+    data = bytes(blob)
+    assert len(data) == 54                       # header only, no rows
+    assert struct.unpack("<I", data[2:6])[0] == 54   # declared file size
+    assert struct.unpack("<i", data[22:26])[0] == 0  # height 0
+    assert struct.unpack("<I", data[34:38])[0] == 0  # image size 0
+
+
 def test_parse_bmp_handles_real_layouts_and_rejects_the_rest():
     """Hand-built files: top-down (negative height) decodes with
     row-order-invariant means; 32-bpp / RLE-compressed / truncated

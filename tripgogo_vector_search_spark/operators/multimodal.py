@@ -306,13 +306,17 @@ def synth_bmp_corpus(docs: DataFrame, id_col: str = "doc_id",
     h = (F.length(data_hex) / 2 / (3 * w)).cast("bigint")
     pad = (4 - (3 * w) % 4) % 4
     img_size = (3 * w + pad) * h
-    rows_hex = F.array_join(
+    # h = 0 must emit a header-only file: sequence(0, -1) would count
+    # DOWN and append two garbage "rows" after a height-0 header
+    # (ADVICE r11).
+    rows_hex = F.when(h >= 1, F.array_join(
         F.transform(
             F.sequence(F.lit(0), h - 1),
             lambda r: F.concat(
                 F.substring(data_hex, (r * 6 * w + 1).cast("int"),
                             (6 * w).cast("int")),
-                F.repeat(F.lit("00"), pad.cast("int")))), "")
+                F.repeat(F.lit("00"), pad.cast("int")))), "")) \
+        .otherwise(F.lit(""))
     hexfile = F.concat(
         F.lit("424D"), _le_hex(img_size + 54, 4),      # 'BM', file size
         F.lit("00000000"), _le_hex(F.lit(54), 4),      # reserved, offset

@@ -91,10 +91,18 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
                              named_qs: Sequence[tuple[str, float]], *,
                              mode: str = "cont",
                              num_buckets: int | None = None,
-                             fine_cells: int = 1024) -> DataFrame:
+                             fine_cells: int = 1024,
+                             weight_col: str | None = None) -> DataFrame:
     """Long frame ``(group_cols..., _tag, _v, _n)``: for each group and
     each requested quantile, the straddling order statistic(s) of
-    ``value_col`` (original type) plus the group row count."""
+    ``value_col`` (original type) plus the group row count.
+
+    ``weight_col`` (r12): an integer multiplicity per row — ranks are
+    computed over the EXPANDED multiset (a row with weight w counts as
+    w copies), so a pre-aggregated (value, count) histogram yields the
+    same order statistics as its underlying rows without re-scanning
+    them. The unweighted path is expression-identical to r10 (no plan
+    drift on existing keys)."""
     spark = df.sparkSession
     g = list(group_cols)
     B = num_buckets or max(
@@ -107,12 +115,18 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
     # negative t (ADVICE r9), and the grid must stay monotone
     c2 = F.least(F.floor((t - F.floor(t)) * K),
                  F.lit(K - 1)).cast("int")
-    base = df.select(*g, value_col)
+    base = df.select(*g, value_col) if weight_col is None \
+        else df.select(*g, value_col, weight_col)
+    # count-vs-weighted-sum gate keeps the unweighted expression tree
+    # byte-identical (weights are integer multiplicities, so the rank
+    # arithmetic downstream stays exact either way)
+    _cnt_of = (lambda: F.count(F.lit(1))) if weight_col is None \
+        else (lambda: F.sum(F.col(weight_col).cast("bigint")))
     # the ONE row-pass stats aggregate (exact, order-independent:
     # count/min/max only); map-side partials bound the shuffle
     s = (base.withColumn("_c1", c1).withColumn("_c2", c2)
          .groupBy(*g, "_c1", "_c2")
-         .agg(F.count(F.lit(1)).alias("_cnt"),
+         .agg(_cnt_of().alias("_cnt"),
               F.min(t).alias("_m"), F.max(t).alias("_x")))
     # cumulative rank offsets + group totals over the BOUNDED stats
     # frame only — grid order (_c1, _c2) is monotone in the value
@@ -153,7 +167,7 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
           .join(F.broadcast(t2), [*g, "_c1", "_c2"]))
     vh = (pr.groupBy(*g, "_tag", "_rk", "_off", "_n",
                      sub.alias("_sub"), value_col)
-          .agg(F.count(F.lit(1)).alias("_vc")))
+          .agg(_cnt_of().alias("_vc")))
     # owning SUB-cell per target: totals per (group, target, sub-cell)
     # are a bounded aggregate of the histogram (<= 2*|qs|*(B+1) rows
     # per group); the cumulative window runs over those aggregate rows
@@ -215,13 +229,15 @@ def quantiles_cont(df: DataFrame, group_cols: Sequence[str],
 def quantiles_disc(df: DataFrame, group_cols: Sequence[str],
                    value_col: str,
                    named_qs: Sequence[tuple[str, float]], *,
-                   num_buckets: int | None = None) -> DataFrame:
+                   num_buckets: int | None = None,
+                   weight_col: str | None = None) -> DataFrame:
     """PERCENTILE_DISC-style per group: the value at rank ceil(q*n),
     keeping the value's original type."""
     g = list(group_cols)
     picked = grouped_order_statistics(df, g, value_col, named_qs,
                                       mode="disc",
-                                      num_buckets=num_buckets)
+                                      num_buckets=num_buckets,
+                                      weight_col=weight_col)
     aggs = [F.max(F.when(F.col("_tag") == name, F.col("_v"))).alias(name)
             for name, _q in named_qs]
     return picked.groupBy(*g).agg(*aggs)
