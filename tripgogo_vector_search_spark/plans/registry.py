@@ -8960,6 +8960,71 @@ def multimodal_bmp_stats_q(spark, sf_dir):
         F.round("mean_r", 6).alias("mean_r"))
 
 
+@query("multimodal_png_stats",
+       """WITH b AS (SELECT doc_id, doc_id % 7 + 3 AS w,
+                  upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS dlen
+           FROM documents),
+           p AS (SELECT doc_id, w, hx,
+                        CASE WHEN hx IS NULL THEN NULL
+                             ELSE least(dlen // (3 * w),
+                                        65535 // (3 * w + 1)) END AS h
+                 FROM b),
+           s AS (SELECT doc_id, w, h, hx,
+                        unnest(CASE WHEN h >= 1 THEN
+                               generate_series(0, 3 * w * h - 1)
+                               ELSE []::BIGINT[] END) AS i
+                 FROM p),
+           v AS (SELECT doc_id, i % 3 AS ch,
+                        ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                 FROM s),
+           q AS (SELECT doc_id,
+                        sum(CASE WHEN ch = 0 THEN u ELSE 0 END) AS sr,
+                        sum(CASE WHEN ch = 1 THEN u ELSE 0 END) AS sg,
+                        sum(CASE WHEN ch = 2 THEN u ELSE 0 END) AS sb,
+                        count(*) // 3 AS npx
+                 FROM v GROUP BY doc_id)
+           SELECT p.doc_id AS media_id,
+                  CAST(CASE WHEN p.h >= 1 THEN p.w END AS INT) AS width,
+                  CAST(CASE WHEN p.h >= 1 THEN p.h END AS INT)
+                    AS height,
+                  CAST(q.npx AS BIGINT) AS n_pixels,
+                  round(q.sr::DOUBLE / q.npx, 6) AS mean_r,
+                  round(q.sg::DOUBLE / q.npx, 6) AS mean_g,
+                  round(q.sb::DOUBLE / q.npx, 6) AS mean_b
+           FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_png_stats_q(spark, sf_dir):
+    """The THIRD real decode — and the first through a REAL
+    COMPRESSION LAYER: the documents table becomes genuine PNG files
+    via pure Catalyst byte arithmetic INCLUDING the zlib container
+    (operators/multimodal.py:synth_png_corpus — deflate stored
+    blocks, Catalyst-computed Adler-32 folds and F.crc32 chunk CRCs,
+    rows alternating None/Sub filters), and an Arrow-batched kernel
+    decodes them back: signature + CRC-verified chunk walk, stdlib
+    ``zlib`` inflate, per-row UNFILTERING (numpy cumsum for Sub,
+    vector add for Up, spec loop for Average/Paeth — all five spec
+    filters, more than the synthesis emits), exact int64 channel
+    sums (png_stats_udf; plain-Python spec parse_png pinned equal +
+    fuzz-total in tests/test_round12_props.py; a zlib.compress-based
+    reference ENCODER round-trips real deflate streams through the
+    decoder there too). The DuckDB oracle derives the same stats
+    synthesis-side from the text bytes — filters and compression are
+    exactly invertible, so pixel means are a pure function of the
+    generating formula. JPEG remains the one env-bound codec stub.
+    Scale: map-only Arrow pass, no shuffle, payload bytes never leave
+    the executors. Reference parity: media metadata extraction the
+    reference delegates to client-side libraries (streamlit_app.py
+    display layer)."""
+    from ..operators.multimodal import decode_png_stats, synth_png_corpus
+    m = synth_png_corpus(_t(spark, sf_dir, "documents"))
+    w = decode_png_stats(m)
+    return w.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
 @query("dsir_importance_weights",
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
                       FROM documents),
