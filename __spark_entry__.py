@@ -65,6 +65,22 @@ _CHECK_FIRST = [
     # deflate + Average/Paeth through the decoder in
     # tests/test_round12_props.py.
     "multimodal_png_stats",
+    # NEW: C4's published cleaning battery (Raffel et al. 2020 §2.2)
+    # as named flags + keep, sentence-adapted like gopher_quality_gate
+    # (functions/text.py:c4_rules); plain-Python replay in
+    # tests/test_round12_props.py. Map-only, no shuffle.
+    "c4_quality_gate",
+    # NEW: SemDeDup (Abbas et al. 2023) — k-means-cell-scoped semantic
+    # near-dedup with the paper's keep-farthest-from-centroid rule as
+    # a deterministic (cdist DESC, vec_id ASC) tournament; the
+    # quadratic term is bounded per cell. Plain-Python replay in
+    # tests/test_round12_props.py.
+    "semdedup",
+    # NEW: native session_window driven as a STREAM (VERDICT r11 carry
+    # (f)) — watermark + append emission; the non-strict emission
+    # boundary (end == watermark emits) pinned with a constructed tie
+    # in tests/test_streaming_semantics.py.
+    "stream_session_window",
     # ROTATION (stale-evidence retirement, VERDICT r11 soft spot #2:
     # 96 keys' newest green rows predate r08). Oldest first per
     # tools/rotation.py: the full r03 cohort, the full r04 cohort

@@ -207,6 +207,115 @@ def test_parse_png_total_on_arbitrary_bytes():
     run()
 
 
+# -- SemDeDup ------------------------------------------------------------------
+
+def _r6(v: float) -> float:
+    from decimal import ROUND_HALF_UP
+    return float(Decimal(v).quantize(Decimal("1e-6"),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _semdedup_python():
+    """SemDeDup replayed in plain Python: 16-seed assignment (argmin
+    cosine, cid tie-break), within-cell pairs at rounded distance
+    <= 0.60, and the (centroid_dist DESC, vec_id ASC) tournament."""
+    import math
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vecs = {i: [float(x) for x in v] for i, v in
+            zip(t.column(0).to_pylist(), t.column(1).to_pylist())}
+
+    def cosd(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+
+    cents = {i: vecs[i] for i in vecs if i < 16}
+    a = {}
+    for i, v in vecs.items():
+        cid, cd = min(((c, cosd(v, cv)) for c, cv in cents.items()),
+                      key=lambda t: (t[1], t[0]))
+        a[i] = (cid, _r6(cd))
+    out = {}
+    for i, (cid, cd) in a.items():
+        keep = True
+        for j, (cid2, cd2) in a.items():
+            if j == i or cid2 != cid:
+                continue
+            if _r6(cosd(vecs[i], vecs[j])) <= 0.60 and \
+                    (cd2 > cd or (cd2 == cd and j < i)):
+                keep = False
+                break
+        out[i] = (cid, cd, keep)
+    return out
+
+
+def test_semdedup_matches_python_reference(spark):
+    """Cluster assignment, pair gating and the keep-farthest-from-
+    centroid tournament replayed from the raw parquet floats — and the
+    gate must actually fire (the fixture prunes a nonzero set)."""
+    got = {r["vec_id"]: (r["cid"], r["centroid_dist"], r["keep"])
+           for r in QUERIES["semdedup"](spark, SF).collect()}
+    want = _semdedup_python()
+    assert got == want
+    assert any(not k for _, _, k in got.values())
+
+
+# -- C4 quality battery -------------------------------------------------------
+
+def _expected_c4(text: str | None):
+    """The C4 gate replayed with str.split — no Spark, no SQL."""
+    if text is None:
+        return (None,) * 5
+    arr = text.split(".")
+    n = len(arr)
+
+    def retained(i: int, x: str) -> bool:
+        if i == n - 1:
+            t = x.rstrip()
+            if not (t.endswith("!") or t.endswith("?")
+                    or t.endswith('"')):
+                return False
+        if len([w for w in x.split(" ") if w != ""]) < 3:
+            return False
+        return "javascript" not in x.lower()
+
+    nk = sum(1 for i, x in enumerate(arr) if retained(i, x))
+    enough = nk >= 5
+    no_lorem = "lorem ipsum" not in text.lower()
+    no_brace = "{" not in text
+    return (nk, enough, no_lorem, no_brace,
+            enough and no_lorem and no_brace)
+
+
+def test_c4_gate_matches_python_reference(spark):
+    """Sentence retention (terminal punctuation on the last fragment,
+    3-word minimum, javascript removal) and the three page rules
+    replayed in plain Python over the raw parquet text."""
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           QUERIES["c4_quality_gate"](spark, SF).collect()}
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    want = {d: _expected_c4(x) for d, x in
+            zip(t.column(0).to_pylist(), t.column(1).to_pylist())}
+    assert got == want
+
+
+def test_c4_gate_plan_is_map_only(spark):
+    """One projection over the scan: no Exchange, no Python."""
+    from tests.test_plan_shape import plan_of
+    plan = plan_of(QUERIES["c4_quality_gate"](spark, SF))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
 def test_png_decode_plan_is_map_only(spark):
     """Synthesis + decode is one map-only Arrow pass: no Exchange
     anywhere in the plan (payload bytes never shuffle)."""

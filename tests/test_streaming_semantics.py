@@ -132,6 +132,51 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert dropped == 1
 
 
+def test_stream_session_window_emission_boundary_is_nonstrict(spark,
+                                                              tmp_path):
+    """The stream_session_window oracle's closed-session filter
+    (`s_end <= max(ts) - delay`), pinned against the ENGINE with a
+    constructed tie: with final watermark exactly 10:30:00, a session
+    ending exactly 10:30:00 EMITS in append mode, one ending 1us later
+    does not (it is still open in state when the stream drains)."""
+    from pyspark.sql import functions as F, types as T
+
+    base = str(tmp_path / "swe")
+    os.makedirs(base)
+    t0 = time.time()
+    sch = T.StructType([T.StructField("user_id", T.StringType()),
+                        T.StructField("ts", T.TimestampType())])
+
+    def write(name, rows, mtime):
+        import datetime as dt
+        df = spark.createDataFrame(
+            [(u, dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f"))
+             for u, ts in rows], sch).coalesce(1)
+        p = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    # A's session ends 10:00:00 + 30min = 10:30:00 == final watermark;
+    # B's ends 1us after it
+    write("f1", [("A", "2024-01-01 10:00:00.000000"),
+                 ("B", "2024-01-01 10:00:00.000001")], t0 - 100)
+    write("f2", [("Z", "2024-01-01 11:00:00.000000")], t0 - 50)
+    src = (spark.readStream.schema(sch)
+           .option("maxFilesPerTrigger", 1).parquet(base + "/*"))
+    s = (src.withWatermark("ts", "30 minutes")
+         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+         .agg(F.count(F.lit(1)).alias("n")))
+    q = (s.writeStream.outputMode("append")
+         .format("memory").queryName("swe_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = sorted(r.user_id for r in spark.table("swe_out").collect())
+    assert emitted == ["A"]  # the tie emits; +1us stays open; Z open
+
+
 def test_session_window_boundary_gap_merges(spark):
     """The session_window_agg oracle's island-break convention (> not
     >=), pinned against the ENGINE, not assumed: an event arriving

@@ -123,6 +123,46 @@ def gopher_rules(col: ColumnOrName) -> dict[str, Column]:
     }
 
 
+def c4_sentences_kept(col: ColumnOrName) -> Column:
+    """C4's line-level retention count (Raffel et al. 2020, §2.2),
+    adapted to SENTENCES because the fixture corpus carries no
+    newlines (the same adaptation gopher_rules documents): the text
+    splits on '.', and a fragment is RETAINED iff (a) it is
+    terminal-punctuated — true by construction for every fragment but
+    the last, which must end in '!', '?' or '"' — (b) it has at least
+    3 words on the literal-space split, and (c) it does not contain
+    'javascript' (C4 removes such lines verbatim). Pure codegen'd
+    HOFs; index arithmetic mirrors the 1-based DuckDB oracle
+    exactly."""
+    c = _c(col)
+    arr = F.split(c, r"\.")
+    n = F.size(arr)
+    last_ok = F.substring(F.rtrim(F.element_at(arr, -1)), -1, 1) \
+        .isin("!", "?", '"')
+    return F.size(F.filter(
+        arr,
+        lambda x, i: ((i < n - 1) | last_ok)
+        & (F.size(F.filter(F.split(x, " "), lambda t: t != "")) >= 3)
+        & ~F.contains(F.lower(x), F.lit("javascript"))))
+
+
+def c4_rules(col: ColumnOrName) -> dict[str, Column]:
+    """C4's page-level quality rules (Raffel et al. 2020, §2.2) as
+    named boolean columns: >= 5 retained sentences (the paper's
+    5-sentence minimum over retained lines), no 'lorem ipsum', no
+    curly brace (the paper's code-page heuristic). The dirty-word
+    list is omitted (unpublishable corpus artifact); 3+-sentence-span
+    dedup is covered by the dup_paragraph family. Integer/boolean
+    only — no float on any keep/drop boundary. NULL text propagates
+    NULL flags."""
+    c = _c(col)
+    return {
+        "enough_sentences": c4_sentences_kept(c) >= 5,
+        "no_lorem_ipsum": ~F.contains(F.lower(c), F.lit("lorem ipsum")),
+        "no_curly_brace": ~F.contains(c, F.lit("{")),
+    }
+
+
 def lang_scores(col: ColumnOrName) -> dict[str, Column]:
     """Stopword-hit count per candidate language."""
     w = F.transform(words(col), F.lower)

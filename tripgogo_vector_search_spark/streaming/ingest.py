@@ -82,6 +82,30 @@ def windowed_event_agg(events: DataFrame, window: str = "1 hour",
                     "event_type", "n_events", "sum_value"))
 
 
+def session_window_event_agg(events: DataFrame, gap: str = "30 minutes",
+                             watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session aggregation with Spark's NATIVE session_window
+    on a STREAM: merging session state lives in the streaming state
+    store, and append mode emits a session only once the watermark
+    proves it closed (emission boundary is NON-strict — a session
+    whose end equals the watermark emits; pinned against the engine in
+    tests/test_streaming_semantics.py)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(24,6)")), 2)
+                 .cast("double").alias("value_sum"))
+            .select("user_id",
+                    F.date_format("session_window.start",
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
+                    F.date_format("session_window.end",
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_end"),
+                    "n_events", "value_sum"))
+
+
 def run_stream_to_table(spark: SparkSession, stream_df: DataFrame,
                         mode: str = "complete",
                         state_partitions: int = 8) -> DataFrame:
