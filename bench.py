@@ -148,12 +148,28 @@ HEADLINE_R11 = {
     # min-cost join-back over the synthesized partsupp)
     "tpch_q21": "collect",
     "tpch_q2": "collect",
-    # the full CCNet chain: hashed-LM scoring + tercile selection
+    # CCNet tercile selection over the materialized lm_scores sidecar
+    # (r12 re-plan; the live chain's cost is lm_cross_entropy below)
     "ccnet_ppl_buckets": "collect",
     # PQ: codebook train + encode + ADC top-10 in one plan
     "pq_adc_topk": "collect",
     # the composed IVF+PQ search (pruned cells, codes-only ADC scan)
     "ivfpq_topk": "collect",
+}
+
+# Round-12 group: the PNG decode (Catalyst synthesis incl. the zlib
+# layer + CRC-verified inflate/unfilter kernel over every payload
+# byte), the cluster-scoped semantic dedup, the C4 gate, the native
+# streaming session window, and the LIVE CCNet scoring chain (kept on
+# the bench now that ccnet_ppl_buckets reads the materialized scores).
+HEADLINE_R12 = {
+    "multimodal_png_stats": "noop",
+    "semdedup": "noop",
+    "c4_quality_gate": "noop",
+    "stream_session_window": "noop",
+    "lm_cross_entropy": "noop",
+    # PQ encode audit over the stored codes (r12 sidecar re-plan)
+    "pq_encode_error": "noop",
 }
 
 
@@ -217,7 +233,8 @@ def main() -> None:
     # co-tenant noise (single-pass numbers on a shared host swing 3-5x)
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
                    | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8
-                   | HEADLINE_R9 | HEADLINE_R10 | HEADLINE_R11)
+                   | HEADLINE_R9 | HEADLINE_R10 | HEADLINE_R11
+                   | HEADLINE_R12)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
     io_noise = io_floor_once()

@@ -12,7 +12,10 @@ same DNS failure (``Name or service not known`` on the index host and
 on a direct HTTPS probe); 2026-08-16 (r11) — retried, ``pip install``
 now reports "No matching distribution found for sentence-transformers
 (from versions: none)" — the index is still unreachable, the module
-remains unimportable; the skip below remains the honest state. This test is the
+remains unimportable; 2026-08-16 (r12) — retried: DNS resolution of
+the index host still fails (``Name or service not known`` on the
+HTTPS connection, then "No matching distribution found ... versions:
+none"); the skip below remains the honest state. This test is the
 importorskip-gated LIVE path the verdict asked for: the moment an
 environment has ``sentence-transformers`` (and, for the model
 download, network or a local cache), it runs the reference's actual

@@ -496,44 +496,48 @@ def synth_png_corpus(docs: DataFrame, id_col: str = "doc_id",
     h = F.when(hlen.isNotNull(), F.least(
         hlen, (F.lit(_PNG_STORED_MAX) / (stride + 1)).cast("bigint")))
     b1 = b0.select("media_id", "_hex", h.alias("_h"))
+    # hex -> integer bytes ONCE (conv+substring are the expensive ops:
+    # the first cut re-parsed hex in the Sub filter and again in the
+    # Adler folds — 5 parses/byte, 9.3 s at sf0.1; this shape parses
+    # each used byte once and does integer math everywhere else)
+    used = F.col("_h") * stride
+    d_arr = F.when(F.col("_h") >= 1, F.transform(
+        F.sequence(F.lit(0), used - 1),
+        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"),
+                                     2), 16, 10).cast("bigint"))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    b1b = b1.select("media_id", "_h", d_arr.alias("_d"))
 
-    def byte_at(i):                     # i: 0-based byte index col
-        return F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
-                      16, 10).cast("bigint")
-
-    def row_hex(r):
-        # filter byte + the row's (possibly Sub-filtered) bytes
+    def row_bytes(r):
+        # filter byte + the row's (possibly Sub-filtered) byte values
         flt = (F.col("media_id") + r) % 2   # deterministic 0/1 per row
-        raw = F.substring("_hex", (r * 2 * stride + 1).cast("int"),
-                          (2 * stride).cast("int"))
-        sub = F.array_join(F.transform(
+        raw = F.slice("_d", (r * stride + 1).cast("int"),
+                      stride.cast("int"))
+        sub = F.transform(
             F.sequence(F.lit(0), stride - 1),
-            lambda i: F.lpad(F.hex(
-                (byte_at(r * stride + i)
-                 - F.when(i >= 3, byte_at(r * stride + i - 3))
-                 .otherwise(F.lit(0)) + 256) % 256), 2, "0")), "")
-        return F.concat(F.lpad(F.hex(flt), 2, "0"),
+            lambda i: (F.element_at("_d", (r * stride + i + 1)
+                                    .cast("int"))
+                       - F.when(i >= 3,
+                                F.element_at("_d", (r * stride + i - 2)
+                                             .cast("int")))
+                       .otherwise(F.lit(0)) + 256) % 256)
+        return F.concat(F.array(flt),
                         F.when(flt == 0, raw).otherwise(sub))
 
-    scan_hex = F.when(F.col("_h") >= 1, F.array_join(
-        F.transform(F.sequence(F.lit(0), F.col("_h") - 1), row_hex),
-        "")).otherwise(F.lit(""))
+    fb = F.when(F.col("_h") >= 1, F.flatten(
+        F.transform(F.sequence(F.lit(0), F.col("_h") - 1), row_bytes))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
     raw_len = F.col("_h") * (stride + 1)    # (filter byte + row) * h
-    b2 = b1.select("media_id", "_h", scan_hex.alias("_scan"),
-                   raw_len.alias("_rl"))
-    scan_bytes = F.when(F.col("_rl") > 0, F.transform(
-        F.sequence(F.lit(0), F.col("_rl") - 1),
-        lambda i: F.conv(F.substring("_scan", (i * 2 + 1).cast("int"),
-                                     2), 16, 10).cast("bigint"))) \
-        .otherwise(F.array().cast("array<bigint>"))
-    b3 = b2.select("media_id", "_h", "_scan", "_rl",
-                   scan_bytes.alias("_sb"))
-    s1 = (1 + F.aggregate(F.col("_sb"), F.lit(0).cast("bigint"),
+    b3 = b1b.select("media_id", "_h", fb.alias("_fb"),
+                    raw_len.alias("_rl"))
+    scan_hex = F.array_join(
+        F.transform("_fb", lambda b: F.lpad(F.hex(b), 2, "0")), "")
+    s1 = (1 + F.aggregate(F.col("_fb"), F.lit(0).cast("bigint"),
                           lambda a, x: a + x)) % _ADLER_MOD
     # weighted fold with a (position, sum) struct accumulator; the
     # (n - i) * byte products stay under int64 by the stored-block cap
     s2w = F.aggregate(
-        F.col("_sb"),
+        F.col("_fb"),
         F.struct(F.lit(0).cast("bigint").alias("i"),
                  F.lit(0).cast("bigint").alias("s")),
         lambda a, x: F.struct(
@@ -548,7 +552,7 @@ def synth_png_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.lit("01"),                                # BFINAL=1, BTYPE=00
         _le_hex(F.col("_rl"), 2),                   # LEN
         _le_hex(65535 - F.col("_rl"), 2),           # NLEN (ones' compl.)
-        F.col("_scan"), _be_hex(adler, 4))
+        scan_hex, _be_hex(adler, 4))
     b4 = b3.select("media_id", "_h", zlib_hex.alias("_z"))
     ihdr_data = F.concat(_be_hex(w, 4), _be_hex(F.col("_h"), 4),
                          F.lit("08"),               # bit depth 8
