@@ -101,7 +101,9 @@ _CHECK_FIRST = [
     "ann_index_occupancy", "ann_knn_join", "ann_recall_eval",
     "bm25_score", "char_trigrams_top", "corpus_summary_report",
     "daily_volume_anomalies", "dup_multiplicity_histogram",
-    "embed_quantize",
+    "embed_quantize", "event_type_share_trend", "filtered_knn",
+    "first_touch_attribution", "fuzzy_join", "norm_outlier_screen",
+    "null_safe_join",
 ]
 
 
