@@ -81,6 +81,11 @@ _CHECK_FIRST = [
     # boundary (end == watermark emits) pinned with a constructed tie
     # in tests/test_streaming_semantics.py.
     "stream_session_window",
+    # NEW: a LEARNED subword tokenizer (WordPiece-style greedy
+    # longest-match over a top-200 gram vocabulary from the curated
+    # slice) — per-doc token counts + fertility; recursive-CTE oracle,
+    # plain-Python replay in tests/test_round12_props.py.
+    "subword_tokenize",
     # ROTATION (stale-evidence retirement, VERDICT r11 soft spot #2:
     # 96 keys' newest green rows predate r08). Oldest first per
     # tools/rotation.py: the full r03 cohort, the full r04 cohort
@@ -103,7 +108,9 @@ _CHECK_FIRST = [
     "daily_volume_anomalies", "dup_multiplicity_histogram",
     "embed_quantize", "event_type_share_trend", "filtered_knn",
     "first_touch_attribution", "fuzzy_join", "norm_outlier_screen",
-    "null_safe_join",
+    # (null_safe_join ceded its slot to subword_tokenize — never-rowed
+    # keys must land inside the 50-key window; the r05 tail continues
+    # next round)
 ]
 
 

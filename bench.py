@@ -170,6 +170,9 @@ HEADLINE_R12 = {
     "lm_cross_entropy": "noop",
     # PQ encode audit over the stored codes (r12 sidecar re-plan)
     "pq_encode_error": "noop",
+    # learned-subword tokenization: bounded vocab learn + greedy
+    # longest-match Arrow pass over every document
+    "subword_tokenize": "noop",
 }
 
 

@@ -269,6 +269,67 @@ def test_semdedup_matches_python_reference(spark):
     assert any(not k for _, _, k in got.values())
 
 
+# -- Learned subword tokenizer -------------------------------------------------
+
+def _subword_python():
+    """Vocabulary learning and greedy longest-match tokenization
+    replayed from the raw parquet in plain Python (Counter + sorted —
+    no Spark, no SQL, and a separately-written greedy loop)."""
+    import collections
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = list(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+    counts = collections.Counter()
+    for d, x in docs:
+        if d % 7 != 0 or x is None:
+            continue
+        for w in x.lower().split(" "):
+            if not w:
+                continue
+            for L in (2, 3, 4):
+                for i in range(len(w) - L + 1):
+                    counts[w[i:i + L]] += 1
+    vocab = {g for g, _ in sorted(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:200]}
+
+    def ntok(w: str) -> int:
+        out, i = 0, 0
+        while i < len(w):
+            for L in (4, 3, 2, 1):
+                if L == 1 or (i + L <= len(w) and w[i:i + L] in vocab):
+                    i += L
+                    out += 1
+                    break
+        return out
+
+    res = {}
+    for d, x in docs:
+        if x is None:
+            res[d] = (None, None, None)
+            continue
+        words = [w for w in x.lower().split(" ") if w]
+        toks = sum(ntok(w) for w in words)
+        fert = None if not words else float(
+            Decimal(toks / len(words)).quantize(
+                Decimal("1e-6"),
+                rounding=__import__("decimal").ROUND_HALF_UP))
+        res[d] = (len(words), toks, fert)
+    return res
+
+
+def test_subword_tokenize_matches_python_reference(spark):
+    """Top-200 gram vocabulary (count DESC, gram ASC) and the greedy
+    longest-match walk replayed in plain Python — and the learned
+    grams must actually fire (fertility strictly below chars/word
+    for at least one doc)."""
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility"])
+           for r in QUERIES["subword_tokenize"](spark, SF).collect()}
+    assert got == _subword_python()
+    assert any(v[1] is not None and v[0] and v[1] < 3 * v[0]
+               for v in got.values())
+
+
 # -- C4 quality battery -------------------------------------------------------
 
 def _expected_c4(text: str | None):

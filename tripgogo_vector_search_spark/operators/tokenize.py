@@ -46,12 +46,20 @@ def subword_vocab(docs: DataFrame, curated, text_col: str = "text",
          .select(F.explode(F.split(F.lower(F.col(text_col)), " "))
                  .alias("w"))
          .filter(F.col("w") != ""))
-    grams = w.select(F.explode(F.flatten(F.array(*[
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(
-                F.length("w") - L + 1, F.lit(0))),
-            lambda i, L=L: F.substring(F.col("w"), i.cast("int"), L))
-        for L in GRAM_LENS]))).alias("gram"))
+    # guard short words: sequence(1, 0) counts DOWN in Spark (the
+    # synth_bmp h=0 trap), so a word shorter than L must contribute
+    # an empty gram list, not [substr(w,1,L), substr(w,0,L)] junk.
+    # NOTE the closure factory: a `lambda i, L=L:` default arg makes
+    # the HOF lambda BINARY, and pyspark then passes the ARRAY INDEX
+    # as the second argument — substr(w, i, index), silently junk.
+    def _grams_of_len(L: int):
+        return F.when(F.length("w") >= L, F.transform(
+            F.sequence(F.lit(1), F.length("w") - L + 1),
+            lambda i: F.substring(F.col("w"), i.cast("int"), L))) \
+            .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    grams = w.select(F.explode(F.flatten(F.array(
+        *[_grams_of_len(L) for L in GRAM_LENS]))).alias("gram"))
     return (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("gram").asc())
             .limit(k)

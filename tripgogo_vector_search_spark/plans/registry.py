@@ -9420,6 +9420,83 @@ def ccnet_ppl_buckets_q(spark, sf_dir):
                  .alias("avg_ce")))
 
 
+@query("subword_tokenize",
+       """WITH RECURSIVE
+           cw AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents WHERE doc_id % 7 = 0),
+           cwf AS (SELECT w FROM cw WHERE w <> ''),
+           g AS (SELECT substr(w, CAST(i AS INT), L) AS gram
+                 FROM cwf, (VALUES (2), (3), (4)) ls(L),
+                      UNNEST(generate_series(
+                          1, greatest(len(w) - L + 1, 0))) AS t(i)),
+           vc AS (SELECT gram FROM (
+                    SELECT gram,
+                           row_number() OVER (ORDER BY count(*) DESC,
+                                              gram ASC) AS rn
+                    FROM g GROUP BY gram) q WHERE rn <= 200),
+           dw AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents),
+           dwf AS (SELECT doc_id, w FROM dw WHERE w <> ''),
+           uw AS (SELECT DISTINCT w FROM dwf),
+           pos AS (SELECT w, CAST(unnest(generate_series(1, len(w)))
+                                  AS INT) AS i
+                   FROM uw),
+           cand AS (SELECT p.w, p.i, ls.L
+                    FROM pos p, (VALUES (2), (3), (4)) ls(L)
+                    WHERE p.i + ls.L - 1 <= len(p.w)
+                      AND substr(p.w, p.i, ls.L) IN
+                          (SELECT gram FROM vc)),
+           m AS (SELECT p.w, p.i, COALESCE(max(c.L), 1) AS ml
+                 FROM pos p LEFT JOIN cand c
+                   ON c.w = p.w AND c.i = p.i
+                 GROUP BY p.w, p.i),
+           walk AS (
+             SELECT w, CAST(1 AS INT) AS pos, 0 AS n FROM uw
+             UNION ALL
+             SELECT walk.w, CAST(walk.pos + m.ml AS INT), walk.n + 1
+             FROM walk JOIN m ON m.w = walk.w AND m.i = walk.pos),
+           tok AS (SELECT w, max(n) AS n_tok FROM walk GROUP BY w),
+           per AS (SELECT d.doc_id, count(*) AS n_words,
+                          sum(t.n_tok) AS n_tokens
+                   FROM dwf d JOIN tok t ON t.w = d.w
+                   GROUP BY d.doc_id)
+           SELECT doc.doc_id,
+                  CAST(CASE WHEN doc.text IS NULL THEN NULL
+                       ELSE COALESCE(per.n_words, 0) END AS BIGINT)
+                    AS n_words,
+                  CAST(CASE WHEN doc.text IS NULL THEN NULL
+                       ELSE COALESCE(per.n_tokens, 0) END AS BIGINT)
+                    AS n_tokens,
+                  CASE WHEN per.n_words > 0
+                       THEN round(per.n_tokens / per.n_words::DOUBLE, 6)
+                  END AS fertility
+           FROM documents doc
+           LEFT JOIN per ON per.doc_id = doc.doc_id""")
+def subword_tokenize_q(spark, sf_dir):
+    """A LEARNED subword tokenizer (WordPiece-style greedy
+    longest-match, Wu et al. 2016 §4.1) — real tokenization beside the
+    regex counters: the vocabulary is the top-200 character 2-4-grams
+    of the curated slice's words by (count DESC, gram ASC), and every
+    document tokenizes by greedy longest-prefix against it (single
+    characters are implicit vocabulary, so the walk is total). Output
+    per doc: word count, token count, fertility (tokens/word — the
+    metric tokenizers are sized by; token_fertility_by_lang's learned
+    sibling). The greedy walk is a deterministic pure function of
+    (word, vocab), replayed by the oracle as a recursive CTE over a
+    precomputed per-position match-length frame and a third time in
+    plain Python (tests/test_round12_props.py). Scale: the vocab is a
+    bounded driver-collected frame (the ivfpq probe contract), tokeni-
+    zation is one map-only Arrow pass with the vocab in the UDF
+    closure and per-batch word memoization — the canonical
+    tokenizer-on-Spark shape (operators/tokenize.py)."""
+    from ..operators.tokenize import subword_tokenize, subword_vocab
+    d = _t(spark, sf_dir, "documents")
+    vocab = [r.gram for r in
+             subword_vocab(d, F.col("doc_id") % 7 == 0).collect()]
+    return subword_tokenize(d, vocab)
+
+
 _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
 
 @query("gopher_quality_gate",
