@@ -409,3 +409,91 @@ def test_session_window_on_empty_and_single_event(spark):
     assert str(row["session_window"]["end"]
                - row["session_window"]["start"]) == "0:30:00"
     assert g.filter(F.lit(False)).count() == 0
+
+
+def test_png_chain_on_degenerate_text(spark):
+    """PNG synthesis/decode (r12): NULL text -> NULL content -> NULL
+    stats; text too short for one pixel row -> structurally sound
+    height-0 file the decoder rejects to NULLs; a one-pixel-row text
+    decodes exactly."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        decode_png_stats, parse_png, synth_png_corpus)
+
+    rows = [(0, None), (7, ""), (14, "xy"), (21, "abcdefghi")]
+    # ids chosen % 7 == 0 -> w = 3, one row needs 9 bytes
+    m = synth_png_corpus(_corpus(spark, rows))
+    out = {r["media_id"]: tuple(r)[1:]
+           for r in decode_png_stats(m).collect()}
+    assert out[0] == (None,) * 6       # NULL text -> NULL content
+    assert out[7] == (None,) * 6       # empty -> height 0 -> rejected
+    assert out[14] == (None,) * 6      # 2 bytes < one 9-byte row
+    w9, h9, n9, mr, mg, mb = out[21]
+    assert (w9, h9, n9) == (3, 1, 3)
+    raw = b"abcdefghi"
+    assert (mr, mg, mb) == tuple(
+        round(sum(raw[c::3]) / 3, 6) for c in range(3))
+    # and the rejected files are still structurally honest containers
+    blob = {r["media_id"]: r["content"]
+            for r in m.collect()}[7]
+    assert parse_png(bytes(blob)) is None and bytes(blob)[:4] == b"\x89PNG"
+
+
+def test_c4_gate_on_degenerate_text(spark):
+    """C4 battery (r12): NULL text -> NULL flags; empty text -> zero
+    retained sentences; a page of one long terminal sentence fails
+    only the 5-sentence minimum."""
+    import tripgogo_vector_search_spark.functions.text as TX
+
+    rows = [(1, None), (2, ""), (3, "this is one full sentence."),
+            (4, "lorem ipsum filler. " * 6)]
+    flags = TX.c4_rules(F.col("text"))
+    out = {r.doc_id: tuple(r)[1:] for r in
+           _corpus(spark, rows).select(
+               "doc_id",
+               TX.c4_sentences_kept(F.col("text")).alias("nk"),
+               *[c.alias(k) for k, c in flags.items()]).collect()}
+    assert all(v is None for v in out[1])
+    assert out[2][0] == 0 and out[2][1] is False
+    assert out[3][0] == 1 and out[3][1] is False   # 1 < 5 sentences
+    assert out[4][2] is False                      # lorem ipsum page
+
+
+def test_subword_tokenizer_on_degenerate_inputs(spark):
+    """Learned tokenizer (r12): empty vocab still tokenizes (single
+    chars are implicit vocabulary); NULL text -> NULL stats; empty
+    and whitespace-only text -> zero words, NULL fertility."""
+    from tripgogo_vector_search_spark.operators.tokenize import (
+        subword_tokenize, tokenize_word)
+
+    assert tokenize_word("", set()) == 0
+    assert tokenize_word("abc", set()) == 3
+    assert tokenize_word("abcd", {"abcd"}) == 1
+    # greedy from the left: no 2-4-gram matches at pos 0 -> 'a' (1),
+    # then 'abcd' matches whole -> 2 tokens (not 'ab'+'cd'+'a')
+    assert tokenize_word("aabcd", {"abcd", "ab"}) == 2
+    rows = [(1, None), (2, ""), (3, "   "), (4, "ab ab")]
+    out = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility"])
+           for r in subword_tokenize(_corpus(spark, rows),
+                                     ["ab"]).collect()}
+    assert out[1] == (None, None, None)
+    assert out[2] == (0, 0, None)
+    assert out[3] == (0, 0, None)
+    assert out[4] == (2, 2, 1.0)
+
+
+def test_semdedup_singleton_cells_keep_everything(spark):
+    """SemDeDup tournament (r12): a corpus where every vector sits
+    alone in its cell prunes nothing (no pairs exist)."""
+    # exercised end-to-end at the fixture in test_round12_props; here
+    # the pure tournament property on a tiny frame via the same exprs
+    from tripgogo_vector_search_spark.functions import vector as V
+
+    rows = [(0, [1.0] + [0.0] * 3), (1, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    d01 = df.crossJoin(df.selectExpr("vec_id AS r_id",
+                                     "embedding AS r_emb")) \
+        .filter("vec_id < r_id") \
+        .select(F.round(V.cosine_distance(F.col("embedding"),
+                                          F.col("r_emb")), 6).alias("d")) \
+        .collect()[0]["d"]
+    assert d01 == 1.0  # orthogonal -> far above any dup threshold
