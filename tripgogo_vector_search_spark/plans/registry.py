@@ -9154,11 +9154,17 @@ def multimodal_png_stats_q(spark, sf_dir):
     # are stored, not synthesized per query — the WAV/BMP syntheses
     # are cheap string copies and stay inline; the PNG one pays a
     # per-byte zlib/filter construction, which belongs at build time):
+    from ..partitioning import widen
+    # widen() before synthesis: the fixture table is one file, and an
+    # unwidened build runs the whole per-byte construction as ONE task
+    # (measured: the 2x-replicated corpus built FASTER than 1x because
+    # it arrived as two partitions); widen is in src= so existing
+    # caches rebuild under the parallel layout
     path = _materialized_index(
         spark, sf_dir, "png_corpus",
-        lambda p: synth_png_corpus(_t(spark, sf_dir, "documents"))
+        lambda p: synth_png_corpus(widen(_t(spark, sf_dir, "documents")))
         .write.mode("overwrite").parquet(p),
-        src=(synth_png_corpus,))
+        src=(synth_png_corpus, widen))
     w = decode_png_stats(spark.read.parquet(path))
     return w.select(
         "media_id", "width", "height", "n_pixels",
