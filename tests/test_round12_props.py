@@ -411,3 +411,28 @@ def test_png_synth_height_zero_or_null_is_well_formed(spark):
     assert zlib.decompress(stream) == b""
     (crc,) = struct.unpack(">I", data[pos + 8 + ln2:pos + 12 + ln2])
     assert crc == zlib.crc32(b"IDAT" + stream) & 0xFFFFFFFF
+
+
+def test_png_kernel_total_on_arbitrary_bytes_via_spark(spark):
+    """The Arrow kernel (not just the spec parser) is total on hostile
+    bytes THROUGH the Spark execution path: signatures with garbage
+    chunks, truncations, and random blobs decode to all-NULL structs,
+    never a task failure."""
+    import random
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        decode_png_stats, parse_png)
+
+    rng = random.Random(12)
+    sig = b"\x89PNG\r\n\x1a\n"
+    blobs = [bytes(rng.randrange(256) for _ in range(rng.randrange(120)))
+             for _ in range(40)]
+    blobs += [sig + b for b in blobs[:20]]
+    blobs += [None, b"", sig]
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {r["media_id"]: tuple(r)[1:]
+           for r in decode_png_stats(media).collect()}
+    for i, b in rows:
+        want = parse_png(bytes(b) if b is not None else None)
+        assert got[i] == (want if want else (None,) * 6), i
