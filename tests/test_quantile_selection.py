@@ -17,7 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tripgogo_vector_search_spark.operators.quantile import (
-    quantiles_cont, quantiles_disc)
+    grouped_order_statistics, quantiles_cont, quantiles_disc)
 
 QS = [("q25", 0.25), ("q50", 0.50), ("q90", 0.90)]
 
@@ -236,3 +236,32 @@ def test_quantile_runtime_two_scans_one_reuse(spark):
              if "Scan ExistingRDD" in ln or "LocalTableScan" in ln]
     assert len(scans) <= 2, final
     assert "ReusedExchange" in final, final
+
+
+def test_weighted_grid_equals_exploded_rows(spark):
+    """r12 `weight_col`: order statistics over a (value, count)
+    histogram must equal the unweighted grid over the exploded rows —
+    the multiset-expansion contract ccnet_ppl_buckets relies on.
+    Mixed magnitudes, point masses, and a heavy-multiplicity value
+    exercise the cell/sub-cell paths."""
+    rng = random.Random(7)
+    hist = [(round(rng.uniform(0.1, 40.0), 3), rng.randrange(1, 9))
+            for _ in range(60)]
+    hist += [(7.777, 500), (0.004, 3), (39999.5, 2)]   # mass + outlier
+    h = spark.createDataFrame(hist, "v double, cnt bigint")
+    rows = spark.createDataFrame(
+        [(v,) for v, c in hist for _ in range(c)], "v double")
+    qs = [("p10", 0.1), ("t1", 1 / 3), ("med", 0.5), ("p95", 0.95)]
+    got_w = {r["_tag"]: (r["_v"], r["_n"]) for r in
+             grouped_order_statistics(h, [], "v", qs, mode="disc",
+                                      weight_col="cnt").collect()}
+    got_u = {r["_tag"]: (r["_v"], r["_n"]) for r in
+             grouped_order_statistics(rows, [], "v", qs,
+                                      mode="disc").collect()}
+    assert got_w == got_u
+    # and both equal the plain-Python rank-at-ceil(q*n) definition
+    flat = sorted(v for v, c in hist for _ in range(c))
+    n = len(flat)
+    for name, q in qs:
+        rk = max(math.ceil(q * n), 1)
+        assert got_w[name] == (flat[rk - 1], n), name
