@@ -27,91 +27,72 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 12. Head = keys NEW this round, then every key whose
-    # physical plan or source closure changed THIS round, in the tree
-    # at this commit (drift gate: tests/test_plan_manifest.py).
+    # ROUND 13. Head = keys NEW this round, then every key whose
+    # physical plan, oracle SQL, or source closure changed THIS round
+    # (drift gate: tests/test_plan_manifest.py).
     #
-    # ADVICE r11 medium: kmeans_lloyd's plan+oracle moved in r11 (the
-    # float->DOUBLE->DECIMAL cast change) but only embedding_drift
-    # landed in the r11 window — kmeans_lloyd's fresh cross-engine row
-    # is owed and lands here first.
-    "kmeans_lloyd",
-    # ADVICE r11 low #1: synth_bmp_corpus now emits a header-only file
-    # at h=0 (the unguarded sequence(0,-1) appended two garbage rows);
-    # pinned in tests/test_round11_props.py.
-    "multimodal_bmp_stats",
-    # ADVICE r11 low #2: tpch_q12's low_line_count is now count(*) -
-    # high on BOTH engines (the bare NOT IN / otherwise(1) pair
-    # diverged on NULL o_orderpriority).
-    "tpch_q12",
-    # VERDICT r11 carry (b): pq_encode_error / pq_adc_topk no longer
-    # retrain codebooks inline — both read the materialized ivfpq
-    # sidecars (registry.py:_ivfpq_path); Lloyd runs once, at index
-    # build. adc's scan now projects (vec_id, codes) only.
-    "pq_encode_error", "pq_adc_topk",
-    # VERDICT r11 carry (c): ccnet_ppl_buckets' tercile thresholds now
-    # ride quantile.py's order-statistics grid with the histogram's
-    # counts as multiplicities (grouped_order_statistics weight_col=)
-    # — the only value-level window left is inside the one owning
-    # sub-cell, rank.py's tested occupancy bound.
-    "ccnet_ppl_buckets",
-    # NEW: the third real decode, and the first through a REAL
-    # COMPRESSION layer (VERDICT r11 carry (e)) — genuine PNGs
-    # synthesized in Catalyst including the zlib stream (stored-block
-    # deflate, Adler-32 integer folds, F.crc32 chunk CRCs, rows
-    # alternating None/Sub filters), decoded by an Arrow kernel
-    # (CRC-verified chunk walk, zlib inflate, all five spec
-    # unfilters). A zlib.compress reference encoder round-trips real
-    # deflate + Average/Paeth through the decoder in
-    # tests/test_round12_props.py.
-    "multimodal_png_stats",
-    # NEW: C4's published cleaning battery (Raffel et al. 2020 §2.2)
-    # as named flags + keep, sentence-adapted like gopher_quality_gate
-    # (functions/text.py:c4_rules); plain-Python replay in
-    # tests/test_round12_props.py. Map-only, no shuffle.
-    "c4_quality_gate",
-    # NEW: SemDeDup (Abbas et al. 2023) — k-means-cell-scoped semantic
-    # near-dedup with the paper's keep-farthest-from-centroid rule as
-    # a deterministic (cdist DESC, vec_id ASC) tournament; the
-    # quadratic term is bounded per cell. Plain-Python replay in
-    # tests/test_round12_props.py.
+    # NEW: recall@k of the COMPRESSED tier (VERDICT r12 list #3) —
+    # the ivfpq pipeline (probe -> ADC shortlist -> exact re-rank)
+    # measured against exact brute force per query, mirroring
+    # ann_recall_eval; the artifact that tunes (nprobe, shortlist).
+    "ivfpq_recall_eval",
+    # NEW: the fourth real decode — GIF through a REAL LZW layer
+    # (VERDICT r12 list #5): Catalyst-synthesized GIF89a corpus
+    # sidecar (9-bit clear-interleaved LZW codes, LSB-first bit
+    # packing, sub-block framing, 256-entry palette), decoded by an
+    # Arrow kernel with a full variable-width LZW decoder; a real
+    # compressing LZW encoder round-trips through it in tests.
+    "multimodal_gif_stats",
+    # VERDICT r12 list #4: llm_generate's deterministic stub is a
+    # pure function of the collected top-k frame, so it now carries a
+    # REAL oracle (DuckDB string_agg + md5 replay of the prompt) —
+    # the last rows-only hole closes; 259/259 oracle-gated.
+    "llm_generate",
+    # VERDICT r12 list #2: semdedup's within-cell pair join now sits
+    # behind a per-cell occupancy guard (operators/dedup.py:
+    # cell_occupancy_guard — bounded <=n_cells collect, RAISE on a
+    # mega-cell) with an adversarial collapsed-embeddings fixture in
+    # tests/test_dedup_guards.py.
     "semdedup",
-    # NEW: native session_window driven as a STREAM (VERDICT r11 carry
-    # (f)) — watermark + append emission; the non-strict emission
-    # boundary (end == watermark emits) pinned with a constructed tie
-    # in tests/test_streaming_semantics.py.
-    "stream_session_window",
-    # NEW: a LEARNED subword tokenizer (WordPiece-style greedy
-    # longest-match over a top-200 gram vocabulary from the curated
-    # slice) — per-doc token counts + fertility; recursive-CTE oracle,
-    # plain-Python replay in tests/test_round12_props.py.
+    # ADVICE r12 low #1 (+ the same class in stream_sessionize): the
+    # streaming oracles' watermark arithmetic is now MILLISECOND-
+    # floored to mirror the engine (EventTimeStats tracks max event
+    # time in epoch ms; the fixture has microsecond event times).
+    "stream_session_window", "stream_sessionize",
+    # ADVICE r12 low #2: the tokenizer kernel receives F.lower(text)
+    # and never calls Python str.lower() — case is normalized once,
+    # engine-side, by the same expression the vocab learning uses.
     "subword_tokenize",
-    # ROTATION (stale-evidence retirement, VERDICT r11 soft spot #2:
-    # 96 keys' newest green rows predate r08). Oldest first per
-    # tools/rotation.py: the full r03 cohort, the full r04 cohort
-    # (kmeans_lloyd already queued above), then r05 oldest-first up to
-    # the 50-key window. Plans unchanged — the drift gate pins them.
-    # r03:
-    "stratified_sample", "tpch_q4", "unpivot_metrics",
-    "weighted_sample", "zorder_key",
-    # r04:
-    "corr_pairs", "dedup_rate_by_source", "event_rate_profile",
-    "event_transitions", "group_sample_balanced", "hop_window_agg",
-    "kmeans_assign", "kmv_distinct_sketch", "lang_confusion",
-    "lang_distinctive_terms", "mixture_weights",
-    "multimodal_frame_sample", "orc_roundtrip", "pipeline_funnel",
-    "sql_passthrough", "token_count_histogram", "tpch_q13",
-    "tpch_q22", "user_retention_cohorts", "vocab_topk",
-    # r05 (oldest-first fill; the r05 remainder continues next round):
-    "ann_index_occupancy", "ann_knn_join", "ann_recall_eval",
-    "bm25_score", "char_trigrams_top", "corpus_summary_report",
-    "daily_volume_anomalies", "dup_multiplicity_histogram",
-    "embed_quantize", "event_type_share_trend", "filtered_knn",
-    "first_touch_attribution", "fuzzy_join", "norm_outlier_screen",
-    # (null_safe_join ceded its slot to subword_tokenize — never-rowed
-    # keys must land inside the 50-key window; the r05 tail continues
-    # next round)
+    # ADVICE r12 low #3: tpch_q12 uses the CANONICAL Q12 CASE buckets
+    # on both engines — a NULL o_orderpriority counts in NEITHER
+    # bucket (the r11 count(*)-high formulation classified it low).
+    "tpch_q12",
+    # ROTATION (stale-evidence retirement, VERDICT r12 list #1:
+    # finish the burn-down — 9 keys on r05 rows, 11 on r06). Oldest
+    # first per tools/rotation.py: all r05, all r06, then r07
+    # oldest-first up to the 50-key window. Plans unchanged — the
+    # drift gate pins them.
+    # r05 (the tail the r12 window couldn't fit):
+    "null_safe_join", "quantization_error", "resample_zero_fill",
+    "sample_bias_audit", "seasonality_profile", "simhash_hamming_dedup",
+    "source_concentration_gini", "token_fertility_by_lang",
+    "trend_slope",
+    # r06:
+    "corpus_filter", "doc_fingerprint", "fingerprint_dedup",
+    "lang_dist", "lang_id", "lob_to_string", "multimodal_features",
+    "project_display", "project_subset", "quality_score",
+    "semi_anti_join",
+    # r07 (oldest-first fill; the r07 remainder — sort_desc through
+    # tpch_q9, 14 keys — continues next round):
+    "activation_latency_quartiles", "cast_concat_pct", "concat_text",
+    "conversion_latency", "copurchase_lift", "dedup_pair_audit_sample",
+    "derived_score", "embedding_coverage_audit", "grouping_sets",
+    "hybrid_search_rrf", "in_subquery", "join_agg", "join_multi",
+    "knn_label_accuracy", "match_score", "referential_integrity_audit",
+    "rename_cols", "revenue_concentration_hhi", "revenue_growth_yoy",
+    "schema_profile", "sim_join", "sim_join_gemm",
 ]
+
 
 
 def _ordered(d: dict) -> dict:

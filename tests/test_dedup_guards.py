@@ -462,3 +462,72 @@ def test_connected_components_durable_checkpoint_mode(spark, tmp_path):
                 spark._jvm.scala.Option.apply(None))
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# semdedup cell_occupancy_guard (VERDICT r12 list #2)
+# ---------------------------------------------------------------------------
+
+def _basis_vec(i: int, dim: int = 8) -> list[float]:
+    return [1.0 if j == i else 0.0 for j in range(dim)]
+
+
+def _collapsed_corpus(spark, n_dup: int = 200):
+    """The adversarial shape: 3 mutually-orthogonal singleton vectors
+    plus `n_dup` IDENTICAL copies of a fourth (a degenerate embedding
+    mode — empty/boilerplate docs collapsing to one vector). With the
+    16-smallest-id seed rule, seeds 3..15 are all the collapsed vector,
+    and the cid-ASC tie-break piles every copy into cell 3."""
+    rows = [(i, _basis_vec(i)) for i in range(3)]
+    rows += [(i, _basis_vec(5)) for i in range(3, 3 + n_dup)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    from tripgogo_vector_search_spark.operators import ann as ANN
+    idx = ANN.build_ivf_index(emb, "embedding", "vec_id", n_cells=16)
+    cents = (emb.filter(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    return idx, cents
+
+
+def test_semdedup_occupancy_guard_trips_on_collapsed_embeddings(spark):
+    # 200 copies in one cell of an intended-16 clustering: cap =
+    # max(64, 8*203//16) = 101 < 200 -> the guard must RAISE before
+    # the quadratic within-cell pair join is planned.
+    idx, cents = _collapsed_corpus(spark)
+    with pytest.raises(RuntimeError, match="occupancy guard"):
+        DD.semdedup_keep(idx, cents)
+
+
+def test_semdedup_guard_override_still_correct_on_collapsed_corpus(spark):
+    # An explicit cap (the operator's documented escape hatch) admits
+    # the same corpus, and the verdict is still the paper's: of the
+    # 200 identical vectors (pair distance 0, equal centroid distance)
+    # exactly the smallest id survives; the 3 orthogonal singletons
+    # (distance 1.0 > eps in their own cells anyway) all survive.
+    idx, cents = _collapsed_corpus(spark)
+    out = DD.semdedup_keep(idx, cents, occupancy_cap=1000)
+    keep = sorted(r.vec_id for r in out.collect() if r.keep)
+    assert keep == [0, 1, 2, 3]
+    assert out.count() == 203
+
+
+def test_cell_occupancy_guard_uses_intended_cell_count(spark):
+    # Red-on-old-shape proof for the guard's own arithmetic: when the
+    # corpus collapses into ONE observed cell, an observed-count cap
+    # inflates to factor*total and the mega-cell passes as "balanced".
+    # The guard must take the clustering's INTENDED cell count.
+    cells = spark.createDataFrame([(0,)] * 500, "cid int")
+    with pytest.raises(RuntimeError, match="occupancy guard"):
+        DD.cell_occupancy_guard(cells, "cid", n_cells=16)
+    # the old (observed-count) behavior admits it — documented hazard,
+    # which is exactly why semdedup_keep passes n_cells=cents.count()
+    stats = DD.cell_occupancy_guard(cells, "cid")
+    assert stats["max_occupancy"] == 500 and stats["cap"] >= 500
+
+
+def test_cell_occupancy_guard_passes_balanced_and_reports(spark):
+    cells = spark.createDataFrame(
+        [(i % 16,) for i in range(480)], "cid int")
+    stats = DD.cell_occupancy_guard(cells, "cid", n_cells=16)
+    assert stats == {"n_cells": 16, "total": 480, "cap": 240,
+                     "max_occupancy": 30}

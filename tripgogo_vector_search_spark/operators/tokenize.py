@@ -90,7 +90,19 @@ def subword_tokenize(docs: DataFrame, vocab_grams: list[str],
     """Per-document subword statistics under the learned vocabulary:
     ``(doc_id, n_words, n_tokens, fertility)`` where fertility =
     tokens/word (the compression metric tokenizer quality is judged
-    by). Map-only Arrow pass; NULL text yields NULL stats."""
+    by). Map-only Arrow pass; NULL text yields NULL stats.
+
+    Case is normalized exactly ONCE, engine-side (ADVICE r12): the
+    kernel receives ``F.lower(text)`` — the same Catalyst expression
+    :func:`subword_vocab` learns from — and never calls Python's
+    ``str.lower()``, so the engine path has a single case-mapping
+    implementation and the kernel is a deterministic pure function of
+    (pre-lowered word, vocab) even for non-ASCII codepoints whose
+    Python/JVM case foldings disagree (e.g. U+0130). Cross-ENGINE
+    oracle parity still compares Spark ``lower`` to DuckDB ``lower``;
+    those agree on ASCII (the fixture corpus) — the documented oracle
+    assumption, pinned with a non-ASCII kernel-purity test in
+    tests/test_round13_props.py."""
     vocab = frozenset(vocab_grams)
 
     @F.pandas_udf("struct<n_words:bigint,n_tokens:bigint>")
@@ -102,7 +114,8 @@ def subword_tokenize(docs: DataFrame, vocab_grams: list[str],
                 nw.append(None)
                 nt.append(None)
                 continue
-            words = [w for w in t.lower().split(" ") if w != ""]
+            # no .lower() here: input is pre-lowered by Catalyst
+            words = [w for w in t.split(" ") if w != ""]
             total = 0
             for w in words:
                 c = memo.get(w)
@@ -115,7 +128,7 @@ def subword_tokenize(docs: DataFrame, vocab_grams: list[str],
         return pd.DataFrame({"n_words": nw, "n_tokens": nt})
 
     out = docs.select(F.col(id_col).alias("doc_id"),
-                      _tok(F.col(text_col)).alias("s"))
+                      _tok(F.lower(F.col(text_col))).alias("s"))
     return out.select(
         "doc_id", F.col("s.n_words").alias("n_words"),
         F.col("s.n_tokens").alias("n_tokens"),

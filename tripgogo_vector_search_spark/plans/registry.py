@@ -1944,14 +1944,25 @@ def llm_generate(spark, sf_dir):
                   strftime(s_end, '{_TS_FMT_DUCK}') AS session_end,
                   n_events
            FROM g
-           WHERE s_end + INTERVAL 30 MINUTE < (SELECT max(ts) FROM events)""")
+           WHERE date_trunc('milliseconds', s_end) + INTERVAL 30 MINUTE
+                 < date_trunc('milliseconds',
+                              (SELECT max(ts) FROM events))""")
 def stream_sessionize_q(spark, sf_dir):
     """Custom stateful streaming operator: per-user gap-sessionization via
     applyInPandasWithState (state = one open session per user, bounded;
     sessions emit when the watermark proves them closed). The oracle is the
     batch sessionization restricted to sessions closed by the final
     watermark (end + gap strictly before max event time — the event-time
-    timeout fires only when the watermark passes the timeout timestamp)."""
+    timeout fires only when the watermark passes the timeout timestamp).
+    Both sides of that comparison are MILLISECOND-floored in the oracle
+    because that is the engine's own arithmetic (ADVICE r12 class): the
+    watermark is ms-resolution (EventTimeStats tracks max event time in
+    epoch ms) and the state timeout is set in epoch ms too
+    (ingest.py:_session_fn's `(e0 + _GAP_US) // 1000`), so with
+    microsecond event times — which the fixture has — an un-truncated
+    oracle would emit a session whose (s_end + gap) shares the
+    watermark's millisecond but trails it by microseconds, while the
+    engine's strictly-> ms compare keeps it open."""
     from ..streaming.ingest import run_stream_to_table, stream_sessionize
     return run_stream_to_table(spark, stream_sessionize(spark, sf_dir),
                                mode="append")
@@ -2031,8 +2042,9 @@ def session_window_agg_q(spark, sf_dir):
                   strftime(s_end, '{_TS_FMT_DUCK}') AS session_end,
                   n_events, value_sum
            FROM g
-           WHERE s_end <= (SELECT max(ts) - INTERVAL 30 MINUTE
-                           FROM events)""")
+           WHERE s_end <= date_trunc('milliseconds',
+                                     (SELECT max(ts) FROM events))
+                          - INTERVAL 30 MINUTE""")
 def stream_session_window_q(spark, sf_dir):
     """Spark's native session_window driven as a STREAM (VERDICT r11
     carry (f)) — the third sessionization implementation beside the
@@ -2044,8 +2056,14 @@ def stream_session_window_q(spark, sf_dir):
     watermark emits — pinned against the engine with a constructed
     tie in tests/test_streaming_semantics.py, the same methodology as
     the gap==duration merge pin), so the oracle's closed-session
-    filter is `s_end <= max(ts) - delay`, unlike stream_sessionize's
-    strictly-< state-timeout convention. Scale: session-merging state
+    filter is `s_end <= floor_ms(max(ts)) - delay`, unlike
+    stream_sessionize's strictly-< state-timeout convention. The
+    watermark side is MILLISECOND-floored in the oracle because the
+    engine's watermark is ms-resolution (EventTimeStats tracks max
+    event time in epoch ms — ADVICE r12): with microsecond event
+    times, a session ending in the sub-ms gap below max(ts) - delay
+    stays open in the engine, and an un-truncated oracle would emit
+    it. Scale: session-merging state
     lives per (user, open session) in the state store and is evicted
     at the watermark — O(active users), not O(stream); one shuffle on
     the session key per micro-batch."""
@@ -4659,10 +4677,12 @@ def tpch_q11(spark, sf_dir):
 
 @query("tpch_q12",
        """SELECT l_returnflag,
-                 count(*) FILTER (WHERE o_orderpriority IN
-                     ('1-URGENT', '2-HIGH')) AS high_line_count,
-                 count(*) - count(*) FILTER (WHERE o_orderpriority IN
-                     ('1-URGENT', '2-HIGH')) AS low_line_count
+                 CAST(sum(CASE WHEN o_orderpriority IN
+                          ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                      AS BIGINT) AS high_line_count,
+                 CAST(sum(CASE WHEN o_orderpriority NOT IN
+                          ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                      AS BIGINT) AS low_line_count
           FROM orders, lineitem
           WHERE o_orderkey = l_orderkey
             AND l_shipdate > o_orderdate + INTERVAL 30 DAY
@@ -4686,16 +4706,21 @@ def tpch_q12(spark, sf_dir):
     j = li.join(o, (F.col("o_orderkey") == F.col("l_orderkey"))
                 & (F.col("l_shipdate")
                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
-    # high/low are complements of the SAME predicate on both engines
-    # (low = count(*) - high): a bare NOT IN / otherwise(1) pair would
-    # diverge on NULL o_orderpriority (oracle drops it, Spark counted
-    # it low) — ADVICE r11.
+    # CANONICAL Q12 bucket semantics on BOTH engines (ADVICE r12): the
+    # two CASE predicates are three-valued, so a NULL o_orderpriority
+    # lands in NEITHER bucket — IN/isin yields NULL -> ELSE 0, and
+    # NOT IN / the negated conjunction yields NULL -> ELSE 0 too.
+    # (History: r11 made low = count(*) - high to close a cross-engine
+    # NULL divergence, but that classified NULL priorities as 'low',
+    # deviating from the reference query's CASE formulation; this is
+    # the spec shape, engine-symmetric by construction.)
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lo = ((F.col("o_orderpriority") != "1-URGENT")
+          & (F.col("o_orderpriority") != "2-HIGH"))
     return (j.groupBy("l_returnflag")
             .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
                  .alias("high_line_count"),
-                 (F.count(F.lit(1))
-                  - F.sum(F.when(hi, 1).otherwise(0))).cast("bigint")
+                 F.sum(F.when(lo, 1).otherwise(0)).cast("bigint")
                  .alias("low_line_count")))
 
 
@@ -5226,44 +5251,24 @@ def semdedup_q(spark, sf_dir):
     shared infrastructure), so each cell's pair scan is one
     co-located partition and the quadratic term is bounded per cell
     (the paper runs 50k clusters over LAION for exactly this reason).
-    Vector norms are computed once per ROW and reused across all that
-    row's pairs — the pair predicate is ONE dot fold, and
-    1 - dot/(na*nb) with hoisted norms is bit-identical to the
-    inline recomputation (same folds over the same doubles), so the
-    oracle compare stays exact. No all-pairs anywhere."""
+    Since r13 that bound is ENFORCED, not assumed: dedup.py's
+    cell_occupancy_guard RAISES at plan-build time when any cell
+    exceeds 8x the balanced size (VERDICT r12 list #2 — a degenerate
+    embedding mode collapsing the corpus into one cell would
+    otherwise go quadratic on a single task; the histogram read is
+    bounded by n_cells and touches only the partition column's
+    row-group metadata). Vector norms are computed once per ROW and
+    reused across all that row's pairs — the pair predicate is ONE
+    dot fold, and 1 - dot/(na*nb) with hoisted norms is bit-identical
+    to the inline recomputation (same folds over the same doubles),
+    so the oracle compare stays exact. No all-pairs anywhere.
+    Implementation: operators/dedup.py:semdedup_keep."""
     import os
     path = _ivfpq_path(spark, sf_dir)
     idx = spark.read.parquet(path).select("vec_id", "embedding", "cid")
     cents = (spark.read.parquet(os.path.join(path, "_centroids"))
              .select("cid", "cvec"))
-    a = (idx.join(F.broadcast(cents), "cid")
-         .select("vec_id", "embedding", "cid",
-                 F.round(V.cosine_distance(F.col("embedding"),
-                                           F.col("cvec")), 6)
-                 .alias("cdist"),
-                 V.l2_norm("embedding").alias("nrm")))
-    left = a.select(F.col("vec_id").alias("l_id"),
-                    F.col("embedding").alias("l_emb"), "cid",
-                    F.col("cdist").alias("l_cd"),
-                    F.col("nrm").alias("l_n"))
-    right = a.select(F.col("vec_id").alias("r_id"),
-                     F.col("embedding").alias("r_emb"), "cid",
-                     F.col("cdist").alias("r_cd"),
-                     F.col("nrm").alias("r_n"))
-    pair_d = F.round(F.lit(1.0)
-                     - V.dot(F.col("l_emb"), F.col("r_emb"))
-                     / (F.col("l_n") * F.col("r_n")), 6)
-    rm = (left.join(right, "cid")
-          .filter((F.col("l_id") != F.col("r_id"))
-                  & (pair_d <= 0.60)
-                  & ((F.col("r_cd") > F.col("l_cd"))
-                     | ((F.col("r_cd") == F.col("l_cd"))
-                        & (F.col("r_id") < F.col("l_id")))))
-          .select(F.col("l_id").alias("vec_id")).distinct())
-    return (a.join(rm.withColumn("_rm", F.lit(True)), "vec_id", "left")
-            .select("vec_id", "cid",
-                    F.col("cdist").alias("centroid_dist"),
-                    F.col("_rm").isNull().alias("keep")))
+    return DD.semdedup_keep(idx, cents, eps=0.60)
 
 
 @query("kmeans_assign",
