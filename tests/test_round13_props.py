@@ -150,3 +150,38 @@ def test_tpch_q12_null_priority_in_neither_bucket(spark):
         "ELSE 0 END), sum(CASE WHEN pri NOT IN ('1-URGENT','2-HIGH') "
         "THEN 1 ELSE 0 END) FROM o").fetchone()
     assert tuple(map(int, want)) == (got.high, got.low)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #4: llm_generate is oracle-checkable
+# ---------------------------------------------------------------------------
+
+def test_llm_generate_matches_oracle_at_smoke_sf(spark):
+    """The stub summary is a pure function of the top-k frame, and the
+    DuckDB oracle replays the whole prompt construction (markdown
+    string-agg + md5). Exact-tuple parity at the smoke SF — the
+    driver-parity suite covers sf0.01, this pins a second corpus so
+    the digest is data-dependent, not a frozen constant."""
+    from tripgogo_vector_search_spark.plans.registry import ORACLES, QUERIES
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')")
+    srows = [tuple(r) for r in QUERIES["llm_generate"](spark, sf).collect()]
+    drows = [tuple(r) for r in con.sql(ORACLES["llm_generate"]).fetchall()]
+    assert srows == drows
+    assert srows[0][0].startswith("Summary[") and srows[0][1] == 3
+
+
+def test_llm_generate_display_frame_is_all_strings(spark):
+    """Engine-side stringification contract: every cell handed to the
+    prompt builder is already a string (Python str() must be an
+    identity, or the md5 replay in SQL could never match)."""
+    from tripgogo_vector_search_spark.plans.flagship import flagship_query
+    top = flagship_query(spark, "/root/testdata/sf0.001")
+    disp = top.select(
+        F.col("vec_id").cast("string"),
+        F.coalesce(F.col("label").cast("string"), F.lit("None")),
+        F.col("distance_score").cast("decimal(18,6)").cast("string"),
+        F.col("match_score").cast("decimal(10,2)").cast("string"))
+    assert all(t == "string" for _, t in disp.dtypes)

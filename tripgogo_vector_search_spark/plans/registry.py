@@ -1908,20 +1908,77 @@ def result_fetch(spark, sf_dir):
     return spark.createDataFrame(rows, src.schema)   # cursor.description
 
 
-@query("llm_generate")  # rows-only: stub transport, not SQL-expressible
+@query("llm_generate",
+       f"""WITH t AS (SELECT vec_id, label,
+                             {sql_cosine_distance('embedding', _QV)} AS d
+                      FROM embeddings
+                      ORDER BY d ASC, vec_id ASC LIMIT 3),
+           s AS (SELECT d, vec_id,
+                        CAST(vec_id AS VARCHAR) AS v,
+                        coalesce(CAST(label AS VARCHAR), 'None') AS lb,
+                        CAST(CAST(round(d, 6) AS DECIMAL(18,6))
+                             AS VARCHAR) AS ds,
+                        CAST(CAST(round((1.0 - d) * 100, 2)
+                                  AS DECIMAL(10,2)) AS VARCHAR) AS ms
+                 FROM t),
+           md AS (SELECT string_agg(
+                           '| ' || v || ' | ' || lb || ' | ' || ds
+                           || ' | ' || ms || ' |',
+                           chr(10) ORDER BY d ASC, vec_id ASC) AS body,
+                         count(*) AS k
+                  FROM s),
+           pr AS (SELECT 'User query: best match for the flagship query'
+                         || chr(10) || chr(10) || 'Top results:'
+                         || chr(10)
+                         || '| vec_id | label | distance_score'
+                         || ' | match_score |' || chr(10)
+                         || '| --- | --- | --- | --- |' || chr(10)
+                         || body || chr(10) || chr(10)
+                         || 'Write a short comparative summary.' AS p,
+                         k
+                  FROM md)
+           SELECT 'Summary[' || substr(md5(p), 1, 8) || ']: compared '
+                  || (k + 1) || ' results for the query.' AS summary,
+                  CAST(k AS BIGINT) AS n_rows
+           FROM pr""")
 def llm_generate(spark, sf_dir):
     """RAG summary over the flagship top-k (streamlit_app.py:109-186);
     keeps the reference's exact retry(<=4)/2^n-backoff/fallback contract.
     Transport: real HTTP POST when SPARK_RAG_LLM_ENDPOINT is set, the
     deterministic offline stub otherwise. Returns the summary as a 1-row
-    DataFrame so the driver can smoke-check it."""
-    from .rag import default_transport, rag_summarize
+    DataFrame so the driver can check it — since r13 against a REAL
+    oracle (VERDICT r12 list #4): the stub's output is a pure function
+    of the collected top-k frame (md5 of the prompt built from the
+    markdown table, plans/rag.py), so DuckDB replays the whole prompt
+    construction with string aggregation + md5() and the summary is
+    value-exact cross-engine, closing the registry's last rows-only
+    hole. To make the row rendering engine-independent, the display
+    frame is stringified ENGINE-side before the collect (bigint/int ->
+    string, doubles through the DECIMAL pivot — the cast_concat_pct
+    convention), so Python's str() is an identity on every cell and
+    the oracle's VARCHAR casts produce the same bytes. The quirky
+    `compared k+1` count is the stub's own text arithmetic
+    (rag.py:stub_transport counts newline-pipe boundaries, which
+    includes the header row); the oracle replicates it rather than
+    papering over it. Note when an HTTP endpoint IS configured the
+    summary is model-generated and the oracle would rightly flag it —
+    the driver runs air-gapped, where the stub is the contract."""
+    from .rag import default_transport, generate_summary
     top = flagship_query(spark, sf_dir)
-    summary = rag_summarize(top, "best match for the flagship query",
-                            transport=default_transport(),
-                            sleeper=lambda s: None)
+    disp = top.select(
+        F.col("vec_id").cast("string").alias("vec_id"),
+        F.coalesce(F.col("label").cast("string"), F.lit("None"))
+        .alias("label"),
+        F.col("distance_score").cast("decimal(18,6)").cast("string")
+        .alias("distance_score"),
+        F.col("match_score").cast("decimal(10,2)").cast("string")
+        .alias("match_score"))
+    rows = [r.asDict() for r in disp.collect()]
+    summary = generate_summary(rows, "best match for the flagship query",
+                               transport=default_transport(),
+                               sleeper=lambda s: None)
     return spark.createDataFrame(
-        [(summary, top.count())], "summary string, n_rows bigint")
+        [(summary, len(rows))], "summary string, n_rows bigint")
 
 
 @query("stream_sessionize",
