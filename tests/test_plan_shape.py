@@ -1663,3 +1663,25 @@ def test_semdedup_reads_index_layout(spark):
     assert "Window" not in plan and "row_number" not in plan
     assert "ivfpq_index" in plan
     assert "embeddings.parquet" not in plan
+
+
+def test_ivfpq_recall_eval_adc_scan_projects_codes_not_vectors(spark):
+    """The eval must exercise the DEPLOYED compressed pipeline: the
+    candidate scan over the materialized ivfpq index reads (vec_id,
+    codes, cid) only — pulling the embedding column there would be
+    benchmarking a different (uncompressed) index. The raw embeddings
+    table appears exactly where the pipeline uses it: brute-force
+    ground truth and the shortlist's exact re-rank."""
+    plan = plan_of(QUERIES["ivfpq_recall_eval"](spark, SF_CORRECTNESS))
+    idx_stanzas = []
+    for s in plan.split("Scan parquet"):
+        loc = [ln for ln in s.splitlines() if "Location" in ln]
+        if loc and "ivfpq_index" in loc[0] \
+                and "_centroids" not in loc[0] \
+                and "_codebooks" not in loc[0]:
+            idx_stanzas.append(s)
+    assert idx_stanzas, "no ivfpq index scan in the plan"
+    for s in idx_stanzas:
+        rs = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+        assert rs and "embedding" not in rs[0], rs
+        assert "codes" in rs[0], rs

@@ -9916,6 +9916,154 @@ def stream_paragraph_probe_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-13: recall@k of the COMPRESSED tier (VERDICT r12 list #3)
+# --------------------------------------------------------------------------
+
+@query("ivfpq_recall_eval",
+       _pq_sql_prefix() + f""",
+ ivc AS (SELECT vec_id AS cid, embedding AS cvec
+         FROM embeddings WHERE vec_id < 16),
+ ivassign AS (SELECT vec_id, ivcid FROM (
+     SELECT e.vec_id, ivc.cid AS ivcid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {sql_cosine_distance('e.embedding', 'ivc.cvec')}
+                       ASC, ivc.cid ASC) AS rn
+     FROM embeddings e CROSS JOIN ivc) t WHERE rn = 1),
+ q AS (SELECT vec_id AS qid, embedding AS qvec
+       FROM embeddings WHERE vec_id % 100 = 7),
+ probes AS (SELECT qid, cid FROM (
+     SELECT q.qid, ivc.cid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY {sql_cosine_distance('q.qvec', 'ivc.cvec')} ASC,
+                       ivc.cid ASC) AS rn
+     FROM q CROSS JOIN ivc) t WHERE rn <= 4),
+ qsub AS (SELECT q.qid, sub.m,
+                 list_slice(q.qvec, sub.m * {_PQ_SUB} + 1,
+                            sub.m * {_PQ_SUB} + {_PQ_SUB}) AS qs
+          FROM q, sub),
+ lut AS (SELECT qsub.qid, c1.m, c1.cid,
+                {sql_l2_sq("qsub.qs", "c1.cvec")} AS ld
+         FROM qsub JOIN c1 ON c1.m = qsub.m),
+ cand AS (SELECT p.qid, a2.vec_id,
+                 round(list_sum(list(lut.ld ORDER BY a2.m)), 6) AS ad
+          FROM a2
+          JOIN ivassign iv ON iv.vec_id = a2.vec_id
+          JOIN probes p ON p.cid = iv.ivcid
+          JOIN lut ON lut.qid = p.qid AND lut.m = a2.m
+                  AND lut.cid = a2.cid
+          GROUP BY p.qid, a2.vec_id),
+ short AS (SELECT qid, vec_id FROM (
+     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              ORDER BY ad ASC, vec_id ASC) AS rn
+     FROM cand) t WHERE rn <= 10),
+ rr AS (SELECT qid, vec_id FROM (
+     SELECT sh.qid, sh.vec_id,
+            row_number() OVER (PARTITION BY sh.qid
+              ORDER BY {sql_cosine_distance('e.embedding', 'q.qvec')}
+                       ASC, sh.vec_id ASC) AS rn
+     FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+                   JOIN q ON q.qid = sh.qid) t WHERE rn <= 3),
+ exact AS (SELECT qid, vec_id FROM (
+     SELECT q.qid, e.vec_id,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY {sql_cosine_distance('e.embedding', 'q.qvec')}
+                       ASC, e.vec_id ASC) AS rn
+     FROM embeddings e CROSS JOIN q) t WHERE rn <= 3)
+ SELECT exact.qid, count(rr.vec_id) AS matched,
+        round(count(rr.vec_id) / 3.0, 6) AS recall_at_3
+ FROM exact LEFT JOIN rr
+   ON exact.qid = rr.qid AND exact.vec_id = rr.vec_id
+ GROUP BY exact.qid""")
+def ivfpq_recall_eval_q(spark, sf_dir):
+    """Measured recall@3 of the COMPRESSED tier against exact brute
+    force (VERDICT r12 list #3): ann_recall_eval covers the IVF index,
+    but ivfpq_topk's ADC estimate is lossy BY CONSTRUCTION — this is
+    the artifact that tunes (nprobe, shortlist size) with evidence
+    before a compressed index ships, run on the sampled query set
+    (vec_id % 100 == 7, the ann_recall_eval sampling contract; a
+    bounded frame by construction, which is what licenses the
+    broadcast of per-query probe/LUT/top-k frames below). The full
+    deployed pipeline is evaluated, not just the estimator: per-query
+    IVF probe pruning (4 of 16 cells) -> ADC shortlist of 10 by the
+    4-lookup code-distance sum (the scan projects vec_id+codes from
+    the materialized sidecar — no vector bytes) -> exact cosine
+    re-rank to top-3 -> per-(qid, vec_id) join against brute-force
+    top-3. Engine-exact: LUT distances are the same sequential l2
+    folds as the index build (computed IN Spark here — the query set
+    is a frame, not one driver-side literal like pq_adc_topk's), the
+    4-term ADC sums fold over the m-sorted struct array (fixed order
+    both engines), and every top-k is (rounded dist ASC, vec_id ASC)
+    deterministic. All windows partition by qid — the slicing key."""
+    import os
+    path = _ivfpq_path(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") % 100 == 7)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    cents = (spark.read.parquet(os.path.join(path, "_centroids"))
+             .select(F.col("cid"), F.col("cvec")))
+    pw = W.partitionBy("qid").orderBy(F.col("pd").asc(),
+                                      F.col("cid").asc())
+    probes = (queries.crossJoin(F.broadcast(cents))
+              .select("qid", "cid",
+                      V.cosine_distance(F.col("qvec"), F.col("cvec"))
+                      .alias("pd"))
+              .withColumn("rn", F.row_number().over(pw))
+              .filter(F.col("rn") <= 4).select("qid", "cid"))
+    cb = spark.read.parquet(os.path.join(path, "_codebooks"))
+    qsub = (queries.select(
+        "qid",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "qvec")
+        .select("qid", "m",
+                F.slice("qvec", F.col("m") * _PQ_SUB + 1,
+                        _PQ_SUB).alias("qs")))
+    lut = (qsub.join(F.broadcast(cb), "m")
+           .select("qid", "m", F.col("cid").alias("code"),
+                   V.l2_sq(F.col("qs"), F.col("cvec")).alias("ld")))
+    idx = spark.read.parquet(path).select("vec_id", "codes", "cid")
+    ex = (idx.join(F.broadcast(probes), "cid")
+          .select("qid", "vec_id",
+                  F.posexplode("codes").alias("m", "code")))
+    adc = (ex.join(F.broadcast(lut), ["qid", "m", "code"])
+           .groupBy("qid", "vec_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("m", "ld"))).alias("a"))
+           .select("qid", "vec_id",
+                   F.round(F.aggregate(
+                       F.transform("a", lambda s: s["ld"]),
+                       F.lit(0.0), lambda acc, v: acc + v), 6)
+                   .alias("approx_dist")))
+    sw = W.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
+                                      F.col("vec_id").asc())
+    short = (adc.withColumn("rn", F.row_number().over(sw))
+             .filter(F.col("rn") <= 10).select("qid", "vec_id"))
+    rw = W.partitionBy("qid").orderBy(F.col("d").asc(),
+                                      F.col("vec_id").asc())
+    approx = (short.join(emb, "vec_id")
+              .join(F.broadcast(queries), "qid")
+              .select("qid", "vec_id",
+                      V.cosine_distance(F.col("embedding"),
+                                        F.col("qvec")).alias("d"))
+              .withColumn("rn", F.row_number().over(rw))
+              .filter(F.col("rn") <= 3)
+              .select("qid", F.col("vec_id").alias("a_vec")))
+    exact = (similarity_join(emb,
+                             queries.withColumnRenamed("qid", "vec_id")
+                             .withColumnRenamed("qvec", "embedding"),
+                             k=3, exclude_self=False)
+             .select(F.col("query_id").alias("qid"),
+                     F.col("neighbor_id").alias("vec_id")))
+    return (exact.join(F.broadcast(approx),
+                       (exact["qid"] == approx["qid"])
+                       & (exact["vec_id"] == approx["a_vec"]), "left")
+            .groupBy(exact["qid"].alias("qid"))
+            .agg(F.count("a_vec").alias("matched"),
+                 F.round(F.count("a_vec") / 3.0, 6)
+                 .alias("recall_at_3")))
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
