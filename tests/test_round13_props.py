@@ -185,3 +185,223 @@ def test_llm_generate_display_frame_is_all_strings(spark):
         F.col("distance_score").cast("decimal(18,6)").cast("string"),
         F.col("match_score").cast("decimal(10,2)").cast("string"))
     assert all(t == "string" for _, t in disp.dtypes)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #5: GIF through a REAL LZW layer
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indices, mcs):
+    """Genuinely COMPRESSING GIF-LZW reference encoder (the zlib.compress
+    analogue of the PNG round): dictionary growth, variable code width
+    with the early-change rule (width++ when next_code crosses
+    2^width), clear-on-full reset. Emits LSB-first bit-packed bytes.
+    Exists to prove the repo's decoder handles real compressed streams,
+    not just the synthesis's clear-interleaved literals."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = []            # (code, width)
+    width = mcs + 1
+
+    def reset():
+        return {(None, s): s for s in range(clear)}, clear + 2
+
+    table, next_code = reset()
+    out.append((clear, width))
+    prev = None
+    for s in indices:
+        assert 0 <= s < clear
+        key = (prev, s)
+        if key in table:
+            prev = table[key]
+            continue
+        out.append((prev, width))
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            out.append((clear, width))
+            table, next_code = reset()
+            width = mcs + 1
+        prev = s
+    if prev is not None:
+        out.append((prev, width))
+    out.append((eoi, width))
+    buf = bytearray()
+    acc, nacc = 0, 0
+    for code, w in out:
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            buf.append(acc & 255)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        buf.append(acc & 255)
+    return bytes(buf)
+
+
+def _assemble_gif(w, h, indices, mcs=8, interlace=False, lct=None):
+    """Assemble a complete GIF89a file around a REAL compressed LZW
+    stream — the encoder-side third implementation the Spark kernel
+    and plain-Python spec must both decode."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _GIF_PALETTE_HEX)
+    data = _gif_lzw_encode(indices, mcs)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    out += bytes.fromhex(_GIF_PALETTE_HEX)
+    # a comment extension, to exercise the extension skip path
+    out += bytes([0x21, 0xFE, 3]) + b"abc" + bytes([0])
+    ipacked = (0x40 if interlace else 0)
+    if lct is not None:
+        ipacked |= 0x80 | 0x07          # 256-entry local table
+    out += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([ipacked])
+    if lct is not None:
+        out += lct
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def _decode_both(spark, blobs):
+    """(plain-Python spec, Arrow kernel) results for a list of blobs."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        decode_gif_stats, parse_gif)
+    spec = [parse_gif(b) for b in blobs]
+    df = spark.createDataFrame(list(enumerate(blobs)),
+                               "media_id bigint, content binary")
+    krows = {r.media_id: tuple(r)[1:]
+             for r in decode_gif_stats(df).collect()}
+    kern = [None if all(v is None for v in krows[i]) else krows[i]
+            for i in range(len(blobs))]
+    return spec, kern
+
+
+def _expected_stats(w, h, indices):
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _GIF_PALETTE)
+    n = w * h
+    si = sum(indices)
+    sr = sum(_GIF_PALETTE[i][0] for i in indices)
+    sg = sum(_GIF_PALETTE[i][1] for i in indices)
+    sb = sum(_GIF_PALETTE[i][2] for i in indices)
+    return (w, h, n, si / n, sr / n, sg / n, sb / n)
+
+
+def test_gif_real_lzw_roundtrip_through_both_decoders(spark):
+    """Streams from the genuinely compressing encoder — repetitive
+    (deep dictionary chains, the KwKwK case), random (little
+    compression), and constant (maximal chain reuse) — decode to the
+    exact pixels through BOTH implementations, including the width
+    growth the synthesis never emits."""
+    import random
+    rng = random.Random(13)
+    cases = []
+    rep = ([7, 7, 7, 8, 8, 7, 7, 7] * 100)[:640]       # KwKwK-heavy
+    cases.append((8, 80, rep))
+    cases.append((16, 50, [rng.randrange(256) for _ in range(800)]))
+    cases.append((5, 40, [3] * 200))                    # constant run
+    blobs = [_assemble_gif(w, h, px) for w, h, px in cases]
+    spec, kern = _decode_both(spark, blobs)
+    for (w, h, px), s, k in zip(cases, spec, kern):
+        want = _expected_stats(w, h, px)
+        assert s is not None and k is not None
+        for a, b in zip(s, want):
+            assert abs(a - b) < 1e-12
+        for a, b in zip(k, want):
+            assert abs(a - b) < 1e-12
+
+
+def test_gif_lzw_width_growth_and_table_pressure(spark):
+    """Small minimum code size forces the table through every width
+    (3..12 bits) and into the clear-on-full regime; the decoders must
+    track the encoder's early-change width schedule exactly."""
+    import random
+    rng = random.Random(29)
+    px = [rng.randrange(4) for _ in range(3600)]        # mcs=2, w*h=3600
+    blob = _assemble_gif(60, 60, px, mcs=2)
+    spec, kern = _decode_both(spark, [blob])
+    want = _expected_stats(60, 60, px)
+    assert spec[0] is not None and kern[0] is not None
+    for a, b in zip(spec[0], want):
+        assert abs(a - b) < 1e-12
+    for a, b in zip(kern[0], want):
+        assert abs(a - b) < 1e-12
+
+
+def test_gif_interlace_flag_and_local_color_table(spark):
+    """Interlacing permutes row order only — channel MEANS are
+    invariant, so the flag is accepted; a local color table must WIN
+    over the global one (the means shift to the local palette)."""
+    px = list(range(200)) + list(range(56, 256))
+    blob_i = _assemble_gif(20, 20, px, interlace=True)
+    lct = bytes(((5 * i + 9) % 256) for i in range(768))
+    blob_l = _assemble_gif(20, 20, px, lct=lct)
+    spec, kern = _decode_both(spark, [blob_i, blob_l])
+    want = _expected_stats(20, 20, px)
+    for a, b in zip(spec[0], want):
+        assert abs(a - b) < 1e-12
+    n = 400
+    want_l = (20, 20, n, sum(px) / n,
+              sum(lct[3 * i] for i in px) / n,
+              sum(lct[3 * i + 1] for i in px) / n,
+              sum(lct[3 * i + 2] for i in px) / n)
+    for a, b in zip(spec[1], want_l):
+        assert abs(a - b) < 1e-12
+    assert kern[0] == spec[0] and kern[1] == spec[1]
+
+
+def test_gif_decoders_fuzz_total_and_agree(spark):
+    """Hostile bytes: single-byte mutations, truncations, and garbage
+    must never raise in either implementation, and both must return
+    the SAME verdict (None/None or equal stats) — the WAV/BMP/PNG
+    fuzz-total discipline."""
+    import random
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        parse_gif)
+    rng = random.Random(113)
+    base = _assemble_gif(8, 25, [rng.randrange(256) for _ in range(200)])
+    blobs = [base]
+    for _ in range(120):
+        b = bytearray(base)
+        b[rng.randrange(len(b))] = rng.randrange(256)
+        blobs.append(bytes(b))
+    for _ in range(30):
+        blobs.append(base[:rng.randrange(len(base))])
+    blobs += [b"", b"GIF89a", b"\x00" * 64,
+              bytes(rng.randrange(256) for _ in range(300))]
+    spec, kern = _decode_both(spark, blobs)
+    for i, (s, k) in enumerate(zip(spec, kern)):
+        if s is None:
+            assert k is None, i
+        else:
+            assert k is not None and all(
+                abs(a - b) < 1e-12 for a, b in zip(k, s)), i
+
+
+def test_gif_synthesis_emits_standard_9bit_streams(spark):
+    """The Catalyst synthesis' clear-interleave invariant: every code
+    fits 9 bits because a CLEAR lands at least every 250 literals —
+    checked by decoding a >250-pixel document (group boundary
+    crossed) and a 0-row document (header-only, NULL stats) through
+    the plain-Python spec."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        parse_gif, synth_gif_corpus)
+    docs = spark.createDataFrame(
+        [(6, "q" * 501), (7, "zz")],   # id 6 -> w=2..? 6%6+2=2; 7 -> 3
+        "doc_id bigint, text string")
+    rows = {r.media_id: bytes(r.content)
+            for r in synth_gif_corpus(docs).collect()}
+    got = parse_gif(rows[6])
+    assert got is not None and got[0] == 2 and got[1] == 250
+    assert got[3] == ord("q")                   # mean of a constant
+    assert parse_gif(rows[7]) is None           # h=0: header-only file
+    assert rows[7][:6] == b"GIF89a" and rows[7][-1:] == b"\x3b"

@@ -2,17 +2,20 @@
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schema, batch iteration, partition-preserving
-feature extraction) is real and tested. Decode coverage (r11-r12):
-WAV/PCM, 24-bpp BMP and 8-bit truecolor PNG are REAL decodes —
-:func:`parse_wav` / :func:`wav_stats_udf` walk the RIFF chunk list
-and compute sample-level stats, :func:`parse_bmp` /
+feature extraction) is real and tested. Decode coverage (r11-r13):
+WAV/PCM, 24-bpp BMP, 8-bit truecolor PNG and palette GIF are REAL
+decodes — :func:`parse_wav` / :func:`wav_stats_udf` walk the RIFF
+chunk list and compute sample-level stats, :func:`parse_bmp` /
 :func:`bmp_stats_udf` honor the BMP offset/stride layout (top-down
-heights included), and :func:`parse_png` / :func:`png_stats_udf`
-(r12) decode through a REAL compression layer: CRC-verified chunk
-walk, stdlib ``zlib`` inflate, all five spec scanline filters — pure
-byte arithmetic plus stdlib zlib, byte-exact against DuckDB BLOB
-oracles, fuzz-total on hostile bytes. Only JPEG (a genuinely
-env-bound codec) remains a stub:
+heights included), :func:`parse_png` / :func:`png_stats_udf` (r12)
+decode through a REAL compression layer (CRC-verified chunk walk,
+stdlib ``zlib`` inflate, all five spec scanline filters), and
+:func:`parse_gif` / :func:`gif_stats_udf` (r13) decode through a
+REAL LZW layer implemented from the spec — variable code width,
+clear/EOI, the KwKwK case, table-full freeze — with no codec library
+at all. Pure byte arithmetic (plus stdlib zlib for PNG), byte-exact
+against DuckDB BLOB oracles, fuzz-total on hostile bytes. Only
+JPEG-class lossy codecs (genuinely env-bound) remain stubs:
 
 * ``decode_backend="fake"`` (default) — deterministic byte-level features
   (content-addressed; no codec), so pipelines and tests run offline;
@@ -793,6 +796,457 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
     map-only Arrow pass, unreadable objects surfaced as NULL stats."""
     w = media.select("media_id",
                      png_stats_udf(F.col("content")).alias("w"))
+    return w.select("media_id", "w.*")
+
+
+
+# -- GIF / LZW (r13): the fourth real decode, through a REAL LZW layer ------
+
+#: 256-entry global color table: channel values are affine functions of
+#: the palette index (r,g,b) = ((3i+7), (7i+1), (13i+5)) mod 256 — a
+#: deterministic non-identity mapping, so palette INDIRECTION is
+#: observable in the channel means (an index-as-color bug shifts them).
+_GIF_PALETTE = [((3 * i + 7) % 256, (7 * i + 1) % 256, (13 * i + 5) % 256)
+                for i in range(256)]
+_GIF_PALETTE_HEX = "".join(f"{r:02X}{g:02X}{b:02X}"
+                           for r, g, b in _GIF_PALETTE)
+
+#: literals per clear-delimited LZW block in the synthesis. After a
+#: CLEAR the decoder table holds 258 entries and each literal beyond
+#: the first adds one, so <=250 literals keeps the table under 512 and
+#: EVERY code in the stream is 9 bits wide — letting Catalyst bit-pack
+#: with fixed-width integer arithmetic while remaining a fully standard
+#: variable-width LZW stream any GIF reader decodes.
+_GIF_GROUP = 250
+_GIF_MCS = 8          # LZW minimum code size: 8-bit palette indices
+_GIF_MAX_PIXELS = 4096  # synthesis cap on w*h (mirrored by the oracle)
+
+
+def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic corpus of REAL GIF89a files (GIF spec 89a, 1990),
+    built with pure Catalyst byte arithmetic INCLUDING the LZW layer:
+    each document\'s UTF-8 bytes become the 8-bit palette indices of an
+    image whose width cycles 2..7 px by ``id % 6``; height = as many
+    full pixel rows as the text provides, capped at
+    ``_GIF_MAX_PIXELS`` total pixels. The image data is a genuine
+    variable-width LZW code stream (clear code 256, EOI 257, 9-bit
+    codes by the ``_GIF_GROUP`` clear-interleave invariant above)
+    bit-packed LSB-first and framed into <=255-byte sub-blocks — the
+    "uncompressed GIF" encoding every LZW-patent-era tool shipped, and
+    still a stream a spec decoder must run its full table machinery
+    on. Global color table = ``_GIF_PALETTE_HEX``. NULL text yields
+    NULL content; a text shorter than one pixel row yields a valid
+    header-only file with height 0 (the synth_bmp/synth_png h=0
+    convention — every ``sequence`` upper bound below is guarded
+    against counting down).
+
+    Staged projections (the synth_png lesson): each stage\'s alias is
+    referenced more than once downstream, so CollapseProject keeps the
+    boundary and the per-byte folds read bound attributes instead of
+    re-evaluating the whole upstream expression per byte."""
+    w = (F.col("media_id") % 6 + 2).cast("bigint")
+    b0 = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
+    hlen = (F.length("_hex") / 2 / w).cast("bigint")
+    h = F.when(hlen.isNotNull(),
+               F.least(hlen, (F.lit(_GIF_MAX_PIXELS) / w).cast("bigint")))
+    b1 = b0.select("media_id", "_hex", h.alias("_h"))
+    npx = F.col("_h") * w
+    px = F.when(npx >= 1, F.transform(
+        F.sequence(F.lit(0), npx - 1),
+        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
+                         16, 10).cast("bigint"))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    b2 = b1.select("media_id", "_h", px.alias("_px"))
+    # LZW code stream: [CLEAR, <=250 literals]* ++ [EOI]; h=0 -> the
+    # minimal valid stream [CLEAR, EOI] (greatest() guards the
+    # sequence(0, -1) count-down trap)
+    n_groups = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.size("_px") / _GIF_GROUP).cast("bigint"))
+    codes = F.concat(
+        F.flatten(F.transform(
+            F.sequence(F.lit(0), n_groups - 1),
+            lambda g: F.concat(
+                F.array(F.lit(256).cast("bigint")),
+                F.slice("_px", (g * _GIF_GROUP + 1).cast("int"),
+                        _GIF_GROUP)))),
+        F.array(F.lit(257).cast("bigint")))
+    b3 = b2.select("media_id", "_h", codes.alias("_c"))
+    # bit-pack the 9-bit codes LSB-first: output byte j covers global
+    # bits [8j, 8j+8), which touch at most two codes; with s = 8j mod 9
+    # and k = (8j - s)/9, byte_j = (code_k >> s | code_{k+1} << (9-s))
+    # & 255 — expressed as exact integer div/mul via a 2^s lookup
+    n_codes = F.size("_c").cast("bigint")
+    n_bytes = ((n_codes * 9 + 7) / 8).cast("bigint")
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
+
+    def byte_of(j):
+        s = (j * 8) % 9
+        k = ((j * 8 - s) / 9).cast("bigint")
+        p = F.element_at(pow2, (s + 1).cast("int"))
+        c1 = F.element_at("_c", (k + 1).cast("int"))
+        # the last byte's second code may not exist: try_element_at
+        # (plain element_at THROWS out-of-bounds under ANSI mode)
+        c2 = F.coalesce(F.try_element_at(F.col("_c"),
+                                         (k + 2).cast("int")),
+                        F.lit(0).cast("bigint"))
+        return (F.floor(c1 / p).cast("bigint")
+                + c2 * (F.lit(512) / p).cast("bigint")) % 256
+
+    data = F.when(n_bytes >= 1, F.transform(
+        F.sequence(F.lit(0), n_bytes - 1), byte_of)) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    dh = F.array_join(F.transform(data, lambda b: F.lpad(F.hex(b), 2, "0")),
+                      "")
+    b4 = b3.select("media_id", "_h", dh.alias("_dh"))
+    # frame into <=255-byte sub-blocks: length byte + payload each
+    n_dbytes = (F.length("_dh") / 2).cast("bigint")
+    n_sub = F.ceil(n_dbytes / 255).cast("bigint")   # >= 1: stream >= 3 bytes
+    subs = F.transform(
+        F.sequence(F.lit(0), n_sub - 1),
+        lambda t: F.concat(
+            _le_hex(F.least(F.lit(255).cast("bigint"),
+                            n_dbytes - t * 255), 1),
+            F.substring("_dh", (t * 510 + 1).cast("int"), 510)))
+    hexfile = F.concat(
+        F.lit("474946383961"),                      # "GIF89a"
+        _le_hex(w, 2), _le_hex(F.col("_h"), 2),     # logical screen
+        F.lit("F7"),                                # GCT, 8bpp, 256 entries
+        F.lit("0000"),                              # bg index, aspect
+        F.lit(_GIF_PALETTE_HEX),
+        F.lit("2C"), F.lit("00000000"),             # image desc, left/top
+        _le_hex(w, 2), _le_hex(F.col("_h"), 2),
+        F.lit("00"),                                # no LCT, no interlace
+        F.lit(f"{_GIF_MCS:02X}"),                   # LZW min code size
+        F.array_join(subs, ""),
+        F.lit("00"),                                # block terminator
+        F.lit("3B"))                                # trailer
+    return b4.select("media_id", F.unhex(hexfile).alias("content"))
+
+
+def _gif_lzw_decode(mcs: int, data: bytes,
+                    max_pixels: int) -> list[int] | None:
+    """Spec GIF-LZW decode (GIF89a appendix F): variable code width
+    starting at mcs+1, LSB-first bit packing, CLEAR resets the table,
+    the KwKwK case (code == next index) emits prev + prev[0], width
+    grows when the table fills its code space (to at most 12 bits),
+    and a full table (4096) freezes until the next CLEAR. Returns the
+    pixel index list, or None for malformed streams (no EOI, code
+    beyond the table, overlong output)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+    prev: list[int] | None = None
+    out: list[int] = []
+    pos, nbits = 0, len(data) * 8
+    while pos + width <= nbits:
+        code = 0
+        for b in range(width):           # per-bit loop: the executable
+            p = pos + b                  # spec; the kernel uses a
+            if (data[p >> 3] >> (p & 7)) & 1:   # shift-buffer instead
+                code |= 1 << b
+        pos += width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]     # KwKwK
+        else:
+            return None
+        out.extend(entry)
+        if len(out) > max_pixels:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return None                          # ran out of bits before EOI
+
+
+def parse_gif(data: bytes | None) -> tuple | None:
+    """Plain-Python GIF decode — REAL pixel access through the REAL
+    LZW compression layer, pure integer/bit arithmetic, no codec
+    library: validates the GIF87a/89a signature, parses the logical
+    screen descriptor and global color table, skips extension blocks,
+    decodes the FIRST image descriptor\'s sub-block-framed LZW stream
+    with the full variable-width table machinery, and averages the
+    palette channels over the decoded indices. Interlace only permutes
+    row order, so the means are unaffected and the flag is accepted.
+    Returns ``(width, height, n_pixels, mean_idx, mean_r, mean_g,
+    mean_b)`` with unrounded means, or ``None`` for anything
+    unreadable. The executable spec behind :func:`gif_stats_udf`."""
+    if data is None or len(data) < 13 \
+            or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = data[6] | data[7] << 8
+    sh = data[8] | data[9] << 8
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                    # trailer before any image
+            return None
+        if b == 0x21:                    # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        if pos + 10 > len(data):
+            return None
+        w = data[pos + 5] | data[pos + 6] << 8
+        h = data[pos + 7] | data[pos + 8] << 8
+        ipacked = data[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:               # local color table wins
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                return None
+            pal = data[pos:pos + 3 * n]
+            pos += 3 * n
+        if pal is None or pos >= len(data):
+            return None
+        mcs = data[pos]
+        pos += 1
+        if not (2 <= mcs <= 11):
+            return None
+        chunks = []
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            if pos + 1 + ln > len(data):
+                return None
+            chunks.append(data[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        if pos >= len(data):
+            return None
+        if not (0 < w and 0 < h and w <= sw and h <= sh):
+            return None
+        idxs = _gif_lzw_decode(mcs, b"".join(chunks), w * h)
+        if idxs is None or len(idxs) != w * h:
+            return None
+        if any(3 * i + 2 >= len(pal) for i in idxs):
+            return None
+        n_px = w * h
+        si = sum(idxs)
+        sr = sum(pal[3 * i] for i in idxs)
+        sg = sum(pal[3 * i + 1] for i in idxs)
+        sb = sum(pal[3 * i + 2] for i in idxs)
+        return (w, h, n_px, si / n_px, sr / n_px, sg / n_px, sb / n_px)
+    return None
+
+
+_GIF_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
+               "mean_idx:double,mean_r:double,mean_g:double,"
+               "mean_b:double>")
+
+
+def gif_stats_udf(content_col) -> "F.Column":
+    """Arrow-batched GIF decode: binary content -> image metadata +
+    palette-index and channel means. Same container walk as
+    :func:`parse_gif`, but the LZW inner loop is a genuinely
+    independent implementation: a shift-register bit reader (no
+    per-bit loop) over prefix/suffix code arrays with stack
+    backtracking (no list-of-lists table), and the channel means are
+    exact int64 histogram dot products (np.bincount over the decoded
+    indices x the palette arrays) instead of per-pixel sums.
+    Unreadable payloads decode to an all-NULL struct, never an error.
+    Map-only Arrow pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_GIF_STRUCT)
+    def _gif(blobs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        cols = {k: [] for k in ("width", "height", "n_pixels", "mean_idx",
+                                "mean_r", "mean_g", "mean_b")}
+
+        def emit(w=None, h=None, n=None, mi=None, mr=None, mg=None,
+                 mb=None):
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_pixels"].append(n)
+            cols["mean_idx"].append(mi)
+            cols["mean_r"].append(mr)
+            cols["mean_g"].append(mg)
+            cols["mean_b"].append(mb)
+
+        def lzw(mcs, data, want):
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            width = mcs + 1
+            prefix = [-1] * 4096
+            suffix = [0] * 4096
+            for i in range(clear):
+                suffix[i] = i
+            next_code = clear + 2
+            out = np.empty(want, dtype=np.int64)
+            n_out = 0
+            prev = -1
+            first = 0
+            buf = 0
+            nbuf = 0
+            ptr = 0
+            stack = []
+            ln = len(data)
+            while True:
+                while nbuf < width:
+                    if ptr >= ln:
+                        return None
+                    buf |= data[ptr] << nbuf
+                    nbuf += 8
+                    ptr += 1
+                code = buf & ((1 << width) - 1)
+                buf >>= width
+                nbuf -= width
+                if code == clear:
+                    next_code = clear + 2
+                    width = mcs + 1
+                    prev = -1
+                    continue
+                if code == eoi:
+                    return out if n_out == want else None
+                if prev < 0:
+                    if code >= clear:
+                        return None
+                    if n_out >= want:
+                        return None
+                    out[n_out] = code
+                    n_out += 1
+                    prev, first = code, code
+                    continue
+                c = code
+                if code == next_code:
+                    stack.append(first)   # KwKwK
+                    c = prev
+                elif code > next_code:
+                    return None
+                while c >= clear:         # backtrack prefix chain
+                    stack.append(suffix[c])
+                    c = prefix[c]
+                stack.append(c)
+                first = c
+                if n_out + len(stack) > want:
+                    return None
+                while stack:
+                    out[n_out] = stack.pop()
+                    n_out += 1
+                if next_code < 4096:
+                    prefix[next_code] = prev
+                    suffix[next_code] = first
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                prev = code
+            return None
+
+        for blob in blobs:
+            data = bytes(blob) if blob is not None else None
+            if data is None or len(data) < 13 \
+                    or data[:6] not in (b"GIF87a", b"GIF89a"):
+                emit()
+                continue
+            sw = data[6] | data[7] << 8
+            sh = data[8] | data[9] << 8
+            pos, gct = 13, None
+            if data[10] & 0x80:
+                n = 2 << (data[10] & 0x07)
+                if pos + 3 * n > len(data):
+                    emit()
+                    continue
+                gct = data[pos:pos + 3 * n]
+                pos += 3 * n
+            res = None
+            while pos < len(data):
+                b = data[pos]
+                if b == 0x3B:
+                    break
+                if b == 0x21:
+                    pos += 2
+                    while pos < len(data) and data[pos] != 0:
+                        pos += 1 + data[pos]
+                    pos += 1
+                    continue
+                if b != 0x2C or pos + 10 > len(data):
+                    break
+                w = data[pos + 5] | data[pos + 6] << 8
+                h = data[pos + 7] | data[pos + 8] << 8
+                ipacked = data[pos + 9]
+                pos += 10
+                pal = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    if pos + 3 * n > len(data):
+                        break
+                    pal = data[pos:pos + 3 * n]
+                    pos += 3 * n
+                if pal is None or pos >= len(data):
+                    break
+                mcs = data[pos]
+                pos += 1
+                if not (2 <= mcs <= 11):
+                    break
+                chunks = []
+                bad = False
+                while pos < len(data) and data[pos] != 0:
+                    ln2 = data[pos]
+                    if pos + 1 + ln2 > len(data):
+                        bad = True
+                        break
+                    chunks.append(data[pos + 1:pos + 1 + ln2])
+                    pos += 1 + ln2
+                if bad or pos >= len(data):
+                    break
+                if not (0 < w and 0 < h and w <= sw and h <= sh):
+                    break
+                idxs = lzw(mcs, b"".join(chunks), w * h)
+                if idxs is None:
+                    break
+                parr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+                if int(idxs.max()) >= parr.shape[0]:
+                    break
+                counts = np.bincount(idxs, minlength=parr.shape[0])
+                n_px = w * h
+                si = int(np.dot(counts, np.arange(parr.shape[0],
+                                                  dtype=np.int64)))
+                ch = [int(np.dot(counts, parr[:, c].astype(np.int64)))
+                      for c in range(3)]
+                res = (w, h, n_px, si / n_px, ch[0] / n_px,
+                       ch[1] / n_px, ch[2] / n_px)
+                break
+            if res is None:
+                emit()
+            else:
+                emit(*res)
+        return pd.DataFrame(cols)
+
+    return _gif(content_col if not isinstance(content_col, str)
+                else F.col(content_col))
+
+
+def decode_gif_stats(media: DataFrame) -> DataFrame:
+    """Per-object GIF decode over a (media_id, content) frame: one
+    map-only Arrow pass, unreadable objects surfaced as NULL stats."""
+    w = media.select("media_id",
+                     gif_stats_udf(F.col("content")).alias("w"))
     return w.select("media_id", "w.*")
 
 
