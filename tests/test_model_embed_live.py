@@ -15,7 +15,10 @@ now reports "No matching distribution found for sentence-transformers
 remains unimportable; 2026-08-16 (r12) — retried: DNS resolution of
 the index host still fails (``Name or service not known`` on the
 HTTPS connection, then "No matching distribution found ... versions:
-none"); the skip below remains the honest state. This test is the
+none"); 2026-08-16 (r13) — retried: DNS resolution of the configured
+index host still fails after 5 retries (``Name or service not
+known``), then "No matching distribution found for
+sentence-transformers"; the skip below remains the honest state. This test is the
 importorskip-gated LIVE path the verdict asked for: the moment an
 environment has ``sentence-transformers`` (and, for the model
 download, network or a local cache), it runs the reference's actual
