@@ -175,6 +175,18 @@ HEADLINE_R12 = {
     "subword_tokenize": "noop",
 }
 
+# Round-13 group: the GIF decode (Catalyst LZW synthesis + full
+# variable-width LZW kernel over every payload byte), the compressed
+# tier's recall eval (probe + ADC shortlist + exact re-rank + brute
+# force per sampled query), and the RAG summary (top-k collect + stub
+# transport — now oracle-gated, benched so the end-of-pipeline cost
+# stays visible).
+HEADLINE_R13 = {
+    "multimodal_gif_stats": "noop",
+    "ivfpq_recall_eval": "collect",
+    "llm_generate": "collect",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -237,7 +249,7 @@ def main() -> None:
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
                    | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8
                    | HEADLINE_R9 | HEADLINE_R10 | HEADLINE_R11
-                   | HEADLINE_R12)
+                   | HEADLINE_R12 | HEADLINE_R13)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
     io_noise = io_floor_once()

@@ -497,3 +497,33 @@ def test_semdedup_singleton_cells_keep_everything(spark):
                                           F.col("r_emb")), 6).alias("d")) \
         .collect()[0]["d"]
     assert d01 == 1.0  # orthogonal -> far above any dup threshold
+
+
+def test_gif_chain_on_degenerate_text(spark):
+    """GIF synthesis/decode (r13): NULL text -> NULL content -> NULL
+    stats; text too short for one pixel row -> structurally sound
+    height-0 file the decoder rejects to NULLs; a one-pixel-row text
+    decodes exactly (palette channels are affine maps of the index)."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _GIF_PALETTE, decode_gif_stats, parse_gif, synth_gif_corpus)
+
+    rows = [(0, None), (6, ""), (12, "x"), (18, "qr")]
+    # ids chosen % 6 == 0 -> w = 2, one row needs 2 bytes
+    m = synth_gif_corpus(_corpus(spark, rows))
+    out = {r["media_id"]: tuple(r)[1:]
+           for r in decode_gif_stats(m).collect()}
+    assert out[0] == (None,) * 7       # NULL text -> NULL content
+    assert out[6] == (None,) * 7       # empty -> height 0 -> rejected
+    assert out[12] == (None,) * 7      # 1 byte < one 2-byte row
+    w2, h2, n2, mi, mr, mg, mb = out[18]
+    assert (w2, h2, n2) == (2, 1, 2)
+    raw = b"qr"
+    assert mi == round(sum(raw) / 2, 6)
+    assert (mr, mg, mb) == tuple(
+        round(sum(_GIF_PALETTE[u][c] for u in raw) / 2, 6)
+        for c in range(3))
+    # and the rejected files are still structurally honest containers
+    blobs = {r["media_id"]: r["content"] for r in m.collect()}
+    assert parse_gif(bytes(blobs[6])) is None
+    assert bytes(blobs[6])[:6] == b"GIF89a"
+    assert bytes(blobs[6])[-1:] == b"\x3b"
