@@ -208,6 +208,7 @@ def _gif_lzw_encode(indices, mcs):
     table, next_code = reset()
     out.append((clear, width))
     prev = None
+    emitted_since_clear = 0
     for s in indices:
         assert 0 <= s < clear
         key = (prev, s)
@@ -215,6 +216,7 @@ def _gif_lzw_encode(indices, mcs):
             prev = table[key]
             continue
         out.append((prev, width))
+        emitted_since_clear += 1
         if next_code < 4096:
             table[key] = next_code
             next_code += 1
@@ -224,9 +226,20 @@ def _gif_lzw_encode(indices, mcs):
             out.append((clear, width))
             table, next_code = reset()
             width = mcs + 1
+            emitted_since_clear = 0
         prev = s
     if prev is not None:
         out.append((prev, width))
+        # the decoder adds a table entry for THIS code too (its adds
+        # lag the encoder's by one); if that add crosses a width
+        # boundary, the EOI must be written at the widened size —
+        # found by the hypothesis roundtrip property (a constant run
+        # whose flush lands exactly on the boundary desynchronizes an
+        # encoder that only counts its own dictionary misses)
+        if emitted_since_clear >= 1 and next_code < 4096:
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
     out.append((eoi, width))
     buf = bytearray()
     acc, nacc = 0, 0
@@ -405,3 +418,31 @@ def test_gif_synthesis_emits_standard_9bit_streams(spark):
     assert got[3] == ord("q")                   # mean of a constant
     assert parse_gif(rows[7]) is None           # h=0: header-only file
     assert rows[7][:6] == b"GIF89a" and rows[7][-1:] == b"\x3b"
+
+
+def test_gif_lzw_encode_decode_property():
+    """Property: for ANY index stream and minimum code size, the
+    compressing reference encoder's stream decodes back to exactly the
+    input through the plain-Python spec decoder (hypothesis over
+    stream content, length, alphabet size, and repetition structure —
+    drives the table through growth, KwKwK, and clear-on-full)."""
+    from hypothesis import given, settings, strategies as st
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _gif_lzw_decode)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(2, 8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.lists(st.integers(0, (1 << mcs) - 1),
+                     min_size=1, max_size=400),
+            # a repetition factor to build dictionary-heavy streams
+            st.integers(1, 12))))
+    def roundtrip(case):
+        mcs, base, rep = case
+        px = (base * rep)[:3000]
+        data = _gif_lzw_encode(px, mcs)
+        got = _gif_lzw_decode(mcs, data, len(px))
+        assert got == px
+
+    roundtrip()
