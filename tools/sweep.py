@@ -61,12 +61,27 @@ def main() -> None:
     # gate: after dropping all references and a GC nudge, count RDDs
     # still holding cached partitions. A steadily growing number across
     # rounds would mean a release-hook regression.
+    # Release is WEAK-REFERENCE based (py4j detach -> JVM GC clears the
+    # ContextCleaner's weak ref -> cleaner thread unpersists), so it
+    # needs up to TWO full GC cycles to become visible — a single
+    # gc.collect() + sleep reported a phantom resident block for
+    # dedup_components' final label checkpoint whenever the JVM
+    # happened not to run a full GC during the sweep (r13: verified
+    # that the block frees on the second System.gc() cycle, and that
+    # without the nudge it lives until the 30-minute periodic GC).
+    # The explicit double-nudge makes this report deterministic: a
+    # nonzero count now means a STRONG reference, i.e. a real leak.
     import gc
-    gc.collect()
-    time.sleep(2)
     jsc = spark.sparkContext._jsc.sc()
-    resident = [i.id() for i in jsc.getRDDStorageInfo()
-                if i.numCachedPartitions() > 0]
+    resident: list = []
+    for _ in range(3):
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(3)
+        resident = [i.id() for i in jsc.getRDDStorageInfo()
+                    if i.numCachedPartitions() > 0]
+        if not resident:
+            break
     print(json.dumps({
         "sf_dir": sf_dir, "n_queries": len(QUERIES),
         "n_failed": len(failures), "failed": failures,
