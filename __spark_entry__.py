@@ -46,8 +46,14 @@ _CHECK_FIRST = [
     # VERDICT r12 list #4: llm_generate's deterministic stub is a
     # pure function of the collected top-k frame, so it now carries a
     # REAL oracle (DuckDB string_agg + md5 replay of the prompt) —
-    # the last rows-only hole closes; 259/259 oracle-gated.
+    # the last rows-only hole closes; the registry is fully
+    # oracle-gated.
     "llm_generate",
+    # NEW: batch RAG — the same LLM contract run data-parallel per
+    # group inside the executors (applyInPandas over the
+    # WindowGroupLimit-pruned per-source top-3), oracle-gated by the
+    # same engine-side-stringify + SQL md5 replay.
+    "llm_generate_batch",
     # VERDICT r12 list #2: semdedup's within-cell pair join now sits
     # behind a per-cell occupancy guard (operators/dedup.py:
     # cell_occupancy_guard — bounded <=n_cells collect, RAISE on a
@@ -82,15 +88,16 @@ _CHECK_FIRST = [
     "lang_dist", "lang_id", "lob_to_string", "multimodal_features",
     "project_display", "project_subset", "quality_score",
     "semi_anti_join",
-    # r07 (oldest-first fill; the r07 remainder — sort_desc through
-    # tpch_q9, 14 keys — continues next round):
+    # r07 (oldest-first fill; the r07 remainder — sim_join_gemm, whose
+    # slot llm_generate_batch took, then sort_desc through tpch_q9,
+    # 15 keys — continues next round):
     "activation_latency_quartiles", "cast_concat_pct", "concat_text",
     "conversion_latency", "copurchase_lift", "dedup_pair_audit_sample",
     "derived_score", "embedding_coverage_audit", "grouping_sets",
     "hybrid_search_rrf", "in_subquery", "join_agg", "join_multi",
     "knn_label_accuracy", "match_score", "referential_integrity_audit",
     "rename_cols", "revenue_concentration_hhi", "revenue_growth_yoy",
-    "schema_profile", "sim_join", "sim_join_gemm",
+    "schema_profile", "sim_join",
 ]
 
 

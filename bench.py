@@ -185,6 +185,9 @@ HEADLINE_R13 = {
     "multimodal_gif_stats": "noop",
     "ivfpq_recall_eval": "collect",
     "llm_generate": "collect",
+    # batch RAG: per-source executor-side summaries over the
+    # WindowGroupLimit-pruned top-3 (20 groups at sf0.1)
+    "llm_generate_batch": "collect",
 }
 
 

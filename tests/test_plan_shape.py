@@ -1685,3 +1685,14 @@ def test_ivfpq_recall_eval_adc_scan_projects_codes_not_vectors(spark):
         rs = [ln for ln in s.splitlines() if "ReadSchema" in ln]
         assert rs and "embedding" not in rs[0], rs
         assert "codes" in rs[0], rs
+
+
+def test_llm_generate_batch_grouped_map_over_pruned_topk(spark):
+    """Batch RAG must be (a) a real executor-side grouped map
+    (FlatMapGroupsInPandas — the generation never loops on the
+    driver) and (b) fed by a WindowGroupLimit-pruned top-k, so the
+    grouped map's input is k rows per group, never the corpus (the
+    bounded-key window gate's required shape)."""
+    plan = plan_of(QUERIES["llm_generate_batch"](spark, SF_CORRECTNESS))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan

@@ -137,3 +137,53 @@ def rag_summarize(topk_df: DataFrame, query: str,
     summarize (streamlit_app.py:221-238)."""
     rows = [r.asDict() for r in topk_df.collect()]
     return generate_summary(rows, query, transport, sleeper)
+
+
+def batch_rag_summaries(pruned: DataFrame, group_col: str = "source",
+                        row_cols: tuple = ("doc_id", "snippet"),
+                        transport: Callable[[dict], dict] = stub_transport,
+                        sleeper: Callable[[float], None] = None) -> DataFrame:
+    """BATCH RAG — the scale path of the single `rag_summarize` call:
+    one summary PER GROUP, generated inside the executors via
+    ``applyInPandas`` (the module docstring's promised shape: 'for
+    batch RAG over millions of rows, run the same generate_summary per
+    group'). The reference makes one interactive LLM call per user
+    query (streamlit_app.py:221-238); a training-data pipeline makes
+    millions — per source, per cluster, per dedup group — and those
+    calls must run data-parallel in the executors, never serialized
+    through the driver.
+
+    ``pruned`` must already be cut to the per-group top-k (a
+    WindowGroupLimit-pruned row_number, k rows per group), with a
+    ``rn`` rank column for deterministic row order and every payload
+    column in ``row_cols`` PRE-STRINGIFIED engine-side (the
+    llm_generate convention — Python's str() is then an identity, so
+    the prompt bytes are reproducible from SQL and the whole operator
+    is oracle-checkable even though the generation runs in Python).
+    The full retry(<=4)/2^n-backoff/fallback contract of
+    :func:`generate_summary` applies per group; ``sleeper`` defaults
+    to no-sleep inside executors (a real deployment injects
+    time.sleep — blocking an executor core on backoff is a deliberate
+    throughput/politeness trade a pipeline makes explicitly).
+
+    Scale: one shuffle on the group key; each task holds k rows per
+    group, never the corpus; transports that talk to a real endpoint
+    fan out as wide as the executor count."""
+    import pandas as pd
+
+    slp = sleeper if sleeper is not None else (lambda s: None)
+    cols = list(row_cols)
+
+    def summarize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = pdf[group_col].iloc[0]
+        rows = (pdf.sort_values("rn")[cols]
+                .to_dict(orient="records"))
+        text = generate_summary(rows, f"digest of {group_col} {g}",
+                                transport, slp)
+        return pd.DataFrame({group_col: [g], "summary": [text],
+                             "n_rows": [len(rows)]})
+
+    return (pruned.groupBy(group_col)
+            .applyInPandas(summarize,
+                           f"{group_col} string, summary string, "
+                           "n_rows bigint"))

@@ -10147,6 +10147,70 @@ def multimodal_gif_stats_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-13: BATCH RAG — the reference's LLM call, data-parallel
+# --------------------------------------------------------------------------
+
+@query("llm_generate_batch",
+       """WITH t AS (SELECT source, doc_id, text,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents),
+           s AS (SELECT source, rn, CAST(doc_id AS VARCHAR) AS d,
+                        coalesce(substr(text, 1, 40), 'None') AS snippet
+                 FROM t WHERE rn <= 3),
+           md AS (SELECT source,
+                         string_agg('| ' || d || ' | ' || snippet
+                                    || ' |', chr(10) ORDER BY rn)
+                           AS body,
+                         count(*) AS k
+                  FROM s GROUP BY source),
+           pr AS (SELECT source,
+                         'User query: digest of source ' || source
+                         || chr(10) || chr(10) || 'Top results:'
+                         || chr(10) || '| doc_id | snippet |'
+                         || chr(10) || '| --- | --- |' || chr(10)
+                         || body || chr(10) || chr(10)
+                         || 'Write a short comparative summary.' AS p,
+                         k
+                  FROM md)
+           SELECT source,
+                  'Summary[' || substr(md5(p), 1, 8)
+                  || ']: compared ' || (k + 1)
+                  || ' results for the query.' AS summary,
+                  CAST(k AS BIGINT) AS n_rows
+           FROM pr""")
+def llm_generate_batch_q(spark, sf_dir):
+    """BATCH RAG: one summary per SOURCE over its top-3 longest
+    documents — the reference's interactive LLM call
+    (streamlit_app.py:221-238) turned into the data-parallel operator
+    a training pipeline actually runs (per-source/cluster/dedup-group
+    digests at corpus scale). The generation runs INSIDE the
+    executors via applyInPandas (plans/rag.py:batch_rag_summaries),
+    with the full retry/backoff/fallback contract per group and the
+    transport injected (stub offline, HTTP when configured) — never a
+    driver-side loop over groups. Oracle-checkable end to end by the
+    llm_generate recipe: payload columns are stringified ENGINE-side
+    before the grouped map, so the per-group prompt bytes — and the
+    stub's md5 digest — are replayed exactly by DuckDB string
+    aggregation. Plan: the per-group top-3 is a WindowGroupLimit-
+    pruned row_number (map-side k-row heaps per group — the grouped
+    map's input is k x |groups| rows, never the corpus), then one
+    shuffle on the group key."""
+    from .rag import batch_rag_summaries, default_transport
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                        F.col("doc_id").asc())
+    pruned = (d.select("source", "doc_id", "text", "n_chars")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("source", "rn",
+                      F.col("doc_id").cast("string").alias("doc_id"),
+                      F.coalesce(F.substring("text", 1, 40),
+                                 F.lit("None")).alias("snippet")))
+    return batch_rag_summaries(pruned, transport=default_transport())
+
+
+# --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
 # events.ts is parquet TIMESTAMP(NANOS). The pinned oracle engine (DuckDB
