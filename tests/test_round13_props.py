@@ -12,10 +12,7 @@ import os
 import time
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F, types as T
-
-from tests.conftest import SF_CORRECTNESS as SF
 
 
 # ---------------------------------------------------------------------------
@@ -446,3 +443,35 @@ def test_gif_lzw_encode_decode_property():
         assert got == px
 
     roundtrip()
+
+
+def test_gif_first_image_contract_and_gif87a(spark):
+    """Container-walk contract on real-world shapes: a GIF87a
+    signature is accepted; an ANIMATED file (graphic-control
+    extensions + a second image descriptor) reports the FIRST frame's
+    stats — web corpora are full of animations, and both
+    implementations must agree on which pixels the stats describe."""
+    px1 = [10, 20, 30, 40, 50, 60]
+    px2 = [200, 210, 220, 230, 240, 250]
+    base = bytearray(_assemble_gif(3, 2, px1))
+    # splice a graphic-control extension + a SECOND image before the
+    # trailer (reusing the first frame's encoder output for frame 2)
+    second = bytearray()
+    second += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])     # GCE + terminator
+    second += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    second += (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    second += bytes([0])
+    data2 = _gif_lzw_encode(px2, 8)
+    second += bytes([8])
+    for i in range(0, len(data2), 255):
+        c = data2[i:i + 255]
+        second += bytes([len(c)]) + c
+    second += bytes([0])
+    multi = bytes(base[:-1]) + bytes(second) + b"\x3b"
+    gif87 = b"GIF87a" + bytes(base[6:])
+    spec, kern = _decode_both(spark, [multi, gif87])
+    want = _expected_stats(3, 2, px1)
+    for got in (spec[0], kern[0], spec[1], kern[1]):
+        assert got is not None
+        for a, b in zip(got, want):
+            assert abs(a - b) < 1e-12
