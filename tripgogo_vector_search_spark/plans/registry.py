@@ -10195,7 +10195,13 @@ def llm_generate_batch_q(spark, sf_dir):
     aggregation. Plan: the per-group top-3 is a WindowGroupLimit-
     pruned row_number (map-side k-row heaps per group — the grouped
     map's input is k x |groups| rows, never the corpus), then one
-    shuffle on the group key."""
+    shuffle on the group key. NULL semantics, stated: snippets are
+    NULL-gated on BOTH sides (coalesce -> 'None', matching Python's
+    str(None)); the GROUP KEY is assumed non-NULL (true of the
+    fixture at every SF) — a NULL source would render as 'None' in
+    the Python prompt but NULL-propagate through the oracle's ||, so
+    a corpus with NULL group keys must coalesce the key engine-side
+    the same way before grouping."""
     from .rag import batch_rag_summaries, default_transport
     d = _t(spark, sf_dir, "documents")
     w = W.partitionBy("source").orderBy(F.col("n_chars").desc(),
