@@ -530,4 +530,58 @@ def test_cell_occupancy_guard_passes_balanced_and_reports(spark):
         [(i % 16,) for i in range(480)], "cid int")
     stats = DD.cell_occupancy_guard(cells, "cid", n_cells=16)
     assert stats == {"n_cells": 16, "total": 480, "cap": 240,
-                     "max_occupancy": 30}
+                     "max_occupancy": 30, "hot": []}
+
+
+def test_semdedup_split_mode_bounds_hot_cells_and_replays(spark):
+    """on_hot='split' (the guard's remediation arm): the collapsed
+    corpus runs WITHOUT raising, every sub-bucket stays under the cap,
+    and the survivor set equals a plain-Python replay of the
+    deterministic crc32 sub-bucketing — within a sub-bucket the paper's
+    rule still keeps exactly one of the identical vectors (min id on
+    the cdist tie), while duplicates split across sub-buckets both
+    survive: the documented recall trade, same class as df_cap."""
+    import math
+    import zlib
+
+    idx, cents = _collapsed_corpus(spark)
+    out = DD.semdedup_keep(idx, cents, on_hot="split")
+    keep = sorted(r.vec_id for r in out.collect() if r.keep)
+    # replay: cell 3 holds ids 3..202 (200 rows); cap = max(64,
+    # 8*203//16) = 101 -> nsplit = ceil(200/101) = 2; survivor per
+    # sub-bucket = min id (identical vectors tie on cdist)
+    cap = max(64, (8 * 203) // 16)
+    ns = math.ceil(200 / cap)
+    assert ns == 2
+    buckets: dict[int, int] = {}
+    for i in range(3, 203):
+        b = zlib.crc32(str(i).encode()) % ns
+        buckets[b] = min(buckets.get(b, i), i)
+    want = sorted([0, 1, 2] + list(buckets.values()))
+    assert keep == want
+    assert len(keep) == 3 + ns          # the recall trade, visible
+    assert out.count() == 203
+
+
+def test_semdedup_split_mode_is_identity_on_balanced_cells(spark):
+    """With no hot cell, split mode plans the exact same single-key
+    pair join — the remediation arm must cost nothing on healthy
+    corpora."""
+    rows = [(i, _basis_vec(i % 8)) for i in range(32)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    from tripgogo_vector_search_spark.operators import ann as ANN
+    idx = ANN.build_ivf_index(emb, "embedding", "vec_id", n_cells=16)
+    cents = (emb.filter(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    a = DD.semdedup_keep(idx, cents, on_hot="raise")
+    b = DD.semdedup_keep(idx, cents, on_hot="split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert "_sub" not in b.columns
+
+
+def test_cell_occupancy_guard_report_mode_returns_hot_list(spark):
+    cells = spark.createDataFrame([(0,)] * 500 + [(1,)] * 3, "cid int")
+    stats = DD.cell_occupancy_guard(cells, "cid", n_cells=16,
+                                    on_hot="report")
+    assert stats["hot"] == [(0, 500)]
