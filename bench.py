@@ -188,6 +188,8 @@ HEADLINE_R13 = {
     # batch RAG: per-source executor-side summaries over the
     # WindowGroupLimit-pruned top-3 (20 groups at sf0.1)
     "llm_generate_batch": "collect",
+    # decode-on-arrival: per-micro-batch GIF decode + idempotent sink
+    "stream_media_decode": "noop",
 }
 
 

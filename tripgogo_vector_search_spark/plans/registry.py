@@ -10147,6 +10147,67 @@ def multimodal_gif_stats_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-13: streaming decode-on-arrival (multimodal x streaming)
+# --------------------------------------------------------------------------
+
+@query("stream_media_decode",
+       """WITH b AS (SELECT doc_id, doc_id % 6 + 2 AS w,
+                  upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS dlen
+           FROM documents WHERE doc_id % 10 = 3),
+           p AS (SELECT doc_id, w, hx,
+                        CASE WHEN hx IS NULL THEN NULL
+                             ELSE least(dlen // w, 4096 // w) END AS h
+                 FROM b),
+           s AS (SELECT doc_id, w, h, hx,
+                        unnest(CASE WHEN h >= 1 THEN
+                               generate_series(0, w * h - 1)
+                               ELSE []::BIGINT[] END) AS i
+                 FROM p),
+           v AS (SELECT doc_id,
+                        ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                 FROM s),
+           q AS (SELECT doc_id, count(*) AS npx,
+                        sum(u) AS si,
+                        sum((3*u + 7) % 256) AS sr,
+                        sum((7*u + 1) % 256) AS sg,
+                        sum((13*u + 5) % 256) AS sb
+                 FROM v GROUP BY doc_id)
+           SELECT p.doc_id AS media_id,
+                  CAST(CASE WHEN p.h >= 1 THEN p.w END AS INT) AS width,
+                  CAST(CASE WHEN p.h >= 1 THEN p.h END AS INT)
+                    AS height,
+                  CAST(q.npx AS BIGINT) AS n_pixels,
+                  round(q.si::DOUBLE / q.npx, 6) AS mean_idx,
+                  round(q.sr::DOUBLE / q.npx, 6) AS mean_r,
+                  round(q.sg::DOUBLE / q.npx, 6) AS mean_g,
+                  round(q.sb::DOUBLE / q.npx, 6) AS mean_b
+           FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def stream_media_decode_q(spark, sf_dir):
+    """Streaming decode-on-arrival: media objects arriving on the
+    stream (the doc_id%10==3 cohort as real GIF bytes) are decoded
+    per micro-batch through the full LZW kernel and their stats sunk
+    idempotently to per-batch parquet partitions — the screen a
+    firehose ingest runs before admitting media into a training
+    corpus, and the 14th streaming query
+    (streaming/ingest.py:stream_media_decode, the multimodal sibling
+    of stream_minhash_probe). Per-object stats depend only on that
+    object's bytes, so the read-back equals the batch decode's oracle
+    exactly whatever the micro-batch boundaries; undecodable objects
+    surface as NULL stats rows, never errors. Scale: map-only Arrow
+    pass per batch, exactly-once by per-batch_id overwrite."""
+    from ..streaming.ingest import stream_media_decode
+    out = stream_media_decode(spark, sf_dir,
+                              _cache_dir(sf_dir, "stream_media_decode"))
+    return out.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_idx", 6).alias("mean_idx"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+# --------------------------------------------------------------------------
 # Round-13: BATCH RAG — the reference's LLM call, data-parallel
 # --------------------------------------------------------------------------
 
