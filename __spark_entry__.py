@@ -47,6 +47,11 @@ _CHECK_FIRST = [
     # media bytes decoded per micro-batch through the LZW kernel,
     # stats sunk idempotently (the stream_minhash_probe pattern).
     "stream_media_decode",
+    # NEW: the multimodal quality gate — LAION/DataComp-class
+    # size/aspect prefilters as flags+keep over the DECODER's output
+    # (curation consumes decode metadata; oracle re-derives
+    # synthesis-side, double-checking the decoded dimensions rowwise).
+    "media_quality_gate",
     # VERDICT r12 list #4: llm_generate's deterministic stub is a
     # pure function of the collected top-k frame, so it now carries a
     # REAL oracle (DuckDB string_agg + md5 replay of the prompt) —
@@ -92,16 +97,16 @@ _CHECK_FIRST = [
     "lang_dist", "lang_id", "lob_to_string", "multimodal_features",
     "project_display", "project_subset", "quality_score",
     "semi_anti_join",
-    # r07 (oldest-first fill; the r07 remainder — sim_join and
-    # sim_join_gemm, whose slots the two new keys took, then
-    # sort_desc through tpch_q9: 16 keys — continues next round):
+    # r07 (oldest-first fill; the r07 remainder — schema_profile,
+    # sim_join and sim_join_gemm, whose slots the three new keys
+    # took, then sort_desc through tpch_q9: 17 keys — continues next
+    # round):
     "activation_latency_quartiles", "cast_concat_pct", "concat_text",
     "conversion_latency", "copurchase_lift", "dedup_pair_audit_sample",
     "derived_score", "embedding_coverage_audit", "grouping_sets",
     "hybrid_search_rrf", "in_subquery", "join_agg", "join_multi",
     "knn_label_accuracy", "match_score", "referential_integrity_audit",
     "rename_cols", "revenue_concentration_hhi", "revenue_growth_yoy",
-    "schema_profile",
 ]
 
 

