@@ -27,86 +27,52 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 13. Head = keys NEW this round, then every key whose
+    # ROUND 14. Head = keys NEW this round, then every key whose
     # physical plan, oracle SQL, or source closure changed THIS round
-    # (drift gate: tests/test_plan_manifest.py).
+    # (drift gate: tests/test_plan_manifest.py), then the stale-row
+    # rotation (oldest first per tools/rotation.py).
     #
-    # NEW: recall@k of the COMPRESSED tier (VERDICT r12 list #3) —
-    # the ivfpq pipeline (probe -> ADC shortlist -> exact re-rank)
-    # measured against exact brute force per query, mirroring
-    # ann_recall_eval; the artifact that tunes (nprobe, shortlist).
-    "ivfpq_recall_eval",
-    # NEW: the fourth real decode — GIF through a REAL LZW layer
-    # (VERDICT r12 list #5): Catalyst-synthesized GIF89a corpus
-    # sidecar (9-bit clear-interleaved LZW codes, LSB-first bit
-    # packing, sub-block framing, 256-entry palette), decoded by an
-    # Arrow kernel with a full variable-width LZW decoder; a real
-    # compressing LZW encoder round-trips through it in tests.
-    "multimodal_gif_stats",
-    # NEW: decode-on-arrival — the 14th streaming query: arriving
-    # media bytes decoded per micro-batch through the LZW kernel,
-    # stats sunk idempotently (the stream_minhash_probe pattern).
-    "stream_media_decode",
-    # NEW: the multimodal quality gate — LAION/DataComp-class
-    # size/aspect prefilters as flags+keep over the DECODER's output
-    # (curation consumes decode metadata; oracle re-derives
-    # synthesis-side, double-checking the decoded dimensions rowwise).
-    "media_quality_gate",
-    # VERDICT r12 list #4: llm_generate's deterministic stub is a
-    # pure function of the collected top-k frame, so it now carries a
-    # REAL oracle (DuckDB string_agg + md5 replay of the prompt) —
-    # the last rows-only hole closes; the registry is fully
-    # oracle-gated.
-    "llm_generate",
-    # NEW: batch RAG — the same LLM contract run data-parallel per
-    # group inside the executors (applyInPandas over the
-    # WindowGroupLimit-pruned per-source top-3), oracle-gated by the
-    # same engine-side-stringify + SQL md5 replay.
-    "llm_generate_batch",
-    # VERDICT r12 list #2: semdedup's within-cell pair join now sits
-    # behind a per-cell occupancy guard (operators/dedup.py:
-    # cell_occupancy_guard — bounded <=n_cells collect, RAISE on a
-    # mega-cell) with an adversarial collapsed-embeddings fixture in
-    # tests/test_dedup_guards.py.
-    "semdedup",
-    # ADVICE r12 low #1 (+ the same class in stream_sessionize): the
-    # streaming oracles' watermark arithmetic is now MILLISECOND-
-    # floored to mirror the engine (EventTimeStats tracks max event
-    # time in epoch ms; the fixture has microsecond event times).
-    "stream_session_window", "stream_sessionize",
-    # ADVICE r12 low #2: the tokenizer kernel receives F.lower(text)
-    # and never calls Python str.lower() — case is normalized once,
-    # engine-side, by the same expression the vocab learning uses.
-    "subword_tokenize",
-    # ADVICE r12 low #3: tpch_q12 uses the CANONICAL Q12 CASE buckets
-    # on both engines — a NULL o_orderpriority counts in NEITHER
-    # bucket (the r11 count(*)-high formulation classified it low).
-    "tpch_q12",
-    # ROTATION (stale-evidence retirement, VERDICT r12 list #1:
-    # finish the burn-down — 9 keys on r05 rows, 11 on r06). Oldest
-    # first per tools/rotation.py: all r05, all r06, then r07
-    # oldest-first up to the 50-key window. Plans unchanged — the
+    # CHANGED (VERDICT r13 list #1): both recall evals now draw a
+    # FIXED-SIZE deterministic query sample (md5-ordered LIMIT 8,
+    # TakeOrderedAndProject) instead of the fixed-RATE vec_id % 100
+    # slice whose brute-force ground-truth side grew as corpus².
+    "ann_recall_eval", "ivfpq_recall_eval",
+    # CHANGED (ADVICE r13 low #2 + VERDICT r13 list #3): batch RAG
+    # snippets are newline-sanitized ENGINE-side on both engines (the
+    # stub transport counts newline-pipe boundaries, so a
+    # markdown-ish snippet desynchronized the two) and the group key
+    # is coalesced to 'None' before grouping on both sides, retiring
+    # the docstring-only NULL-group assumption; llm_generate shares
+    # the rag.py closure. Degenerate fixtures red-on-violation in
+    # tests/test_round14_props.py.
+    "llm_generate_batch", "llm_generate",
+    # CHANGED (ADVICE r13 medium): the GIF kernel bounds its output
+    # allocation BEFORE reading the stream (data-derived code-count
+    # bound + absolute _GIF_MAX_PIXELS cap), so a hostile header
+    # (65535x65535, 3 data bytes) NULLs out instead of raising
+    # MemoryError in the executor; parse_gif mirrors the cap. All
+    # three keys whose closure reaches the kernel re-row.
+    "multimodal_gif_stats", "stream_media_decode", "media_quality_gate",
+    # ROTATION (stale-evidence retirement, VERDICT r13 list #4:
+    # nothing older than r08 after this window). Oldest first per
+    # tools/rotation.py — the full r07 tail (17 keys), then r08
+    # alphabetical up to the 50-key window. Plans unchanged — the
     # drift gate pins them.
-    # r05 (the tail the r12 window couldn't fit):
-    "null_safe_join", "quantization_error", "resample_zero_fill",
-    "sample_bias_audit", "seasonality_profile", "simhash_hamming_dedup",
-    "source_concentration_gini", "token_fertility_by_lang",
-    "trend_slope",
-    # r06:
-    "corpus_filter", "doc_fingerprint", "fingerprint_dedup",
-    "lang_dist", "lang_id", "lob_to_string", "multimodal_features",
-    "project_display", "project_subset", "quality_score",
-    "semi_anti_join",
-    # r07 (oldest-first fill; the r07 remainder — schema_profile,
-    # sim_join and sim_join_gemm, whose slots the three new keys
-    # took, then sort_desc through tpch_q9: 17 keys — continues next
-    # round):
-    "activation_latency_quartiles", "cast_concat_pct", "concat_text",
-    "conversion_latency", "copurchase_lift", "dedup_pair_audit_sample",
-    "derived_score", "embedding_coverage_audit", "grouping_sets",
-    "hybrid_search_rrf", "in_subquery", "join_agg", "join_multi",
-    "knn_label_accuracy", "match_score", "referential_integrity_audit",
-    "rename_cols", "revenue_concentration_hhi", "revenue_growth_yoy",
+    # r07 (the complete remainder):
+    "schema_profile", "sim_join", "sim_join_gemm", "sort_desc",
+    "tfidf_topk", "to_vector", "tpch_q10", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3", "tpch_q5",
+    "tpch_q7", "tpch_q8", "tpch_q9",
+    # r08 (25 of 30; the last five — stream_window_agg, table_scan,
+    # text_stats, window_topk, stream_stream_join — continue in r15):
+    "ann_ivf", "ann_lsh", "cosine_distance", "embed_evict_list",
+    "embed_refresh_stats", "embed_refresh_worklist", "embed_text",
+    "embedding_near_dup", "exact_dedup", "filter_predicates",
+    "groupby_agg", "json_extract", "knn_topk", "minhash_dedup",
+    "minhash_refresh", "project", "simhash_dedup", "sort_limit",
+    "stream_dedup", "stream_event_alert", "stream_foreach_sink",
+    "stream_hop_window", "stream_minhash_probe", "stream_quality_filter",
+    "stream_static_join",
 ]
 
 

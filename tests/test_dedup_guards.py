@@ -519,10 +519,13 @@ def test_cell_occupancy_guard_uses_intended_cell_count(spark):
     cells = spark.createDataFrame([(0,)] * 500, "cid int")
     with pytest.raises(RuntimeError, match="occupancy guard"):
         DD.cell_occupancy_guard(cells, "cid", n_cells=16)
-    # the old (observed-count) behavior admits it — documented hazard,
-    # which is exactly why semdedup_keep passes n_cells=cents.count()
-    stats = DD.cell_occupancy_guard(cells, "cid")
-    assert stats["max_occupancy"] == 500 and stats["cap"] >= 500
+    # the observed-count fallback (which would have admitted the
+    # mega-cell as "balanced") no longer exists: n_cells is
+    # keyword-only and REQUIRED (ADVICE r13 low), so a caller that
+    # omits it fails at the call site instead of silently getting
+    # the broken arithmetic.
+    with pytest.raises(TypeError, match="n_cells"):
+        DD.cell_occupancy_guard(cells, "cid")
 
 
 def test_cell_occupancy_guard_passes_balanced_and_reports(spark):

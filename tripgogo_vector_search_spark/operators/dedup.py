@@ -933,10 +933,10 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
                     .alias("contaminated")))
 
 
-def cell_occupancy_guard(cells: DataFrame, cell_col: str = "cid",
+def cell_occupancy_guard(cells: DataFrame, cell_col: str = "cid", *,
+                         n_cells: int,
                          cap: int | None = None, factor: int = 8,
                          floor: int = 64,
-                         n_cells: int | None = None,
                          on_hot: str = "raise") -> dict:
     """RAISE before a within-cell pair join if any cell's occupancy
     would make the quadratic term explode (VERDICT r12 list #2 — the
@@ -964,7 +964,11 @@ def cell_occupancy_guard(cells: DataFrame, cell_col: str = "cid",
     centroid count), not the observed non-empty count: in the exact
     failure this guards against — everything collapsing into one cell
     — the observed count shrinks toward 1 and an observed-count cap
-    would inflate until the mega-cell passes as "balanced".
+    would inflate until the mega-cell passes as "balanced". It is
+    REQUIRED (keyword-only, no default — ADVICE r13): an
+    observed-count fallback would hand any new caller the broken
+    arithmetic silently, so the signature enforces the contract
+    instead of caller discipline.
     ``on_hot="raise"`` (default) raises on any hot cell;
     ``on_hot="report"`` returns instead, with the hot list in the
     summary, for callers that remediate rather than abort
@@ -974,7 +978,7 @@ def cell_occupancy_guard(cells: DataFrame, cell_col: str = "cid",
     rows = (cells.groupBy(cell_col)
             .agg(F.count(F.lit(1)).alias("n")).collect())
     total = sum(r["n"] for r in rows)
-    k = max(n_cells if n_cells is not None else len(rows), 1)
+    k = max(n_cells, 1)
     eff = cap if cap is not None else max(floor, (factor * total) // k)
     hot = sorted(((r[cell_col], r["n"]) for r in rows if r["n"] > eff),
                  key=lambda t: -t[1])

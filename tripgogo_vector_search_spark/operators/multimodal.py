@@ -1041,6 +1041,14 @@ def parse_gif(data: bytes | None) -> tuple | None:
             return None
         if not (0 < w and 0 < h and w <= sw and h <= sh):
             return None
+        if w * h > _GIF_MAX_PIXELS:
+            # the kernel NULLs oversized frames before allocating
+            # (ADVICE r13 medium); the spec mirrors the cap so the
+            # two stay pinned equal on every input. (The kernel's
+            # second, data-derived bound needs no mirror: a stream of
+            # ln bytes cannot emit more than (8*ln//(mcs+1))*4096
+            # pixels, so this decode returns None on those anyway.)
+            return None
         idxs = _gif_lzw_decode(mcs, b"".join(chunks), w * h)
         if idxs is None or len(idxs) != w * h:
             return None
@@ -1058,6 +1066,15 @@ def parse_gif(data: bytes | None) -> tuple | None:
 _GIF_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
                "mean_idx:double,mean_r:double,mean_g:double,"
                "mean_b:double>")
+
+#: absolute decoded-pixel cap for the Arrow GIF kernel (ADVICE r13
+#: medium): the header's width*height fields are attacker-controlled
+#: (up to 65535*65535 ~= 4.3e9 pixels = 34 GB of int64), so the output
+#: buffer must never be sized from the header alone. 2^24 pixels
+#: (128 MB of int64 per image) is far beyond any stats-screening
+#: corpus; larger frames decode to the all-NULL struct, the same
+#: "unreadable" verdict the quality gate already consumes.
+_GIF_MAX_PIXELS = 1 << 24
 
 
 def gif_stats_udf(content_col) -> "F.Column":
@@ -1091,6 +1108,19 @@ def gif_stats_udf(content_col) -> "F.Column":
             cols["mean_b"].append(mb)
 
         def lzw(mcs, data, want):
+            ln = len(data)
+            # Bound the preallocation BEFORE touching the stream
+            # (ADVICE r13 medium): a stream of ln bytes holds at most
+            # floor(8*ln/(mcs+1)) codes (every code is >= mcs+1 bits)
+            # and each code expands to at most a 4096-entry chain, so
+            # a header whose want exceeds that bound -- or the
+            # absolute _GIF_MAX_PIXELS cap -- cannot possibly fill
+            # the buffer and must NULL out here instead of raising
+            # MemoryError in the executor (the 'unreadable payloads
+            # decode to an all-NULL struct, never an error' contract
+            # stream_media_decode relies on).
+            if want > _GIF_MAX_PIXELS or want > (8 * ln // (mcs + 1)) * 4096:
+                return None
             clear, eoi = 1 << mcs, (1 << mcs) + 1
             width = mcs + 1
             prefix = [-1] * 4096
@@ -1106,7 +1136,6 @@ def gif_stats_udf(content_col) -> "F.Column":
             nbuf = 0
             ptr = 0
             stack = []
-            ln = len(data)
             while True:
                 while nbuf < width:
                     if ptr >= ln:

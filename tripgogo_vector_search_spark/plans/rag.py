@@ -32,7 +32,17 @@ FALLBACK_MSG = ("Sorry, the summary service is unavailable right now; "
 
 
 def rows_to_markdown(rows: list[dict]) -> str:
-    """Minimal to_markdown(index=False) analogue (streamlit_app.py:238)."""
+    """Minimal to_markdown(index=False) analogue (streamlit_app.py:238).
+
+    Cell values must be newline-free: the table's row boundaries ARE
+    newlines, so a cell containing one would desynchronize anything
+    that parses the table back out of the prompt (stub_transport's
+    row count) and break the oracle's byte-exact SQL replay. This
+    function deliberately does NOT sanitize — callers stringify and
+    sanitize payload columns ENGINE-side (regexp_replace CR/LF ->
+    space, the llm_generate_batch recipe), so the same bytes are
+    reproducible from SQL; a Python-side replace here would be a
+    second, invisible authority the oracle would have to mirror."""
     if not rows:
         return "(no rows)"
     cols = list(rows[0].keys())

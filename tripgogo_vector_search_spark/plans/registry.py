@@ -5190,11 +5190,31 @@ def lang_distinctive_terms(spark, sf_dir):
 # Round-3g: index self-evaluation, clustering, behavioral analytics
 # --------------------------------------------------------------------------
 
+def _eval_query_sample(emb, n: int = 8):
+    """The recall evals' query draw: a FIXED-SIZE deterministic sample
+    (VERDICT r13 list #1) — n rows in content-hash order (md5 of the
+    id, ties by id: the group_sample_balanced convention), planned as
+    TakeOrderedAndProject so the draw is one corpus scan with an
+    n-row heap per partition, never a full sort. Fixed SIZE is the
+    scale contract: the evals join this sample against the whole
+    corpus for brute-force ground truth, so a fixed-RATE sample
+    (vec_id % 100) made that side quadratic in the corpus — this
+    keeps it linear at any SF, enforced by the plan rather than a
+    SCALE.md footnote."""
+    return (emb.orderBy(F.md5(F.col("vec_id").cast("string")),
+                        F.col("vec_id"))
+            .limit(n)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec")))
+
+
 @query("ann_recall_eval",
        f"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
                       FROM embeddings WHERE vec_id < 16),
            q AS (SELECT vec_id AS qid, embedding AS qvec
-                 FROM embeddings WHERE vec_id % 100 = 7),
+                 FROM embeddings
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT 8),
            a AS (SELECT e.vec_id, e.embedding, c.cid,
                         row_number() OVER (
                           PARTITION BY e.vec_id
@@ -5236,16 +5256,20 @@ def ann_recall_eval(spark, sf_dir):
     query set, not a feeling. Reuses the materialized cid-partitioned
     index for the approx side (only probed cells read) and the
     broadcast-query exact top-k for ground truth; the comparison is a
-    per-(qid, vec_id) join of two tiny top-k frames."""
+    per-(qid, vec_id) join of two tiny top-k frames. The query sample
+    is FIXED-SIZE, not fixed-rate (VERDICT r13 list #1): 8 queries in
+    deterministic content-hash order (md5-of-id, the
+    group_sample_balanced convention — a TakeOrderedAndProject, one
+    corpus scan, no full sort), so the brute-force ground-truth side
+    costs |sample| x |corpus| = O(corpus) at ANY scale; the old
+    `vec_id % 100` rate sample made it quadratic in the corpus."""
     path = _materialized_index(
         spark, sf_dir, "ann_ivf_index",
         lambda p: ANN.materialize_ivf_index(
             _t(spark, sf_dir, "embeddings"), p, n_cells=16),
         src=(ANN.materialize_ivf_index,))
     emb = _t(spark, sf_dir, "embeddings")
-    queries = (emb.filter(F.col("vec_id") % 100 == 7)
-               .select(F.col("vec_id").alias("qid"),
-                       F.col("embedding").alias("qvec")))
+    queries = _eval_query_sample(emb)
     approx = (ANN.ivf_knn_join_materialized(spark, path, queries,
                                             k=3, nprobe=2)
               .select("qid", F.col("vec_id").alias("a_vec")))
@@ -9930,7 +9954,8 @@ def stream_paragraph_probe_q(spark, sf_dir):
                        ASC, ivc.cid ASC) AS rn
      FROM embeddings e CROSS JOIN ivc) t WHERE rn = 1),
  q AS (SELECT vec_id AS qid, embedding AS qvec
-       FROM embeddings WHERE vec_id % 100 = 7),
+       FROM embeddings
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
  probes AS (SELECT qid, cid FROM (
      SELECT q.qid, ivc.cid,
             row_number() OVER (PARTITION BY q.qid
@@ -9980,9 +10005,11 @@ def ivfpq_recall_eval_q(spark, sf_dir):
     but ivfpq_topk's ADC estimate is lossy BY CONSTRUCTION — this is
     the artifact that tunes (nprobe, shortlist size) with evidence
     before a compressed index ships, run on the sampled query set
-    (vec_id % 100 == 7, the ann_recall_eval sampling contract; a
-    bounded frame by construction, which is what licenses the
-    broadcast of per-query probe/LUT/top-k frames below). The full
+    (_eval_query_sample: a FIXED-SIZE deterministic md5-ordered draw
+    of 8 — VERDICT r13 list #1 — so the brute-force ground-truth side
+    is O(corpus), not corpus², and the bounded sample is what
+    licenses the broadcast of per-query probe/LUT/top-k frames
+    below). The full
     deployed pipeline is evaluated, not just the estimator: per-query
     IVF probe pruning (4 of 16 cells) -> ADC shortlist of 10 by the
     4-lookup code-distance sum (the scan projects vec_id+codes from
@@ -9997,9 +10024,7 @@ def ivfpq_recall_eval_q(spark, sf_dir):
     import os
     path = _ivfpq_path(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    queries = (emb.filter(F.col("vec_id") % 100 == 7)
-               .select(F.col("vec_id").alias("qid"),
-                       F.col("embedding").alias("qvec")))
+    queries = _eval_query_sample(emb)
     cents = (spark.read.parquet(os.path.join(path, "_centroids"))
              .select(F.col("cid"), F.col("cvec")))
     pw = W.partitionBy("qid").orderBy(F.col("pd").asc(),
@@ -10275,12 +10300,16 @@ def media_quality_gate_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @query("llm_generate_batch",
-       """WITH t AS (SELECT source, doc_id, text,
-                  row_number() OVER (PARTITION BY source
+       """WITH t AS (SELECT coalesce(source, 'None') AS source,
+                  doc_id, text,
+                  row_number() OVER (PARTITION BY coalesce(source, 'None')
                     ORDER BY n_chars DESC, doc_id ASC) AS rn
            FROM documents),
            s AS (SELECT source, rn, CAST(doc_id AS VARCHAR) AS d,
-                        coalesce(substr(text, 1, 40), 'None') AS snippet
+                        coalesce(replace(replace(substr(text, 1, 40),
+                                                 chr(10), ' '),
+                                         chr(13), ' '),
+                                 'None') AS snippet
                  FROM t WHERE rn <= 3),
            md AS (SELECT source,
                          string_agg('| ' || d || ' | ' || snippet
@@ -10319,24 +10348,34 @@ def llm_generate_batch_q(spark, sf_dir):
     aggregation. Plan: the per-group top-3 is a WindowGroupLimit-
     pruned row_number (map-side k-row heaps per group — the grouped
     map's input is k x |groups| rows, never the corpus), then one
-    shuffle on the group key. NULL semantics, stated: snippets are
-    NULL-gated on BOTH sides (coalesce -> 'None', matching Python's
-    str(None)); the GROUP KEY is assumed non-NULL (true of the
-    fixture at every SF) — a NULL source would render as 'None' in
-    the Python prompt but NULL-propagate through the oracle's ||, so
-    a corpus with NULL group keys must coalesce the key engine-side
-    the same way before grouping."""
+    shuffle on the group key. NULL/degenerate semantics, stated AND
+    enforced engine-side (VERDICT r13 list #3, ADVICE r13 low):
+    snippets are NULL-gated on BOTH sides (coalesce -> 'None',
+    matching Python's str(None)) and NEWLINE-SANITIZED on both sides
+    (CR/LF -> space) — the stub transport counts '\\n| ' boundaries
+    in the prompt to report how many rows it compared, so an
+    unsanitized markdown-ish snippet containing a newline-pipe would
+    inflate that count and desynchronize the two engines; the GROUP
+    KEY is coalesced to 'None' before grouping on both sides, so a
+    NULL source forms its own well-defined group instead of
+    NULL-propagating through the oracle's || while Python renders
+    'None' (sentinel collision with a real source named 'None' is the
+    documented trade). Both contracts are red-on-violation tests over
+    degenerate fixtures in tests/test_round14_props.py."""
     from .rag import batch_rag_summaries, default_transport
     d = _t(spark, sf_dir, "documents")
+    src = F.coalesce(F.col("source"), F.lit("None")).alias("source")
     w = W.partitionBy("source").orderBy(F.col("n_chars").desc(),
                                         F.col("doc_id").asc())
-    pruned = (d.select("source", "doc_id", "text", "n_chars")
+    pruned = (d.select(src, "doc_id", "text", "n_chars")
               .withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") <= 3)
               .select("source", "rn",
                       F.col("doc_id").cast("string").alias("doc_id"),
-                      F.coalesce(F.substring("text", 1, 40),
-                                 F.lit("None")).alias("snippet")))
+                      F.coalesce(
+                          F.regexp_replace(F.substring("text", 1, 40),
+                                           "[\\n\\r]", " "),
+                          F.lit("None")).alias("snippet")))
     return batch_rag_summaries(pruned, transport=default_transport())
 
 
