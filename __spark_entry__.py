@@ -32,6 +32,18 @@ _CHECK_FIRST = [
     # (drift gate: tests/test_plan_manifest.py), then the stale-row
     # rotation (oldest first per tools/rotation.py).
     #
+    # NEW (VERDICT r13 list #2): the FIFTH real decode and the first
+    # LOSSY format — baseline JPEG: Catalyst synthesis including the
+    # variable-length Huffman entropy layer (DC-difference categories,
+    # canonical codes from the file's own DHT, MSB-first packing, real
+    # 0xFF00 stuffing), decoded by an Arrow kernel running the full
+    # baseline pipeline (marker walk, DQT/DHT reconstruction, DRI/RST,
+    # DC+AC entropy decode, dezigzag, dequant, exact integer IDCT);
+    # an Annex-K-table encoder round-trips AC-rich streams through it
+    # under hypothesis (tests/test_jpeg.py). With DC quant step 8 the
+    # uniform-block forward DCT is exact, so the DuckDB oracle derives
+    # the decoded stats straight from the text bytes.
+    "multimodal_jpeg_stats",
     # CHANGED (VERDICT r13 list #1): both recall evals now draw a
     # FIXED-SIZE deterministic query sample (md5-ordered LIMIT 8,
     # TakeOrderedAndProject) instead of the fixed-RATE vec_id % 100

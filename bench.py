@@ -194,6 +194,12 @@ HEADLINE_R13 = {
     "media_quality_gate": "noop",
 }
 
+HEADLINE_R14 = {
+    # the fifth real decode: baseline JPEG synth (Huffman entropy
+    # layer in Catalyst) + full entropy/IDCT decode kernel
+    "multimodal_jpeg_stats": "noop",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -256,7 +262,7 @@ def main() -> None:
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
                    | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8
                    | HEADLINE_R9 | HEADLINE_R10 | HEADLINE_R11
-                   | HEADLINE_R12 | HEADLINE_R13)
+                   | HEADLINE_R12 | HEADLINE_R13 | HEADLINE_R14)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
     io_noise = io_floor_once()

@@ -13,9 +13,14 @@ stdlib ``zlib`` inflate, all five spec scanline filters), and
 :func:`parse_gif` / :func:`gif_stats_udf` (r13) decode through a
 REAL LZW layer implemented from the spec — variable code width,
 clear/EOI, the KwKwK case, table-full freeze — with no codec library
-at all. Pure byte arithmetic (plus stdlib zlib for PNG), byte-exact
-against DuckDB BLOB oracles, fuzz-total on hostile bytes. Only
-JPEG-class lossy codecs (genuinely env-bound) remain stubs:
+at all, and baseline JPEG (r14, the first LOSSY format) is a real
+decode too: ``operators/jpeg.py`` runs the full marker/DQT/DHT/
+DRI/entropy/dezigzag/dequant/IDCT pipeline from the spec. Pure byte
+arithmetic (plus stdlib zlib for PNG), byte-exact against DuckDB
+BLOB oracles, fuzz-total on hostile bytes. What remains stubbed is
+the generic pluggable-codec boundary below (PIL/opencv-class
+libraries for resize and formats beyond the five real decoders —
+JPEG progressive/color, video codecs):
 
 * ``decode_backend="fake"`` (default) — deterministic byte-level features
   (content-addressed; no codec), so pipelines and tests run offline;
