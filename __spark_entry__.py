@@ -42,8 +42,12 @@ _CHECK_FIRST = [
     # an Annex-K-table encoder round-trips AC-rich streams through it
     # under hypothesis (tests/test_jpeg.py). With DC quant step 8 the
     # uniform-block forward DCT is exact, so the DuckDB oracle derives
-    # the decoded stats straight from the text bytes.
-    "multimodal_jpeg_stats",
+    # the decoded stats straight from the text bytes. The color
+    # sibling decodes 3-component 4:4:4 frames — interleaved MCUs,
+    # per-component quant/Huffman tables and independent DC
+    # predictors — then converts YCbCr->RGB in exact 16-bit fixed
+    # point, replayed by the oracle as floor((k*c + 2^15)/2^16).
+    "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
     # CHANGED (VERDICT r13 list #1): both recall evals now draw a
     # FIXED-SIZE deterministic query sample (md5-ordered LIMIT 8,
     # TakeOrderedAndProject) instead of the fixed-RATE vec_id % 100
@@ -75,8 +79,9 @@ _CHECK_FIRST = [
     "tfidf_topk", "to_vector", "tpch_q10", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3", "tpch_q5",
     "tpch_q7", "tpch_q8", "tpch_q9",
-    # r08 (25 of 30; the last five — stream_window_agg, table_scan,
-    # text_stats, window_topk, stream_stream_join — continue in r15):
+    # r08 (24 of 30; the last six — stream_static_join,
+    # stream_stream_join, stream_window_agg, table_scan, text_stats,
+    # window_topk — continue in r15):
     "ann_ivf", "ann_lsh", "cosine_distance", "embed_evict_list",
     "embed_refresh_stats", "embed_refresh_worklist", "embed_text",
     "embedding_near_dup", "exact_dedup", "filter_predicates",
@@ -84,7 +89,6 @@ _CHECK_FIRST = [
     "minhash_refresh", "project", "simhash_dedup", "sort_limit",
     "stream_dedup", "stream_event_alert", "stream_foreach_sink",
     "stream_hop_window", "stream_minhash_probe", "stream_quality_filter",
-    "stream_static_join",
 ]
 
 

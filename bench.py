@@ -198,6 +198,8 @@ HEADLINE_R14 = {
     # the fifth real decode: baseline JPEG synth (Huffman entropy
     # layer in Catalyst) + full entropy/IDCT decode kernel
     "multimodal_jpeg_stats": "noop",
+    # 4:4:4 color: interleaved 3-component MCUs + integer YCbCr->RGB
+    "multimodal_jpeg_color_stats": "noop",
 }
 
 

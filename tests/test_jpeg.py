@@ -95,11 +95,15 @@ def _seg(marker, payload: bytes) -> bytes:
         + payload
 
 
-def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False):
-    """Baseline grayscale JPEG encoder over pre-quantized zigzag-order
-    coefficient blocks, Annex K luminance Huffman tables, optional
-    restart intervals and 16-bit quant precision. One block per MCU
-    (ceil(w/8)*ceil(h/8) blocks expected)."""
+def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False,
+                nf=1):
+    """Baseline JPEG encoder over pre-quantized zigzag-order
+    coefficient blocks, Annex K luminance Huffman tables (shared by
+    all components), optional restart intervals and 16-bit quant
+    precision. For nf=1, blocks_zz is one block per MCU; for nf=3
+    (4:4:4 color), blocks_zz is a flat interleaved list
+    [Y0, Cb0, Cr0, Y1, ...] with ceil(w/8)*ceil(h/8) MCUs and
+    per-component DC predictors."""
     dc = _codes_from(K_DC_BITS, K_DC_VALS)
     ac = _codes_from(K_AC_BITS, K_AC_VALS)
     out = bytearray(b"\xFF\xD8")
@@ -108,51 +112,57 @@ def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False):
             int(q).to_bytes(2, "big") for q in qt_zz))
     else:
         out += _seg(0xDB, bytes([0x00]) + bytes(qt_zz))
+    comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(nf))
     out += _seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
-                + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+                + width.to_bytes(2, "big") + bytes([nf]) + comps)
     out += _seg(0xC4, bytes([0x00]) + bytes(K_DC_BITS) + bytes(K_DC_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(K_AC_BITS) + bytes(K_AC_VALS))
     if dri:
         out += _seg(0xDD, dri.to_bytes(2, "big"))
-    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sel = b"".join(bytes([c + 1, 0x00]) for c in range(nf))
+    out += _seg(0xDA, bytes([nf]) + sel + bytes([0, 63, 0]))
     w = _Writer()
-    pred = 0
+    preds = [0] * nf
     rst = 0
-    for bi, zz in enumerate(blocks_zz):
-        if dri and bi and bi % dri == 0:
+    n_mcus = len(blocks_zz) // nf
+    assert len(blocks_zz) == n_mcus * nf
+    for mi in range(n_mcus):
+        if dri and mi and mi % dri == 0:
             w.pad()
             out += w.out
             out += bytes([0xFF, 0xD0 + rst % 8])
             rst += 1
             w = _Writer()
-            pred = 0
-        diff = zz[0] - pred
-        pred = zz[0]
-        cat = abs(diff).bit_length()
-        ln, code = dc[cat]
-        w.put(code, ln)
-        if cat:
-            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-        run = 0
-        had_trailing = False
-        for k in range(1, 64):
-            if zz[k] == 0:
-                run += 1
-                had_trailing = True
-                continue
-            while run >= 16:
-                ln, code = ac[0xF0]          # ZRL
-                w.put(code, ln)
-                run -= 16
-            s = abs(zz[k]).bit_length()
-            ln, code = ac[(run << 4) | s]
+            preds = [0] * nf
+        for ci in range(nf):
+            zz = blocks_zz[mi * nf + ci]
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            cat = abs(diff).bit_length()
+            ln, code = dc[cat]
             w.put(code, ln)
-            w.put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+            if cat:
+                w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
             run = 0
             had_trailing = False
-        if had_trailing or run:
-            ln, code = ac[0x00]              # EOB
-            w.put(code, ln)
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    had_trailing = True
+                    continue
+                while run >= 16:
+                    ln, code = ac[0xF0]          # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                s = abs(zz[k]).bit_length()
+                ln, code = ac[(run << 4) | s]
+                w.put(code, ln)
+                w.put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+                run = 0
+                had_trailing = False
+            if had_trailing or run:
+                ln, code = ac[0x00]              # EOB
+                w.put(code, ln)
     w.pad()
     out += w.out
     out += b"\xFF\xD9"
@@ -167,7 +177,8 @@ def _kernel_decode(spark, blobs):
         [(i, bytearray(b) if b is not None else None)
          for i, b in enumerate(blobs)],
         "media_id bigint, content binary")
-    rows = {r.media_id: (r.width, r.height, r.n_pixels, r.mean_gray)
+    rows = {r.media_id: (r.width, r.height, r.n_pixels, r.mean_gray,
+                         r.mean_r, r.mean_g, r.mean_b)
             for r in decode_jpeg_stats(df).collect()}
     return [None if rows[i][0] is None else rows[i]
             for i in range(len(blobs))]
@@ -226,7 +237,8 @@ def test_roundtrip_spec_decode(blocks, qscale, crop):
     data = encode_jpeg(blocks, width, 8, qt)
     got = parse_jpeg(data)
     assert got is not None
-    w, h, npx, mean = got
+    w, h, npx, mean = got[:4]
+    assert got[4:] == (None, None, None)     # grayscale: no RGB
     assert (w, h, npx) == (width, 8, width * 8)
     basis = _dct_basis_q20()
     total = 0
@@ -309,17 +321,24 @@ def test_hostile_dims_null_before_alloc(spark):
 
 
 def test_out_of_scope_frames_null(spark):
-    """Progressive (SOF2) and multi-component frames are the
-    documented NULL boundary."""
+    """Progressive (SOF2) and SUBSAMPLED color are the documented
+    NULL boundary; well-formed 4:4:4 color is in scope."""
     blocks = [[10] + [0] * 63]
     data = bytearray(encode_jpeg(blocks, 8, 8, [8] * 64))
     prog = bytes(data[:72]) + b"\xC2" + bytes(data[73:])
     assert parse_jpeg(prog) is None
-    multi = bytearray(data)
-    multi[80] = 3                        # SOF Nf byte
-    multi = bytes(multi)
-    assert parse_jpeg(multi) is None
-    assert _kernel_decode(spark, [prog, multi]) == [None, None]
+    color = bytearray(encode_jpeg(
+        [[10] + [0] * 63, [5] + [0] * 63, [-5] + [0] * 63],
+        8, 8, [8] * 64, nf=3))
+    sub = bytearray(color)
+    # SOF comp list starts at 71+10; set Y sampling to 2x2 (4:2:0)
+    assert sub[71:73] == b"\xFF\xC0"
+    assert sub[81] == 1 and sub[82] == 0x11
+    sub[82] = 0x22
+    sub = bytes(sub)
+    assert parse_jpeg(sub) is None
+    assert parse_jpeg(bytes(color)) is not None
+    assert _kernel_decode(spark, [prog, sub]) == [None, None]
 
 
 @settings(max_examples=30, deadline=None)
@@ -345,6 +364,77 @@ def test_truncation_battery_decoders_agree(spark):
 
 
 # ---------------------------------------------------------------------------
+# 4:4:4 color: interleaved MCUs, per-component predictors, YCbCr->RGB
+# ---------------------------------------------------------------------------
+
+def _rgb_ref(y, cb, cr):
+    """The tests' own copy of the fixed-point conversion."""
+    from tripgogo_vector_search_spark.operators.jpeg import (
+        _CB_B, _CB_G, _CR_G, _CR_R)
+    cb, cr = cb - 128, cr - 128
+    r = y + ((_CR_R * cr + 32768) >> 16)
+    g = y - ((_CB_G * cb + _CR_G * cr + 32768) >> 16)
+    b = y + ((_CB_B * cb + 32768) >> 16)
+    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def test_color_dc_only_exact_conversion(spark):
+    """DC-only 4:4:4 MCUs at quant 8: every pixel's (Y,Cb,Cr) is the
+    encoded value exactly, so the channel means equal the test's own
+    integer conversion — including both clamp edges."""
+    trips = [(200, 255, 255),    # R clamps high
+             (10, 0, 0),         # R/G clamp low / high interplay
+             (128, 128, 128),    # neutral: R=G=B=Y
+             (255, 0, 255), (0, 255, 0), (77, 13, 200)]
+    blocks = []
+    for y, cb, cr in trips:
+        for val in (y, cb, cr):
+            blocks.append([val - 128] + [0] * 63)
+    data = encode_jpeg(blocks, 8 * len(trips), 8, [8] * 64, nf=3)
+    want_r = sum(_rgb_ref(*t)[0] for t in trips) / len(trips)
+    want_g = sum(_rgb_ref(*t)[1] for t in trips) / len(trips)
+    want_b = sum(_rgb_ref(*t)[2] for t in trips) / len(trips)
+    got = parse_jpeg(data)
+    assert got is not None
+    assert got[:3] == (8 * len(trips), 8, 64 * len(trips))
+    assert got[3] == sum(t[0] for t in trips) / len(trips)  # luma
+    assert (got[4], got[5], got[6]) == (want_r, want_g, want_b)
+    assert _kernel_decode(spark, [data])[0] == got
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(_block(), _block(), _block()),
+                min_size=1, max_size=4),
+       st.integers(min_value=1, max_value=16),
+       st.integers(min_value=0, max_value=2))
+def test_color_kernel_equals_spec(spark, mcus, qscale, dri):
+    """AC-rich interleaved color streams: the two implementations stay
+    pinned exactly equal (per-component predictors + restart resets
+    included)."""
+    blocks = [b for mcu in mcus for b in mcu]
+    data = encode_jpeg(blocks, 8 * len(mcus), 8, [qscale] * 64,
+                       dri=dri if dri < len(mcus) else 0, nf=3)
+    want = parse_jpeg(data)
+    assert want is not None
+    assert _kernel_decode(spark, [data])[0] == want
+
+
+def test_color_predictors_are_independent():
+    """Red-on-wrong-shape: a decoder with ONE shared DC predictor
+    across components would decode these MCUs to different planes.
+    Values chosen so luma/chroma diff chains differ."""
+    trips = [(100, 50, 200), (110, 60, 190), (90, 70, 210)]
+    blocks = []
+    for y, cb, cr in trips:
+        for val in (y, cb, cr):
+            blocks.append([val - 128] + [0] * 63)
+    got = parse_jpeg(encode_jpeg(blocks, 24, 8, [8] * 64, nf=3))
+    assert got is not None
+    assert got[3] == sum(t[0] for t in trips) / 3   # Y survives exactly
+
+
+# ---------------------------------------------------------------------------
 # the synthesis corpus, decoded by the INDEPENDENT spec implementation
 # ---------------------------------------------------------------------------
 
@@ -367,7 +457,7 @@ def test_synth_corpus_spec_decode_returns_the_bytes(spark):
         n = min(len(t.encode()), _JPEG_MAX_BLOCKS)
         got = parse_jpeg(media[i])
         assert got is not None
-        w, h, npx, mean = got
+        w, h, npx, mean = got[:4]
         assert (w, h, npx) == (8 * n, 8, 64 * n)
         assert mean == sum(t.encode()[:n]) / n
 

@@ -41,11 +41,13 @@ cos((2x+1)u*pi/16)), descaled with half-up rounding
 Every term is an integer, so the sum is fold-order-free and the two
 implementations agree bit-exactly by construction; the basis exceeds
 the spec's Annex A accuracy requirements trivially (it is the real
-IDCT rounded at 20 fractional bits). Scope: single-component
-(grayscale) baseline sequential; multi-component color and
-progressive scans decode to the all-NULL struct (the documented
-boundary — chroma upsampling and spectral-selection passes are codec-
-library territory at the environment boundary, same as JPEG-LS/2000).
+IDCT rounded at 20 fractional bits). Color: 3-component 4:4:4 frames
+decode through interleaved MCUs with per-component quant/Huffman
+tables and independent DC predictors, then the CCIR 601 full-range
+YCbCr -> RGB conversion in exact 16-bit fixed point (constants
+below). Scope boundary (all-NULL struct, documented): SUBSAMPLED
+color (4:2:0/4:2:2 — upsampling interpolation is convention-bound,
+codec-library territory) and progressive/arithmetic scans.
 
 Reference parity: media metadata extraction the reference delegates
 to client-side libraries (streamlit_app.py display layer).
@@ -67,6 +69,20 @@ _JPEG_MAX_BLOCKS = 48
 #: X*Y exceeds 2^24 decode to the all-NULL struct before anything is
 #: allocated.
 _JPEG_MAX_PIXELS = 1 << 24
+
+#: YCbCr -> RGB decode-spec constants (shared, like the IDCT basis):
+#: the CCIR 601 full-range conversion in 16-bit fixed point, rounded
+#: once at definition —
+#:   R = Y + (( CR_R*(Cr-128)                 + 2^15) >> 16)
+#:   G = Y - (( CB_G*(Cb-128) + CR_G*(Cr-128) + 2^15) >> 16)
+#:   B = Y + (( CB_B*(Cb-128)                 + 2^15) >> 16)
+#: with arithmetic (floor) shift and [0,255] clamp. All-integer, so
+#: both implementations agree bit-exactly and the DuckDB oracle can
+#: replay the conversion with floor(x/65536).
+_CR_R = 91881     # round(1.402    * 2^16)
+_CB_B = 116130    # round(1.772    * 2^16)
+_CB_G = 22554     # round(0.344136 * 2^16)
+_CR_G = 46802     # round(0.714136 * 2^16)
 
 
 # ---------------------------------------------------------------------------
@@ -159,7 +175,6 @@ _SYNTH_HEADER_HEX = (
     + "000102030405060708090A0B"
     + "FFC40014" "10" "01" + "00" * 15 + "00"     # DHT AC: EOB @ len 1
 )
-_SYNTH_SOS_HEX = "FFDA0008" "01" "0100" "003F00"  # 1 comp, Td/Ta=0, 0..63
 _SYNTH_EOI_HEX = "FFD9"
 
 
@@ -174,11 +189,40 @@ def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id",
     provably returns the original bytes. Image = one row of
     min(bytes, 48) blocks (width 8n, height 8). NULL text -> NULL
     content; empty text -> NULL content (a 0-width JPEG frame is not
-    representable, unlike the BMP/PNG/GIF h=0 convention).
+    representable, unlike the BMP/PNG/GIF h=0 convention)."""
+    return _synth_jpeg(docs, id_col, text_col, [lambda u: u])
+
+
+def synth_jpeg_color_corpus(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The 3-component sibling: byte u becomes one 4:4:4 YCbCr MCU
+    with Y = u and affine chroma planes Cb = (3u+7) mod 256,
+    Cr = (7u+1) mod 256 (the GIF-palette convention: the color
+    transform is observable in the channel means, not an identity).
+    The scan interleaves Y/Cb/Cr blocks per MCU with three
+    INDEPENDENT DC predictors — the interleaving and per-component
+    predictor state are exactly what the color decode path must get
+    right. Same lossless-at-quant-8 contract per channel, so the
+    oracle derives R/G/B means from the text bytes through the exact
+    integer YCbCr conversion (module constants)."""
+    return _synth_jpeg(docs, id_col, text_col, [
+        lambda u: u,
+        lambda u: (u * 3 + 7) % 256,
+        lambda u: (u * 7 + 1) % 256,
+    ])
+
+
+def _synth_jpeg(docs: DataFrame, id_col: str, text_col: str,
+                channels: list) -> DataFrame:
+    """Shared Catalyst builder: one interleaved baseline MCU per text
+    byte, len(channels) components (1x1 sampling), all components on
+    quant table 0 (step 8) and Huffman tables 0 — per-component DC
+    predictors encoded per spec F.1.1.5.2.
 
     Staged projections (the synth_png lesson): every stage alias below
     is read more than once downstream, so CollapseProject keeps the
     boundaries and the per-block folds read bound attributes."""
+    nf = len(channels)
     b0 = docs.select(
         F.col(id_col).alias("media_id"),
         F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
@@ -196,13 +240,10 @@ def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id",
 
     pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
 
-    def block_bits(i):
+    def dc_bits(cur, prev):
         # category code (4 bits: canonical code == category) ++ DIFF
         # value bits (one's-complement convention for negatives) ++
         # EOB (1 bit, code 0)
-        cur = F.element_at("_px", (i + 1).cast("int"))
-        prev = (F.when(i == F.lit(0), F.lit(128).cast("bigint"))
-                .otherwise(F.element_at("_px", i.cast("int"))))
         diff = cur - prev
         cat = (F.when(diff == 0, F.lit(0).cast("bigint"))
                .otherwise(F.length(
@@ -218,8 +259,18 @@ def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id",
             F.lpad(F.conv(cat.cast("string"), 10, 2), 4, "0"),
             vbits, F.lit("0"))
 
+    def mcu_bits(i):
+        cur_u = F.element_at("_px", (i + 1).cast("int"))
+        parts = []
+        for chan in channels:
+            prev_c = (F.when(i == F.lit(0), F.lit(128).cast("bigint"))
+                      .otherwise(chan(
+                          F.element_at("_px", i.cast("int")))))
+            parts.append(dc_bits(chan(cur_u), prev_c))
+        return F.concat(*parts) if nf > 1 else parts[0]
+
     bs0 = F.when(F.col("_n") >= 1, F.array_join(
-        F.transform(F.sequence(F.lit(0), F.col("_n") - 1), block_bits),
+        F.transform(F.sequence(F.lit(0), F.col("_n") - 1), mcu_bits),
         ""))
     b3 = b2.select("media_id", "_n", bs0.alias("_bs0"))
     # 1-pad to the byte boundary (spec B.2.1)
@@ -242,12 +293,19 @@ def synth_jpeg_corpus(docs: DataFrame, id_col: str = "doc_id",
                     F.lit("00")).otherwise(F.lit("")))),
         ""))
     b5 = b4.select("media_id", "_n", eh.alias("_eh"))
+    sof_len = 8 + 3 * nf
+    sof_hex = (f"FFC0{sof_len:04X}" "08" "0008")
+    comps_hex = "".join(f"{c + 1:02X}1100" for c in range(nf))
+    sos_len = 6 + 2 * nf
+    sos_hex = (f"FFDA{sos_len:04X}{nf:02X}"
+               + "".join(f"{c + 1:02X}00" for c in range(nf))
+               + "003F00")
     hexfile = F.concat(
         F.lit(_SYNTH_HEADER_HEX),
-        F.lit("FFC0000B" "08" "0008"),            # SOF0: P=8, Y=8
-        F.lpad(F.hex(F.col("_n") * 8), 4, "0"),   # X = 8 * n_blocks
-        F.lit("01" "01" "11" "00"),               # Nf=1; C=1, 1x1, Tq=0
-        F.lit(_SYNTH_SOS_HEX),
+        F.lit(sof_hex),                           # SOF0: P=8, Y=8
+        F.lpad(F.hex(F.col("_n") * 8), 4, "0"),   # X = 8 * n_MCUs
+        F.lit(f"{nf:02X}" + comps_hex),           # Nf; (Ci, 1x1, Tq=0)*
+        F.lit(sos_hex),
         F.col("_eh"),
         F.lit(_SYNTH_EOI_HEX))
     content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
@@ -352,69 +410,75 @@ def _split_entropy(data: bytes, p: int):
     return segs, rsts, p
 
 
-def _decode_scan_blocks(segs, rsts, n_mcus, dri, dctab, actab, deq_fn):
-    """Shared scan walk: yields one dequantized-natural 8x8 block per
-    MCU (grayscale: 1 block per MCU), honoring restart intervals.
-    Returns None on any malformed stream."""
+def _decode_scan_mcus(segs, rsts, n_mcus, dri, comps):
+    """Scan walk for interleaved baseline MCUs (1x1 sampling: one
+    block per component per MCU), honoring restart intervals.
+    ``comps`` is a list of (dctab, actab, deq_fn) in SOF order, each
+    with its own DC predictor (reset at every restart). Returns a
+    list of per-MCU block lists (dequantized, natural order), or None
+    on any malformed stream."""
     if dri:
         need = (n_mcus - 1) // dri     # RST between every dri MCUs
         if len(rsts) != need or any(r != i % 8 for i, r in enumerate(rsts)):
             return None
     elif rsts:
         return None                    # RST without DRI: malformed
-    blocks = []
+    mcus = []
     mcu = 0
     for si, seg in enumerate(segs):
         rd = _SpecBitReader(seg)
-        pred = 0
-        in_seg = dri if dri else n_mcus
-        if si == len(segs) - 1:
-            in_seg = n_mcus - mcu
-        elif dri:
-            in_seg = dri
+        preds = [0] * len(comps)
+        in_seg = (n_mcus - mcu) if si == len(segs) - 1 else dri
         for _ in range(in_seg):
-            try:
-                t = _spec_decode_sym(rd, dctab)
-                if t is None or t > 15:
+            blocks = []
+            for ci, (dctab, actab, deq_fn) in enumerate(comps):
+                try:
+                    t = _spec_decode_sym(rd, dctab)
+                    if t is None or t > 15:
+                        return None
+                    diff = _extend(rd.receive(t), t)
+                    preds[ci] += diff
+                    zz = [0] * 64
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _spec_decode_sym(rd, actab)
+                        if rs is None:
+                            return None
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break      # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        zz[k] = _extend(rd.receive(s), s)
+                        k += 1
+                except _BitsEnd:
                     return None
-                diff = _extend(rd.receive(t), t)
-                pred += diff
-                zz = [0] * 64
-                zz[0] = pred
-                k = 1
-                while k < 64:
-                    rs = _spec_decode_sym(rd, actab)
-                    if rs is None:
-                        return None
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break          # EOB
-                    k += r
-                    if k > 63:
-                        return None
-                    zz[k] = _extend(rd.receive(s), s)
-                    k += 1
-            except _BitsEnd:
-                return None
-            blocks.append(deq_fn(zz))
+                blocks.append(deq_fn(zz))
+            mcus.append(blocks)
             mcu += 1
     if mcu != n_mcus:
         return None
-    return blocks
+    return mcus
 
 
 _SPEC_BASIS = None
 
 
 def parse_jpeg(data: bytes | None) -> tuple | None:
-    """Spec baseline-JPEG decode to grayscale stats: returns
-    (width, height, n_pixels, mean_gray) or None for anything
-    unreadable / out of the documented scope (module docstring).
-    Per-pixel Python IDCT over the shared integer basis — the
-    independent twin of :func:`jpeg_stats_udf`."""
+    """Spec baseline-JPEG decode to image stats: returns
+    (width, height, n_pixels, mean_gray, mean_r, mean_g, mean_b) —
+    mean_gray is the luma-plane mean (always present); the RGB means
+    are present for 3-component 4:4:4 color frames (exact integer
+    YCbCr conversion, module constants) and None for grayscale — or
+    None entirely for anything unreadable / out of the documented
+    scope (module docstring: subsampled color and progressive scans
+    are the NULL boundary). Per-pixel Python IDCT over the shared
+    integer basis — the independent twin of :func:`jpeg_stats_udf`."""
     global _SPEC_BASIS
     if _SPEC_BASIS is None:
         _SPEC_BASIS = _dct_basis_q20()
@@ -483,64 +547,98 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                 y = (seg[1] << 8) | seg[2]
                 x = (seg[3] << 8) | seg[4]
                 nf = seg[5]
-                if nf != 1 or y < 1 or x < 1:
+                if nf not in (1, 3) or y < 1 or x < 1:
                     return None
-                sof = (x, y, seg[8])   # width, height, Tq
+                comps = []
+                for ci in range(nf):
+                    o = 6 + 3 * ci
+                    comps.append((seg[o], seg[o + 1], seg[o + 2]))
+                if nf == 3 and any(hv != 0x11 for _, hv, _tq in comps):
+                    return None        # subsampled color: NULL scope
+                if len({c[0] for c in comps}) != nf:
+                    return None        # duplicate component ids
+                sof = (x, y, comps)
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None            # non-baseline frame types
             elif m == 0xDD:            # DRI
                 dri = (seg[0] << 8) | seg[1]
             elif m == 0xDA:            # SOS
-                if sof is None or seg[0] != 1:
+                if sof is None or seg[0] != len(sof[2]):
                     return None
-                td, ta = seg[2] >> 4, seg[2] & 15
-                if seg[3] != 0 or seg[4] != 63 or seg[5] != 0:
+                sel = {}
+                for ci in range(seg[0]):
+                    sel[seg[1 + 2 * ci]] = (seg[2 + 2 * ci] >> 4,
+                                            seg[2 + 2 * ci] & 15)
+                o = 1 + 2 * seg[0]
+                if seg[o] != 0 or seg[o + 1] != 63 or seg[o + 2] != 0:
                     return None
                 break
             # APPn / COM / anything else with a length: skipped
     except IndexError:
         return None
-    x, y, tq = sof
+    x, y, comps = sof
+    nf = len(comps)
     if x * y > _JPEG_MAX_PIXELS:
         return None
-    if tq not in qts or (0, td) not in huffs or (1, ta) not in huffs:
-        return None
-    qt = qts[tq]
+    scan_comps = []
+    for cid, _hv, tq in comps:
+        if cid not in sel or tq not in qts:
+            return None
+        td, ta = sel[cid]
+        if (0, td) not in huffs or (1, ta) not in huffs:
+            return None
+        qt = qts[tq]
+
+        def deq(zz, qt=qt):
+            nat = [0] * 64
+            for k in range(64):
+                nat[_ZIGZAG_LITERAL[k]] = zz[k] * qt[k]
+            return nat
+
+        scan_comps.append((huffs[(0, td)], huffs[(1, ta)], deq))
     bw, bh = (x + 7) // 8, (y + 7) // 8
     n_mcus = bw * bh
-    if n_mcus > 4 * max(len(data) - p, 0):
-        return None                    # each MCU needs >= 2 bits
+    if n_mcus * nf > 4 * max(len(data) - p, 0):
+        return None                    # each block needs >= 2 bits
     segs, rsts, _ = _split_entropy(data, p)
-
-    def deq(zz):
-        nat = [0] * 64
-        for k in range(64):
-            nat[_ZIGZAG_LITERAL[k]] = zz[k] * qt[k]
-        return nat
-
-    blocks = _decode_scan_blocks(segs, rsts, n_mcus, dri,
-                                 huffs[(0, td)], huffs[(1, ta)], deq)
-    if blocks is None:
+    mcus = _decode_scan_mcus(segs, rsts, n_mcus, dri, scan_comps)
+    if mcus is None:
         return None
-    total = 0
-    for bi, nat in enumerate(blocks):
+
+    def idct_px(nat, py, pxx):
+        acc = 0
+        for v in range(8):
+            row = nat[v * 8:v * 8 + 8]
+            bvy = basis[v]
+            for u in range(8):
+                if row[u]:
+                    acc += row[u] * bvy[u][py][pxx]
+        val = ((acc + (1 << 19)) >> 20) + 128
+        return 0 if val < 0 else (255 if val > 255 else val)
+
+    t_y = t_r = t_g = t_b = 0
+    for bi, blocks in enumerate(mcus):
         by, bx = divmod(bi, bw)
         vis_y = min(8, y - by * 8)
         vis_x = min(8, x - bx * 8)
         for py in range(vis_y):
             for pxx in range(vis_x):
-                acc = 0
-                for v in range(8):
-                    row = nat[v * 8:v * 8 + 8]
-                    bvy = basis[v]
-                    for u in range(8):
-                        if row[u]:
-                            acc += row[u] * bvy[u][py][pxx]
-                val = ((acc + (1 << 19)) >> 20) + 128
-                total += 0 if val < 0 else (255 if val > 255 else val)
+                lum = idct_px(blocks[0], py, pxx)
+                t_y += lum
+                if nf == 3:
+                    cb = idct_px(blocks[1], py, pxx) - 128
+                    cr = idct_px(blocks[2], py, pxx) - 128
+                    r = lum + ((_CR_R * cr + 32768) >> 16)
+                    g = lum - ((_CB_G * cb + _CR_G * cr + 32768) >> 16)
+                    b = lum + ((_CB_B * cb + 32768) >> 16)
+                    t_r += 0 if r < 0 else (255 if r > 255 else r)
+                    t_g += 0 if g < 0 else (255 if g > 255 else g)
+                    t_b += 0 if b < 0 else (255 if b > 255 else b)
     n_px = x * y
-    return (x, y, n_px, total / n_px)
+    if nf == 1:
+        return (x, y, n_px, t_y / n_px, None, None, None)
+    return (x, y, n_px, t_y / n_px, t_r / n_px, t_g / n_px, t_b / n_px)
 
 
 # ---------------------------------------------------------------------------
@@ -548,20 +646,24 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
 # ---------------------------------------------------------------------------
 
 _JPEG_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
-                "mean_gray:double>")
+                "mean_gray:double,"
+                "mean_r:double,mean_g:double,mean_b:double>")
 
 
 def jpeg_stats_udf(content_col) -> "F.Column":
     """Arrow-batched baseline-JPEG decode: binary content -> image
-    dimensions + exact mean gray level. Same contract as
+    dimensions + exact luma mean, plus exact RGB channel means for
+    3-component 4:4:4 color frames (integer YCbCr conversion, module
+    constants; NULL for grayscale). Same contract as
     :func:`parse_jpeg` but an independent implementation: (len, code)
     dict Huffman decode over a shift-register bit reader, generated
-    zigzag walk, and the IDCT as one int64 numpy tensordot per image
-    (exact — every basis entry is an integer, so numpy's reduction
-    order is immaterial). Unreadable, hostile, or out-of-scope
-    payloads decode to the all-NULL struct, never an error; output
-    buffers are bounded before any allocation (_JPEG_MAX_PIXELS + a
-    data-derived MCU bound). Map-only Arrow pass."""
+    zigzag walk, the IDCT as one int64 numpy tensordot per image and
+    the color convert as vectorized int64 plane math (exact — every
+    constant is an integer, so numpy's evaluation order is
+    immaterial). Unreadable, hostile, or out-of-scope payloads decode
+    to the all-NULL struct, never an error; output buffers are
+    bounded before any allocation (_JPEG_MAX_PIXELS + a data-derived
+    MCU bound). Map-only Arrow pass."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(_JPEG_STRUCT)
@@ -571,13 +673,18 @@ def jpeg_stats_udf(content_col) -> "F.Column":
         basis = np.array(_dct_basis_q20(), dtype=np.int64)
         zz_nat = _zigzag_order()
         cols = {k: [] for k in ("width", "height", "n_pixels",
-                                "mean_gray")}
+                                "mean_gray", "mean_r", "mean_g",
+                                "mean_b")}
 
-        def emit(w=None, h=None, n=None, mg=None):
+        def emit(w=None, h=None, n=None, mg=None, mr=None, mgr=None,
+                 mb=None):
             cols["width"].append(w)
             cols["height"].append(h)
             cols["n_pixels"].append(n)
             cols["mean_gray"].append(mg)
+            cols["mean_r"].append(mr)
+            cols["mean_g"].append(mgr)
+            cols["mean_b"].append(mb)
 
         def build_huff(bits, vals):
             table = {}
@@ -627,8 +734,7 @@ def jpeg_stats_udf(content_col) -> "F.Column":
             if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
                 return None
             qts, huffs = {}, {}
-            sof, dri = None, 0
-            td = ta = 0
+            sof, dri, sel = None, 0, None
             p = 2
             n = len(data)
             while True:
@@ -683,13 +789,21 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                             bits, list(seg[q:q + nv]))
                         q += nv
                 elif m == 0xC0:
-                    if len(seg) < 9 or seg[0] != 8 or seg[5] != 1:
+                    if len(seg) < 6 or seg[0] != 8:
                         return None
                     y = (seg[1] << 8) | seg[2]
                     x = (seg[3] << 8) | seg[4]
-                    if x < 1 or y < 1:
+                    nf = seg[5]
+                    if nf not in (1, 3) or x < 1 or y < 1 \
+                            or len(seg) < 6 + 3 * nf:
                         return None
-                    sof = (x, y, seg[8])
+                    comps = [(seg[6 + 3 * i], seg[7 + 3 * i],
+                              seg[8 + 3 * i]) for i in range(nf)]
+                    if nf == 3 and any(c[1] != 0x11 for c in comps):
+                        return None    # subsampled color: NULL scope
+                    if len({c[0] for c in comps}) != nf:
+                        return None
+                    sof = (x, y, comps)
                 elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                     return None
@@ -698,24 +812,36 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         return None
                     dri = (seg[0] << 8) | seg[1]
                 elif m == 0xDA:
-                    if sof is None or len(seg) < 6 or seg[0] != 1:
+                    if sof is None or len(seg) < 4 \
+                            or seg[0] != len(sof[2]) \
+                            or len(seg) < 4 + 2 * seg[0]:
                         return None
-                    td, ta = seg[2] >> 4, seg[2] & 15
-                    if seg[3] != 0 or seg[4] != 63 or seg[5] != 0:
+                    sel = {seg[1 + 2 * i]: (seg[2 + 2 * i] >> 4,
+                                            seg[2 + 2 * i] & 15)
+                           for i in range(seg[0])}
+                    o = 1 + 2 * seg[0]
+                    if seg[o] != 0 or seg[o + 1] != 63 \
+                            or seg[o + 2] != 0:
                         return None
                     break
-            x, y, tq = sof
+            x, y, comps = sof
+            nf = len(comps)
             # allocation bounds BEFORE touching pixel buffers (the
             # ADVICE r13 GIF lesson, applied from day one)
             if x * y > _JPEG_MAX_PIXELS:
                 return None
-            if tq not in qts or (0, td) not in huffs \
-                    or (1, ta) not in huffs:
-                return None
+            tabs = []
+            for cid, _hv, tq in comps:
+                if cid not in sel or tq not in qts:
+                    return None
+                td, ta = sel[cid]
+                if (0, td) not in huffs or (1, ta) not in huffs:
+                    return None
+                tabs.append((huffs[(0, td)], huffs[(1, ta)], qts[tq]))
             bw, bh = (x + 7) // 8, (y + 7) // 8
             n_mcus = bw * bh
-            if n_mcus > 4 * max(n - p, 0):
-                return None            # >= 2 bits per MCU, hard floor
+            if n_mcus * nf > 4 * max(n - p, 0):
+                return None          # >= 2 bits per block, hard floor
             segs, rsts, _ = _split_entropy(data, p)
             if dri:
                 need = (n_mcus - 1) // dri
@@ -724,63 +850,74 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                     return None
             elif rsts:
                 return None
-            qt = qts[tq]
-            dct, act = huffs[(0, td)], huffs[(1, ta)]
-            coefs = np.zeros((n_mcus, 64), dtype=np.int64)
+            coefs = np.zeros((nf, n_mcus, 64), dtype=np.int64)
             mcu = 0
             for si, seg in enumerate(segs):
                 rd = Bits(seg)
-                pred = 0
+                preds = [0] * nf
                 left = (n_mcus - mcu) if si == len(segs) - 1 else dri
                 for _ in range(left):
-                    t = rd.sym(dct)
-                    if t is None or t > 15:
-                        return None
-                    v = rd.take(t)
-                    if v is None:
-                        return None
-                    if t and v < (1 << (t - 1)):
-                        v -= (1 << t) - 1
-                    pred += v
-                    zz = coefs[mcu]
-                    zz[0] = pred
-                    k = 1
-                    while k < 64:
-                        rs = rd.sym(act)
-                        if rs is None:
+                    for ci in range(nf):
+                        dct, act, _qt = tabs[ci]
+                        t = rd.sym(dct)
+                        if t is None or t > 15:
                             return None
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break
-                        k += r
-                        if k > 63:
-                            return None
-                        v = rd.take(s)
+                        v = rd.take(t)
                         if v is None:
                             return None
-                        zz[k] = v if v >= (1 << (s - 1)) \
-                            else v - (1 << s) + 1
-                        k += 1
+                        if t and v < (1 << (t - 1)):
+                            v -= (1 << t) - 1
+                        preds[ci] += v
+                        zz = coefs[ci, mcu]
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.sym(act)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > 63:
+                                return None
+                            v = rd.take(s)
+                            if v is None:
+                                return None
+                            zz[k] = v if v >= (1 << (s - 1)) \
+                                else v - (1 << s) + 1
+                            k += 1
                     mcu += 1
             if mcu != n_mcus:
                 return None
-            # dequant in zigzag, scatter to natural, IDCT all blocks
-            # in one exact int64 contraction
-            deq = coefs * qt[None, :]
-            nat = np.zeros((n_mcus, 8, 8), dtype=np.int64)
-            nat.reshape(n_mcus, 64)[:, zz_nat] = deq
-            out = np.tensordot(nat, basis, axes=([1, 2], [0, 1]))
-            pix = np.clip(((out + (1 << 19)) >> 20) + 128, 0, 255)
-            img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-            for bi in range(n_mcus):
-                by, bx = divmod(bi, bw)
-                img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[bi]
-            total = int(img[:y, :x].sum())
+            # per component: dequant in zigzag, scatter to natural,
+            # IDCT all blocks in one exact int64 contraction
+            planes = []
+            for ci in range(nf):
+                deq = coefs[ci] * tabs[ci][2][None, :]
+                nat = np.zeros((n_mcus, 8, 8), dtype=np.int64)
+                nat.reshape(n_mcus, 64)[:, zz_nat] = deq
+                out = np.tensordot(nat, basis, axes=([1, 2], [0, 1]))
+                pix = np.clip(((out + (1 << 19)) >> 20) + 128, 0, 255)
+                img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+                for bi in range(n_mcus):
+                    by, bx = divmod(bi, bw)
+                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[bi]
+                planes.append(img[:y, :x])
             n_px = x * y
-            return (x, y, n_px, total / n_px)
+            mean_y = int(planes[0].sum()) / n_px
+            if nf == 1:
+                return (x, y, n_px, mean_y, None, None, None)
+            lum, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+            r = np.clip(lum + ((_CR_R * cr + 32768) >> 16), 0, 255)
+            g = np.clip(lum - ((_CB_G * cb + _CR_G * cr + 32768) >> 16),
+                        0, 255)
+            b = np.clip(lum + ((_CB_B * cb + 32768) >> 16), 0, 255)
+            return (x, y, n_px, mean_y, int(r.sum()) / n_px,
+                    int(g.sum()) / n_px, int(b.sum()) / n_px)
 
         for blob in blobs:
             data = bytes(blob) if blob is not None else None
