@@ -48,6 +48,14 @@ _CHECK_FIRST = [
     # predictors — then converts YCbCr->RGB in exact 16-bit fixed
     # point, replayed by the oracle as floor((k*c + 2^15)/2^16).
     "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
+    # NEW: decoder dispatch — the classification-then-route ingest
+    # pass: the three materialized image corpora unioned into one
+    # heterogeneous binary firehose, kind sniffed FROM CONTENT
+    # (magic-byte Catalyst expression), each object routed to its
+    # decode kernel, unroutable payloads surfaced not dropped; the
+    # oracle re-derives kind + dims per format, double-checking every
+    # routed decode end-to-end.
+    "media_decode_dispatch",
     # CHANGED (VERDICT r13 list #1): both recall evals now draw a
     # FIXED-SIZE deterministic query sample (md5-ordered LIMIT 8,
     # TakeOrderedAndProject) instead of the fixed-RATE vec_id % 100
@@ -79,16 +87,16 @@ _CHECK_FIRST = [
     "tfidf_topk", "to_vector", "tpch_q10", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3", "tpch_q5",
     "tpch_q7", "tpch_q8", "tpch_q9",
-    # r08 (24 of 30; the last six — stream_static_join,
-    # stream_stream_join, stream_window_agg, table_scan, text_stats,
-    # window_topk — continue in r15):
+    # r08 (23 of 30; the last seven — stream_quality_filter,
+    # stream_static_join, stream_stream_join, stream_window_agg,
+    # table_scan, text_stats, window_topk — continue in r15):
     "ann_ivf", "ann_lsh", "cosine_distance", "embed_evict_list",
     "embed_refresh_stats", "embed_refresh_worklist", "embed_text",
     "embedding_near_dup", "exact_dedup", "filter_predicates",
     "groupby_agg", "json_extract", "knn_topk", "minhash_dedup",
     "minhash_refresh", "project", "simhash_dedup", "sort_limit",
     "stream_dedup", "stream_event_alert", "stream_foreach_sink",
-    "stream_hop_window", "stream_minhash_probe", "stream_quality_filter",
+    "stream_hop_window", "stream_minhash_probe",
 ]
 
 

@@ -200,6 +200,8 @@ HEADLINE_R14 = {
     "multimodal_jpeg_stats": "noop",
     # 4:4:4 color: interleaved 3-component MCUs + integer YCbCr->RGB
     "multimodal_jpeg_color_stats": "noop",
+    # classification-then-route over the unioned heterogeneous corpora
+    "media_decode_dispatch": "noop",
 }
 
 

@@ -18,7 +18,10 @@ HTTPS connection, then "No matching distribution found ... versions:
 none"); 2026-08-16 (r13) — retried: DNS resolution of the configured
 index host still fails after 5 retries (``Name or service not
 known``), then "No matching distribution found for
-sentence-transformers"; the skip below remains the honest state. This test is the
+sentence-transformers"; 2026-08-16 (r14) — retried: identical
+failure shape (5 DNS retries, ``Name or service not known`` on the
+index host, then "No matching distribution found"); the skip below
+remains the honest state. This test is the
 importorskip-gated LIVE path the verdict asked for: the moment an
 environment has ``sentence-transformers`` (and, for the model
 download, network or a local cache), it runs the reference's actual

@@ -243,6 +243,35 @@ def test_eval_query_sample_is_fixed_size_and_deterministic(spark):
 
 
 # ---------------------------------------------------------------------------
+# media_decode_dispatch: routing is CONTENT-based, not provenance-based
+# ---------------------------------------------------------------------------
+
+def test_sniff_media_kind_routes_by_content(spark):
+    """A GIF that arrived 'mislabeled' still routes to the GIF
+    decoder, and garbage routes nowhere: the sniff expression reads
+    magic bytes, never a provenance column."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        sniff_media_kind, synth_gif_corpus)
+    from tripgogo_vector_search_spark.operators.jpeg import (
+        synth_jpeg_corpus)
+    docs = spark.createDataFrame([(1, "payload text")],
+                                 "doc_id bigint, text string")
+    gif = synth_gif_corpus(docs).collect()[0].content
+    jpg = synth_jpeg_corpus(docs).collect()[0].content
+    blobs = [("gif", gif), ("jpg", jpg), ("junk", bytearray(b"\x00junk")),
+             ("empty", None)]
+    df = spark.createDataFrame(
+        [(tag, bytearray(b) if b is not None else None)
+         for tag, b in blobs], "tag string, content binary")
+    got = {r.tag: r.kind
+           for r in df.select("tag",
+                              sniff_media_kind(F.col("content"))
+                              .alias("kind")).collect()}
+    assert got == {"gif": "image/gif", "jpg": "image/jpeg",
+                   "junk": "unknown", "empty": "unknown"}
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r13 low: cell_occupancy_guard's n_cells is required
 # ---------------------------------------------------------------------------
 

@@ -1295,3 +1295,17 @@ def sniff_magic(content) -> "F.Column":
             .when(F.substring(hx, 1, 6) == "FFD8FF", F.lit("image/jpeg"))
             .when(F.substring(hx, 1, 8) == "52494646", F.lit("audio/wav"))
             .otherwise(F.lit("unknown")))
+
+
+def sniff_media_kind(content) -> "F.Column":
+    """:func:`sniff_magic` widened to every container this module can
+    actually decode (adds GIF and BMP) — the router expression for
+    media_decode_dispatch. Kept separate so the original's oracle-
+    pinned three-way contract (multimodal_magic_audit) is untouched."""
+    hx = F.hex(content)
+    return (F.when(F.substring(hx, 1, 8) == "89504E47", F.lit("image/png"))
+            .when(F.substring(hx, 1, 6) == "FFD8FF", F.lit("image/jpeg"))
+            .when(F.substring(hx, 1, 8) == "47494638", F.lit("image/gif"))
+            .when(F.substring(hx, 1, 4) == "424D", F.lit("image/bmp"))
+            .when(F.substring(hx, 1, 8) == "52494646", F.lit("audio/wav"))
+            .otherwise(F.lit("unknown")))

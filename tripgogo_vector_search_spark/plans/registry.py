@@ -10524,6 +10524,118 @@ def multimodal_jpeg_color_stats_q(spark, sf_dir):
                     F.round("mean_b", 6).alias("mean_b"))
 
 
+@query("media_decode_dispatch",
+       """WITH base AS (SELECT doc_id,
+                               octet_length(encode(text)) AS dlen,
+                               (text IS NULL) AS textless
+                        FROM documents),
+          png AS (SELECT doc_id AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'image/png' END AS kind,
+                         doc_id % 7 + 3 AS w,
+                         CASE WHEN textless THEN NULL
+                              ELSE least(dlen // (3 * (doc_id % 7 + 3)),
+                                         65535 // (3 * (doc_id % 7 + 3)
+                                                   + 1)) END AS h
+                  FROM base),
+          gif AS (SELECT doc_id + 10000000 AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'image/gif' END AS kind,
+                         doc_id % 6 + 2 AS w,
+                         CASE WHEN textless THEN NULL
+                              ELSE least(dlen // (doc_id % 6 + 2),
+                                         4096 // (doc_id % 6 + 2))
+                              END AS h
+                  FROM base),
+          jpg AS (SELECT doc_id + 20000000 AS media_id,
+                         CASE WHEN textless OR dlen < 1 THEN 'unknown'
+                              ELSE 'image/jpeg' END AS kind,
+                         8 * least(dlen, 48) AS w,
+                         CASE WHEN textless OR dlen < 1 THEN NULL
+                              ELSE 8 END AS h
+                  FROM base),
+          uni AS (SELECT * FROM png UNION ALL SELECT * FROM gif
+                  UNION ALL SELECT * FROM jpg)
+          SELECT media_id, kind,
+                 CAST(CASE WHEN h >= 1 THEN w END AS INT) AS width,
+                 CAST(CASE WHEN h >= 1 THEN h END AS INT) AS height,
+                 CAST(CASE WHEN h >= 1 THEN w * h END AS BIGINT)
+                   AS n_pixels,
+                 coalesce(h >= 1, FALSE) AS decoded
+          FROM uni""")
+def media_decode_dispatch_q(spark, sf_dir):
+    """Decoder DISPATCH — the classification-then-route pass a real
+    media-ingest pipeline runs before any decode: the three
+    materialized image corpora (PNG, GIF, JPEG sidecars, shared with
+    their per-format keys — no new build) are unioned into one
+    heterogeneous binary firehose, each object's kind is sniffed FROM
+    CONTENT (leading magic bytes as a pure Catalyst expression —
+    operators/multimodal.py:sniff_media_kind — never from
+    provenance), and each object is routed to the matching decode
+    kernel; unroutable payloads (NULL content) surface as
+    kind='unknown', decoded=false rather than being dropped. The
+    oracle re-derives kind and dimensions synthesis-side per format.
+    Plan: three parquet scans -> one map-only sniff -> three filtered
+    map-only Arrow decodes -> union; no shuffle anywhere, payload
+    bytes never leave the executors, and at 100 TB each branch scans
+    only its filter's rows (the sniff predicate sits directly on the
+    scan output). Scale note: decoded width/height/n_pixels come from
+    the DECODERS, so the oracle's synthesis-side dims double-check
+    every routed decode end-to-end, not just the routing."""
+    from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_corpus
+    from ..operators.multimodal import (decode_gif_stats,
+                                        decode_png_stats,
+                                        sniff_media_kind,
+                                        synth_gif_corpus,
+                                        synth_png_corpus)
+    from ..partitioning import widen
+    png_path = _materialized_index(
+        spark, sf_dir, "png_corpus",
+        lambda p: synth_png_corpus(widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_png_corpus, widen))
+    gif_path = _materialized_index(
+        spark, sf_dir, "gif_corpus",
+        lambda p: synth_gif_corpus(widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_gif_corpus, widen))
+    jpeg_path = _materialized_index(
+        spark, sf_dir, "jpeg_corpus",
+        lambda p: synth_jpeg_corpus(widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_jpeg_corpus, widen))
+    uni = None
+    for off, path in ((0, png_path), (10_000_000, gif_path),
+                      (20_000_000, jpeg_path)):
+        part = (spark.read.parquet(path)
+                .select((F.col("media_id") + off).alias("media_id"),
+                        "content"))
+        uni = part if uni is None else uni.unionByName(part)
+    sniffed = uni.select("media_id", "content",
+                         sniff_media_kind(F.col("content")).alias("kind"))
+
+    def branch(kind, decode):
+        stats = decode(sniffed.filter(F.col("kind") == kind)
+                       .select("media_id", "content"))
+        return stats.select(
+            "media_id", F.lit(kind).alias("kind"),
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("n_pixels").cast("bigint").alias("n_pixels"),
+            F.col("width").isNotNull().alias("decoded"))
+
+    unknown = (sniffed.filter(F.col("kind") == "unknown")
+               .select("media_id", F.lit("unknown").alias("kind"),
+                       F.lit(None).cast("int").alias("width"),
+                       F.lit(None).cast("int").alias("height"),
+                       F.lit(None).cast("bigint").alias("n_pixels"),
+                       F.lit(False).alias("decoded")))
+    return (branch("image/png", decode_png_stats)
+            .unionByName(branch("image/gif", decode_gif_stats))
+            .unionByName(branch("image/jpeg", decode_jpeg_stats))
+            .unionByName(unknown))
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
