@@ -130,7 +130,13 @@ def test_ann_recall_eval_bounds_and_ground_truth(spark):
     vecs = {i: np.array(v, dtype=np.float64)
             for i, v in zip(t.column(0).to_pylist(),
                             t.column(1).to_pylist())}
-    qids = {i for i in vecs if i % 100 == 7}
+    # r14 (VERDICT r13 list #1): the query draw is a FIXED-SIZE
+    # deterministic sample — the 8 smallest ids by (md5(str(id)), id)
+    # — so the brute-force ground-truth side stays O(corpus)
+    import hashlib
+    qids = set(sorted(
+        vecs,
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:8])
     assert {r.qid for r in rows} == qids
     for r in rows:
         assert 0 <= r.matched <= 3
