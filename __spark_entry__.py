@@ -48,6 +48,18 @@ _CHECK_FIRST = [
     # predictors — then converts YCbCr->RGB in exact 16-bit fixed
     # point, replayed by the oracle as floor((k*c + 2^15)/2^16).
     "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
+    # NEW: PROGRESSIVE JPEG (Annex G) — both decoders grew a
+    # multi-scan coefficient-accumulation engine (DC first over
+    # point-transformed values, DC refinement bits, AC band
+    # first/refine with the G.1.2 EOB-run + correction-bit
+    # machinery, restarts; baseline = the one-scan special case).
+    # The Catalyst corpus is a real three-scan SOF2 file (DC diffs at
+    # Al=1, raw refinement bits, one image-wide EOB run); successive
+    # approximation is exactly invertible, so the oracle is the same
+    # text-byte formula. A progressive test ENCODER round-trips
+    # band-split multi-level scripts and pins full-precision
+    # progressive decode EXACTLY equal to baseline decode.
+    "multimodal_jpeg_progressive_stats",
     # NEW: decoder dispatch — the classification-then-route ingest
     # pass: the three materialized image corpora unioned into one
     # heterogeneous binary firehose, kind sniffed FROM CONTENT
@@ -87,16 +99,17 @@ _CHECK_FIRST = [
     "tfidf_topk", "to_vector", "tpch_q10", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3", "tpch_q5",
     "tpch_q7", "tpch_q8", "tpch_q9",
-    # r08 (23 of 30; the last seven — stream_quality_filter,
-    # stream_static_join, stream_stream_join, stream_window_agg,
-    # table_scan, text_stats, window_topk — continue in r15):
+    # r08 (22 of 30; the last eight — stream_minhash_probe,
+    # stream_quality_filter, stream_static_join, stream_stream_join,
+    # stream_window_agg, table_scan, text_stats, window_topk —
+    # continue in r15):
     "ann_ivf", "ann_lsh", "cosine_distance", "embed_evict_list",
     "embed_refresh_stats", "embed_refresh_worklist", "embed_text",
     "embedding_near_dup", "exact_dedup", "filter_predicates",
     "groupby_agg", "json_extract", "knn_topk", "minhash_dedup",
     "minhash_refresh", "project", "simhash_dedup", "sort_limit",
     "stream_dedup", "stream_event_alert", "stream_foreach_sink",
-    "stream_hop_window", "stream_minhash_probe",
+    "stream_hop_window",
 ]
 
 

@@ -202,6 +202,8 @@ HEADLINE_R14 = {
     "multimodal_jpeg_color_stats": "noop",
     # classification-then-route over the unioned heterogeneous corpora
     "media_decode_dispatch": "noop",
+    # Annex G progressive: multi-scan accumulation + EOB-run engine
+    "multimodal_jpeg_progressive_stats": "noop",
 }
 
 

@@ -321,8 +321,11 @@ def test_hostile_dims_null_before_alloc(spark):
 
 
 def test_out_of_scope_frames_null(spark):
-    """Progressive (SOF2) and SUBSAMPLED color are the documented
-    NULL boundary; well-formed 4:4:4 color is in scope."""
+    """SUBSAMPLED color is the documented NULL boundary; well-formed
+    4:4:4 color is in scope. A SOF2 marker on a baseline-shaped
+    full-band scan is malformed (progressive DC scans must have
+    Se=0) and NULLs too — real progressive scripts are exercised in
+    tests/test_jpeg_progressive.py."""
     blocks = [[10] + [0] * 63]
     data = bytearray(encode_jpeg(blocks, 8, 8, [8] * 64))
     prog = bytes(data[:72]) + b"\xC2" + bytes(data[73:])

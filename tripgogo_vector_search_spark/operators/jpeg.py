@@ -45,9 +45,17 @@ IDCT rounded at 20 fractional bits). Color: 3-component 4:4:4 frames
 decode through interleaved MCUs with per-component quant/Huffman
 tables and independent DC predictors, then the CCIR 601 full-range
 YCbCr -> RGB conversion in exact 16-bit fixed point (constants
-below). Scope boundary (all-NULL struct, documented): SUBSAMPLED
-color (4:2:0/4:2:2 — upsampling interpolation is convention-bound,
-codec-library territory) and progressive/arithmetic scans.
+below). Progressive (SOF2, Annex G): both decoders run a multi-scan
+coefficient-accumulation engine — DC first scans over
+point-transformed values, DC refinement bits (two's-complement OR),
+AC band scans first/refine with the full G.1.2 EOB-run and
+correction-bit machinery, restart intervals throughout — and
+baseline is simply its one-scan special case; progressive streams
+truncated before EOI decode to NULL rather than silently emitting
+partial-precision stats. Scope boundary (all-NULL struct,
+documented): SUBSAMPLED color (4:2:0/4:2:2 — upsampling
+interpolation is convention-bound, codec-library territory) and
+arithmetic-coded scans.
 
 Reference parity: media metadata extraction the reference delegates
 to client-side libraries (streamlit_app.py display layer).
@@ -212,6 +220,153 @@ def synth_jpeg_color_corpus(docs: DataFrame, id_col: str = "doc_id",
     ])
 
 
+#: the progressive synthesis's AC table: the six EOBn symbols this
+#: corpus can need (EOB runs up to 48 blocks -> rbits <= 5) at a flat
+#: 3-bit code length — canonical codes 0..5, one per rbits value, so
+#: code(EOBn with rbits=r) == r. DHT payload: Tc/Th=0x10, BITS[3]=6,
+#: HUFFVAL = 00 10 20 30 40 50.
+_PROG_AC_DHT_HEX = ("FFC40019" "10" "0000" "06" + "00" * 13
+                    + "001020304050")
+
+
+def synth_jpeg_progressive_corpus(docs: DataFrame,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """PROGRESSIVE sibling of :func:`synth_jpeg_corpus`: the same
+    uniform-block grayscale images, delivered as a REAL three-scan
+    progressive (SOF2) file built in pure Catalyst —
+
+    1. DC first scan (Ah=0, Al=1): Huffman-coded DIFFERENCES of the
+       point-transformed DC (arithmetic shift: (px-128) >> 1), a
+       genuine variable-length category stream;
+    2. DC refinement scan (Ah=1, Al=0): one raw appended bit per
+       block (px & 1 — exact for negatives via two's-complement OR);
+    3. AC band scan [1, 63] (Ah=0, Al=0): every band is zero, so the
+       whole image is ONE EOB run — an EOBn symbol whose run length
+       is the block count, exercising the G.1.2.2 run machinery the
+       decoder must get right (rbits extension bits included).
+
+    Because (v>>1)<<1 | (v&1) == v for every two's-complement v, the
+    successive-approximation decode restores DC = px-128 exactly, so
+    the decoded stats remain a pure function of the text bytes and
+    the DuckDB oracle is the SAME formula as the baseline key's. NULL
+    or empty text -> NULL content."""
+    b0 = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
+    nb = F.when(
+        F.col("_hex").isNotNull(),
+        F.least((F.length("_hex") / 2).cast("bigint"),
+                F.lit(_JPEG_MAX_BLOCKS).cast("bigint")))
+    b1 = b0.select("media_id", "_hex", nb.alias("_n"))
+    px = F.when(F.col("_n") >= 1, F.transform(
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
+                         16, 10).cast("bigint"))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    b2 = b1.select("media_id", "_n", px.alias("_px"))
+
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
+
+    def pt1(u):
+        # point-transformed DC at Al=1: arithmetic (px-128) >> 1
+        return F.shiftright((u - 128).cast("bigint"), 1)
+
+    def dc_first_bits(i):
+        cur = pt1(F.element_at("_px", (i + 1).cast("int")))
+        prev = (F.when(i == F.lit(0), F.lit(0).cast("bigint"))
+                .otherwise(pt1(F.element_at("_px", i.cast("int")))))
+        diff = cur - prev
+        cat = (F.when(diff == 0, F.lit(0).cast("bigint"))
+               .otherwise(F.length(
+                   F.conv(F.abs(diff).cast("string"), 10, 2))
+                   .cast("bigint")))
+        mapped = (F.when(diff >= 0, diff)
+                  .otherwise(diff
+                             + F.element_at(pow2, (cat + 1).cast("int"))
+                             - 1))
+        vbits = (F.lpad(F.conv(mapped.cast("string"), 10, 2), 8, "0")
+                 .substr((F.lit(9) - cat).cast("int"), cat.cast("int")))
+        # no EOB: a progressive DC scan codes ONLY the DC entry
+        return F.concat(
+            F.lpad(F.conv(cat.cast("string"), 10, 2), 4, "0"), vbits)
+
+    s1 = F.when(F.col("_n") >= 1, F.array_join(
+        F.transform(F.sequence(F.lit(0), F.col("_n") - 1),
+                    dc_first_bits), ""))
+    s2 = F.when(F.col("_n") >= 1, F.array_join(
+        F.transform(F.sequence(F.lit(0), F.col("_n") - 1),
+                    lambda i: (F.element_at("_px", (i + 1).cast("int"))
+                               % 2).cast("string")), ""))
+    # one EOBn covering all n blocks: 3-bit code == rbits, then rbits
+    # extension bits of (n - 2^rbits)
+    rbits = (F.length(F.conv(F.col("_n").cast("string"), 10, 2))
+             - 1).cast("bigint")
+    ext = F.col("_n") - F.element_at(pow2, (rbits + 1).cast("int"))
+    s3 = F.when(F.col("_n") >= 1, F.concat(
+        F.lpad(F.conv(rbits.cast("string"), 10, 2), 3, "0"),
+        F.lpad(F.conv(ext.cast("string"), 10, 2), 8, "0")
+        .substr((F.lit(9) - rbits).cast("int"), rbits.cast("int"))))
+    b3 = b2.select("media_id", "_n", s1.alias("_s1"), s2.alias("_s2"),
+                   s3.alias("_s3"))
+    b4 = b3.select("media_id", "_n",
+                   _pad_bits(F.col("_s1")).alias("_p1"),
+                   _pad_bits(F.col("_s2")).alias("_p2"),
+                   _pad_bits(F.col("_s3")).alias("_p3"))
+    b5 = b4.select(
+        "media_id", "_n",
+        F.when(F.col("_n") >= 1,
+               _bits_to_entropy_hex(F.col("_p1"))).alias("_e1"),
+        F.when(F.col("_n") >= 1,
+               _bits_to_entropy_hex(F.col("_p2"))).alias("_e2"),
+        F.when(F.col("_n") >= 1,
+               _bits_to_entropy_hex(F.col("_p3"))).alias("_e3"))
+    hexfile = F.concat(
+        F.lit("FFD8"
+              "FFDB0043" "00" + "08" * 64),       # DQT: all q=8
+        F.lit("FFC2000B" "08" "0008"),            # SOF2: P=8, Y=8
+        F.lpad(F.hex(F.col("_n") * 8), 4, "0"),   # X = 8 * n_blocks
+        F.lit("01" "01" "11" "00"),               # Nf=1; C=1, 1x1, Tq=0
+        F.lit("FFC4001F" "00" "0000000C" + "00" * 12
+              + "000102030405060708090A0B"),      # DC: 12 cats @ len 4
+        F.lit(_PROG_AC_DHT_HEX),                  # AC: EOBn table
+        F.lit("FFDA0008" "01" "0100" "000001"),   # scan 1: DC, Al=1
+        F.col("_e1"),
+        F.lit("FFDA0008" "01" "0100" "000010"),   # scan 2: DC refine
+        F.col("_e2"),
+        F.lit("FFDA0008" "01" "0100" "013F00"),   # scan 3: AC [1,63]
+        F.col("_e3"),
+        F.lit(_SYNTH_EOI_HEX))
+    content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
+    return b5.select("media_id", content.alias("content"))
+
+
+def _pad_bits(bs):
+    """1-pad a '0'/'1' bitstring column to the byte boundary (spec
+    B.2.1)."""
+    padlen = (F.lit(8) - F.length(bs) % 8) % 8
+    return F.concat(bs, F.lit("1111111")
+                    .substr(F.lit(1), padlen.cast("int")))
+
+
+def _bits_to_entropy_hex(bs):
+    """Byte-packed hex of a byte-aligned bitstring column, with REAL
+    0xFF 0x00 stuffing (spec B.1.1.5)."""
+    n_bytes = (F.length(bs) / 8).cast("bigint")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_bytes - 1),
+            lambda j: F.concat(
+                F.lpad(F.hex(F.conv(
+                    bs.substr((j * 8 + 1).cast("int"), F.lit(8)),
+                    2, 10).cast("bigint")), 2, "0"),
+                F.when(F.conv(
+                    bs.substr((j * 8 + 1).cast("int"), F.lit(8)),
+                    2, 10).cast("bigint") == 255,
+                    F.lit("00")).otherwise(F.lit("")))),
+        "")
+
+
 def _synth_jpeg(docs: DataFrame, id_col: str, text_col: str,
                 channels: list) -> DataFrame:
     """Shared Catalyst builder: one interleaved baseline MCU per text
@@ -273,25 +428,9 @@ def _synth_jpeg(docs: DataFrame, id_col: str, text_col: str,
         F.transform(F.sequence(F.lit(0), F.col("_n") - 1), mcu_bits),
         ""))
     b3 = b2.select("media_id", "_n", bs0.alias("_bs0"))
-    # 1-pad to the byte boundary (spec B.2.1)
-    padlen = (F.lit(8) - F.length("_bs0") % 8) % 8
-    bs = F.concat(F.col("_bs0"),
-                  F.lit("1111111").substr(F.lit(1), padlen.cast("int")))
-    b4 = b3.select("media_id", "_n", bs.alias("_bs"))
-    # bytes, with REAL 0xFF 0x00 stuffing (spec B.1.1.5)
-    n_bytes = (F.length("_bs") / 8).cast("bigint")
-    eh = F.when(F.col("_n") >= 1, F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n_bytes - 1),
-            lambda j: F.concat(
-                F.lpad(F.hex(F.conv(
-                    F.col("_bs").substr((j * 8 + 1).cast("int"), F.lit(8)),
-                    2, 10).cast("bigint")), 2, "0"),
-                F.when(F.conv(
-                    F.col("_bs").substr((j * 8 + 1).cast("int"), F.lit(8)),
-                    2, 10).cast("bigint") == 255,
-                    F.lit("00")).otherwise(F.lit("")))),
-        ""))
+    b4 = b3.select("media_id", "_n",
+                   _pad_bits(F.col("_bs0")).alias("_bs"))
+    eh = F.when(F.col("_n") >= 1, _bits_to_entropy_hex(F.col("_bs")))
     b5 = b4.select("media_id", "_n", eh.alias("_eh"))
     sof_len = 8 + 3 * nf
     sof_hex = (f"FFC0{sof_len:04X}" "08" "0008")
@@ -410,75 +549,154 @@ def _split_entropy(data: bytes, p: int):
     return segs, rsts, p
 
 
-def _decode_scan_mcus(segs, rsts, n_mcus, dri, comps):
-    """Scan walk for interleaved baseline MCUs (1x1 sampling: one
-    block per component per MCU), honoring restart intervals.
-    ``comps`` is a list of (dctab, actab, deq_fn) in SOF order, each
-    with its own DC predictor (reset at every restart). Returns a
-    list of per-MCU block lists (dequantized, natural order), or None
-    on any malformed stream."""
+def _spec_decode_scan(segs, rsts, dri, n_units, scomps,
+                      ss, se, ah, al, coefs):
+    """One scan's entropy decode into the raw zigzag coefficient
+    accumulator (un-dequantized — quantization is applied once at
+    EOI). Handles every scan shape this engine supports with 1x1
+    sampling: baseline full-band interleaved (ss=0, se=63, ah=al=0),
+    progressive DC first (diffs of DC>>al) and DC refinement (one raw
+    bit per block), and progressive AC band scans — first (with
+    EOB-run skips, spec G.1.2.2) and refinement (correction bits over
+    nonzero history + EOB-run tails, G.1.2.3). ``scomps`` is a list
+    of (sof_comp_index, dctab, actab) in scan order; per-unit block =
+    one block per scan component. Restart boundaries reset the DC
+    predictors and the EOB run. Returns True, or None on malformed
+    streams."""
     if dri:
-        need = (n_mcus - 1) // dri     # RST between every dri MCUs
+        need = (n_units - 1) // dri    # RST between every dri units
         if len(rsts) != need or any(r != i % 8 for i, r in enumerate(rsts)):
             return None
     elif rsts:
         return None                    # RST without DRI: malformed
-    mcus = []
-    mcu = 0
+    unit = 0
+    p1, m1 = 1 << al, -(1 << al)
     for si, seg in enumerate(segs):
         rd = _SpecBitReader(seg)
-        preds = [0] * len(comps)
-        in_seg = (n_mcus - mcu) if si == len(segs) - 1 else dri
+        preds = {ci: 0 for ci, _, _ in scomps}
+        eobrun = 0
+        in_seg = (n_units - unit) if si == len(segs) - 1 else dri
         for _ in range(in_seg):
-            blocks = []
-            for ci, (dctab, actab, deq_fn) in enumerate(comps):
-                try:
-                    t = _spec_decode_sym(rd, dctab)
-                    if t is None or t > 15:
-                        return None
-                    diff = _extend(rd.receive(t), t)
-                    preds[ci] += diff
-                    zz = [0] * 64
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _spec_decode_sym(rd, actab)
-                        if rs is None:
+            try:
+                for ci, dctab, actab in scomps:
+                    block = coefs[ci][unit]
+                    if ss == 0 and ah == 0:
+                        # DC first (prog: se==0) / baseline full band
+                        t = _spec_decode_sym(rd, dctab)
+                        if t is None or t > 15:
                             return None
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break      # EOB
-                        k += r
-                        if k > 63:
-                            return None
-                        zz[k] = _extend(rd.receive(s), s)
-                        k += 1
-                except _BitsEnd:
-                    return None
-                blocks.append(deq_fn(zz))
-            mcus.append(blocks)
-            mcu += 1
-    if mcu != n_mcus:
-        return None
-    return mcus
+                        preds[ci] += _extend(rd.receive(t), t)
+                        block[0] = preds[ci] << al
+                        k = 1
+                        while k <= se:
+                            rs = _spec_decode_sym(rd, actab)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > se:
+                                return None
+                            block[k] = _extend(rd.receive(s), s) << al
+                            k += 1
+                    elif ss == 0:
+                        # DC refinement: one raw bit per block
+                        # (two's-complement OR, exact for negatives)
+                        if rd.nextbit():
+                            block[0] |= p1
+                    elif ah == 0:
+                        # AC band, first pass (G.1.2.2)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _spec_decode_sym(rd, actab)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) + rd.receive(r) - 1
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            block[k] = _extend(rd.receive(s), s) << al
+                            k += 1
+                    else:
+                        # AC band refinement (G.1.2.3): corrections
+                        # ride along runs and EOB tails
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _spec_decode_sym(rd, actab)
+                                if rs is None:
+                                    return None
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = (1 << r) + rd.receive(r)
+                                        break
+                                    val = 0
+                                elif s == 1:
+                                    val = p1 if rd.nextbit() else m1
+                                else:
+                                    return None
+                                while k <= se:
+                                    z = block[k]
+                                    if z != 0:
+                                        if rd.nextbit() and (z & p1) == 0:
+                                            block[k] = z + (p1 if z >= 0
+                                                            else m1)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val != 0:
+                                    if k > se:
+                                        return None
+                                    block[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                z = block[k]
+                                if z != 0:
+                                    if rd.nextbit() and (z & p1) == 0:
+                                        block[k] = z + (p1 if z >= 0
+                                                        else m1)
+                                k += 1
+                            eobrun -= 1
+            except _BitsEnd:
+                return None
+            unit += 1
+    return True if unit == n_units else None
 
 
 _SPEC_BASIS = None
 
 
 def parse_jpeg(data: bytes | None) -> tuple | None:
-    """Spec baseline-JPEG decode to image stats: returns
+    """Spec JPEG decode to image stats: returns
     (width, height, n_pixels, mean_gray, mean_r, mean_g, mean_b) —
     mean_gray is the luma-plane mean (always present); the RGB means
     are present for 3-component 4:4:4 color frames (exact integer
     YCbCr conversion, module constants) and None for grayscale — or
     None entirely for anything unreadable / out of the documented
-    scope (module docstring: subsampled color and progressive scans
-    are the NULL boundary). Per-pixel Python IDCT over the shared
-    integer basis — the independent twin of :func:`jpeg_stats_udf`."""
+    scope (module docstring: subsampled color and arithmetic coding
+    are the NULL boundary). Handles baseline sequential (SOF0) AND
+    progressive (SOF2) frames through one multi-scan engine: raw
+    zigzag coefficients accumulate across scans (DC first/refine, AC
+    band first/refine with EOB runs), dequantization and the
+    per-pixel Python IDCT over the shared integer basis run once at
+    EOI. The independent twin of :func:`jpeg_stats_udf`."""
     global _SPEC_BASIS
     if _SPEC_BASIS is None:
         _SPEC_BASIS = _dct_basis_q20()
@@ -488,7 +706,9 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
     qts: dict = {}
     huffs: dict = {}
     sof = None
+    prog = False
     dri = 0
+    coefs = None
     p = 2
     try:
         while True:
@@ -500,7 +720,7 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
             m = data[p]
             p += 1
             if m == 0xD9:
-                return None            # EOI before any scan
+                break                  # EOI: frame complete
             if 0xD0 <= m <= 0xD7 or m == 0x01:
                 continue               # standalone markers
             ln = (data[p] << 8) | data[p + 1]
@@ -541,9 +761,10 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                         return None
                     q += nv
                     huffs[(tc, th)] = _annexf_tables(bits, vals)
-            elif m == 0xC0:            # SOF0 — baseline sequential
-                if seg[0] != 8:
+            elif m in (0xC0, 0xC2):    # SOF0 baseline / SOF2 progressive
+                if sof is not None or seg[0] != 8:
                     return None
+                prog = (m == 0xC2)
                 y = (seg[1] << 8) | seg[2]
                 x = (seg[3] << 8) | seg[4]
                 nf = seg[5]
@@ -558,53 +779,86 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                 if len({c[0] for c in comps}) != nf:
                     return None        # duplicate component ids
                 sof = (x, y, comps)
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None            # non-baseline frame types
+                return None            # other frame types (arith etc.)
             elif m == 0xDD:            # DRI
                 dri = (seg[0] << 8) | seg[1]
-            elif m == 0xDA:            # SOS
-                if sof is None or seg[0] != len(sof[2]):
+            elif m == 0xDA:            # SOS (one of possibly many)
+                if sof is None:
                     return None
-                sel = {}
-                for ci in range(seg[0]):
-                    sel[seg[1 + 2 * ci]] = (seg[2 + 2 * ci] >> 4,
-                                            seg[2 + 2 * ci] & 15)
-                o = 1 + 2 * seg[0]
-                if seg[o] != 0 or seg[o + 1] != 63 or seg[o + 2] != 0:
+                x, y, comps = sof
+                nf = len(comps)
+                ns = seg[0]
+                if ns < 1 or len(seg) < 4 + 2 * ns:
                     return None
-                break
+                o = 1 + 2 * ns
+                ss, se = seg[o], seg[o + 1]
+                ah, al = seg[o + 2] >> 4, seg[o + 2] & 15
+                if not prog:
+                    if ns != nf or ss != 0 or se != 63 or ah or al:
+                        return None
+                else:
+                    if ss == 0:
+                        if se != 0:
+                            return None
+                    elif ns != 1 or not (1 <= ss <= se <= 63):
+                        return None
+                    if al > 13 or (ah and ah != al + 1):
+                        return None
+                ids = {c[0]: i for i, c in enumerate(comps)}
+                scomps = []
+                last = -1
+                for i in range(ns):
+                    cs = seg[1 + 2 * i]
+                    td, ta = seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15
+                    if cs not in ids or ids[cs] <= last:
+                        return None    # unknown / out of SOF order
+                    last = ids[cs]
+                    dctab = huffs.get((0, td))
+                    actab = huffs.get((1, ta))
+                    if ss == 0 and ah == 0 and dctab is None:
+                        return None
+                    if se > 0 and actab is None:
+                        return None
+                    scomps.append((ids[cs], dctab, actab))
+                bw, bh = (x + 7) // 8, (y + 7) // 8
+                n_units = bw * bh
+                if coefs is None:
+                    # first scan: spec requires DC-first; its cost
+                    # floor (>= 2 bits per block) bounds the
+                    # allocation by the data (the GIF lesson)
+                    if ss != 0 or ah != 0:
+                        return None
+                    if x * y > _JPEG_MAX_PIXELS:
+                        return None
+                    if n_units * ns > 4 * max(len(data) - p, 0):
+                        return None
+                    coefs = [[[0] * 64 for _ in range(n_units)]
+                             for _ in range(nf)]
+                segs, rsts, p = _split_entropy(data, p)
+                if _spec_decode_scan(segs, rsts, dri, n_units, scomps,
+                                     ss, se, ah, al, coefs) is None:
+                    return None
+                if not prog:
+                    break              # baseline: one full-band scan
+                    # IS the image (EOI optional, as before);
+                    # progressive keeps walking — only EOI says the
+                    # scan script ended, so truncation NULLs instead
+                    # of silently emitting partial-precision stats
             # APPn / COM / anything else with a length: skipped
     except IndexError:
         return None
+    if sof is None or coefs is None:
+        return None
     x, y, comps = sof
     nf = len(comps)
-    if x * y > _JPEG_MAX_PIXELS:
-        return None
-    scan_comps = []
-    for cid, _hv, tq in comps:
-        if cid not in sel or tq not in qts:
-            return None
-        td, ta = sel[cid]
-        if (0, td) not in huffs or (1, ta) not in huffs:
-            return None
-        qt = qts[tq]
-
-        def deq(zz, qt=qt):
-            nat = [0] * 64
-            for k in range(64):
-                nat[_ZIGZAG_LITERAL[k]] = zz[k] * qt[k]
-            return nat
-
-        scan_comps.append((huffs[(0, td)], huffs[(1, ta)], deq))
     bw, bh = (x + 7) // 8, (y + 7) // 8
-    n_mcus = bw * bh
-    if n_mcus * nf > 4 * max(len(data) - p, 0):
-        return None                    # each block needs >= 2 bits
-    segs, rsts, _ = _split_entropy(data, p)
-    mcus = _decode_scan_mcus(segs, rsts, n_mcus, dri, scan_comps)
-    if mcus is None:
-        return None
+    qtabs = []
+    for _cid, _hv, tq in comps:
+        if tq not in qts:
+            return None
+        qtabs.append(qts[tq])
 
     def idct_px(nat, py, pxx):
         acc = 0
@@ -617,8 +871,18 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
         val = ((acc + (1 << 19)) >> 20) + 128
         return 0 if val < 0 else (255 if val > 255 else val)
 
+    def deq_nat(ci, bi):
+        zz = coefs[ci][bi]
+        qt = qtabs[ci]
+        nat = [0] * 64
+        for k in range(64):
+            if zz[k]:
+                nat[_ZIGZAG_LITERAL[k]] = zz[k] * qt[k]
+        return nat
+
     t_y = t_r = t_g = t_b = 0
-    for bi, blocks in enumerate(mcus):
+    for bi in range(bw * bh):
+        blocks = [deq_nat(ci, bi) for ci in range(nf)]
         by, bx = divmod(bi, bw)
         vis_y = min(8, y - by * 8)
         vis_x = min(8, x - bx * 8)
@@ -730,11 +994,161 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         return s
                 return None
 
+        def decode_scan(data, p, dri, n_units, scomps, ss, se, ah, al,
+                        coefs):
+            """One scan's entropy decode into the int64 zigzag
+            accumulator; the kernel-side twin of _spec_decode_scan
+            (same scan shapes, its own reader/table idioms). Returns
+            the offset past the entropy data, or None."""
+            segs, rsts, p2 = _split_entropy(data, p)
+            if dri:
+                need = (n_units - 1) // dri
+                if len(rsts) != need or any(r != i % 8
+                                            for i, r in enumerate(rsts)):
+                    return None
+            elif rsts:
+                return None
+            unit = 0
+            p1v, m1v = 1 << al, -(1 << al)
+            for si, seg in enumerate(segs):
+                rd = Bits(seg)
+                preds = {ci: 0 for ci, _, _ in scomps}
+                eobrun = 0
+                left = (n_units - unit) if si == len(segs) - 1 else dri
+                for _ in range(left):
+                    for ci, dct, act in scomps:
+                        zz = coefs[ci, unit]
+                        if ss == 0 and ah == 0:
+                            t = rd.sym(dct)
+                            if t is None or t > 15:
+                                return None
+                            v = rd.take(t)
+                            if v is None:
+                                return None
+                            if t and v < (1 << (t - 1)):
+                                v -= (1 << t) - 1
+                            preds[ci] += v
+                            zz[0] = preds[ci] << al
+                            k = 1
+                            while k <= se:
+                                rs = rd.sym(act)
+                                if rs is None:
+                                    return None
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break
+                                k += r
+                                if k > se:
+                                    return None
+                                v = rd.take(s)
+                                if v is None:
+                                    return None
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                                zz[k] = v << al
+                                k += 1
+                        elif ss == 0:
+                            b = rd.take(1)
+                            if b is None:
+                                return None
+                            if b:
+                                zz[0] |= p1v
+                        elif ah == 0:
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = rd.sym(act)
+                                if rs is None:
+                                    return None
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    v = rd.take(r)
+                                    if v is None:
+                                        return None
+                                    eobrun = (1 << r) + v - 1
+                                    break
+                                k += r
+                                if k > se:
+                                    return None
+                                v = rd.take(s)
+                                if v is None:
+                                    return None
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                                zz[k] = v << al
+                                k += 1
+                        else:
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = rd.sym(act)
+                                    if rs is None:
+                                        return None
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r < 15:
+                                            v = rd.take(r)
+                                            if v is None:
+                                                return None
+                                            eobrun = (1 << r) + v
+                                            break
+                                        val = 0
+                                    elif s == 1:
+                                        b = rd.take(1)
+                                        if b is None:
+                                            return None
+                                        val = p1v if b else m1v
+                                    else:
+                                        return None
+                                    while k <= se:
+                                        z = int(zz[k])
+                                        if z != 0:
+                                            b = rd.take(1)
+                                            if b is None:
+                                                return None
+                                            if b and (z & p1v) == 0:
+                                                zz[k] = z + (
+                                                    p1v if z >= 0 else m1v)
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if val != 0:
+                                        if k > se:
+                                            return None
+                                        zz[k] = val
+                                    k += 1
+                            if eobrun > 0:
+                                while k <= se:
+                                    z = int(zz[k])
+                                    if z != 0:
+                                        b = rd.take(1)
+                                        if b is None:
+                                            return None
+                                        if b and (z & p1v) == 0:
+                                            zz[k] = z + (
+                                                p1v if z >= 0 else m1v)
+                                    k += 1
+                                eobrun -= 1
+                    unit += 1
+            return p2 if unit == n_units else None
+
         def walk(data):
             if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
                 return None
             qts, huffs = {}, {}
-            sof, dri, sel = None, 0, None
+            sof, dri = None, 0
+            prog = False
+            coefs = None
             p = 2
             n = len(data)
             while True:
@@ -748,7 +1162,7 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                 m = data[p]
                 p += 1
                 if m == 0xD9:
-                    return None
+                    break              # EOI: frame complete
                 if 0xD0 <= m <= 0xD7 or m == 0x01:
                     continue
                 if p + 2 > n:
@@ -788,9 +1202,10 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         huffs[(tcth >> 4, tcth & 15)] = build_huff(
                             bits, list(seg[q:q + nv]))
                         q += nv
-                elif m == 0xC0:
-                    if len(seg) < 6 or seg[0] != 8:
+                elif m in (0xC0, 0xC2):
+                    if sof is not None or len(seg) < 6 or seg[0] != 8:
                         return None
+                    prog = (m == 0xC2)
                     y = (seg[1] << 8) | seg[2]
                     x = (seg[3] << 8) | seg[4]
                     nf = seg[5]
@@ -804,7 +1219,7 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                     if len({c[0] for c in comps}) != nf:
                         return None
                     sof = (x, y, comps)
-                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                     return None
                 elif m == 0xDD:
@@ -812,92 +1227,82 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         return None
                     dri = (seg[0] << 8) | seg[1]
                 elif m == 0xDA:
-                    if sof is None or len(seg) < 4 \
-                            or seg[0] != len(sof[2]) \
-                            or len(seg) < 4 + 2 * seg[0]:
+                    if sof is None or len(seg) < 4:
                         return None
-                    sel = {seg[1 + 2 * i]: (seg[2 + 2 * i] >> 4,
-                                            seg[2 + 2 * i] & 15)
-                           for i in range(seg[0])}
-                    o = 1 + 2 * seg[0]
-                    if seg[o] != 0 or seg[o + 1] != 63 \
-                            or seg[o + 2] != 0:
+                    x, y, comps = sof
+                    nf = len(comps)
+                    ns = seg[0]
+                    if ns < 1 or len(seg) < 4 + 2 * ns:
                         return None
-                    break
+                    o = 1 + 2 * ns
+                    ss, se = seg[o], seg[o + 1]
+                    ah, al = seg[o + 2] >> 4, seg[o + 2] & 15
+                    if not prog:
+                        if ns != nf or ss != 0 or se != 63 or ah or al:
+                            return None
+                    else:
+                        if ss == 0:
+                            if se != 0:
+                                return None
+                        elif ns != 1 or not (1 <= ss <= se <= 63):
+                            return None
+                        if al > 13 or (ah and ah != al + 1):
+                            return None
+                    ids = {c[0]: i for i, c in enumerate(comps)}
+                    scomps = []
+                    last = -1
+                    for i in range(ns):
+                        cs = seg[1 + 2 * i]
+                        td = seg[2 + 2 * i] >> 4
+                        ta = seg[2 + 2 * i] & 15
+                        if cs not in ids or ids[cs] <= last:
+                            return None
+                        last = ids[cs]
+                        dct = huffs.get((0, td))
+                        act = huffs.get((1, ta))
+                        if ss == 0 and ah == 0 and dct is None:
+                            return None
+                        if se > 0 and act is None:
+                            return None
+                        scomps.append((ids[cs], dct, act))
+                    bw, bh = (x + 7) // 8, (y + 7) // 8
+                    n_units = bw * bh
+                    if coefs is None:
+                        # first scan must be DC-first (>= 2 bits per
+                        # block), which bounds the allocation by the
+                        # data — the ADVICE r13 GIF lesson
+                        if ss != 0 or ah != 0:
+                            return None
+                        if x * y > _JPEG_MAX_PIXELS:
+                            return None
+                        if n_units * ns > 4 * max(n - p, 0):
+                            return None
+                        coefs = np.zeros((nf, n_units, 64),
+                                         dtype=np.int64)
+                    p = decode_scan(data, p, dri, n_units, scomps,
+                                    ss, se, ah, al, coefs)
+                    if p is None:
+                        return None
+                    if not prog:
+                        break          # baseline: one full-band scan
+                        # IS the image (EOI optional); progressive
+                        # needs the EOI to know the script ended
+            if sof is None or coefs is None:
+                return None
             x, y, comps = sof
             nf = len(comps)
-            # allocation bounds BEFORE touching pixel buffers (the
-            # ADVICE r13 GIF lesson, applied from day one)
-            if x * y > _JPEG_MAX_PIXELS:
-                return None
-            tabs = []
-            for cid, _hv, tq in comps:
-                if cid not in sel or tq not in qts:
-                    return None
-                td, ta = sel[cid]
-                if (0, td) not in huffs or (1, ta) not in huffs:
-                    return None
-                tabs.append((huffs[(0, td)], huffs[(1, ta)], qts[tq]))
             bw, bh = (x + 7) // 8, (y + 7) // 8
             n_mcus = bw * bh
-            if n_mcus * nf > 4 * max(n - p, 0):
-                return None          # >= 2 bits per block, hard floor
-            segs, rsts, _ = _split_entropy(data, p)
-            if dri:
-                need = (n_mcus - 1) // dri
-                if len(rsts) != need or any(r != i % 8
-                                            for i, r in enumerate(rsts)):
+            qtabs = []
+            for _cid, _hv, tq in comps:
+                if tq not in qts:
                     return None
-            elif rsts:
-                return None
-            coefs = np.zeros((nf, n_mcus, 64), dtype=np.int64)
-            mcu = 0
-            for si, seg in enumerate(segs):
-                rd = Bits(seg)
-                preds = [0] * nf
-                left = (n_mcus - mcu) if si == len(segs) - 1 else dri
-                for _ in range(left):
-                    for ci in range(nf):
-                        dct, act, _qt = tabs[ci]
-                        t = rd.sym(dct)
-                        if t is None or t > 15:
-                            return None
-                        v = rd.take(t)
-                        if v is None:
-                            return None
-                        if t and v < (1 << (t - 1)):
-                            v -= (1 << t) - 1
-                        preds[ci] += v
-                        zz = coefs[ci, mcu]
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rd.sym(act)
-                            if rs is None:
-                                return None
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break
-                            k += r
-                            if k > 63:
-                                return None
-                            v = rd.take(s)
-                            if v is None:
-                                return None
-                            zz[k] = v if v >= (1 << (s - 1)) \
-                                else v - (1 << s) + 1
-                            k += 1
-                    mcu += 1
-            if mcu != n_mcus:
-                return None
+                qtabs.append(qts[tq])
             # per component: dequant in zigzag, scatter to natural,
             # IDCT all blocks in one exact int64 contraction
             planes = []
             for ci in range(nf):
-                deq = coefs[ci] * tabs[ci][2][None, :]
+                deq = coefs[ci] * qtabs[ci][None, :]
                 nat = np.zeros((n_mcus, 8, 8), dtype=np.int64)
                 nat.reshape(n_mcus, 64)[:, zz_nat] = deq
                 out = np.tensordot(nat, basis, axes=([1, 2], [0, 1]))

@@ -10447,6 +10447,71 @@ def multimodal_jpeg_stats_q(spark, sf_dir):
                     F.round("mean_gray", 6).alias("mean_gray"))
 
 
+@query("multimodal_jpeg_progressive_stats",
+       """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                            octet_length(encode(text)) AS dlen
+                     FROM documents),
+          p AS (SELECT doc_id, hx,
+                       CASE WHEN hx IS NULL OR dlen < 1 THEN NULL
+                            ELSE least(dlen, 48) END AS nb
+                FROM b),
+          s AS (SELECT doc_id,
+                       unnest(CASE WHEN nb >= 1 THEN
+                              generate_series(0, nb - 1)
+                              ELSE []::BIGINT[] END) AS i,
+                       hx
+                FROM p),
+          v AS (SELECT doc_id,
+                       ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                FROM s),
+          q AS (SELECT doc_id, count(*) AS nb2, sum(u) AS su
+                FROM v GROUP BY doc_id)
+          SELECT p.doc_id AS media_id,
+                 CAST(CASE WHEN p.nb >= 1 THEN 8 * p.nb END AS INT)
+                   AS width,
+                 CAST(CASE WHEN p.nb >= 1 THEN 8 END AS INT) AS height,
+                 CAST(64 * q.nb2 AS BIGINT) AS n_pixels,
+                 round(q.su::DOUBLE / q.nb2, 6) AS mean_gray
+          FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_jpeg_progressive_stats_q(spark, sf_dir):
+    """PROGRESSIVE JPEG (ITU-T T.81 Annex G) — the decoder module's
+    hardest remaining format, now a real decode: the corpus is a
+    genuine three-scan SOF2 file built in pure Catalyst
+    (operators/jpeg.py:synth_jpeg_progressive_corpus — a DC-first
+    scan coding Huffman differences of the POINT-TRANSFORMED DC, a
+    DC successive-approximation refinement scan of raw appended
+    bits, and an AC band scan that is one image-wide EOB RUN with
+    rbits extension bits), and both decoders run the full multi-scan
+    engine: per-scan spectral/approximation validation, coefficient
+    accumulation across scans, DC refine via two's-complement OR, AC
+    band first/refine with the G.1.2 EOB-run and correction-bit
+    machinery (far more than the synthesis emits — the progressive
+    test ENCODER in tests/test_jpeg_progressive.py round-trips
+    band-split multi-level successive-approximation scripts, color
+    scan scripts, and restart intervals through both, and pins
+    full-precision progressive decode EXACTLY equal to the baseline
+    decode of the same coefficients). Because (v>>1)<<1 | (v&1) == v,
+    the successive approximation is exactly invertible here, so the
+    oracle is the SAME text-byte formula as multimodal_jpeg_stats —
+    one corpus, two container strategies, one answer. Truncated
+    progressive streams NULL (a partial scan script is a
+    partial-precision image, not a result). Scale: map-only Arrow
+    pass over the materialized sidecar, no shuffle. Reference parity:
+    streamlit_app.py display layer."""
+    from ..operators.jpeg import (decode_jpeg_stats,
+                                  synth_jpeg_progressive_corpus)
+    from ..partitioning import widen
+    path = _materialized_index(
+        spark, sf_dir, "jpeg_progressive_corpus",
+        lambda p: synth_jpeg_progressive_corpus(
+            widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_jpeg_progressive_corpus, widen))
+    w = decode_jpeg_stats(spark.read.parquet(path))
+    return w.select("media_id", "width", "height", "n_pixels",
+                    F.round("mean_gray", 6).alias("mean_gray"))
+
+
 @query("multimodal_jpeg_color_stats",
        """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
                             octet_length(encode(text)) AS dlen
