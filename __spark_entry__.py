@@ -60,6 +60,16 @@ _CHECK_FIRST = [
     # band-split multi-level scripts and pins full-precision
     # progressive decode EXACTLY equal to baseline decode.
     "multimodal_jpeg_progressive_stats",
+    # NEW: 4:2:0 SUBSAMPLED color — previously the documented NULL
+    # boundary, now decoded with the upsampling convention PINNED
+    # (box replication, libjpeg's non-fancy mode): 16x16 MCUs of four
+    # Y data units (DC predictor chaining through them) + one block
+    # per chroma plane, box-upsampled 2x before the integer YCbCr
+    # conversion. Uniform chroma makes replication exactly
+    # invertible: same per-byte RGB oracle as the 4:4:4 key, 4:2:0
+    # geometry. AC-bearing chroma/cropped MCUs/restarts exercised by
+    # the test encoder's 4:2:0 battery.
+    "multimodal_jpeg_420_stats",
     # NEW: decoder dispatch — the classification-then-route ingest
     # pass: the three materialized image corpora unioned into one
     # heterogeneous binary firehose, kind sniffed FROM CONTENT
@@ -99,17 +109,16 @@ _CHECK_FIRST = [
     "tfidf_topk", "to_vector", "tpch_q10", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3", "tpch_q5",
     "tpch_q7", "tpch_q8", "tpch_q9",
-    # r08 (22 of 30; the last eight — stream_minhash_probe,
-    # stream_quality_filter, stream_static_join, stream_stream_join,
-    # stream_window_agg, table_scan, text_stats, window_topk —
-    # continue in r15):
+    # r08 (21 of 30; the last nine — stream_hop_window,
+    # stream_minhash_probe, stream_quality_filter, stream_static_join,
+    # stream_stream_join, stream_window_agg, table_scan, text_stats,
+    # window_topk — continue in r15):
     "ann_ivf", "ann_lsh", "cosine_distance", "embed_evict_list",
     "embed_refresh_stats", "embed_refresh_worklist", "embed_text",
     "embedding_near_dup", "exact_dedup", "filter_predicates",
     "groupby_agg", "json_extract", "knn_topk", "minhash_dedup",
     "minhash_refresh", "project", "simhash_dedup", "sort_limit",
     "stream_dedup", "stream_event_alert", "stream_foreach_sink",
-    "stream_hop_window",
 ]
 
 

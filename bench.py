@@ -204,6 +204,8 @@ HEADLINE_R14 = {
     "media_decode_dispatch": "noop",
     # Annex G progressive: multi-scan accumulation + EOB-run engine
     "multimodal_jpeg_progressive_stats": "noop",
+    # 4:2:0 subsampled: MCU geometry + pinned box upsampling
+    "multimodal_jpeg_420_stats": "noop",
 }
 
 

@@ -96,23 +96,31 @@ def _seg(marker, payload: bytes) -> bytes:
 
 
 def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False,
-                nf=1):
+                nf=1, sampling="444"):
     """Baseline JPEG encoder over pre-quantized zigzag-order
     coefficient blocks, Annex K luminance Huffman tables (shared by
     all components), optional restart intervals and 16-bit quant
     precision. For nf=1, blocks_zz is one block per MCU; for nf=3
-    (4:4:4 color), blocks_zz is a flat interleaved list
-    [Y0, Cb0, Cr0, Y1, ...] with ceil(w/8)*ceil(h/8) MCUs and
-    per-component DC predictors."""
+    at 4:4:4, a flat interleaved list [Y0, Cb0, Cr0, Y1, ...]; for
+    nf=3 at 4:2:0 (sampling="420"), each 16x16 MCU contributes
+    [Y_tl, Y_tr, Y_bl, Y_br, Cb, Cr] with per-component DC
+    predictors chaining through the four Y data units (spec
+    A.2.3)."""
     dc = _codes_from(K_DC_BITS, K_DC_VALS)
     ac = _codes_from(K_AC_BITS, K_AC_VALS)
+    cnts = [1] * nf
+    hv = [0x11] * nf
+    if nf == 3 and sampling == "420":
+        cnts = [4, 1, 1]
+        hv = [0x22, 0x11, 0x11]
+    bpm = sum(cnts)
     out = bytearray(b"\xFF\xD8")
     if qt16:
         out += _seg(0xDB, bytes([0x10]) + b"".join(
             int(q).to_bytes(2, "big") for q in qt_zz))
     else:
         out += _seg(0xDB, bytes([0x00]) + bytes(qt_zz))
-    comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(nf))
+    comps = b"".join(bytes([c + 1, hv[c], 0]) for c in range(nf))
     out += _seg(0xC0, bytes([8]) + height.to_bytes(2, "big")
                 + width.to_bytes(2, "big") + bytes([nf]) + comps)
     out += _seg(0xC4, bytes([0x00]) + bytes(K_DC_BITS) + bytes(K_DC_VALS))
@@ -124,8 +132,8 @@ def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False,
     w = _Writer()
     preds = [0] * nf
     rst = 0
-    n_mcus = len(blocks_zz) // nf
-    assert len(blocks_zz) == n_mcus * nf
+    n_mcus = len(blocks_zz) // bpm
+    assert len(blocks_zz) == n_mcus * bpm
     for mi in range(n_mcus):
         if dri and mi and mi % dri == 0:
             w.pad()
@@ -134,8 +142,11 @@ def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False,
             rst += 1
             w = _Writer()
             preds = [0] * nf
+        ofs = 0
         for ci in range(nf):
-            zz = blocks_zz[mi * nf + ci]
+          for _rep in range(cnts[ci]):
+            zz = blocks_zz[mi * bpm + ofs]
+            ofs += 1
             diff = zz[0] - preds[ci]
             preds[ci] = zz[0]
             cat = abs(diff).bit_length()
@@ -435,6 +446,96 @@ def test_color_predictors_are_independent():
     got = parse_jpeg(encode_jpeg(blocks, 24, 8, [8] * 64, nf=3))
     assert got is not None
     assert got[3] == sum(t[0] for t in trips) / 3   # Y survives exactly
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 subsampled color: MCU geometry, predictor chains, replication
+# upsampling (the pinned box convention)
+# ---------------------------------------------------------------------------
+
+def _dc(v):
+    return [v - 128] + [0] * 63
+
+
+def test_420_dc_only_exact_replication():
+    """One 16x16 MCU with four distinct Y quadrants + uniform chroma:
+    means equal the hand-computed replication-upsampled conversion."""
+    quads = (40, 90, 160, 210)
+    cbv, crv = 77, 200
+    blocks = [_dc(q) for q in quads] + [_dc(cbv), _dc(crv)]
+    data = encode_jpeg(blocks, 16, 16, [8] * 64, nf=3, sampling="420")
+    got = parse_jpeg(data)
+    assert got is not None
+    assert got[:3] == (16, 16, 256)
+    assert got[3] == sum(quads) / 4
+    want = [0.0, 0.0, 0.0]
+    for q in quads:
+        r, g, b = _rgb_ref(q, cbv, crv)
+        want[0] += r / 4
+        want[1] += g / 4
+        want[2] += b / 4
+    assert (got[4], got[5], got[6]) == tuple(want)
+
+
+def test_420_cropping_and_multi_mcu(spark):
+    """24x16 = two MCUs with the right one half-cropped: per-pixel
+    python reference over the replication mapping, and kernel == spec
+    exactly."""
+    m0 = (10, 20, 30, 40, 100, 150)
+    m1 = (50, 60, 70, 80, 200, 64)
+    blocks = ([_dc(v) for v in m0[:4]] + [_dc(m0[4]), _dc(m0[5])]
+              + [_dc(v) for v in m1[:4]] + [_dc(m1[4]), _dc(m1[5])])
+    x, y = 24, 16
+    data = encode_jpeg(blocks, x, y, [8] * 64, nf=3, sampling="420")
+    got = parse_jpeg(data)
+    assert got is not None and got[:3] == (x, y, x * y)
+    t = [0, 0, 0, 0]
+    for py in range(y):
+        for px in range(x):
+            mi = px // 16
+            quads = (m0, m1)[mi][:4]
+            lum = quads[(py // 8) * 2 + ((px % 16) // 8)]
+            cb, cr = (m0, m1)[mi][4], (m0, m1)[mi][5]
+            r, g, b = _rgb_ref(lum, cb, cr)
+            t[0] += lum
+            t[1] += r
+            t[2] += g
+            t[3] += b
+    n = x * y
+    assert (got[3], got[4], got[5], got[6]) == (
+        t[0] / n, t[1] / n, t[2] / n, t[3] / n)
+    assert _kernel_decode(spark, [data])[0] == got
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(_block(), _block(), _block(),
+                          _block(), _block(), _block()),
+                min_size=1, max_size=3),
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=0, max_value=2))
+def test_420_kernel_equals_spec_ac_rich(spark, mcus, qscale, dri):
+    """AC-rich 4:2:0 MCUs (chroma carries AC too, exercising the
+    subsampled plane's own IDCT before upsampling): the two
+    implementations stay pinned exactly equal, restarts included."""
+    blocks = [b for mcu in mcus for b in mcu]
+    data = encode_jpeg(blocks, 16 * len(mcus), 16, [qscale] * 64,
+                       nf=3, sampling="420",
+                       dri=dri if 0 < dri < len(mcus) else 0)
+    want = parse_jpeg(data)
+    assert want is not None
+    assert _kernel_decode(spark, [data])[0] == want
+
+
+def test_422_stays_null(spark):
+    """4:2:2 (and any sampling besides 4:4:4 / 4:2:0) remains the
+    documented NULL boundary."""
+    blocks = [_dc(100), _dc(110), _dc(120)]
+    data = bytearray(encode_jpeg(blocks, 8, 8, [8] * 64, nf=3))
+    assert data[71:73] == b"\xFF\xC0" and data[82] == 0x11
+    data[82] = 0x21                     # Y sampling 2x1 = 4:2:2
+    data = bytes(data)
+    assert parse_jpeg(data) is None
+    assert _kernel_decode(spark, [data])[0] is None
 
 
 # ---------------------------------------------------------------------------

@@ -52,10 +52,15 @@ AC band scans first/refine with the full G.1.2 EOB-run and
 correction-bit machinery, restart intervals throughout — and
 baseline is simply its one-scan special case; progressive streams
 truncated before EOI decode to NULL rather than silently emitting
-partial-precision stats. Scope boundary (all-NULL struct,
-documented): SUBSAMPLED color (4:2:0/4:2:2 — upsampling
-interpolation is convention-bound, codec-library territory) and
-arithmetic-coded scans.
+partial-precision stats. Subsampled color: 4:2:0 (Y 2x2, chroma 1x1)
+decodes through real MCU geometry — four Y data units per macroblock
+with the DC predictor chaining through them, per-component block
+grids — and chroma is box-upsampled (pixel replication, libjpeg's
+non-fancy mode) before conversion; the upsampling CONVENTION is
+pinned here because the spec deliberately leaves the interpolation
+filter open. Scope boundary (all-NULL struct, documented): other
+sampling layouts (4:2:2/4:1:1 — same machinery, unexercised-corpus
+territory), interpolating upsamplers, and arithmetic-coded scans.
 
 Reference parity: media metadata extraction the reference delegates
 to client-side libraries (streamlit_app.py display layer).
@@ -218,6 +223,90 @@ def synth_jpeg_color_corpus(docs: DataFrame, id_col: str = "doc_id",
         lambda u: (u * 3 + 7) % 256,
         lambda u: (u * 7 + 1) % 256,
     ])
+
+
+def synth_jpeg_420_corpus(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The SUBSAMPLED sibling: byte u becomes one 4:2:0 MCU — a 16x16
+    pixel macroblock of FOUR uniform Y data units (DC predictor
+    chaining through them: one coded difference, then three cat-0
+    entries) and ONE 8x8 block each of Cb=(3u+7)%256, Cr=(7u+1)%256
+    that the decoder must box-upsample 2x. Uniform chroma makes
+    replication upsampling exactly invertible, so the per-byte RGB
+    means are the SAME formula as the 4:4:4 color key — only the
+    geometry (16n x 16, 256 px/byte) differs, which is precisely what
+    pins the MCU/upsampling machinery. NULL/empty text -> NULL."""
+    b0 = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
+    nb = F.when(
+        F.col("_hex").isNotNull(),
+        F.least((F.length("_hex") / 2).cast("bigint"),
+                F.lit(_JPEG_MAX_BLOCKS).cast("bigint")))
+    b1 = b0.select("media_id", "_hex", nb.alias("_n"))
+    px = F.when(F.col("_n") >= 1, F.transform(
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
+                         16, 10).cast("bigint"))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    b2 = b1.select("media_id", "_n", px.alias("_px"))
+
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
+
+    def dc_bits(cur, prev):
+        diff = cur - prev
+        cat = (F.when(diff == 0, F.lit(0).cast("bigint"))
+               .otherwise(F.length(
+                   F.conv(F.abs(diff).cast("string"), 10, 2))
+                   .cast("bigint")))
+        mapped = (F.when(diff >= 0, diff)
+                  .otherwise(diff
+                             + F.element_at(pow2, (cat + 1).cast("int"))
+                             - 1))
+        vbits = (F.lpad(F.conv(mapped.cast("string"), 10, 2), 8, "0")
+                 .substr((F.lit(9) - cat).cast("int"), cat.cast("int")))
+        return F.concat(
+            F.lpad(F.conv(cat.cast("string"), 10, 2), 4, "0"),
+            vbits, F.lit("0"))
+
+    def mcu_bits(i):
+        cur_u = F.element_at("_px", (i + 1).cast("int"))
+        first = i == F.lit(0)
+        prev_u = F.element_at("_px", i.cast("int"))
+        parts = [
+            # Y_tl carries the coded difference; Y_tr/bl/br are
+            # cat-0 + EOB ("00000") — same value, zero diff
+            dc_bits(cur_u,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise(prev_u)),
+            F.lit("00000" * 3),
+            dc_bits((cur_u * 3 + 7) % 256,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise((prev_u * 3 + 7) % 256)),
+            dc_bits((cur_u * 7 + 1) % 256,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise((prev_u * 7 + 1) % 256)),
+        ]
+        return F.concat(*parts)
+
+    bs0 = F.when(F.col("_n") >= 1, F.array_join(
+        F.transform(F.sequence(F.lit(0), F.col("_n") - 1), mcu_bits),
+        ""))
+    b3 = b2.select("media_id", "_n", bs0.alias("_bs0"))
+    b4 = b3.select("media_id", "_n",
+                   _pad_bits(F.col("_bs0")).alias("_bs"))
+    eh = F.when(F.col("_n") >= 1, _bits_to_entropy_hex(F.col("_bs")))
+    b5 = b4.select("media_id", "_n", eh.alias("_eh"))
+    hexfile = F.concat(
+        F.lit(_SYNTH_HEADER_HEX),
+        F.lit("FFC00011" "08" "0010"),            # SOF0: P=8, Y=16
+        F.lpad(F.hex(F.col("_n") * 16), 4, "0"),  # X = 16 * n_MCUs
+        F.lit("03" "012200" "021100" "031100"),   # Y 2x2; Cb/Cr 1x1
+        F.lit("FFDA000C" "03" "0100" "0200" "0300" "003F00"),
+        F.col("_eh"),
+        F.lit(_SYNTH_EOI_HEX))
+    content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
+    return b5.select("media_id", content.alias("content"))
 
 
 #: the progressive synthesis's AC table: the six EOBn symbols this
@@ -549,20 +638,23 @@ def _split_entropy(data: bytes, p: int):
     return segs, rsts, p
 
 
-def _spec_decode_scan(segs, rsts, dri, n_units, scomps,
+def _spec_decode_scan(segs, rsts, dri, n_units, uw, scomps,
                       ss, se, ah, al, coefs):
     """One scan's entropy decode into the raw zigzag coefficient
     accumulator (un-dequantized — quantization is applied once at
-    EOI). Handles every scan shape this engine supports with 1x1
-    sampling: baseline full-band interleaved (ss=0, se=63, ah=al=0),
-    progressive DC first (diffs of DC>>al) and DC refinement (one raw
-    bit per block), and progressive AC band scans — first (with
-    EOB-run skips, spec G.1.2.2) and refinement (correction bits over
-    nonzero history + EOB-run tails, G.1.2.3). ``scomps`` is a list
-    of (sof_comp_index, dctab, actab) in scan order; per-unit block =
-    one block per scan component. Restart boundaries reset the DC
-    predictors and the EOB run. Returns True, or None on malformed
-    streams."""
+    EOI). Handles every scan shape this engine supports: baseline
+    full-band interleaved (ss=0, se=63, ah=al=0) at 1x1 or 4:2:0
+    sampling (each MCU carries hi*vi data units per component, left-
+    to-right top-to-bottom, one DC predictor per COMPONENT chaining
+    through them — spec A.2.3), progressive DC first (diffs of
+    DC>>al) and DC refinement (one raw bit per block), and
+    progressive AC band scans — first (with EOB-run skips, spec
+    G.1.2.2) and refinement (correction bits over nonzero history +
+    EOB-run tails, G.1.2.3). ``scomps`` is a list of
+    (sof_comp_index, dctab, actab, hi, vi, comp_blocks_w) in scan
+    order; ``uw`` is the unit-raster width (MCU columns). Restart
+    boundaries reset the DC predictors and the EOB run. Returns True,
+    or None on malformed streams."""
     if dri:
         need = (n_units - 1) // dri    # RST between every dri units
         if len(rsts) != need or any(r != i % 8 for i, r in enumerate(rsts)):
@@ -573,107 +665,111 @@ def _spec_decode_scan(segs, rsts, dri, n_units, scomps,
     p1, m1 = 1 << al, -(1 << al)
     for si, seg in enumerate(segs):
         rd = _SpecBitReader(seg)
-        preds = {ci: 0 for ci, _, _ in scomps}
+        preds = {sc[0]: 0 for sc in scomps}
         eobrun = 0
         in_seg = (n_units - unit) if si == len(segs) - 1 else dri
         for _ in range(in_seg):
             try:
-                for ci, dctab, actab in scomps:
-                    block = coefs[ci][unit]
-                    if ss == 0 and ah == 0:
-                        # DC first (prog: se==0) / baseline full band
-                        t = _spec_decode_sym(rd, dctab)
-                        if t is None or t > 15:
-                            return None
-                        preds[ci] += _extend(rd.receive(t), t)
-                        block[0] = preds[ci] << al
-                        k = 1
-                        while k <= se:
-                            rs = _spec_decode_sym(rd, actab)
-                            if rs is None:
+                for ci, dctab, actab, hi, vi, bw_c in scomps:
+                    my, mx = divmod(unit, uw)
+                    for bofs in range(hi * vi):
+                        v0, h0 = divmod(bofs, hi)
+                        block = coefs[ci][(my * vi + v0) * bw_c
+                                          + (mx * hi + h0)]
+                        if ss == 0 and ah == 0:
+                            # DC first (prog: se==0) / baseline full band
+                            t = _spec_decode_sym(rd, dctab)
+                            if t is None or t > 15:
                                 return None
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > se:
-                                return None
-                            block[k] = _extend(rd.receive(s), s) << al
-                            k += 1
-                    elif ss == 0:
-                        # DC refinement: one raw bit per block
-                        # (two's-complement OR, exact for negatives)
-                        if rd.nextbit():
-                            block[0] |= p1
-                    elif ah == 0:
-                        # AC band, first pass (G.1.2.2)
-                        if eobrun > 0:
-                            eobrun -= 1
-                            continue
-                        k = ss
-                        while k <= se:
-                            rs = _spec_decode_sym(rd, actab)
-                            if rs is None:
-                                return None
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                eobrun = (1 << r) + rd.receive(r) - 1
-                                break
-                            k += r
-                            if k > se:
-                                return None
-                            block[k] = _extend(rd.receive(s), s) << al
-                            k += 1
-                    else:
-                        # AC band refinement (G.1.2.3): corrections
-                        # ride along runs and EOB tails
-                        k = ss
-                        if eobrun == 0:
+                            preds[ci] += _extend(rd.receive(t), t)
+                            block[0] = preds[ci] << al
+                            k = 1
                             while k <= se:
                                 rs = _spec_decode_sym(rd, actab)
                                 if rs is None:
                                     return None
                                 r, s = rs >> 4, rs & 15
                                 if s == 0:
-                                    if r < 15:
-                                        eobrun = (1 << r) + rd.receive(r)
-                                        break
-                                    val = 0
-                                elif s == 1:
-                                    val = p1 if rd.nextbit() else m1
-                                else:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > se:
                                     return None
+                                block[k] = _extend(rd.receive(s), s) << al
+                                k += 1
+                        elif ss == 0:
+                            # DC refinement: one raw bit per block
+                            # (two's-complement OR, exact for negatives)
+                            if rd.nextbit():
+                                block[0] |= p1
+                        elif ah == 0:
+                            # AC band, first pass (G.1.2.2)
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = _spec_decode_sym(rd, actab)
+                                if rs is None:
+                                    return None
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) + rd.receive(r) - 1
+                                    break
+                                k += r
+                                if k > se:
+                                    return None
+                                block[k] = _extend(rd.receive(s), s) << al
+                                k += 1
+                        else:
+                            # AC band refinement (G.1.2.3): corrections
+                            # ride along runs and EOB tails
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = _spec_decode_sym(rd, actab)
+                                    if rs is None:
+                                        return None
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r < 15:
+                                            eobrun = (1 << r) + rd.receive(r)
+                                            break
+                                        val = 0
+                                    elif s == 1:
+                                        val = p1 if rd.nextbit() else m1
+                                    else:
+                                        return None
+                                    while k <= se:
+                                        z = block[k]
+                                        if z != 0:
+                                            if rd.nextbit() and (z & p1) == 0:
+                                                block[k] = z + (p1 if z >= 0
+                                                                else m1)
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if val != 0:
+                                        if k > se:
+                                            return None
+                                        block[k] = val
+                                    k += 1
+                            if eobrun > 0:
                                 while k <= se:
                                     z = block[k]
                                     if z != 0:
                                         if rd.nextbit() and (z & p1) == 0:
                                             block[k] = z + (p1 if z >= 0
                                                             else m1)
-                                    else:
-                                        if r == 0:
-                                            break
-                                        r -= 1
                                     k += 1
-                                if val != 0:
-                                    if k > se:
-                                        return None
-                                    block[k] = val
-                                k += 1
-                        if eobrun > 0:
-                            while k <= se:
-                                z = block[k]
-                                if z != 0:
-                                    if rd.nextbit() and (z & p1) == 0:
-                                        block[k] = z + (p1 if z >= 0
-                                                        else m1)
-                                k += 1
-                            eobrun -= 1
+                                eobrun -= 1
             except _BitsEnd:
                 return None
             unit += 1
@@ -774,8 +870,16 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                 for ci in range(nf):
                     o = 6 + 3 * ci
                     comps.append((seg[o], seg[o + 1], seg[o + 2]))
-                if nf == 3 and any(hv != 0x11 for _, hv, _tq in comps):
-                    return None        # subsampled color: NULL scope
+                if nf == 1:
+                    # single-component frames are never interleaved;
+                    # sampling factors are irrelevant — normalize
+                    comps = [(comps[0][0], 0x11, comps[0][2])]
+                hvs = [c[1] for c in comps]
+                if nf == 3 and hvs not in ([0x11] * 3,
+                                           [0x22, 0x11, 0x11]):
+                    return None        # only 4:4:4 and 4:2:0 in scope
+                if prog and hvs != [0x11] * len(comps):
+                    return None        # subsampled progressive: NULL
                 if len({c[0] for c in comps}) != nf:
                     return None        # duplicate component ids
                 sof = (x, y, comps)
@@ -807,8 +911,13 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                     if al > 13 or (ah and ah != al + 1):
                         return None
                 ids = {c[0]: i for i, c in enumerate(comps)}
+                hmax = max(c[1] >> 4 for c in comps)
+                vmax = max(c[1] & 15 for c in comps)
+                mw = (x + 8 * hmax - 1) // (8 * hmax)
+                mh = (y + 8 * vmax - 1) // (8 * vmax)
                 scomps = []
                 last = -1
+                blocks_in_unit = 0
                 for i in range(ns):
                     cs = seg[1 + 2 * i]
                     td, ta = seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15
@@ -821,9 +930,12 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                         return None
                     if se > 0 and actab is None:
                         return None
-                    scomps.append((ids[cs], dctab, actab))
-                bw, bh = (x + 7) // 8, (y + 7) // 8
-                n_units = bw * bh
+                    hi = comps[ids[cs]][1] >> 4
+                    vi = comps[ids[cs]][1] & 15
+                    blocks_in_unit += hi * vi
+                    scomps.append((ids[cs], dctab, actab,
+                                   hi, vi, mw * hi))
+                n_units = mw * mh
                 if coefs is None:
                     # first scan: spec requires DC-first; its cost
                     # floor (>= 2 bits per block) bounds the
@@ -832,13 +944,17 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                         return None
                     if x * y > _JPEG_MAX_PIXELS:
                         return None
-                    if n_units * ns > 4 * max(len(data) - p, 0):
+                    if n_units * blocks_in_unit \
+                            > 4 * max(len(data) - p, 0):
                         return None
-                    coefs = [[[0] * 64 for _ in range(n_units)]
-                             for _ in range(nf)]
+                    coefs = [[[0] * 64
+                              for _ in range(mw * (c[1] >> 4)
+                                             * mh * (c[1] & 15))]
+                             for c in comps]
                 segs, rsts, p = _split_entropy(data, p)
-                if _spec_decode_scan(segs, rsts, dri, n_units, scomps,
-                                     ss, se, ah, al, coefs) is None:
+                if _spec_decode_scan(segs, rsts, dri, n_units, mw,
+                                     scomps, ss, se, ah, al,
+                                     coefs) is None:
                     return None
                 if not prog:
                     break              # baseline: one full-band scan
@@ -853,7 +969,10 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
         return None
     x, y, comps = sof
     nf = len(comps)
-    bw, bh = (x + 7) // 8, (y + 7) // 8
+    hmax = max(c[1] >> 4 for c in comps)
+    vmax = max(c[1] & 15 for c in comps)
+    mw = (x + 8 * hmax - 1) // (8 * hmax)
+    mh = (y + 8 * vmax - 1) // (8 * vmax)
     qtabs = []
     for _cid, _hv, tq in comps:
         if tq not in qts:
@@ -880,25 +999,42 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                 nat[_ZIGZAG_LITERAL[k]] = zz[k] * qt[k]
         return nat
 
+    # per-component pixel planes at the component's own resolution;
+    # subsampled components are read through the replication mapping
+    # (py*vi//vmax, px*hi//hmax) — the pinned box-upsampling
+    # convention (module docstring)
+    planes = []
+    for ci in range(nf):
+        hi, vi = comps[ci][1] >> 4, comps[ci][1] & 15
+        bw_c, bh_c = mw * hi, mh * vi
+        plane = [[0] * (bw_c * 8) for _ in range(bh_c * 8)]
+        for bi in range(bw_c * bh_c):
+            nat = deq_nat(ci, bi)
+            by, bx = divmod(bi, bw_c)
+            for py in range(8):
+                rowp = plane[by * 8 + py]
+                for pxx in range(8):
+                    rowp[bx * 8 + pxx] = idct_px(nat, py, pxx)
+        planes.append((plane, hi, vi))
     t_y = t_r = t_g = t_b = 0
-    for bi in range(bw * bh):
-        blocks = [deq_nat(ci, bi) for ci in range(nf)]
-        by, bx = divmod(bi, bw)
-        vis_y = min(8, y - by * 8)
-        vis_x = min(8, x - bx * 8)
-        for py in range(vis_y):
-            for pxx in range(vis_x):
-                lum = idct_px(blocks[0], py, pxx)
-                t_y += lum
-                if nf == 3:
-                    cb = idct_px(blocks[1], py, pxx) - 128
-                    cr = idct_px(blocks[2], py, pxx) - 128
-                    r = lum + ((_CR_R * cr + 32768) >> 16)
-                    g = lum - ((_CB_G * cb + _CR_G * cr + 32768) >> 16)
-                    b = lum + ((_CB_B * cb + 32768) >> 16)
-                    t_r += 0 if r < 0 else (255 if r > 255 else r)
-                    t_g += 0 if g < 0 else (255 if g > 255 else g)
-                    t_b += 0 if b < 0 else (255 if b > 255 else b)
+    lplane = planes[0][0]
+    for py in range(y):
+        lrow = lplane[py * planes[0][2] // vmax]
+        if nf == 3:
+            cbrow = planes[1][0][py * planes[1][2] // vmax]
+            crrow = planes[2][0][py * planes[2][2] // vmax]
+        for pxx in range(x):
+            lum = lrow[pxx * planes[0][1] // hmax]
+            t_y += lum
+            if nf == 3:
+                cb = cbrow[pxx * planes[1][1] // hmax] - 128
+                cr = crrow[pxx * planes[2][1] // hmax] - 128
+                r = lum + ((_CR_R * cr + 32768) >> 16)
+                g = lum - ((_CB_G * cb + _CR_G * cr + 32768) >> 16)
+                b = lum + ((_CB_B * cb + 32768) >> 16)
+                t_r += 0 if r < 0 else (255 if r > 255 else r)
+                t_g += 0 if g < 0 else (255 if g > 255 else g)
+                t_b += 0 if b < 0 else (255 if b > 255 else b)
     n_px = x * y
     if nf == 1:
         return (x, y, n_px, t_y / n_px, None, None, None)
@@ -994,8 +1130,8 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         return s
                 return None
 
-        def decode_scan(data, p, dri, n_units, scomps, ss, se, ah, al,
-                        coefs):
+        def decode_scan(data, p, dri, n_units, uw, scomps,
+                        ss, se, ah, al, coefs):
             """One scan's entropy decode into the int64 zigzag
             accumulator; the kernel-side twin of _spec_decode_scan
             (same scan shapes, its own reader/table idioms). Returns
@@ -1012,102 +1148,126 @@ def jpeg_stats_udf(content_col) -> "F.Column":
             p1v, m1v = 1 << al, -(1 << al)
             for si, seg in enumerate(segs):
                 rd = Bits(seg)
-                preds = {ci: 0 for ci, _, _ in scomps}
+                preds = {sc[0]: 0 for sc in scomps}
                 eobrun = 0
                 left = (n_units - unit) if si == len(segs) - 1 else dri
                 for _ in range(left):
-                    for ci, dct, act in scomps:
-                        zz = coefs[ci, unit]
-                        if ss == 0 and ah == 0:
-                            t = rd.sym(dct)
-                            if t is None or t > 15:
-                                return None
-                            v = rd.take(t)
-                            if v is None:
-                                return None
-                            if t and v < (1 << (t - 1)):
-                                v -= (1 << t) - 1
-                            preds[ci] += v
-                            zz[0] = preds[ci] << al
-                            k = 1
-                            while k <= se:
-                                rs = rd.sym(act)
-                                if rs is None:
+                    for ci, dct, act, hi, vi, bw_c in scomps:
+                        my, mx = divmod(unit, uw)
+                        for bofs in range(hi * vi):
+                            v0, h0 = divmod(bofs, hi)
+                            zz = coefs[ci][(my * vi + v0) * bw_c
+                                           + (mx * hi + h0)]
+                            if ss == 0 and ah == 0:
+                                t = rd.sym(dct)
+                                if t is None or t > 15:
                                     return None
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break
-                                k += r
-                                if k > se:
-                                    return None
-                                v = rd.take(s)
+                                v = rd.take(t)
                                 if v is None:
                                     return None
-                                if v < (1 << (s - 1)):
-                                    v -= (1 << s) - 1
-                                zz[k] = v << al
-                                k += 1
-                        elif ss == 0:
-                            b = rd.take(1)
-                            if b is None:
-                                return None
-                            if b:
-                                zz[0] |= p1v
-                        elif ah == 0:
-                            if eobrun > 0:
-                                eobrun -= 1
-                                continue
-                            k = ss
-                            while k <= se:
-                                rs = rd.sym(act)
-                                if rs is None:
-                                    return None
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    v = rd.take(r)
-                                    if v is None:
-                                        return None
-                                    eobrun = (1 << r) + v - 1
-                                    break
-                                k += r
-                                if k > se:
-                                    return None
-                                v = rd.take(s)
-                                if v is None:
-                                    return None
-                                if v < (1 << (s - 1)):
-                                    v -= (1 << s) - 1
-                                zz[k] = v << al
-                                k += 1
-                        else:
-                            k = ss
-                            if eobrun == 0:
+                                if t and v < (1 << (t - 1)):
+                                    v -= (1 << t) - 1
+                                preds[ci] += v
+                                zz[0] = preds[ci] << al
+                                k = 1
                                 while k <= se:
                                     rs = rd.sym(act)
                                     if rs is None:
                                         return None
                                     r, s = rs >> 4, rs & 15
                                     if s == 0:
-                                        if r < 15:
-                                            v = rd.take(r)
-                                            if v is None:
-                                                return None
-                                            eobrun = (1 << r) + v
-                                            break
-                                        val = 0
-                                    elif s == 1:
-                                        b = rd.take(1)
-                                        if b is None:
-                                            return None
-                                        val = p1v if b else m1v
-                                    else:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break
+                                    k += r
+                                    if k > se:
                                         return None
+                                    v = rd.take(s)
+                                    if v is None:
+                                        return None
+                                    if v < (1 << (s - 1)):
+                                        v -= (1 << s) - 1
+                                    zz[k] = v << al
+                                    k += 1
+                            elif ss == 0:
+                                b = rd.take(1)
+                                if b is None:
+                                    return None
+                                if b:
+                                    zz[0] |= p1v
+                            elif ah == 0:
+                                if eobrun > 0:
+                                    eobrun -= 1
+                                    continue
+                                k = ss
+                                while k <= se:
+                                    rs = rd.sym(act)
+                                    if rs is None:
+                                        return None
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        v = rd.take(r)
+                                        if v is None:
+                                            return None
+                                        eobrun = (1 << r) + v - 1
+                                        break
+                                    k += r
+                                    if k > se:
+                                        return None
+                                    v = rd.take(s)
+                                    if v is None:
+                                        return None
+                                    if v < (1 << (s - 1)):
+                                        v -= (1 << s) - 1
+                                    zz[k] = v << al
+                                    k += 1
+                            else:
+                                k = ss
+                                if eobrun == 0:
+                                    while k <= se:
+                                        rs = rd.sym(act)
+                                        if rs is None:
+                                            return None
+                                        r, s = rs >> 4, rs & 15
+                                        if s == 0:
+                                            if r < 15:
+                                                v = rd.take(r)
+                                                if v is None:
+                                                    return None
+                                                eobrun = (1 << r) + v
+                                                break
+                                            val = 0
+                                        elif s == 1:
+                                            b = rd.take(1)
+                                            if b is None:
+                                                return None
+                                            val = p1v if b else m1v
+                                        else:
+                                            return None
+                                        while k <= se:
+                                            z = int(zz[k])
+                                            if z != 0:
+                                                b = rd.take(1)
+                                                if b is None:
+                                                    return None
+                                                if b and (z & p1v) == 0:
+                                                    zz[k] = z + (
+                                                        p1v if z >= 0 else m1v)
+                                            else:
+                                                if r == 0:
+                                                    break
+                                                r -= 1
+                                            k += 1
+                                        if val != 0:
+                                            if k > se:
+                                                return None
+                                            zz[k] = val
+                                        k += 1
+                                if eobrun > 0:
                                     while k <= se:
                                         z = int(zz[k])
                                         if z != 0:
@@ -1117,28 +1277,8 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                                             if b and (z & p1v) == 0:
                                                 zz[k] = z + (
                                                     p1v if z >= 0 else m1v)
-                                        else:
-                                            if r == 0:
-                                                break
-                                            r -= 1
                                         k += 1
-                                    if val != 0:
-                                        if k > se:
-                                            return None
-                                        zz[k] = val
-                                    k += 1
-                            if eobrun > 0:
-                                while k <= se:
-                                    z = int(zz[k])
-                                    if z != 0:
-                                        b = rd.take(1)
-                                        if b is None:
-                                            return None
-                                        if b and (z & p1v) == 0:
-                                            zz[k] = z + (
-                                                p1v if z >= 0 else m1v)
-                                    k += 1
-                                eobrun -= 1
+                                    eobrun -= 1
                     unit += 1
             return p2 if unit == n_units else None
 
@@ -1214,8 +1354,15 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         return None
                     comps = [(seg[6 + 3 * i], seg[7 + 3 * i],
                               seg[8 + 3 * i]) for i in range(nf)]
-                    if nf == 3 and any(c[1] != 0x11 for c in comps):
-                        return None    # subsampled color: NULL scope
+                    if nf == 1:
+                        # never interleaved: sampling is irrelevant
+                        comps = [(comps[0][0], 0x11, comps[0][2])]
+                    hvs = [c[1] for c in comps]
+                    if nf == 3 and hvs not in ([0x11] * 3,
+                                               [0x22, 0x11, 0x11]):
+                        return None    # only 4:4:4 / 4:2:0 in scope
+                    if prog and hvs != [0x11] * len(comps):
+                        return None    # subsampled progressive: NULL
                     if len({c[0] for c in comps}) != nf:
                         return None
                     sof = (x, y, comps)
@@ -1249,8 +1396,13 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         if al > 13 or (ah and ah != al + 1):
                             return None
                     ids = {c[0]: i for i, c in enumerate(comps)}
+                    hmax = max(c[1] >> 4 for c in comps)
+                    vmax = max(c[1] & 15 for c in comps)
+                    mw = (x + 8 * hmax - 1) // (8 * hmax)
+                    mh = (y + 8 * vmax - 1) // (8 * vmax)
                     scomps = []
                     last = -1
+                    blocks_in_unit = 0
                     for i in range(ns):
                         cs = seg[1 + 2 * i]
                         td = seg[2 + 2 * i] >> 4
@@ -1264,9 +1416,12 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                             return None
                         if se > 0 and act is None:
                             return None
-                        scomps.append((ids[cs], dct, act))
-                    bw, bh = (x + 7) // 8, (y + 7) // 8
-                    n_units = bw * bh
+                        hi = comps[ids[cs]][1] >> 4
+                        vi = comps[ids[cs]][1] & 15
+                        blocks_in_unit += hi * vi
+                        scomps.append((ids[cs], dct, act,
+                                       hi, vi, mw * hi))
+                    n_units = mw * mh
                     if coefs is None:
                         # first scan must be DC-first (>= 2 bits per
                         # block), which bounds the allocation by the
@@ -1275,11 +1430,14 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                             return None
                         if x * y > _JPEG_MAX_PIXELS:
                             return None
-                        if n_units * ns > 4 * max(n - p, 0):
+                        if n_units * blocks_in_unit \
+                                > 4 * max(n - p, 0):
                             return None
-                        coefs = np.zeros((nf, n_units, 64),
-                                         dtype=np.int64)
-                    p = decode_scan(data, p, dri, n_units, scomps,
+                        coefs = [np.zeros((mw * (c[1] >> 4)
+                                           * mh * (c[1] & 15), 64),
+                                          dtype=np.int64)
+                                 for c in comps]
+                    p = decode_scan(data, p, dri, n_units, mw, scomps,
                                     ss, se, ah, al, coefs)
                     if p is None:
                         return None
@@ -1291,26 +1449,37 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                 return None
             x, y, comps = sof
             nf = len(comps)
-            bw, bh = (x + 7) // 8, (y + 7) // 8
-            n_mcus = bw * bh
+            hmax = max(c[1] >> 4 for c in comps)
+            vmax = max(c[1] & 15 for c in comps)
+            mw = (x + 8 * hmax - 1) // (8 * hmax)
+            mh = (y + 8 * vmax - 1) // (8 * vmax)
             qtabs = []
             for _cid, _hv, tq in comps:
                 if tq not in qts:
                     return None
                 qtabs.append(qts[tq])
             # per component: dequant in zigzag, scatter to natural,
-            # IDCT all blocks in one exact int64 contraction
+            # IDCT all blocks in one exact int64 contraction, then
+            # box-replication upsampling (np.repeat) for subsampled
+            # components — the pinned convention
             planes = []
             for ci in range(nf):
+                hi, vi = comps[ci][1] >> 4, comps[ci][1] & 15
+                bw_c, bh_c = mw * hi, mh * vi
+                n_blk = bw_c * bh_c
                 deq = coefs[ci] * qtabs[ci][None, :]
-                nat = np.zeros((n_mcus, 8, 8), dtype=np.int64)
-                nat.reshape(n_mcus, 64)[:, zz_nat] = deq
+                nat = np.zeros((n_blk, 8, 8), dtype=np.int64)
+                nat.reshape(n_blk, 64)[:, zz_nat] = deq
                 out = np.tensordot(nat, basis, axes=([1, 2], [0, 1]))
                 pix = np.clip(((out + (1 << 19)) >> 20) + 128, 0, 255)
-                img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-                for bi in range(n_mcus):
-                    by, bx = divmod(bi, bw)
+                img = np.zeros((bh_c * 8, bw_c * 8), dtype=np.int64)
+                for bi in range(n_blk):
+                    by, bx = divmod(bi, bw_c)
                     img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[bi]
+                if vi != vmax:
+                    img = np.repeat(img, vmax // vi, axis=0)
+                if hi != hmax:
+                    img = np.repeat(img, hmax // hi, axis=1)
                 planes.append(img[:y, :x])
             n_px = x * y
             mean_y = int(planes[0].sum()) / n_px
