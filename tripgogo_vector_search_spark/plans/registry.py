@@ -10681,7 +10681,8 @@ def multimodal_jpeg_color_stats_q(spark, sf_dir):
                          CASE WHEN textless THEN NULL
                               ELSE least(dlen // (3 * (doc_id % 7 + 3)),
                                          65535 // (3 * (doc_id % 7 + 3)
-                                                   + 1)) END AS h
+                                                   + 1)) END AS h,
+                         NULL::BOOLEAN AS adok
                   FROM base),
           gif AS (SELECT doc_id + 10000000 AS media_id,
                          CASE WHEN textless THEN 'unknown'
@@ -10690,49 +10691,87 @@ def multimodal_jpeg_color_stats_q(spark, sf_dir):
                          CASE WHEN textless THEN NULL
                               ELSE least(dlen // (doc_id % 6 + 2),
                                          4096 // (doc_id % 6 + 2))
-                              END AS h
+                              END AS h,
+                         NULL::BOOLEAN AS adok
                   FROM base),
           jpg AS (SELECT doc_id + 20000000 AS media_id,
                          CASE WHEN textless OR dlen < 1 THEN 'unknown'
                               ELSE 'image/jpeg' END AS kind,
                          8 * least(dlen, 48) AS w,
                          CASE WHEN textless OR dlen < 1 THEN NULL
-                              ELSE 8 END AS h
+                              ELSE 8 END AS h,
+                         NULL::BOOLEAN AS adok
+                  FROM base),
+          bmp AS (SELECT doc_id + 30000000 AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'image/bmp' END AS kind,
+                         doc_id % 5 + 4 AS w,
+                         CASE WHEN textless THEN NULL
+                              ELSE dlen // (3 * (doc_id % 5 + 4))
+                              END AS h,
+                         NULL::BOOLEAN AS adok
+                  FROM base),
+          wav AS (SELECT doc_id + 40000000 AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'audio/wav' END AS kind,
+                         NULL::BIGINT AS w, NULL::BIGINT AS h,
+                         NOT textless AS adok
                   FROM base),
           uni AS (SELECT * FROM png UNION ALL SELECT * FROM gif
-                  UNION ALL SELECT * FROM jpg)
+                  UNION ALL SELECT * FROM jpg
+                  UNION ALL SELECT * FROM bmp
+                  UNION ALL SELECT * FROM wav),
+          shaped AS (SELECT media_id, kind, w, h,
+                            coalesce(adok, h >= 1, FALSE) AS dok
+                     FROM uni)
           SELECT media_id, kind,
-                 CAST(CASE WHEN h >= 1 THEN w END AS INT) AS width,
-                 CAST(CASE WHEN h >= 1 THEN h END AS INT) AS height,
-                 CAST(CASE WHEN h >= 1 THEN w * h END AS BIGINT)
+                 CAST(CASE WHEN dok THEN w END AS INT) AS width,
+                 CAST(CASE WHEN dok THEN h END AS INT) AS height,
+                 CAST(CASE WHEN dok THEN w * h END AS BIGINT)
                    AS n_pixels,
-                 coalesce(h >= 1, FALSE) AS decoded
-          FROM uni""")
+                 dok AS decoded
+          FROM shaped""")
 def media_decode_dispatch_q(spark, sf_dir):
     """Decoder DISPATCH — the classification-then-route pass a real
-    media-ingest pipeline runs before any decode: the three
-    materialized image corpora (PNG, GIF, JPEG sidecars, shared with
-    their per-format keys — no new build) are unioned into one
-    heterogeneous binary firehose, each object's kind is sniffed FROM
-    CONTENT (leading magic bytes as a pure Catalyst expression —
-    operators/multimodal.py:sniff_media_kind — never from
-    provenance), and each object is routed to the matching decode
-    kernel; unroutable payloads (NULL content) surface as
-    kind='unknown', decoded=false rather than being dropped. The
-    oracle re-derives kind and dimensions synthesis-side per format.
-    Plan: three parquet scans -> one map-only sniff -> three filtered
-    map-only Arrow decodes -> union; no shuffle anywhere, payload
-    bytes never leave the executors, and at 100 TB each branch scans
-    only its filter's rows (the sniff predicate sits directly on the
-    scan output). Scale note: decoded width/height/n_pixels come from
-    the DECODERS, so the oracle's synthesis-side dims double-check
-    every routed decode end-to-end, not just the routing."""
+    media-ingest pipeline runs before any decode, over ALL FIVE of
+    the engine's real decoders: the PNG/GIF/JPEG materialized image
+    corpora (sidecars shared with their per-format keys — no new
+    build) plus BMP and WAV corpora (materialized here too — their
+    own keys synthesize inline because one format's build is cheap,
+    but re-synthesizing ~8 s of per-byte Catalyst folds on EVERY
+    dispatch run is not, and stored bytes are the real pipeline
+    shape anyway) are unioned into one heterogeneous binary firehose
+    — images AND audio — each
+    object's kind is sniffed FROM CONTENT (leading magic bytes as a
+    pure Catalyst expression — multimodal.py:sniff_media_kind — never
+    from provenance), and each object is routed to the matching
+    decode kernel; unroutable payloads (NULL content) surface as
+    kind='unknown', decoded=false rather than being dropped. Audio
+    objects carry NULL image dimensions with decoded=true — the
+    heterogeneous-schema reality of a mixed-modality ingest. The
+    oracle re-derives kind and per-format dimensions synthesis-side.
+    Plan: map-only sniff + filtered map-only Arrow decode per branch,
+    unioned; no shuffle anywhere and payload bytes never leave the
+    executors. Scale note, stated honestly: a magic-byte predicate
+    cannot prune a parquet scan, so each of the six branches re-reads
+    the unioned firehose (6 passes at fixture scale — measured ~5 s
+    at sf0.1, scan-bound over the materialized sidecars); at 100 TB
+    you either persist the sniffed frame once before fanning out or
+    fuse the per-format decoders into a single dispatching kernel —
+    one pass either way. The branch-per-format shape is kept HERE
+    because it exercises each real kernel through its own plan while
+    the oracle's synthesis-side dims double-check every routed decode
+    end-to-end, not just the routing."""
     from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_corpus
-    from ..operators.multimodal import (decode_gif_stats,
+    from ..operators.multimodal import (decode_bmp_stats,
+                                        decode_gif_stats,
                                         decode_png_stats,
+                                        decode_wav_stats,
                                         sniff_media_kind,
+                                        synth_bmp_corpus,
                                         synth_gif_corpus,
-                                        synth_png_corpus)
+                                        synth_png_corpus,
+                                        synth_wav_corpus)
     from ..partitioning import widen
     png_path = _materialized_index(
         spark, sf_dir, "png_corpus",
@@ -10749,9 +10788,20 @@ def media_decode_dispatch_q(spark, sf_dir):
         lambda p: synth_jpeg_corpus(widen(_t(spark, sf_dir, "documents")))
         .write.mode("overwrite").parquet(p),
         src=(synth_jpeg_corpus, widen))
+    bmp_path = _materialized_index(
+        spark, sf_dir, "bmp_corpus",
+        lambda p: synth_bmp_corpus(widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_bmp_corpus, widen))
+    wav_path = _materialized_index(
+        spark, sf_dir, "wav_corpus",
+        lambda p: synth_wav_corpus(widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_wav_corpus, widen))
     uni = None
     for off, path in ((0, png_path), (10_000_000, gif_path),
-                      (20_000_000, jpeg_path)):
+                      (20_000_000, jpeg_path), (30_000_000, bmp_path),
+                      (40_000_000, wav_path)):
         part = (spark.read.parquet(path)
                 .select((F.col("media_id") + off).alias("media_id"),
                         "content"))
@@ -10769,6 +10819,13 @@ def media_decode_dispatch_q(spark, sf_dir):
             F.col("n_pixels").cast("bigint").alias("n_pixels"),
             F.col("width").isNotNull().alias("decoded"))
 
+    wav = (decode_wav_stats(sniffed.filter(F.col("kind") == "audio/wav")
+                            .select("media_id", "content"))
+           .select("media_id", F.lit("audio/wav").alias("kind"),
+                   F.lit(None).cast("int").alias("width"),
+                   F.lit(None).cast("int").alias("height"),
+                   F.lit(None).cast("bigint").alias("n_pixels"),
+                   F.col("sample_rate").isNotNull().alias("decoded")))
     unknown = (sniffed.filter(F.col("kind") == "unknown")
                .select("media_id", F.lit("unknown").alias("kind"),
                        F.lit(None).cast("int").alias("width"),
@@ -10778,6 +10835,8 @@ def media_decode_dispatch_q(spark, sf_dir):
     return (branch("image/png", decode_png_stats)
             .unionByName(branch("image/gif", decode_gif_stats))
             .unionByName(branch("image/jpeg", decode_jpeg_stats))
+            .unionByName(branch("image/bmp", decode_bmp_stats))
+            .unionByName(wav)
             .unionByName(unknown))
 
 
