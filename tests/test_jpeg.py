@@ -113,6 +113,9 @@ def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False,
     if nf == 3 and sampling == "420":
         cnts = [4, 1, 1]
         hv = [0x22, 0x11, 0x11]
+    elif nf == 3 and sampling == "422":
+        cnts = [2, 1, 1]               # Y left/right, then Cb, Cr
+        hv = [0x21, 0x11, 0x11]
     bpm = sum(cnts)
     out = bytearray(b"\xFF\xD8")
     if qt16:
@@ -526,13 +529,43 @@ def test_420_kernel_equals_spec_ac_rich(spark, mcus, qscale, dri):
     assert _kernel_decode(spark, [data])[0] == want
 
 
-def test_422_stays_null(spark):
-    """4:2:2 (and any sampling besides 4:4:4 / 4:2:0) remains the
-    documented NULL boundary."""
+def test_422_dc_only_exact_horizontal_replication():
+    """4:2:2 (Y 2x1): one 16x8 MCU, two Y halves + chroma replicated
+    horizontally only — means equal the hand-computed conversion."""
+    y_l, y_r, cbv, crv = 30, 220, 90, 170
+    blocks = [_dc(y_l), _dc(y_r), _dc(cbv), _dc(crv)]
+    data = encode_jpeg(blocks, 16, 8, [8] * 64, nf=3, sampling="422")
+    got = parse_jpeg(data)
+    assert got is not None
+    assert got[:3] == (16, 8, 128)
+    assert got[3] == (y_l + y_r) / 2
+    rl, gl, bl = _rgb_ref(y_l, cbv, crv)
+    rr, gr, br = _rgb_ref(y_r, cbv, crv)
+    assert (got[4], got[5], got[6]) == ((rl + rr) / 2, (gl + gr) / 2,
+                                        (bl + br) / 2)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(_block(), _block(), _block(), _block()),
+                min_size=1, max_size=3),
+       st.integers(min_value=1, max_value=12))
+def test_422_kernel_equals_spec_ac_rich(spark, mcus, qscale):
+    """AC-rich 4:2:2: kernel and spec pinned exactly equal."""
+    blocks = [b for mcu in mcus for b in mcu]
+    data = encode_jpeg(blocks, 16 * len(mcus), 8, [qscale] * 64,
+                       nf=3, sampling="422")
+    want = parse_jpeg(data)
+    assert want is not None
+    assert _kernel_decode(spark, [data])[0] == want
+
+
+def test_411_stays_null(spark):
+    """4:1:1 (and exotic samplings) remains the documented NULL
+    boundary."""
     blocks = [_dc(100), _dc(110), _dc(120)]
     data = bytearray(encode_jpeg(blocks, 8, 8, [8] * 64, nf=3))
     assert data[71:73] == b"\xFF\xC0" and data[82] == 0x11
-    data[82] = 0x21                     # Y sampling 2x1 = 4:2:2
+    data[82] = 0x41                     # Y sampling 4x1 = 4:1:1
     data = bytes(data)
     assert parse_jpeg(data) is None
     assert _kernel_decode(spark, [data])[0] is None

@@ -58,9 +58,11 @@ with the DC predictor chaining through them, per-component block
 grids — and chroma is box-upsampled (pixel replication, libjpeg's
 non-fancy mode) before conversion; the upsampling CONVENTION is
 pinned here because the spec deliberately leaves the interpolation
-filter open. Scope boundary (all-NULL struct, documented): other
-sampling layouts (4:2:2/4:1:1 — same machinery, unexercised-corpus
-territory), interpolating upsamplers, and arithmetic-coded scans.
+filter open; 4:2:2 (Y 2x1) decodes through the same generalized
+geometry with horizontal-only chroma replication (hypothesis-pinned
+kernel==spec, tests/test_jpeg.py). Scope boundary (all-NULL struct,
+documented): other sampling layouts (4:1:1/exotic), interpolating
+upsamplers, and arithmetic-coded scans.
 
 Reference parity: media metadata extraction the reference delegates
 to client-side libraries (streamlit_app.py display layer).
@@ -876,8 +878,9 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                     comps = [(comps[0][0], 0x11, comps[0][2])]
                 hvs = [c[1] for c in comps]
                 if nf == 3 and hvs not in ([0x11] * 3,
-                                           [0x22, 0x11, 0x11]):
-                    return None        # only 4:4:4 and 4:2:0 in scope
+                                           [0x22, 0x11, 0x11],
+                                           [0x21, 0x11, 0x11]):
+                    return None        # 4:4:4 / 4:2:0 / 4:2:2 only
                 if prog and hvs != [0x11] * len(comps):
                     return None        # subsampled progressive: NULL
                 if len({c[0] for c in comps}) != nf:
@@ -1359,8 +1362,9 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                         comps = [(comps[0][0], 0x11, comps[0][2])]
                     hvs = [c[1] for c in comps]
                     if nf == 3 and hvs not in ([0x11] * 3,
-                                               [0x22, 0x11, 0x11]):
-                        return None    # only 4:4:4 / 4:2:0 in scope
+                                               [0x22, 0x11, 0x11],
+                                               [0x21, 0x11, 0x11]):
+                        return None    # 4:4:4 / 4:2:0 / 4:2:2 only
                     if prog and hvs != [0x11] * len(comps):
                         return None    # subsampled progressive: NULL
                     if len({c[0] for c in comps}) != nf:
