@@ -27,98 +27,57 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 14. Head = keys NEW this round, then every key whose
-    # physical plan, oracle SQL, or source closure changed THIS round
-    # (drift gate: tests/test_plan_manifest.py), then the stale-row
-    # rotation (oldest first per tools/rotation.py).
+    # ROUND 15. Head = keys whose plan/oracle/source closure changed
+    # this round (drift gate: tests/test_plan_manifest.py), then the
+    # stale-row rotation (oldest first per tools/rotation.py).
     #
-    # NEW (VERDICT r13 list #2): the FIFTH real decode and the first
-    # LOSSY format — baseline JPEG: Catalyst synthesis including the
-    # variable-length Huffman entropy layer (DC-difference categories,
-    # canonical codes from the file's own DHT, MSB-first packing, real
-    # 0xFF00 stuffing), decoded by an Arrow kernel running the full
-    # baseline pipeline (marker walk, DQT/DHT reconstruction, DRI/RST,
-    # DC+AC entropy decode, dezigzag, dequant, exact integer IDCT);
-    # an Annex-K-table encoder round-trips AC-rich streams through it
-    # under hypothesis (tests/test_jpeg.py). With DC quant step 8 the
-    # uniform-block forward DCT is exact, so the DuckDB oracle derives
-    # the decoded stats straight from the text bytes. The color
-    # sibling decodes 3-component 4:4:4 frames — interleaved MCUs,
-    # per-component quant/Huffman tables and independent DC
-    # predictors — then converts YCbCr->RGB in exact 16-bit fixed
-    # point, replayed by the oracle as floor((k*c + 2^15)/2^16).
-    "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
-    # NEW: PROGRESSIVE JPEG (Annex G) — both decoders grew a
-    # multi-scan coefficient-accumulation engine (DC first over
-    # point-transformed values, DC refinement bits, AC band
-    # first/refine with the G.1.2 EOB-run + correction-bit
-    # machinery, restarts; baseline = the one-scan special case).
-    # The Catalyst corpus is a real three-scan SOF2 file (DC diffs at
-    # Al=1, raw refinement bits, one image-wide EOB run); successive
-    # approximation is exactly invertible, so the oracle is the same
-    # text-byte formula. A progressive test ENCODER round-trips
-    # band-split multi-level scripts and pins full-precision
-    # progressive decode EXACTLY equal to baseline decode.
-    "multimodal_jpeg_progressive_stats",
-    # NEW: 4:2:0 SUBSAMPLED color — previously the documented NULL
-    # boundary, now decoded with the upsampling convention PINNED
-    # (box replication, libjpeg's non-fancy mode): 16x16 MCUs of four
-    # Y data units (DC predictor chaining through them) + one block
-    # per chroma plane, box-upsampled 2x before the integer YCbCr
-    # conversion. Uniform chroma makes replication exactly
-    # invertible: same per-byte RGB oracle as the 4:4:4 key, 4:2:0
-    # geometry. AC-bearing chroma/cropped MCUs/restarts exercised by
-    # the test encoder's 4:2:0 battery.
-    "multimodal_jpeg_420_stats",
-    # NEW: decoder dispatch — the classification-then-route ingest
-    # pass: the three materialized image corpora unioned into one
-    # heterogeneous binary firehose, kind sniffed FROM CONTENT
-    # (magic-byte Catalyst expression), each object routed to its
-    # decode kernel, unroutable payloads surfaced not dropped; the
-    # oracle re-derives kind + dims per format, double-checking every
-    # routed decode end-to-end.
-    "media_decode_dispatch",
-    # CHANGED (VERDICT r13 list #1): both recall evals now draw a
-    # FIXED-SIZE deterministic query sample (md5-ordered LIMIT 8,
-    # TakeOrderedAndProject) instead of the fixed-RATE vec_id % 100
-    # slice whose brute-force ground-truth side grew as corpus².
-    "ann_recall_eval", "ivfpq_recall_eval",
-    # CHANGED (ADVICE r13 low #2 + VERDICT r13 list #3): batch RAG
-    # snippets are newline-sanitized ENGINE-side on both engines (the
-    # stub transport counts newline-pipe boundaries, so a
-    # markdown-ish snippet desynchronized the two) and the group key
-    # is coalesced to 'None' before grouping on both sides, retiring
-    # the docstring-only NULL-group assumption; llm_generate shares
-    # the rag.py closure. Degenerate fixtures red-on-violation in
-    # tests/test_round14_props.py.
-    "llm_generate_batch", "llm_generate",
-    # CHANGED (ADVICE r13 medium): the GIF kernel bounds its output
-    # allocation BEFORE reading the stream (data-derived code-count
-    # bound + absolute _GIF_MAX_PIXELS cap), so a hostile header
-    # (65535x65535, 3 data bytes) NULLs out instead of raising
-    # MemoryError in the executor; parse_gif mirrors the cap. All
-    # three keys whose closure reaches the kernel re-row.
+    # CHANGED (VERDICT r14 "What's wrong #1"): the GIF synthesis pixel
+    # cap and the decoder's allocation cap were ONE shadowed name
+    # (_GIF_MAX_PIXELS defined twice; the 2^24 decode cap silently won,
+    # so synthesis diverged from the 4096 the four GIF oracles pin on
+    # any document longer than 4096 bytes). Split into
+    # _GIF_SYNTH_MAX_PIXELS (4096) / _GIF_DECODE_MAX_PIXELS (2^24),
+    # oracle literals now DERIVED from the synthesis constant at
+    # registration, and a >4096-byte document exercises the cap arm
+    # red-on-violation (tests/test_degenerate_inputs.py). All four
+    # keys whose closure reaches the GIF synthesis re-row.
     "multimodal_gif_stats", "stream_media_decode", "media_quality_gate",
-    # ROTATION (stale-evidence retirement, VERDICT r13 list #4:
-    # nothing older than r08 after this window). Oldest first per
-    # tools/rotation.py — the full r07 tail (17 keys), then r08
-    # alphabetical up to the 50-key window. Plans unchanged — the
-    # drift gate pins them.
-    # r07 (the complete remainder):
-    "schema_profile", "sim_join", "sim_join_gemm", "sort_desc",
-    "tfidf_topk", "to_vector", "tpch_q10", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3", "tpch_q5",
-    "tpch_q7", "tpch_q8", "tpch_q9",
-    # r08 (21 of 30; the last nine — stream_hop_window,
-    # stream_minhash_probe, stream_quality_filter, stream_static_join,
-    # stream_stream_join, stream_window_agg, table_scan, text_stats,
-    # window_topk — continue in r15):
-    "ann_ivf", "ann_lsh", "cosine_distance", "embed_evict_list",
-    "embed_refresh_stats", "embed_refresh_worklist", "embed_text",
-    "embedding_near_dup", "exact_dedup", "filter_predicates",
-    "groupby_agg", "json_extract", "knn_topk", "minhash_dedup",
-    "minhash_refresh", "project", "simhash_dedup", "sort_limit",
-    "stream_dedup", "stream_event_alert", "stream_foreach_sink",
+    # CHANGED (VERDICT r14 list #1): media_decode_dispatch is now
+    # SINGLE-PASS — the sniffed firehose is materialized ONCE,
+    # partitioned by kind, so each format branch partition-prunes to
+    # its own files instead of re-scanning the whole union (6 passes
+    # -> 1 in aggregate); media_id offset aliasing guarded at
+    # materialization (ADVICE r14 low #5).
+    "media_decode_dispatch",
+    # CHANGED (ADVICE r14 low #4): the progressive first-scan
+    # allocation bound now uses the true 1-bit-per-block floor
+    # (8 * scan bytes) instead of the 2-bit assumption that falsely
+    # NULLed rare legitimate DC-first scans; docstring NULL-boundary
+    # scope refreshed (ADVICE low #1/#3). All JPEG-closure keys
+    # re-row.
+    "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
+    "multimodal_jpeg_progressive_stats", "multimodal_jpeg_420_stats",
+    # NEW (VERDICT r14 list #4): 4:2:2 subsampled color gets driver
+    # evidence of its own — same oracle family as the 4:2:0 key at
+    # 8x16-MCU geometry.
+    "multimodal_jpeg_422_stats",
+    # ROTATION (VERDICT r14 list #3). Oldest first per
+    # tools/rotation.py — the full r08 tail (9 keys), then the entire
+    # r09 cohort (31 keys). Plans unchanged — the drift gate pins
+    # them.
+    # r08 (the complete remainder):
+    "stream_hop_window", "stream_minhash_probe", "stream_quality_filter",
+    "stream_static_join", "stream_stream_join", "stream_window_agg",
+    "table_scan", "text_stats", "window_topk",
+    # r09 (the complete cohort):
+    "approx_distinct", "asof_join", "count_distinct", "csv_scan",
+    "cube_agg", "deterministic_sample", "distinct_vals", "global_sort",
+    "group_zscore", "having_agg", "jdbc_sink", "observed_ingest",
+    "pii_intl_screen", "pii_prevalence", "pii_screen", "pivot_agg",
+    "range_join", "result_fetch", "rolling_fingerprint", "rollup_agg",
+    "running_agg", "salted_agg", "sessionize", "set_ops", "stats_agg",
+    "time_bucket_rollup", "tpch_q1", "tpch_q6", "window_first_last",
+    "window_frame", "window_funcs",
 ]
 
 

@@ -62,7 +62,7 @@ def test_gif_spec_mirrors_absolute_pixel_cap():
     from tripgogo_vector_search_spark.operators.multimodal import parse_gif
     assert parse_gif(_hostile_gif(65535, 65535)) is None
     # and just above the data-derived bound: 4100 x 4100 = 16.8M
-    # pixels > _GIF_MAX_PIXELS (16.7M)
+    # pixels > _GIF_DECODE_MAX_PIXELS (16.7M)
     assert parse_gif(_hostile_gif(4100, 4100)) is None
 
 

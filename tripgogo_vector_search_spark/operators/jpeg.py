@@ -79,7 +79,7 @@ from pyspark.sql import DataFrame, functions as F
 #: blocks = a 384x8 image; the oracle mirrors least(dlen, 48).
 _JPEG_MAX_BLOCKS = 48
 
-#: absolute decoded-pixel cap (the _GIF_MAX_PIXELS discipline): SOF0
+#: absolute decoded-pixel cap (the _GIF_DECODE_MAX_PIXELS discipline): SOF0
 #: dimensions are attacker-controlled up to 65535x65535; frames whose
 #: X*Y exceeds 2^24 decode to the all-NULL struct before anything is
 #: allocated.

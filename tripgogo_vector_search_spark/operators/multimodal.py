@@ -824,7 +824,15 @@ _GIF_PALETTE_HEX = "".join(f"{r:02X}{g:02X}{b:02X}"
 #: variable-width LZW stream any GIF reader decodes.
 _GIF_GROUP = 250
 _GIF_MCS = 8          # LZW minimum code size: 8-bit palette indices
-_GIF_MAX_PIXELS = 4096  # synthesis cap on w*h (mirrored by the oracle)
+#: synthesis cap on w*h, mirrored by every GIF oracle's
+#: ``least(dlen // w, cap // w)`` literal — the registry derives those
+#: literals FROM this constant, so the two cannot drift. Distinct from
+#: ``_GIF_DECODE_MAX_PIXELS`` below: a second module-level assignment
+#: under one shared name silently shadowed this one for two rounds
+#: (VERDICT r14 "What's wrong #1") — the synthesis cap was 2^24 at
+#: runtime while the oracles pinned 4096, divergent for any document
+#: longer than 4096 bytes.
+_GIF_SYNTH_MAX_PIXELS = 4096
 
 
 def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id",
@@ -834,7 +842,7 @@ def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id",
     each document\'s UTF-8 bytes become the 8-bit palette indices of an
     image whose width cycles 2..7 px by ``id % 6``; height = as many
     full pixel rows as the text provides, capped at
-    ``_GIF_MAX_PIXELS`` total pixels. The image data is a genuine
+    ``_GIF_SYNTH_MAX_PIXELS`` total pixels. The image data is a genuine
     variable-width LZW code stream (clear code 256, EOI 257, 9-bit
     codes by the ``_GIF_GROUP`` clear-interleave invariant above)
     bit-packed LSB-first and framed into <=255-byte sub-blocks — the
@@ -856,7 +864,8 @@ def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
     hlen = (F.length("_hex") / 2 / w).cast("bigint")
     h = F.when(hlen.isNotNull(),
-               F.least(hlen, (F.lit(_GIF_MAX_PIXELS) / w).cast("bigint")))
+               F.least(hlen,
+                       (F.lit(_GIF_SYNTH_MAX_PIXELS) / w).cast("bigint")))
     b1 = b0.select("media_id", "_hex", h.alias("_h"))
     npx = F.col("_h") * w
     px = F.when(npx >= 1, F.transform(
@@ -1046,7 +1055,7 @@ def parse_gif(data: bytes | None) -> tuple | None:
             return None
         if not (0 < w and 0 < h and w <= sw and h <= sh):
             return None
-        if w * h > _GIF_MAX_PIXELS:
+        if w * h > _GIF_DECODE_MAX_PIXELS:
             # the kernel NULLs oversized frames before allocating
             # (ADVICE r13 medium); the spec mirrors the cap so the
             # two stay pinned equal on every input. (The kernel's
@@ -1078,8 +1087,11 @@ _GIF_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
 #: buffer must never be sized from the header alone. 2^24 pixels
 #: (128 MB of int64 per image) is far beyond any stats-screening
 #: corpus; larger frames decode to the all-NULL struct, the same
-#: "unreadable" verdict the quality gate already consumes.
-_GIF_MAX_PIXELS = 1 << 24
+#: "unreadable" verdict the quality gate already consumes. NOT the
+#: same knob as ``_GIF_SYNTH_MAX_PIXELS`` (the synthesis/oracle cap):
+#: the decoder must accept any spec-valid frame up to its allocation
+#: bound, while the synthesis deliberately emits small frames.
+_GIF_DECODE_MAX_PIXELS = 1 << 24
 
 
 def gif_stats_udf(content_col) -> "F.Column":
@@ -1119,12 +1131,13 @@ def gif_stats_udf(content_col) -> "F.Column":
             # floor(8*ln/(mcs+1)) codes (every code is >= mcs+1 bits)
             # and each code expands to at most a 4096-entry chain, so
             # a header whose want exceeds that bound -- or the
-            # absolute _GIF_MAX_PIXELS cap -- cannot possibly fill
-            # the buffer and must NULL out here instead of raising
+            # absolute _GIF_DECODE_MAX_PIXELS cap -- cannot possibly
+            # fill the buffer and must NULL out here instead of raising
             # MemoryError in the executor (the 'unreadable payloads
             # decode to an all-NULL struct, never an error' contract
             # stream_media_decode relies on).
-            if want > _GIF_MAX_PIXELS or want > (8 * ln // (mcs + 1)) * 4096:
+            if want > _GIF_DECODE_MAX_PIXELS \
+                    or want > (8 * ln // (mcs + 1)) * 4096:
                 return None
             clear, eoi = 1 << mcs, (1 << mcs) + 1
             width = mcs + 1
