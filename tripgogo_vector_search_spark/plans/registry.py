@@ -10656,9 +10656,11 @@ def multimodal_jpeg_color_stats_q(spark, sf_dir):
     conversion arithmetic from the text bytes: floor((k*c + 2^15) /
     2^16) in SQL == the kernel's arithmetic shift, both exact
     integers. Same map-only Arrow scan shape as the grayscale key;
-    subsampled (4:2:0) color is the documented NULL boundary —
-    upsampling interpolation is codec-library convention, not spec
-    arithmetic. Reference parity: streamlit_app.py display layer."""
+    subsampled color has its own keys (multimodal_jpeg_420_stats /
+    multimodal_jpeg_422_stats, box-replicated upsampling pinned) —
+    the remaining NULL boundary is 4:1:1/exotic sampling layouts,
+    interpolating upsamplers, and arithmetic coding. Reference
+    parity: streamlit_app.py display layer."""
     from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_color_corpus
     from ..partitioning import widen
     path = _materialized_index(
