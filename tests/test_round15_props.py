@@ -6,6 +6,7 @@ single-pass media_decode_dispatch plan (VERDICT r14 list #1).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 
 def _jpeg_dc_only_progressive(width: int, height: int) -> bytes:
@@ -67,3 +68,60 @@ def test_first_scan_bound_still_rejects_unfillable_headers(spark):
     sos_end = cut + 2 + 8                    # marker + segment
     hostile = blob[:sos_end] + b"\x00" * 4 + b"\xff\xd9"
     assert parse_jpeg(hostile) is None
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_media_decode_dispatch_is_single_pass(spark):
+    """VERDICT r14 list #1: the dispatch plan must read the firehose
+    ONCE in aggregate. The sniffed frame is materialized partitioned
+    by kind, so each format branch's scan must (a) target the sniffed
+    sidecar, not any raw corpus, (b) carry a kind= partition filter,
+    and (c) the six branch filters must name six DISTINCT kinds —
+    disjoint partition scans whose union touches every data file
+    exactly once."""
+    import re
+
+    from tripgogo_vector_search_spark.plans import registry as reg
+
+    df = reg.QUERIES["media_decode_dispatch"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, "expected FileScan leaves in the dispatch plan"
+    # (a) every scan reads the sniffed sidecar; no branch re-reads a
+    # raw per-format corpus
+    for ln in scans:
+        assert "media_sniffed" in ln, f"raw-corpus scan leaked: {ln}"
+    for corp in ("png_corpus", "gif_corpus", "jpeg_corpus",
+                 "bmp_corpus", "wav_corpus"):
+        assert corp not in plan
+    # (b)+(c) each scan partition-prunes on kind, and the six pruned
+    # kinds are pairwise distinct
+    kinds = []
+    for ln in scans:
+        m = re.search(r"PartitionFilters: \[[^\]]*kind#\d+ = ([^)\]]+)\)",
+                      ln)
+        assert m, f"scan without a kind= partition filter: {ln}"
+        kinds.append(m.group(1))
+    assert len(kinds) == 6 and len(set(kinds)) == 6, kinds
+    assert set(kinds) == {"image/png", "image/gif", "image/jpeg",
+                          "image/bmp", "audio/wav", "unknown"}
+
+
+def test_dispatch_id_stride_guard_raises_on_aliasing_ids(spark, tmp_path):
+    """ADVICE r14 low #5: a source media_id at or past the 10M branch
+    stride would alias into the next format branch identically on
+    both engines — invisible to the oracle gate — so the sniffed
+    materialization must raise instead. Exercises the registry's own
+    guard expression (the one build_sniffed applies per corpus)."""
+    import pytest
+
+    from tripgogo_vector_search_spark.plans import registry as reg
+
+    guarded = reg._dispatch_guarded_id(10_000_000)
+    ok = spark.createDataFrame([(1,), (9_999_999,)], "media_id bigint")
+    assert (ok.select(guarded.alias("m")).agg(F.sum("m")).first()[0]
+            == 10_000_001 + 19_999_999)
+    bad = spark.createDataFrame([(10_000_000,)], "media_id bigint")
+    with pytest.raises(Exception, match="alias across format branches"):
+        bad.select(guarded.alias("m")).collect()

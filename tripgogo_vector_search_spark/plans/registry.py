@@ -10677,6 +10677,28 @@ def multimodal_jpeg_color_stats_q(spark, sf_dir):
                     F.round("mean_b", 6).alias("mean_b"))
 
 
+#: media_id stride between the five unioned corpora in
+#: media_decode_dispatch — ids are offset by k * stride per format so
+#: one result frame can carry all branches. Any source id at or past
+#: the stride would alias into the next branch's range IDENTICALLY on
+#: both engines (the oracle applies the same arithmetic), so the
+#: sniffed-frame materialization raises per-row instead (ADVICE r14).
+_DISPATCH_ID_STRIDE = 10_000_000
+
+
+def _dispatch_guarded_id(off: int) -> Column:
+    """media_id + off, raising per-row if the source id reaches the
+    branch stride (it would alias into the next format branch's id
+    range identically on both engines — invisible to the oracle
+    gate). Codegen'd compare: effectively free in the build pass."""
+    return (F.when(F.col("media_id") < _DISPATCH_ID_STRIDE,
+                   F.col("media_id") + off)
+            .otherwise(F.raise_error(F.format_string(
+                "media_decode_dispatch: media_id %s >= the 10M branch "
+                "stride would alias across format branches",
+                F.col("media_id").cast("string"))).cast("bigint")))
+
+
 @query("media_decode_dispatch",
        f"""WITH base AS (SELECT doc_id,
                                octet_length(encode(text)) AS dlen,
@@ -10758,18 +10780,27 @@ def media_decode_dispatch_q(spark, sf_dir):
     objects carry NULL image dimensions with decoded=true — the
     heterogeneous-schema reality of a mixed-modality ingest. The
     oracle re-derives kind and per-format dimensions synthesis-side.
-    Plan: map-only sniff + filtered map-only Arrow decode per branch,
-    unioned; no shuffle anywhere and payload bytes never leave the
-    executors. Scale note, stated honestly: a magic-byte predicate
-    cannot prune a parquet scan, so each of the six branches re-reads
-    the unioned firehose (6 passes at fixture scale — measured ~5 s
-    at sf0.1, scan-bound over the materialized sidecars); at 100 TB
-    you either persist the sniffed frame once before fanning out or
-    fuse the per-format decoders into a single dispatching kernel —
-    one pass either way. The branch-per-format shape is kept HERE
-    because it exercises each real kernel through its own plan while
-    the oracle's synthesis-side dims double-check every routed decode
-    end-to-end, not just the routing."""
+    Plan (r15, VERDICT r14 list #1 — SINGLE-PASS): a magic-byte
+    predicate cannot prune a parquet scan, so the r14 shape re-read
+    the unioned firehose once per branch (6 passes, ~5 s at sf0.1).
+    Now the sniff runs ONCE, at materialization, and the sniffed
+    frame is persisted PARTITIONED BY KIND — classify-once,
+    write-partitioned-by-modality, the layout a 100 TB media lake
+    keeps as its canonical ingest table — so each format branch
+    partition-prunes to exactly its own files: the firehose is read
+    once in aggregate (disjoint partition scans; pinned by
+    tests/test_round15_props.py, which asserts every branch scan
+    carries a kind= partition filter, the six filters are distinct,
+    and no raw-corpus scan remains in the plan). Decode branches
+    stay map-only Arrow passes with no shuffle; payload bytes never
+    leave the executors. The +10M/+20M/... media_id offsets that
+    disambiguate the five corpora are GUARDED at materialization
+    (ADVICE r14: a per-row raise_error if any source id reaches the
+    stride) instead of silently aliasing across branches. The
+    branch-per-format shape is kept because it exercises each real
+    kernel through its own plan while the oracle's synthesis-side
+    dims double-check every routed decode end-to-end, not just the
+    routing."""
     from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_corpus
     from ..operators.multimodal import (decode_bmp_stats,
                                         decode_gif_stats,
@@ -10806,16 +10837,32 @@ def media_decode_dispatch_q(spark, sf_dir):
         lambda p: synth_wav_corpus(widen(_t(spark, sf_dir, "documents")))
         .write.mode("overwrite").parquet(p),
         src=(synth_wav_corpus, widen))
-    uni = None
-    for off, path in ((0, png_path), (10_000_000, gif_path),
-                      (20_000_000, jpeg_path), (30_000_000, bmp_path),
-                      (40_000_000, wav_path)):
-        part = (spark.read.parquet(path)
-                .select((F.col("media_id") + off).alias("media_id"),
-                        "content"))
-        uni = part if uni is None else uni.unionByName(part)
-    sniffed = uni.select("media_id", "content",
-                         sniff_media_kind(F.col("content")).alias("kind"))
+
+    def build_sniffed(p):
+        # one pass over the five corpora: offset-disambiguate ids
+        # (guarded — an id at or past the stride would alias into the
+        # next corpus's range identically on both engines, invisible
+        # to the oracle gate), sniff kind from content, and persist
+        # partitioned by kind so every downstream branch prunes to
+        # its own files.
+        uni = None
+        for off, path in ((0, png_path), (10_000_000, gif_path),
+                          (20_000_000, jpeg_path), (30_000_000, bmp_path),
+                          (40_000_000, wav_path)):
+            part = (spark.read.parquet(path)
+                    .select(_dispatch_guarded_id(off).alias("media_id"),
+                            "content"))
+            uni = part if uni is None else uni.unionByName(part)
+        (uni.select("media_id", "content",
+                    sniff_media_kind(F.col("content")).alias("kind"))
+         .write.mode("overwrite").partitionBy("kind").parquet(p))
+
+    sniff_path = _materialized_index(
+        spark, sf_dir, "media_sniffed", build_sniffed,
+        src=(sniff_media_kind, _dispatch_guarded_id, synth_png_corpus,
+             synth_gif_corpus, synth_jpeg_corpus, synth_bmp_corpus,
+             synth_wav_corpus, widen))
+    sniffed = spark.read.parquet(sniff_path)
 
     def branch(kind, decode):
         stats = decode(sniffed.filter(F.col("kind") == kind)
