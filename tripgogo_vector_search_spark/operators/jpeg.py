@@ -311,6 +311,90 @@ def synth_jpeg_420_corpus(docs: DataFrame, id_col: str = "doc_id",
     return b5.select("media_id", content.alias("content"))
 
 
+def synth_jpeg_422_corpus(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The 4:2:2 sibling (Y 2x1 — the broadcast/video-frame layout):
+    byte u becomes one 8x16 MCU — TWO uniform Y data units side by
+    side (DC predictor chaining: one coded difference, then one cat-0
+    entry) and ONE 8x8 block each of Cb=(3u+7)%256, Cr=(7u+1)%256
+    that the decoder box-upsamples 2x HORIZONTALLY only. Same
+    lossless-at-quant-8 contract as the 4:2:0 key, so the per-byte
+    RGB means are the SAME oracle formula — only the geometry
+    (16n x 8, 128 px/byte) differs, which pins the 2x1 MCU walk and
+    the axis-asymmetric upsampler. NULL/empty text -> NULL."""
+    b0 = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
+    nb = F.when(
+        F.col("_hex").isNotNull(),
+        F.least((F.length("_hex") / 2).cast("bigint"),
+                F.lit(_JPEG_MAX_BLOCKS).cast("bigint")))
+    b1 = b0.select("media_id", "_hex", nb.alias("_n"))
+    px = F.when(F.col("_n") >= 1, F.transform(
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
+                         16, 10).cast("bigint"))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    b2 = b1.select("media_id", "_n", px.alias("_px"))
+
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
+
+    def dc_bits(cur, prev):
+        diff = cur - prev
+        cat = (F.when(diff == 0, F.lit(0).cast("bigint"))
+               .otherwise(F.length(
+                   F.conv(F.abs(diff).cast("string"), 10, 2))
+                   .cast("bigint")))
+        mapped = (F.when(diff >= 0, diff)
+                  .otherwise(diff
+                             + F.element_at(pow2, (cat + 1).cast("int"))
+                             - 1))
+        vbits = (F.lpad(F.conv(mapped.cast("string"), 10, 2), 8, "0")
+                 .substr((F.lit(9) - cat).cast("int"), cat.cast("int")))
+        return F.concat(
+            F.lpad(F.conv(cat.cast("string"), 10, 2), 4, "0"),
+            vbits, F.lit("0"))
+
+    def mcu_bits(i):
+        cur_u = F.element_at("_px", (i + 1).cast("int"))
+        first = i == F.lit(0)
+        prev_u = F.element_at("_px", i.cast("int"))
+        parts = [
+            # Y_left carries the coded difference; Y_right is cat-0 +
+            # EOB ("00000") — same value, zero diff
+            dc_bits(cur_u,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise(prev_u)),
+            F.lit("00000"),
+            dc_bits((cur_u * 3 + 7) % 256,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise((prev_u * 3 + 7) % 256)),
+            dc_bits((cur_u * 7 + 1) % 256,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise((prev_u * 7 + 1) % 256)),
+        ]
+        return F.concat(*parts)
+
+    bs0 = F.when(F.col("_n") >= 1, F.array_join(
+        F.transform(F.sequence(F.lit(0), F.col("_n") - 1), mcu_bits),
+        ""))
+    b3 = b2.select("media_id", "_n", bs0.alias("_bs0"))
+    b4 = b3.select("media_id", "_n",
+                   _pad_bits(F.col("_bs0")).alias("_bs"))
+    eh = F.when(F.col("_n") >= 1, _bits_to_entropy_hex(F.col("_bs")))
+    b5 = b4.select("media_id", "_n", eh.alias("_eh"))
+    hexfile = F.concat(
+        F.lit(_SYNTH_HEADER_HEX),
+        F.lit("FFC00011" "08" "0008"),            # SOF0: P=8, Y=8
+        F.lpad(F.hex(F.col("_n") * 16), 4, "0"),  # X = 16 * n_MCUs
+        F.lit("03" "012100" "021100" "031100"),   # Y 2x1; Cb/Cr 1x1
+        F.lit("FFDA000C" "03" "0100" "0200" "0300" "003F00"),
+        F.col("_eh"),
+        F.lit(_SYNTH_EOI_HEX))
+    content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
+    return b5.select("media_id", content.alias("content"))
+
+
 #: the progressive synthesis's AC table: the six EOBn symbols this
 #: corpus can need (EOB runs up to 48 blocks -> rbits <= 5) at a flat
 #: 3-bit code length — canonical codes 0..5, one per rbits value, so

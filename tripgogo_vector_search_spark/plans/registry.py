@@ -10533,6 +10533,83 @@ def multimodal_jpeg_420_stats_q(spark, sf_dir):
                     F.round("mean_b", 6).alias("mean_b"))
 
 
+@query("multimodal_jpeg_422_stats",
+       """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                            octet_length(encode(text)) AS dlen
+                     FROM documents),
+          p AS (SELECT doc_id, hx,
+                       CASE WHEN hx IS NULL OR dlen < 1 THEN NULL
+                            ELSE least(dlen, 48) END AS nb
+                FROM b),
+          s AS (SELECT doc_id,
+                       unnest(CASE WHEN nb >= 1 THEN
+                              generate_series(0, nb - 1)
+                              ELSE []::BIGINT[] END) AS i,
+                       hx
+                FROM p),
+          v AS (SELECT doc_id,
+                       ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                FROM s),
+          c AS (SELECT doc_id, u,
+                       (3*u + 7) % 256 - 128 AS cb,
+                       (7*u + 1) % 256 - 128 AS cr
+                FROM v),
+          d AS (SELECT doc_id, u,
+                       u + CAST(floor((91881*cr + 32768) / 65536.0)
+                                AS BIGINT) AS r0,
+                       u - CAST(floor((22554*cb + 46802*cr + 32768)
+                                      / 65536.0) AS BIGINT) AS g0,
+                       u + CAST(floor((116130*cb + 32768) / 65536.0)
+                                AS BIGINT) AS b0
+                FROM c),
+          q AS (SELECT doc_id, count(*) AS nb2, sum(u) AS sy,
+                       sum(least(greatest(r0, 0), 255)) AS sr,
+                       sum(least(greatest(g0, 0), 255)) AS sg,
+                       sum(least(greatest(b0, 0), 255)) AS sb
+                FROM d GROUP BY doc_id)
+          SELECT p.doc_id AS media_id,
+                 CAST(CASE WHEN p.nb >= 1 THEN 16 * p.nb END AS INT)
+                   AS width,
+                 CAST(CASE WHEN p.nb >= 1 THEN 8 END AS INT) AS height,
+                 CAST(128 * q.nb2 AS BIGINT) AS n_pixels,
+                 round(q.sy::DOUBLE / q.nb2, 6) AS mean_y,
+                 round(q.sr::DOUBLE / q.nb2, 6) AS mean_r,
+                 round(q.sg::DOUBLE / q.nb2, 6) AS mean_g,
+                 round(q.sb::DOUBLE / q.nb2, 6) AS mean_b
+          FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_jpeg_422_stats_q(spark, sf_dir):
+    """4:2:2 SUBSAMPLED color JPEG (Y 2x1 — the broadcast/video-frame
+    layout): the decode geometry landed in r14 as kernel+spec
+    generalization with hypothesis pinning but no corpus key
+    (VERDICT r14 list #4 — give it driver evidence). Each text byte
+    becomes one 8x16 MCU of TWO Y data units (DC predictor chaining:
+    one coded difference + one cat-0 entry) plus one 8x8 block each
+    of the affine chroma planes, which the decoder box-upsamples 2x
+    HORIZONTALLY only — the axis-asymmetric upsampler is exactly
+    what distinguishes this path from 4:2:0. Uniform chroma makes
+    replication exactly invertible, so the oracle is the SAME
+    per-byte RGB formula as the 4:4:4/4:2:0 keys at 16n x 8 geometry
+    (128 px/byte). AC-bearing chroma, cropped edge MCUs, and
+    restarts are exercised by the test encoder's 4:2:2 battery
+    (tests/test_jpeg.py). Scale: map-only Arrow pass over the
+    materialized sidecar. Reference parity: streamlit_app.py display
+    layer."""
+    from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_422_corpus
+    from ..partitioning import widen
+    path = _materialized_index(
+        spark, sf_dir, "jpeg_422_corpus",
+        lambda p: synth_jpeg_422_corpus(
+            widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_jpeg_422_corpus, widen))
+    w = decode_jpeg_stats(spark.read.parquet(path))
+    return w.select("media_id", "width", "height", "n_pixels",
+                    F.round("mean_gray", 6).alias("mean_y"),
+                    F.round("mean_r", 6).alias("mean_r"),
+                    F.round("mean_g", 6).alias("mean_g"),
+                    F.round("mean_b", 6).alias("mean_b"))
+
+
 @query("multimodal_jpeg_progressive_stats",
        """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
                             octet_length(encode(text)) AS dlen
