@@ -61,6 +61,13 @@ _CHECK_FIRST = [
     # evidence of its own — same oracle family as the 4:2:0 key at
     # 8x16-MCU geometry.
     "multimodal_jpeg_422_stats",
+    # NEW (the r14 verdict's candidate widening): curation flags over
+    # the WHOLE five-format firehose, reading the same kind-partitioned
+    # sniffed sidecar as dispatch (single-pass in aggregate) — image
+    # size/aspect prefilters plus an audio minimum-duration gate, all
+    # flags total booleans (the NULL-boolean None-vs-NaN driver trap
+    # is documented in the key's docstring).
+    "media_quality_gate_multiformat",
     # ROTATION (VERDICT r14 list #3). Oldest first per
     # tools/rotation.py — the full r08 tail (9 keys), then the entire
     # r09 cohort (31 keys). Plans unchanged — the drift gate pins

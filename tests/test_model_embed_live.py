@@ -20,8 +20,10 @@ index host still fails after 5 retries (``Name or service not
 known``), then "No matching distribution found for
 sentence-transformers"; 2026-08-16 (r14) — retried: identical
 failure shape (5 DNS retries, ``Name or service not known`` on the
-index host, then "No matching distribution found"); the skip below
-remains the honest state. This test is the
+index host, then "No matching distribution found"); 2026-08-16 (r15)
+— retried: identical (5 DNS retries against the index host, ``Name
+or service not known``, then "No matching distribution found"); the
+skip below remains the honest state. This test is the
 importorskip-gated LIVE path the verdict asked for: the moment an
 environment has ``sentence-transformers`` (and, for the model
 download, network or a local cache), it runs the reference's actual

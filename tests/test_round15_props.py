@@ -72,19 +72,24 @@ def test_first_scan_bound_still_rejects_unfillable_headers(spark):
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-def test_media_decode_dispatch_is_single_pass(spark):
-    """VERDICT r14 list #1: the dispatch plan must read the firehose
-    ONCE in aggregate. The sniffed frame is materialized partitioned
-    by kind, so each format branch's scan must (a) target the sniffed
-    sidecar, not any raw corpus, (b) carry a kind= partition filter,
-    and (c) the six branch filters must name six DISTINCT kinds —
-    disjoint partition scans whose union touches every data file
-    exactly once."""
+import pytest
+
+
+@pytest.mark.parametrize("key", ["media_decode_dispatch",
+                                 "media_quality_gate_multiformat"])
+def test_media_firehose_consumers_are_single_pass(spark, key):
+    """VERDICT r14 list #1: every consumer of the media firehose must
+    read it ONCE in aggregate. The sniffed frame is materialized
+    partitioned by kind, so each format branch's scan must (a) target
+    the sniffed sidecar, not any raw corpus, (b) carry a kind=
+    partition filter, and (c) the six branch filters must name six
+    DISTINCT kinds — disjoint partition scans whose union touches
+    every data file exactly once."""
     import re
 
     from tripgogo_vector_search_spark.plans import registry as reg
 
-    df = reg.QUERIES["media_decode_dispatch"](spark, SF_SMOKE)
+    df = reg.QUERIES[key](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans, "expected FileScan leaves in the dispatch plan"
@@ -109,7 +114,7 @@ def test_media_decode_dispatch_is_single_pass(spark):
 
 
 def test_dispatch_id_stride_guard_raises_on_aliasing_ids(spark, tmp_path):
-    """ADVICE r14 low #5: a source media_id at or past the 10M branch
+    """ADVICE r14 low #5: a source media_id at or past the branch
     stride would alias into the next format branch identically on
     both engines — invisible to the oracle gate — so the sniffed
     materialization must raise instead. Exercises the registry's own
@@ -118,11 +123,12 @@ def test_dispatch_id_stride_guard_raises_on_aliasing_ids(spark, tmp_path):
 
     from tripgogo_vector_search_spark.plans import registry as reg
 
-    guarded = reg._dispatch_guarded_id(10_000_000)
-    ok = spark.createDataFrame([(1,), (9_999_999,)], "media_id bigint")
+    stride = reg._DISPATCH_ID_STRIDE
+    guarded = reg._dispatch_guarded_id(stride)
+    ok = spark.createDataFrame([(1,), (stride - 1,)], "media_id bigint")
     assert (ok.select(guarded.alias("m")).agg(F.sum("m")).first()[0]
-            == 10_000_001 + 19_999_999)
-    bad = spark.createDataFrame([(10_000_000,)], "media_id bigint")
+            == (stride + 1) + (2 * stride - 1))
+    bad = spark.createDataFrame([(stride,)], "media_id bigint")
     with pytest.raises(Exception, match="alias across format branches"):
         bad.select(guarded.alias("m")).collect()
 

@@ -965,8 +965,9 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
                 hvs = [c[1] for c in comps]
                 if nf == 3 and hvs not in ([0x11] * 3,
                                            [0x22, 0x11, 0x11],
-                                           [0x21, 0x11, 0x11]):
-                    return None        # 4:4:4 / 4:2:0 / 4:2:2 only
+                                           [0x21, 0x11, 0x11],
+                                           [0x41, 0x11, 0x11]):
+                    return None        # 4:4:4/4:2:0/4:2:2/4:1:1 only
                 if prog and hvs != [0x11] * len(comps):
                     return None        # subsampled progressive: NULL
                 if len({c[0] for c in comps}) != nf:
@@ -1452,7 +1453,8 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                     hvs = [c[1] for c in comps]
                     if nf == 3 and hvs not in ([0x11] * 3,
                                                [0x22, 0x11, 0x11],
-                                               [0x21, 0x11, 0x11]):
+                                               [0x21, 0x11, 0x11],
+                                               [0x41, 0x11, 0x11]):
                         return None    # 4:4:4 / 4:2:0 / 4:2:2 only
                     if prog and hvs != [0x11] * len(comps):
                         return None    # subsampled progressive: NULL

