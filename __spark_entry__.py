@@ -61,6 +61,13 @@ _CHECK_FIRST = [
     # evidence of its own — same oracle family as the 4:2:0 key at
     # 8x16-MCU geometry.
     "multimodal_jpeg_422_stats",
+    # NEW (r15 capability): 4:1:1 (Y 4x1, the DV/camcorder layout) —
+    # whitelisted through the already-general sampling geometry with
+    # its own synthesis corpus; factor-4 horizontal chroma
+    # replication pinned; off-whitelist layouts stay NULL. (This
+    # entry makes the queue 51 long; the driver checks a 50-key
+    # prefix, so the final rotation entry rolls to r16.)
+    "multimodal_jpeg_411_stats",
     # NEW (the r14 verdict's candidate widening): curation flags over
     # the WHOLE five-format firehose, reading the same kind-partitioned
     # sniffed sidecar as dispatch (single-pass in aggregate) — image

@@ -116,6 +116,9 @@ def encode_jpeg(blocks_zz, width, height, qt_zz, dri=0, qt16=False,
     elif nf == 3 and sampling == "422":
         cnts = [2, 1, 1]               # Y left/right, then Cb, Cr
         hv = [0x21, 0x11, 0x11]
+    elif nf == 3 and sampling == "411":
+        cnts = [4, 1, 1]               # four Y units, then Cb, Cr
+        hv = [0x41, 0x11, 0x11]
     bpm = sum(cnts)
     out = bytearray(b"\xFF\xD8")
     if qt16:
@@ -559,16 +562,48 @@ def test_422_kernel_equals_spec_ac_rich(spark, mcus, qscale):
     assert _kernel_decode(spark, [data])[0] == want
 
 
-def test_411_stays_null(spark):
-    """4:1:1 (and exotic samplings) remains the documented NULL
-    boundary."""
+def test_411_dc_only_exact_horizontal_replication():
+    """4:1:1 (Y 4x1): one 32x8 MCU, four Y quarters + chroma
+    replicated 4x horizontally — means equal the hand-computed
+    conversion."""
+    ys, cbv, crv = (30, 90, 150, 220), 90, 170
+    blocks = [_dc(v) for v in ys] + [_dc(cbv), _dc(crv)]
+    data = encode_jpeg(blocks, 32, 8, [8] * 64, nf=3, sampling="411")
+    got = parse_jpeg(data)
+    assert got is not None
+    assert got[:3] == (32, 8, 256)
+    assert got[3] == sum(ys) / 4
+    rgb = [_rgb_ref(v, cbv, crv) for v in ys]
+    assert (got[4], got[5], got[6]) == tuple(
+        sum(c[i] for c in rgb) / 4 for i in range(3))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(_block(), _block(), _block(), _block(),
+                          _block(), _block()),
+                min_size=1, max_size=3),
+       st.integers(min_value=1, max_value=12))
+def test_411_kernel_equals_spec_ac_rich(spark, mcus, qscale):
+    """AC-rich 4:1:1: kernel and spec pinned exactly equal."""
+    blocks = [b for mcu in mcus for b in mcu]
+    data = encode_jpeg(blocks, 32 * len(mcus), 8, [qscale] * 64,
+                       nf=3, sampling="411")
+    want = parse_jpeg(data)
+    assert want is not None
+    assert _kernel_decode(spark, [data])[0] == want
+
+
+def test_off_whitelist_sampling_stays_null(spark):
+    """Sampling layouts off the whitelist (4:4:0 — Y 1x2 — and a
+    2x2-chroma inversion) remain the documented NULL boundary."""
     blocks = [_dc(100), _dc(110), _dc(120)]
-    data = bytearray(encode_jpeg(blocks, 8, 8, [8] * 64, nf=3))
-    assert data[71:73] == b"\xFF\xC0" and data[82] == 0x11
-    data[82] = 0x41                     # Y sampling 4x1 = 4:1:1
-    data = bytes(data)
-    assert parse_jpeg(data) is None
-    assert _kernel_decode(spark, [data])[0] is None
+    for bad in (0x12, 0x14):
+        data = bytearray(encode_jpeg(blocks, 8, 8, [8] * 64, nf=3))
+        assert data[71:73] == b"\xFF\xC0" and data[82] == 0x11
+        data[82] = bad
+        data = bytes(data)
+        assert parse_jpeg(data) is None
+        assert _kernel_decode(spark, [data])[0] is None
 
 
 # ---------------------------------------------------------------------------

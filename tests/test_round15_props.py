@@ -169,3 +169,40 @@ def test_jpeg_422_synthesis_roundtrips_on_both_decoders(spark):
     raw = b"hello world"
     assert got[:4] == (16 * len(raw), 8, 128 * len(raw),
                        sum(raw) / len(raw))
+
+
+def test_jpeg_411_synthesis_roundtrips_on_both_decoders(spark):
+    """synth_jpeg_411_corpus: each byte is one 8x32 MCU (four Y units
+    + Cb + Cr, chroma box-upsampled 4x horizontally), so both
+    decoders must return 32n x 8 geometry and the exact per-byte
+    channel means; NULL/empty text stays NULL."""
+    from tripgogo_vector_search_spark.operators.jpeg import (
+        decode_jpeg_stats, parse_jpeg, synth_jpeg_411_corpus)
+
+    rows = [(0, None), (1, ""), (2, "A"), (3, "hello world")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = synth_jpeg_411_corpus(docs)
+    out = {r.media_id: r for r in decode_jpeg_stats(m).collect()}
+    assert out[0].width is None and out[1].width is None
+
+    def rgb(u):
+        cb, cr = (3 * u + 7) % 256 - 128, (7 * u + 1) % 256 - 128
+        clip = lambda v: min(max(v, 0), 255)  # noqa: E731
+        return (clip(u + ((91881 * cr + 32768) >> 16)),
+                clip(u - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+                clip(u + ((116130 * cb + 32768) >> 16)))
+
+    for did, txt in rows[2:]:
+        raw = txt.encode()
+        n = len(raw)
+        o = out[did]
+        assert (o.width, o.height, o.n_pixels) == (32 * n, 8, 256 * n)
+        rs, gs, bs = zip(*[rgb(u) for u in raw])
+        assert o.mean_gray == sum(raw) / n
+        assert (o.mean_r, o.mean_g, o.mean_b) == (
+            sum(rs) / n, sum(gs) / n, sum(bs) / n)
+    blobs = {r.media_id: r.content for r in m.collect()}
+    got = parse_jpeg(bytes(blobs[3]))
+    raw = b"hello world"
+    assert got[:4] == (32 * len(raw), 8, 256 * len(raw),
+                       sum(raw) / len(raw))

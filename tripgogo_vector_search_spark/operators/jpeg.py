@@ -58,11 +58,12 @@ with the DC predictor chaining through them, per-component block
 grids — and chroma is box-upsampled (pixel replication, libjpeg's
 non-fancy mode) before conversion; the upsampling CONVENTION is
 pinned here because the spec deliberately leaves the interpolation
-filter open; 4:2:2 (Y 2x1) decodes through the same generalized
-geometry with horizontal-only chroma replication (hypothesis-pinned
-kernel==spec, tests/test_jpeg.py). Scope boundary (all-NULL struct,
-documented): other sampling layouts (4:1:1/exotic), interpolating
-upsamplers, and arithmetic-coded scans.
+filter open; 4:2:2 (Y 2x1) and 4:1:1 (Y 4x1) decode through the same
+generalized geometry with horizontal-only chroma replication at 2x /
+4x (hypothesis-pinned kernel==spec, tests/test_jpeg.py). Scope
+boundary (all-NULL struct, documented): other sampling layouts
+(4:4:0, mixed multi-factor chroma, anything off the whitelist),
+interpolating upsamplers, and arithmetic-coded scans.
 
 Reference parity: media metadata extraction the reference delegates
 to client-side libraries (streamlit_app.py display layer).
@@ -388,6 +389,90 @@ def synth_jpeg_422_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.lit("FFC00011" "08" "0008"),            # SOF0: P=8, Y=8
         F.lpad(F.hex(F.col("_n") * 16), 4, "0"),  # X = 16 * n_MCUs
         F.lit("03" "012100" "021100" "031100"),   # Y 2x1; Cb/Cr 1x1
+        F.lit("FFDA000C" "03" "0100" "0200" "0300" "003F00"),
+        F.col("_eh"),
+        F.lit(_SYNTH_EOI_HEX))
+    content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
+    return b5.select("media_id", content.alias("content"))
+
+
+def synth_jpeg_411_corpus(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The 4:1:1 sibling (Y 4x1 — the DV/camcorder layout): byte u
+    becomes one 8x32 MCU — FOUR uniform Y data units in a row (DC
+    predictor chaining: one coded difference, then three cat-0
+    entries) and ONE 8x8 block each of Cb=(3u+7)%256, Cr=(7u+1)%256
+    that the decoder box-upsamples 4x HORIZONTALLY. Same
+    lossless-at-quant-8 contract, same per-byte RGB oracle formula —
+    only the geometry (32n x 8, 256 px/byte) differs, pinning the
+    4x1 MCU walk and the factor-4 upsampler. NULL/empty text ->
+    NULL."""
+    b0 = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
+    nb = F.when(
+        F.col("_hex").isNotNull(),
+        F.least((F.length("_hex") / 2).cast("bigint"),
+                F.lit(_JPEG_MAX_BLOCKS).cast("bigint")))
+    b1 = b0.select("media_id", "_hex", nb.alias("_n"))
+    px = F.when(F.col("_n") >= 1, F.transform(
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
+                         16, 10).cast("bigint"))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    b2 = b1.select("media_id", "_n", px.alias("_px"))
+
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
+
+    def dc_bits(cur, prev):
+        diff = cur - prev
+        cat = (F.when(diff == 0, F.lit(0).cast("bigint"))
+               .otherwise(F.length(
+                   F.conv(F.abs(diff).cast("string"), 10, 2))
+                   .cast("bigint")))
+        mapped = (F.when(diff >= 0, diff)
+                  .otherwise(diff
+                             + F.element_at(pow2, (cat + 1).cast("int"))
+                             - 1))
+        vbits = (F.lpad(F.conv(mapped.cast("string"), 10, 2), 8, "0")
+                 .substr((F.lit(9) - cat).cast("int"), cat.cast("int")))
+        return F.concat(
+            F.lpad(F.conv(cat.cast("string"), 10, 2), 4, "0"),
+            vbits, F.lit("0"))
+
+    def mcu_bits(i):
+        cur_u = F.element_at("_px", (i + 1).cast("int"))
+        first = i == F.lit(0)
+        prev_u = F.element_at("_px", i.cast("int"))
+        parts = [
+            # Y_0 carries the coded difference; Y_1..Y_3 are cat-0 +
+            # EOB ("00000") — same value, zero diff
+            dc_bits(cur_u,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise(prev_u)),
+            F.lit("00000" * 3),
+            dc_bits((cur_u * 3 + 7) % 256,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise((prev_u * 3 + 7) % 256)),
+            dc_bits((cur_u * 7 + 1) % 256,
+                    F.when(first, F.lit(128).cast("bigint"))
+                    .otherwise((prev_u * 7 + 1) % 256)),
+        ]
+        return F.concat(*parts)
+
+    bs0 = F.when(F.col("_n") >= 1, F.array_join(
+        F.transform(F.sequence(F.lit(0), F.col("_n") - 1), mcu_bits),
+        ""))
+    b3 = b2.select("media_id", "_n", bs0.alias("_bs0"))
+    b4 = b3.select("media_id", "_n",
+                   _pad_bits(F.col("_bs0")).alias("_bs"))
+    eh = F.when(F.col("_n") >= 1, _bits_to_entropy_hex(F.col("_bs")))
+    b5 = b4.select("media_id", "_n", eh.alias("_eh"))
+    hexfile = F.concat(
+        F.lit(_SYNTH_HEADER_HEX),
+        F.lit("FFC00011" "08" "0008"),            # SOF0: P=8, Y=8
+        F.lpad(F.hex(F.col("_n") * 32), 4, "0"),  # X = 32 * n_MCUs
+        F.lit("03" "014100" "021100" "031100"),   # Y 4x1; Cb/Cr 1x1
         F.lit("FFDA000C" "03" "0100" "0200" "0300" "003F00"),
         F.col("_eh"),
         F.lit(_SYNTH_EOI_HEX))
@@ -869,12 +954,13 @@ def parse_jpeg(data: bytes | None) -> tuple | None:
     """Spec JPEG decode to image stats: returns
     (width, height, n_pixels, mean_gray, mean_r, mean_g, mean_b) —
     mean_gray is the luma-plane mean (always present); the RGB means
-    are present for 3-component color frames (4:4:4, 4:2:0, and 4:2:2
-    — exact integer YCbCr conversion, module constants; subsampled
-    chroma box-replicated) and None for grayscale — or None entirely
-    for anything unreadable / out of the documented scope (module
-    docstring: 4:1:1/exotic sampling layouts, interpolating
-    upsamplers, and arithmetic coding are the NULL boundary).
+    are present for 3-component color frames (4:4:4, 4:2:0, 4:2:2,
+    and 4:1:1 — exact integer YCbCr conversion, module constants;
+    subsampled chroma box-replicated) and None for grayscale — or
+    None entirely for anything unreadable / out of the documented
+    scope (module docstring: off-whitelist sampling layouts,
+    interpolating upsamplers, and arithmetic coding are the NULL
+    boundary).
     Handles baseline sequential (SOF0) AND
     progressive (SOF2) frames through one multi-scan engine: raw
     zigzag coefficients accumulate across scans (DC first/refine, AC

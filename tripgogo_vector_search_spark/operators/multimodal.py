@@ -20,7 +20,7 @@ arithmetic (plus stdlib zlib for PNG), byte-exact against DuckDB
 BLOB oracles, fuzz-total on hostile bytes. What remains stubbed is
 the generic pluggable-codec boundary below (PIL/opencv-class
 libraries for resize and formats beyond the five real decoders —
-video codecs; within JPEG, 4:1:1/exotic sampling layouts,
+video codecs; within JPEG, off-whitelist sampling layouts,
 interpolating upsamplers, and arithmetic coding):
 
 * ``decode_backend="fake"`` (default) — deterministic byte-level features

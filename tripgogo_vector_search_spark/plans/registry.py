@@ -10610,6 +10610,82 @@ def multimodal_jpeg_422_stats_q(spark, sf_dir):
                     F.round("mean_b", 6).alias("mean_b"))
 
 
+@query("multimodal_jpeg_411_stats",
+       """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+                            octet_length(encode(text)) AS dlen
+                     FROM documents),
+          p AS (SELECT doc_id, hx,
+                       CASE WHEN hx IS NULL OR dlen < 1 THEN NULL
+                            ELSE least(dlen, 48) END AS nb
+                FROM b),
+          s AS (SELECT doc_id,
+                       unnest(CASE WHEN nb >= 1 THEN
+                              generate_series(0, nb - 1)
+                              ELSE []::BIGINT[] END) AS i,
+                       hx
+                FROM p),
+          v AS (SELECT doc_id,
+                       ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                FROM s),
+          c AS (SELECT doc_id, u,
+                       (3*u + 7) % 256 - 128 AS cb,
+                       (7*u + 1) % 256 - 128 AS cr
+                FROM v),
+          d AS (SELECT doc_id, u,
+                       u + CAST(floor((91881*cr + 32768) / 65536.0)
+                                AS BIGINT) AS r0,
+                       u - CAST(floor((22554*cb + 46802*cr + 32768)
+                                      / 65536.0) AS BIGINT) AS g0,
+                       u + CAST(floor((116130*cb + 32768) / 65536.0)
+                                AS BIGINT) AS b0
+                FROM c),
+          q AS (SELECT doc_id, count(*) AS nb2, sum(u) AS sy,
+                       sum(least(greatest(r0, 0), 255)) AS sr,
+                       sum(least(greatest(g0, 0), 255)) AS sg,
+                       sum(least(greatest(b0, 0), 255)) AS sb
+                FROM d GROUP BY doc_id)
+          SELECT p.doc_id AS media_id,
+                 CAST(CASE WHEN p.nb >= 1 THEN 32 * p.nb END AS INT)
+                   AS width,
+                 CAST(CASE WHEN p.nb >= 1 THEN 8 END AS INT) AS height,
+                 CAST(256 * q.nb2 AS BIGINT) AS n_pixels,
+                 round(q.sy::DOUBLE / q.nb2, 6) AS mean_y,
+                 round(q.sr::DOUBLE / q.nb2, 6) AS mean_r,
+                 round(q.sg::DOUBLE / q.nb2, 6) AS mean_g,
+                 round(q.sb::DOUBLE / q.nb2, 6) AS mean_b
+          FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_jpeg_411_stats_q(spark, sf_dir):
+    """4:1:1 SUBSAMPLED color JPEG (Y 4x1 — the DV/camcorder layout,
+    r15: previously on the NULL-boundary list, now whitelisted
+    through the already-general sampling geometry): each text byte
+    becomes one 8x32 MCU of FOUR Y data units in a row (DC predictor
+    chaining: one coded difference + three cat-0 entries) plus one
+    8x8 block per affine chroma plane, which the decoder
+    box-upsamples 4x HORIZONTALLY — the factor-4 replication is what
+    this key pins beyond the 4:2:2 sibling. Uniform chroma keeps
+    replication exactly invertible, so the oracle is the same
+    per-byte RGB formula at 32n x 8 geometry (256 px/byte).
+    AC-bearing chroma and cropped MCUs exercised by the test
+    encoder's 4:1:1 battery; off-whitelist layouts (4:4:0 etc.)
+    remain NULL and are pinned so (tests/test_jpeg.py). Scale:
+    map-only Arrow pass over the materialized sidecar. Reference
+    parity: streamlit_app.py display layer."""
+    from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_411_corpus
+    from ..partitioning import widen
+    path = _materialized_index(
+        spark, sf_dir, "jpeg_411_corpus",
+        lambda p: synth_jpeg_411_corpus(
+            widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_jpeg_411_corpus, widen))
+    w = decode_jpeg_stats(spark.read.parquet(path))
+    return w.select("media_id", "width", "height", "n_pixels",
+                    F.round("mean_gray", 6).alias("mean_y"),
+                    F.round("mean_r", 6).alias("mean_r"),
+                    F.round("mean_g", 6).alias("mean_g"),
+                    F.round("mean_b", 6).alias("mean_b"))
+
+
 @query("multimodal_jpeg_progressive_stats",
        """WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
                             octet_length(encode(text)) AS dlen
@@ -10734,10 +10810,11 @@ def multimodal_jpeg_color_stats_q(spark, sf_dir):
     2^16) in SQL == the kernel's arithmetic shift, both exact
     integers. Same map-only Arrow scan shape as the grayscale key;
     subsampled color has its own keys (multimodal_jpeg_420_stats /
-    multimodal_jpeg_422_stats, box-replicated upsampling pinned) —
-    the remaining NULL boundary is 4:1:1/exotic sampling layouts,
-    interpolating upsamplers, and arithmetic coding. Reference
-    parity: streamlit_app.py display layer."""
+    multimodal_jpeg_422_stats / multimodal_jpeg_411_stats,
+    box-replicated upsampling pinned) — the remaining NULL boundary
+    is off-whitelist sampling layouts, interpolating upsamplers, and
+    arithmetic coding. Reference parity: streamlit_app.py display
+    layer."""
     from ..operators.jpeg import decode_jpeg_stats, synth_jpeg_color_corpus
     from ..partitioning import widen
     path = _materialized_index(
