@@ -75,6 +75,12 @@ _CHECK_FIRST = [
     # flags total booleans (the NULL-boolean None-vs-NaN driver trap
     # is documented in the key's docstring).
     "media_quality_gate_multiformat",
+    # NEW (r15 capability): dispatch-on-arrival — the streaming
+    # sibling of media_decode_dispatch (15th streaming query): a
+    # MIXED-format firehose cohort sniffed+routed per micro-batch
+    # across all five decoders, per-batch persist-once, idempotent
+    # per-batch_id sink.
+    "stream_media_dispatch",
     # ROTATION (VERDICT r14 list #3). Oldest first per
     # tools/rotation.py — the full r08 tail (9 keys), then the entire
     # r09 cohort (31 keys). Plans unchanged — the drift gate pins

@@ -208,6 +208,17 @@ HEADLINE_R14 = {
     "multimodal_jpeg_420_stats": "noop",
 }
 
+HEADLINE_R15 = {
+    # 4:2:2 / 4:1:1: horizontal-only chroma replication at 2x / 4x
+    "multimodal_jpeg_422_stats": "noop",
+    "multimodal_jpeg_411_stats": "noop",
+    # curation flags over the whole five-format firehose (shares the
+    # kind-partitioned sniffed sidecar with media_decode_dispatch)
+    "media_quality_gate_multiformat": "noop",
+    # dispatch-on-arrival: mixed-format micro-batches sniffed+routed
+    "stream_media_dispatch": "noop",
+}
+
 
 def main() -> None:
     from tripgogo_vector_search_spark.plans.registry import QUERIES
@@ -270,7 +281,8 @@ def main() -> None:
     all_queries = (HEADLINE | HEADLINE_R2 | HEADLINE_R3 | HEADLINE_R4
                    | HEADLINE_R5 | HEADLINE_R7 | HEADLINE_R8
                    | HEADLINE_R9 | HEADLINE_R10 | HEADLINE_R11
-                   | HEADLINE_R12 | HEADLINE_R13 | HEADLINE_R14)
+                   | HEADLINE_R12 | HEADLINE_R13 | HEADLINE_R14
+                   | HEADLINE_R15)
     timings: dict[str, float] = {}
     noise = noise_floor_once()
     io_noise = io_floor_once()

@@ -206,3 +206,20 @@ def test_jpeg_411_synthesis_roundtrips_on_both_decoders(spark):
     raw = b"hello world"
     assert got[:4] == (32 * len(raw), 8, 256 * len(raw),
                        sum(raw) / len(raw))
+
+
+def test_stream_media_dispatch_releases_its_per_batch_cache(spark):
+    """The per-micro-batch persist of the sniffed frame must be freed
+    in the same batch (finally-unpersist): after the stream drains,
+    no RDD may remain resident — the sweep's 0-resident-RDDs gate
+    applies to streaming keys too."""
+    from tripgogo_vector_search_spark.plans import registry as reg
+
+    spark.catalog.clearCache()
+    out = reg.QUERIES["stream_media_dispatch"](spark, SF_SMOKE)
+    n = out.count()
+    assert n == 50          # the doc_id%10==7 cohort at sf0.001
+    kinds = {r.kind for r in out.select("kind").distinct().collect()}
+    assert kinds == {"image/png", "image/gif", "image/jpeg",
+                     "image/bmp", "audio/wav"}
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -11215,6 +11215,77 @@ def media_quality_gate_multiformat_q(spark, sf_dir):
             .unionByName(unknown))
 
 
+@query("stream_media_dispatch",
+       f"""WITH base AS (SELECT doc_id,
+                               octet_length(encode(text)) AS dlen,
+                               (text IS NULL) AS tnull
+                        FROM documents WHERE doc_id % 10 = 7),
+          g AS (SELECT doc_id, dlen, tnull,
+                       (doc_id // 10) % 5 AS k FROM base),
+          dims AS (SELECT doc_id, k, tnull, dlen,
+                          CASE k WHEN 0 THEN doc_id % 7 + 3
+                                 WHEN 1 THEN doc_id % 6 + 2
+                                 WHEN 2 THEN 8 * least(dlen, 48)
+                                 WHEN 3 THEN doc_id % 5 + 4 END AS w,
+                          CASE WHEN tnull THEN NULL
+                               WHEN k = 0 THEN
+                                    least(dlen // (3 * (doc_id % 7 + 3)),
+                                          65535 // (3 * (doc_id % 7 + 3)
+                                                    + 1))
+                               WHEN k = 1 THEN
+                                    least(dlen // (doc_id % 6 + 2),
+                                          {_GIF_SYNTH_MAX_PIXELS}
+                                          // (doc_id % 6 + 2))
+                               WHEN k = 2 THEN
+                                    CASE WHEN dlen >= 1 THEN 8 END
+                               WHEN k = 3 THEN
+                                    dlen // (3 * (doc_id % 5 + 4))
+                               END AS h
+                   FROM g),
+          shaped AS (SELECT doc_id AS media_id, k, w, h,
+                            CASE WHEN tnull OR (k = 2 AND dlen < 1)
+                                      THEN 'unknown'
+                                 WHEN k = 0 THEN 'image/png'
+                                 WHEN k = 1 THEN 'image/gif'
+                                 WHEN k = 2 THEN 'image/jpeg'
+                                 WHEN k = 3 THEN 'image/bmp'
+                                 ELSE 'audio/wav' END AS kind,
+                            CASE WHEN k = 4 THEN NOT tnull
+                                 ELSE coalesce(h >= 1, FALSE) END AS dok
+                     FROM dims)
+          SELECT media_id, kind,
+                 CAST(CASE WHEN dok AND k <= 3 THEN w END AS INT)
+                   AS width,
+                 CAST(CASE WHEN dok AND k <= 3 THEN h END AS INT)
+                   AS height,
+                 CAST(CASE WHEN dok AND k <= 3 THEN w * h END AS BIGINT)
+                   AS n_pixels,
+                 dok AS decoded
+          FROM shaped""")
+def stream_media_dispatch_q(spark, sf_dir):
+    """Streaming DISPATCH-ON-ARRIVAL — the incremental sibling of
+    media_decode_dispatch and the 15th streaming query: the
+    doc_id%10==7 cohort arrives as a MIXED-format firehose (each
+    object rendered in ONE container chosen by (doc_id//10)%5 — a
+    selector independent of the cohort residue, so all five formats
+    actually appear; a real feed interleaves formats), and every
+    micro-batch is sniffed FROM
+    CONTENT and routed across all five decode kernels
+    (streaming/ingest.py:stream_media_dispatch). The sniffed
+    micro-batch is persisted once per batch (bounded, freed in the
+    same batch — the streaming analogue of the batch key's
+    kind-partitioned sidecar) so the six branches don't re-run the
+    synthesis. Per-object verdicts depend only on that object's
+    bytes, so the read-back equals the batch formula exactly
+    whatever the micro-batch boundaries; unroutable payloads surface
+    as kind='unknown', decoded=false. Scale: map-only Arrow pass per
+    batch, exactly-once by per-batch_id overwrite."""
+    from ..streaming.ingest import stream_media_dispatch
+    out = stream_media_dispatch(
+        spark, sf_dir, _cache_dir(sf_dir, "stream_media_dispatch"))
+    return out
+
+
 # --------------------------------------------------------------------------
 # Oracle-side nanosecond truncation (DuckDB-version robustness)
 # --------------------------------------------------------------------------
