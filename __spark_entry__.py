@@ -81,6 +81,14 @@ _CHECK_FIRST = [
     # across all five decoders, per-batch persist-once, idempotent
     # per-batch_id sink.
     "stream_media_dispatch",
+    # NEW (r15 capability): Adam7-INTERLACED PNG — seven-pass
+    # serialization in pure Catalyst, pass-local unfiltering +
+    # positional de-interlace in both decoders (scatter pinned at
+    # pixel level by a real-deflate test encoder under hypothesis,
+    # since channel means are permutation-invariant). The shared PNG
+    # pixel path was refactored (module-level _png_blob_pixels /
+    # _png_pixels), so the base PNG key re-rows too.
+    "multimodal_png_interlaced_stats", "multimodal_png_stats",
     # ROTATION (VERDICT r14 list #3). Oldest first per
     # tools/rotation.py — the full r08 tail (9 keys), then the entire
     # r09 cohort (31 keys). Plans unchanged — the drift gate pins

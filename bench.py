@@ -217,6 +217,8 @@ HEADLINE_R15 = {
     "media_quality_gate_multiformat": "noop",
     # dispatch-on-arrival: mixed-format micro-batches sniffed+routed
     "stream_media_dispatch": "noop",
+    # Adam7: seven-pass de-interlacing decode over the interlaced corpus
+    "multimodal_png_interlaced_stats": "noop",
 }
 
 

@@ -223,3 +223,137 @@ def test_stream_media_dispatch_releases_its_per_batch_cache(spark):
     assert kinds == {"image/png", "image/gif", "image/jpeg",
                      "image/bmp", "audio/wav"}
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+# -- Adam7 interlaced PNG (r15) --------------------------------------------
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def _filter_row(ft: int, cur: bytes, prev: bytes) -> bytes:
+    """Forward PNG filter (spec 4.5.4, bpp=3) — the test-local
+    ENCODER side, written from the filter definitions (not from the
+    engine's unfilter code)."""
+    out = bytearray(len(cur))
+    for i in range(len(cur)):
+        a = cur[i - 3] if i >= 3 else 0
+        b = prev[i]
+        c = prev[i - 3] if i >= 3 else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                      else c)
+        out[i] = (cur[i] - pred) & 255
+    return bytes(out)
+
+
+def _encode_png_interlaced(pixels, w, h, filters) -> bytes:
+    """Test-local Adam7 encoder: real deflate (zlib.compress), any
+    filter type per pass row. `pixels` is h rows of 3*w byte values;
+    `filters` yields a filter type per emitted scanline."""
+    import struct
+    import zlib
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _png_pass_plan)
+
+    raw = bytearray()
+    fit = iter(filters)
+    for x0, dx, y0, dy, pw, ph in _png_pass_plan(w, h, 1):
+        prev = bytes(3 * pw)
+        for j in range(ph):
+            row = bytearray()
+            for i in range(pw):
+                x = x0 + dx * i
+                row += bytes(pixels[y0 + dy * j][3 * x:3 * x + 3])
+            ft = next(fit)
+            raw += bytes([ft]) + _filter_row(ft, bytes(row), prev)
+            prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _n_pass_rows(w, h):
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _png_pass_plan)
+    return sum(ph for *_, ph in _png_pass_plan(w, h, 1))
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_adam7_roundtrip_positional_both_decoders(data):
+    """Random pixels + random filter type (0-4) per pass scanline,
+    through a real-deflate test encoder: BOTH decoders must
+    reconstruct the de-interlaced image POSITIONALLY (means alone
+    cannot see a scatter bug), on geometries covering every
+    empty-pass edge (w <= 4 empties pass 2; h < 5/3/2 empties
+    passes 3/5/7)."""
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _png_blob_pixels, _png_pixels)
+
+    w = data.draw(st.integers(min_value=1, max_value=9))
+    h = data.draw(st.integers(min_value=1, max_value=17))
+    pixels = [data.draw(st.binary(min_size=3 * w, max_size=3 * w))
+              for _ in range(h)]
+    filters = data.draw(st.lists(st.integers(0, 4),
+                                 min_size=_n_pass_rows(w, h),
+                                 max_size=_n_pass_rows(w, h)))
+    blob = _encode_png_interlaced(pixels, w, h, filters)
+    want = b"".join(pixels)
+    spec = _png_pixels(blob)
+    assert spec is not None
+    sw, sh, rows = spec
+    assert (sw, sh) == (w, h)
+    assert b"".join(bytes(r) for r in rows) == want
+    kern = _png_blob_pixels(blob)
+    assert kern is not None
+    assert bytes(kern[2].tobytes()) == want
+
+
+def test_adam7_truncated_and_padded_streams_null():
+    """An interlaced stream whose inflated length doesn't equal the
+    exact pass-plan total (truncated or padded) must NULL."""
+    import struct
+    import zlib
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _png_blob_pixels, _png_pixels)
+
+    pixels = [bytes(range(24))] * 8
+    blob = _encode_png_interlaced(pixels, 8, 8,
+                                  [0] * _n_pass_rows(8, 8))
+    assert _png_pixels(blob) is not None
+    # walk the chunk list to find the IDAT payload exactly
+    pos, idat_body = 8, None
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        typ = blob[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            idat_body = blob[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    body = zlib.decompress(idat_body)
+    sig_ihdr = blob[:8 + 12 + 13]          # signature + IHDR chunk
+    for mutant in (body[:-1], body + b"\x00"):
+        rebuilt = (sig_ihdr
+                   + _png_chunk(b"IDAT", zlib.compress(mutant))
+                   + _png_chunk(b"IEND", b""))
+        assert _png_pixels(rebuilt) is None
+        assert _png_blob_pixels(rebuilt) is None

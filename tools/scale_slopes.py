@@ -344,7 +344,8 @@ def run(spark, op: str, k: int) -> dict:
         elapsed = time.perf_counter() - t0
     elif op in ("media_decode_dispatch", "multimodal_jpeg_422_stats",
             "media_quality_gate_multiformat",
-            "multimodal_jpeg_411_stats"):
+            "multimodal_jpeg_411_stats",
+            "multimodal_png_interlaced_stats"):
         # r15: the single-pass dispatch re-plan (kind-partitioned
         # sniffed sidecar — six disjoint partition scans instead of
         # six firehose passes) and the new 4:2:2 corpus key. Exact

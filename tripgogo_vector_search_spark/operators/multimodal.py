@@ -9,7 +9,9 @@ chunk list and compute sample-level stats, :func:`parse_bmp` /
 :func:`bmp_stats_udf` honor the BMP offset/stride layout (top-down
 heights included), :func:`parse_png` / :func:`png_stats_udf` (r12)
 decode through a REAL compression layer (CRC-verified chunk walk,
-stdlib ``zlib`` inflate, all five spec scanline filters), and
+stdlib ``zlib`` inflate, all five spec scanline filters; r15 adds
+Adam7 interlacing — pass-local unfiltering + positional
+de-interlace), and
 :func:`parse_gif` / :func:`gif_stats_udf` (r13) decode through a
 REAL LZW layer implemented from the spec — variable code width,
 clear/EOI, the KwKwK case, table-full freeze — with no codec library
@@ -539,6 +541,17 @@ def synth_png_corpus(docs: DataFrame, id_col: str = "doc_id",
     raw_len = F.col("_h") * (stride + 1)    # (filter byte + row) * h
     b3 = b1b.select("media_id", "_h", fb.alias("_fb"),
                     raw_len.alias("_rl"))
+    return _png_container(b3, w, interlace=0)
+
+
+def _png_container(b3: DataFrame, w, interlace: int) -> DataFrame:
+    """Shared container tail of the PNG syntheses: wrap a
+    ``(media_id, _h, _fb, _rl)`` frame — ``_fb`` the filtered
+    scanline-stream bytes, ``_rl`` its length (NULL for NULL text) —
+    into a REAL zlib stored-block IDAT plus CRC'd chunks, with the
+    IHDR interlace byte as given. Every checksum computed in
+    Catalyst: chunk CRC-32s via ``F.crc32``, the zlib Adler-32 via
+    two integer folds."""
     scan_hex = F.array_join(
         F.transform("_fb", lambda b: F.lpad(F.hex(b), 2, "0")), "")
     s1 = (1 + F.aggregate(F.col("_fb"), F.lit(0).cast("bigint"),
@@ -566,7 +579,8 @@ def synth_png_corpus(docs: DataFrame, id_col: str = "doc_id",
     ihdr_data = F.concat(_be_hex(w, 4), _be_hex(F.col("_h"), 4),
                          F.lit("08"),               # bit depth 8
                          F.lit("02"),               # color type 2 (RGB)
-                         F.lit("000000"))           # comp/filter/interlace
+                         F.lit("0000"),             # comp/filter
+                         F.lit(f"0{interlace:d}"))  # interlace method
     ihdr_crc = _be_hex(F.crc32(F.unhex(
         F.concat(F.lit("49484452"), ihdr_data))), 4)
     idat_crc = _be_hex(F.crc32(F.unhex(
@@ -579,6 +593,84 @@ def synth_png_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.lit("49444154"), F.col("_z"), idat_crc,
         F.lit("00000000"), F.lit("49454E44"), iend_crc)
     return b4.select("media_id", F.unhex(hexfile).alias("content"))
+
+
+def synth_png_interlaced_corpus(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Deterministic corpus of REAL Adam7-INTERLACED PNG files (r15),
+    pure Catalyst including the zlib layer: the same pixel source as
+    :func:`synth_png_corpus` (document bytes as RGB rows, width 3..9
+    by ``id % 7``) but serialized in the seven-pass Adam7 order —
+    each non-empty pass contributes its own scanlines (filter byte +
+    the pass sub-image's row, GATHERED from the source pixels at
+    (y0 + dy*j, x0 + dx*i)), filters alternating None/Sub per
+    emitted row with Sub applied WITHIN the pass row (pass-local
+    filtering is exactly what a de-interlacing decoder must get
+    right: a full-image unfilter over the pass stream corrupts every
+    Sub row). Empty passes (pw or ph = 0 — e.g. pass 2 at w <= 4,
+    passes 3/5/7 at small heights) emit nothing, not even filter
+    bytes, per spec. Height cap: the interlaced stream carries up to
+    ~15h/8 + 7 filter bytes, so h <= 65528 // (3w + 2) keeps one
+    stored block sufficient. NULL text yields NULL content."""
+    w = (F.col("media_id") % 7 + 3).cast("bigint")
+    stride = 3 * w
+    b0 = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
+    hlen = (F.length("_hex") / 2 / stride).cast("bigint")
+    h = F.when(hlen.isNotNull(), F.least(
+        hlen, (F.lit(65528) / (stride + 2)).cast("bigint")))
+    b1 = b0.select("media_id", "_hex", h.alias("_h"))
+    used = F.col("_h") * stride
+    d_arr = F.when(F.col("_h") >= 1, F.transform(
+        F.sequence(F.lit(0), used - 1),
+        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"),
+                                     2), 16, 10).cast("bigint"))) \
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    b1b = b1.select("media_id", "_h", d_arr.alias("_d"))
+    hcol = F.col("_h")
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+
+    def pass_rows(p, x0, dx, y0, dy):
+        pw = F.when(w > x0, F.floor((w - x0 + dx - 1) / dx)
+                    .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        ph = F.when(hcol > y0, F.floor((hcol - y0 + dy - 1) / dy)
+                    .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        stride_p = 3 * pw
+
+        def gather(j, q):
+            # source byte for pass-row byte q of pass row j: pixel
+            # (y0 + dy*j, x0 + dx*(q // 3)), channel q % 3
+            pos = ((y0 + dy * j) * w
+                   + (x0 + dx * F.floor(q / 3).cast("bigint"))) * 3 \
+                + q % 3
+            return F.element_at("_d", (pos + 1).cast("int"))
+
+        def row_bytes(j):
+            flt = (F.col("media_id") + p + j) % 2
+            raw = F.transform(F.sequence(F.lit(0), stride_p - 1),
+                              lambda q: gather(j, q))
+            sub = F.transform(
+                F.sequence(F.lit(0), stride_p - 1),
+                lambda q: (gather(j, q)
+                           - F.when(q >= 3, gather(j, q - 3))
+                           .otherwise(F.lit(0)) + 256) % 256)
+            return F.concat(F.array(flt),
+                            F.when(flt == 0, raw).otherwise(sub))
+
+        return F.when(
+            (pw >= 1) & (ph >= 1),
+            F.flatten(F.transform(F.sequence(F.lit(0), ph - 1),
+                                  row_bytes))).otherwise(empty)
+
+    fb = F.when(hcol >= 1, F.concat(*[
+        pass_rows(p, *geo) for p, geo in enumerate(_ADAM7)])) \
+        .otherwise(empty)
+    b2 = b1b.select("media_id", "_h", fb.alias("_fb"))
+    rl = F.when(F.col("_h").isNotNull(),
+                F.size("_fb").cast("bigint"))
+    b3 = b2.select("media_id", "_h", "_fb", rl.alias("_rl"))
+    return _png_container(b3, w, interlace=1)
 
 
 def _png_unfilter_row(ft: int, line: bytearray, prev: bytes) -> bool:
@@ -613,18 +705,43 @@ def _png_unfilter_row(ft: int, line: bytearray, prev: bytes) -> bool:
     return False
 
 
-def parse_png(data: bytes | None) -> tuple | None:
-    """Plain-Python PNG decode — REAL pixel access through the REAL
-    compression layer, stdlib ``zlib`` only: validates the 8-byte
-    signature, walks the length-prefixed chunk list VERIFYING every
-    chunk's CRC-32, concatenates IDAT payloads, inflates the zlib
-    stream, and unfilters each scanline (all five spec filters — the
-    synthesis only emits None/Sub, the decoder is the full spec).
-    Accepts only 8-bit truecolor (color type 2) non-interlaced
-    images, the synthesized shape. Returns ``(width, height,
-    n_pixels, mean_r, mean_g, mean_b)`` with unrounded means, or
-    ``None`` for anything unreadable. The executable spec behind
-    :func:`png_stats_udf`."""
+#: Adam7 pass grid (PNG spec 4.5.9 / libpng convention): per pass
+#: (x0, dx, y0, dy) — pass p covers pixels (y0 + dy*j, x0 + dx*i).
+#: A pass whose sub-image is empty (pw or ph == 0) emits NO
+#: scanlines, not even filter bytes.
+_ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+
+def _png_pass_plan(w: int, h: int, inter: int) -> list[tuple]:
+    """Non-empty (x0, dx, y0, dy, pw, ph) pass geometry: the single
+    full-image pass for inter=0, the Adam7 grid for inter=1."""
+    passes = _ADAM7 if inter else ((0, 1, 0, 1),)
+    plan = []
+    for x0, dx, y0, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw >= 1 and ph >= 1:
+            plan.append((x0, dx, y0, dy, pw, ph))
+    return plan
+
+
+def _png_pixels(data: bytes | None) -> tuple | None:
+    """Plain-Python PNG decode to DE-INTERLACED pixel rows — REAL
+    pixel access through the REAL compression layer, stdlib ``zlib``
+    only: validates the 8-byte signature, walks the length-prefixed
+    chunk list VERIFYING every chunk's CRC-32, concatenates IDAT
+    payloads, inflates the zlib stream, and unfilters each scanline
+    (all five spec filters) PASS-LOCALLY — non-interlaced images are
+    the single-pass special case, Adam7 (interlace=1, r15) walks the
+    seven-pass grid and scatters each pass's pixels back to their
+    image positions. Returns ``(width, height, rows)`` with ``rows``
+    a list of 3*w-byte bytearrays, or ``None`` for anything
+    unreadable. 8-bit truecolor only. Exposed separately from
+    :func:`parse_png` so tests can pin SCATTER POSITIONS exactly —
+    channel means alone are invariant under any pixel permutation,
+    so a mis-scattering de-interlacer would pass every mean-based
+    oracle."""
     import struct
     import zlib
 
@@ -655,25 +772,50 @@ def parse_png(data: bytes | None) -> tuple | None:
         return None
     w, h, depth, ctype, comp, filt, inter = ihdr
     if not (0 < w and 0 < h and depth == 8 and ctype == 2
-            and comp == 0 and filt == 0 and inter == 0):
+            and comp == 0 and filt == 0 and inter in (0, 1)):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = 3 * w
-    if len(raw) != h * (1 + stride):
+    plan = _png_pass_plan(w, h, inter)
+    if len(raw) != sum(ph * (1 + 3 * pw)
+                       for _, _, _, _, pw, ph in plan):
         return None
+    out = [bytearray(3 * w) for _ in range(h)]
+    pos = 0
+    for x0, dx, y0, dy, pw, ph in plan:
+        stride_p = 3 * pw
+        prev = bytes(stride_p)
+        for j in range(ph):
+            ft = raw[pos]
+            line = bytearray(raw[pos + 1:pos + 1 + stride_p])
+            pos += 1 + stride_p
+            if not _png_unfilter_row(ft, line, prev):
+                return None
+            prev = bytes(line)
+            orow = out[y0 + dy * j]
+            for i in range(pw):
+                x = x0 + dx * i
+                orow[3 * x:3 * x + 3] = line[3 * i:3 * i + 3]
+    return w, h, out
+
+
+def parse_png(data: bytes | None) -> tuple | None:
+    """Plain-Python PNG decode to stats (the executable spec behind
+    :func:`png_stats_udf`): :func:`_png_pixels` for the pixel path
+    (chunk walk, CRC verification, zlib inflate, pass-local
+    unfiltering, Adam7 de-interlacing), then exact channel sums.
+    Returns ``(width, height, n_pixels, mean_r, mean_g, mean_b)``
+    with unrounded means, or ``None`` for anything unreadable."""
+    px = _png_pixels(data)
+    if px is None:
+        return None
+    w, h, rows = px
     sums = [0, 0, 0]
-    prev = bytes(stride)
-    for r in range(h):
-        base = r * (1 + stride)
-        line = bytearray(raw[base + 1:base + 1 + stride])
-        if not _png_unfilter_row(raw[base], line, prev):
-            return None
-        for i in range(stride):
-            sums[i % 3] += line[i]
-        prev = bytes(line)
+    for row in rows:
+        for i in range(3 * w):
+            sums[i % 3] += row[i]
     n = w * h
     return (w, h, n, sums[0] / n, sums[1] / n, sums[2] / n)
 
@@ -682,24 +824,104 @@ _PNG_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
                "mean_r:double,mean_g:double,mean_b:double>")
 
 
+def _png_blob_pixels(data: bytes):
+    """numpy twin of :func:`_png_pixels`: same chunk walk / CRC
+    verification / zlib inflate, but unfiltering is vectorized per
+    pass row (Sub = per-channel cumsum mod 256, Up = vector add mod
+    256; Average/Paeth fall back to the spec loop) and Adam7
+    scatter is one fancy-indexed assignment per pass. Returns
+    ``(w, h, uint8 ndarray of shape (h, 3*w))`` or ``None``. Module
+    level so tests can pin kernel scatter positions against
+    :func:`_png_pixels` — means alone cannot see a permutation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data is None or len(data) < 8 \
+            or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat, ok_end = 8, None, [], False
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        if pos + 12 + ln > len(data):
+            return None
+        chunk = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+            return None
+        if typ == b"IHDR":
+            if ln != 13 or ihdr is not None:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            ok_end = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not ok_end:
+        return None
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    if not (0 < w and 0 < h and depth == 8 and ctype == 2
+            and comp == 0 and filt == 0 and inter in (0, 1)):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    plan = _png_pass_plan(w, h, inter)
+    if len(raw) != sum(ph * (1 + 3 * pw)
+                       for _, _, _, _, pw, ph in plan):
+        return None
+    img = np.zeros((h, 3 * w), dtype=np.uint8)
+    pos = 0
+    for x0, dx, y0, dy, pw, ph in plan:
+        stride_p = 3 * pw
+        seg = raw[pos:pos + ph * (1 + stride_p)]
+        pos += ph * (1 + stride_p)
+        arr = np.frombuffer(seg, dtype=np.uint8).reshape(
+            ph, 1 + stride_p)
+        fts = arr[:, 0]
+        lines = arr[:, 1:]
+        outp = np.zeros((ph, stride_p), dtype=np.uint8)
+        prev = np.zeros(stride_p, dtype=np.uint8)
+        for r in range(ph):
+            ft = int(fts[r])
+            if ft == 0:
+                row = lines[r].copy()
+            elif ft == 1:           # Sub: per-channel cumsum mod 256
+                row = np.cumsum(
+                    lines[r].reshape(-1, 3).astype(np.int64),
+                    axis=0).astype(np.uint8).reshape(-1)
+            elif ft == 2:           # Up: vector add mod 256
+                row = lines[r] + prev
+            else:                   # Average/Paeth: spec loop
+                lb = bytearray(lines[r].tobytes())
+                if not _png_unfilter_row(ft, lb, prev.tobytes()):
+                    return None
+                row = np.frombuffer(bytes(lb), dtype=np.uint8)
+            outp[r] = row
+            prev = row
+        ys = y0 + dy * np.arange(ph)
+        cs = (3 * (x0 + dx * np.arange(pw))[:, None]
+              + np.arange(3)).ravel()
+        img[np.ix_(ys, cs)] = outp
+    return w, h, img
+
+
 def png_stats_udf(content_col) -> "F.Column":
     """Arrow-batched PNG decode: binary content -> image metadata +
-    per-channel means. Same chunk walk / zlib inflate as
-    :func:`parse_png`, but unfiltering is numpy-vectorized per row
-    (Sub = per-channel cumsum mod 256, Up = vector add mod 256;
-    Average/Paeth fall back to the spec loop) and the channel sums
-    are exact int64 matrix sums — a genuinely independent
-    implementation of the pixel path. Unreadable payloads decode to
-    an all-NULL struct, never an error. Map-only Arrow pass."""
+    per-channel means, over :func:`_png_blob_pixels` (the numpy twin
+    of the spec pixel path — genuinely independent unfiltering and
+    de-interlacing) with exact int64 channel sums. Unreadable
+    payloads decode to an all-NULL struct, never an error. Map-only
+    Arrow pass."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(_PNG_STRUCT)
     def _png(blobs: pd.Series) -> pd.DataFrame:
-        import struct
-        import zlib
-
-        import numpy as np
-
         cols = {k: [] for k in ("width", "height", "n_pixels",
                                 "mean_r", "mean_g", "mean_b")}
 
@@ -711,83 +933,14 @@ def png_stats_udf(content_col) -> "F.Column":
             cols["mean_g"].append(mg)
             cols["mean_b"].append(mb)
 
-        def walk(data):
-            pos, ihdr, idat, ok_end = 8, None, [], False
-            while pos + 12 <= len(data):
-                (ln,) = struct.unpack(">I", data[pos:pos + 4])
-                typ = data[pos + 4:pos + 8]
-                if pos + 12 + ln > len(data):
-                    return None
-                chunk = data[pos + 8:pos + 8 + ln]
-                (crc,) = struct.unpack(
-                    ">I", data[pos + 8 + ln:pos + 12 + ln])
-                if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
-                    return None
-                if typ == b"IHDR":
-                    if ln != 13 or ihdr is not None:
-                        return None
-                    ihdr = struct.unpack(">IIBBBBB", chunk)
-                elif typ == b"IDAT":
-                    idat.append(chunk)
-                elif typ == b"IEND":
-                    ok_end = True
-                    break
-                pos += 12 + ln
-            return (ihdr, idat) if ihdr and ok_end else None
-
         for b in blobs:
             data = bytes(b) if b is not None else None
-            if data is None or len(data) < 8 \
-                    or data[:8] != b"\x89PNG\r\n\x1a\n":
+            px = _png_blob_pixels(data) if data is not None else None
+            if px is None:
                 emit()
                 continue
-            walked = walk(data)
-            if walked is None:
-                emit()
-                continue
-            (w, h, depth, ctype, comp, filt, inter), idat = walked
-            if not (0 < w and 0 < h and depth == 8 and ctype == 2
-                    and comp == 0 and filt == 0 and inter == 0):
-                emit()
-                continue
-            try:
-                raw = zlib.decompress(b"".join(idat))
-            except zlib.error:
-                emit()
-                continue
-            stride = 3 * w
-            if len(raw) != h * (1 + stride):
-                emit()
-                continue
-            arr = np.frombuffer(raw, dtype=np.uint8).reshape(
-                h, 1 + stride)
-            fts = arr[:, 0]
-            lines = arr[:, 1:]
-            out = np.zeros((h, stride), dtype=np.uint8)
-            prev = np.zeros(stride, dtype=np.uint8)
-            bad = False
-            for r in range(h):
-                ft = int(fts[r])
-                if ft == 0:
-                    row = lines[r].copy()
-                elif ft == 1:       # Sub: per-channel cumsum mod 256
-                    row = np.cumsum(
-                        lines[r].reshape(-1, 3).astype(np.int64),
-                        axis=0).astype(np.uint8).reshape(-1)
-                elif ft == 2:       # Up: vector add mod 256
-                    row = lines[r] + prev
-                else:               # Average/Paeth: spec loop
-                    lb = bytearray(lines[r].tobytes())
-                    if not _png_unfilter_row(ft, lb, prev.tobytes()):
-                        bad = True
-                        break
-                    row = np.frombuffer(bytes(lb), dtype=np.uint8)
-                out[r] = row
-                prev = row
-            if bad:
-                emit()
-                continue
-            s = out.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            w, h, img = px
+            s = img.reshape(-1, 3).astype("int64").sum(axis=0)
             n_px = w * h
             emit(w, h, n_px, int(s[0]) / n_px, int(s[1]) / n_px,
                  int(s[2]) / n_px)

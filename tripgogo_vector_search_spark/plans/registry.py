@@ -9265,6 +9265,77 @@ def multimodal_png_stats_q(spark, sf_dir):
         F.round("mean_b", 6).alias("mean_b"))
 
 
+@query("multimodal_png_interlaced_stats",
+       """WITH b AS (SELECT doc_id, doc_id % 7 + 3 AS w,
+                  upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS dlen
+           FROM documents),
+           p AS (SELECT doc_id, w, hx,
+                        CASE WHEN hx IS NULL THEN NULL
+                             ELSE least(dlen // (3 * w),
+                                        65528 // (3 * w + 2)) END AS h
+                 FROM b),
+           s AS (SELECT doc_id, w, h, hx,
+                        unnest(CASE WHEN h >= 1 THEN
+                               generate_series(0, 3 * w * h - 1)
+                               ELSE []::BIGINT[] END) AS i
+                 FROM p),
+           v AS (SELECT doc_id, i % 3 AS ch,
+                        ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                 FROM s),
+           q AS (SELECT doc_id,
+                        sum(CASE WHEN ch = 0 THEN u ELSE 0 END) AS sr,
+                        sum(CASE WHEN ch = 1 THEN u ELSE 0 END) AS sg,
+                        sum(CASE WHEN ch = 2 THEN u ELSE 0 END) AS sb,
+                        count(*) // 3 AS npx
+                 FROM v GROUP BY doc_id)
+           SELECT p.doc_id AS media_id,
+                  CAST(CASE WHEN p.h >= 1 THEN p.w END AS INT) AS width,
+                  CAST(CASE WHEN p.h >= 1 THEN p.h END AS INT)
+                    AS height,
+                  CAST(q.npx AS BIGINT) AS n_pixels,
+                  round(q.sr::DOUBLE / q.npx, 6) AS mean_r,
+                  round(q.sg::DOUBLE / q.npx, 6) AS mean_g,
+                  round(q.sb::DOUBLE / q.npx, 6) AS mean_b
+           FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_png_interlaced_stats_q(spark, sf_dir):
+    """ADAM7-INTERLACED PNG (r15): the same pixel source as
+    multimodal_png_stats, serialized in the spec's seven-pass
+    progressive order (operators/multimodal.py:
+    synth_png_interlaced_corpus — pure Catalyst, per-pass gathered
+    scanlines, pass-LOCAL None/Sub filter alternation, real zlib
+    stored block + Adler/CRC) and decoded back through the full
+    de-interlacing path: per-pass unfiltering (a full-image
+    unfilter over the pass stream corrupts every Sub row, so the
+    oracle DOES see pass geometry even though means are
+    permutation-invariant) and pixel scatter to image positions.
+    Scatter itself is mean-invariant, so it is pinned separately at
+    the pixel level: tests/test_round15_props.py round-trips a
+    test-local interlaced ENCODER (real deflate, random filters 0-4
+    per pass row) through BOTH decoders positionally, and the
+    empty-pass edges (pass 2 at w <= 4; passes 3/5/7 at h < 5/3/2)
+    are exercised explicitly. The oracle is the base PNG formula
+    with the interlaced height cap (filter bytes <= ~15h/8 + 7, so
+    h <= 65528 // (3w + 2) keeps one stored block sufficient).
+    Scale: map-only Arrow pass over the materialized sidecar, no
+    shuffle. Reference parity: streamlit_app.py display layer."""
+    from ..operators.multimodal import (decode_png_stats,
+                                        synth_png_interlaced_corpus)
+    from ..partitioning import widen
+    path = _materialized_index(
+        spark, sf_dir, "png_interlaced_corpus",
+        lambda p: synth_png_interlaced_corpus(
+            widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_png_interlaced_corpus, widen))
+    w = decode_png_stats(spark.read.parquet(path))
+    return w.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
 @query("dsir_importance_weights",
        f"""WITH w AS (SELECT doc_id, {sql_words('text')} AS ws
                       FROM documents),
