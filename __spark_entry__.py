@@ -89,6 +89,13 @@ _CHECK_FIRST = [
     # pixel path was refactored (module-level _png_blob_pixels /
     # _png_pixels), so the base PNG key re-rows too.
     "multimodal_png_interlaced_stats", "multimodal_png_stats",
+    # NEW (r15 capability): interlaced GIF — appendix E four-pass
+    # serialization with a row-position-WEIGHTED output statistic
+    # that makes de-interlacing oracle-visible (means are invariant
+    # under row permutation); the shared GIF pixel path moved to
+    # module level (_gif_indices / _gif_blob_indices), re-rowing the
+    # GIF-closure keys (already queued above).
+    "multimodal_gif_interlaced_stats",
     # ROTATION (VERDICT r14 list #3). Oldest first per
     # tools/rotation.py — the full r08 tail (9 keys), then the entire
     # r09 cohort (31 keys). Plans unchanged — the drift gate pins

@@ -219,6 +219,8 @@ HEADLINE_R15 = {
     "stream_media_dispatch": "noop",
     # Adam7: seven-pass de-interlacing decode over the interlaced corpus
     "multimodal_png_interlaced_stats": "noop",
+    # interlaced GIF: four-pass de-permute + row-weighted statistic
+    "multimodal_gif_interlaced_stats": "noop",
 }
 
 

@@ -365,3 +365,65 @@ def test_adam7_truncated_and_padded_streams_null():
                    + _png_chunk(b"IEND", b""))
         assert _png_pixels(rebuilt) is None
         assert _png_blob_pixels(rebuilt) is None
+
+
+# -- interlaced GIF (r15) --------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_gif_interlace_roundtrip_positional_both_decoders(data):
+    """Random indices through the independent test-encoder assembly
+    (REAL compressed LZW), serialized in appendix E file order with
+    the interlace flag: BOTH decoders must return the image in
+    SOURCE row order, and the row-weighted statistic must equal the
+    source-order formula (a decoder that ignores the flag returns a
+    permuted image — invisible to means, red here)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_round13_props import _assemble_gif
+
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    w = data.draw(st.integers(min_value=1, max_value=6))
+    h = data.draw(st.integers(min_value=1, max_value=21))
+    src = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                             max_size=w * h))
+    order = M._gif_interlace_source_rows(h)
+    assert sorted(order) == list(range(h))     # a permutation, total
+    filestream = []
+    for srow in order:
+        filestream += src[srow * w:(srow + 1) * w]
+    blob = _assemble_gif(w, h, filestream, interlace=True)
+    gi = M._gif_indices(blob)
+    assert gi is not None and gi[3] == src
+    kb = M._gif_blob_indices(blob)
+    assert kb is not None and list(kb[3]) == src
+    rp = M.parse_gif_rowpos(blob)
+    assert rp[4] == sum((k // w + 1) * v for k, v in enumerate(src))
+
+
+def test_gif_interlace_is_observable_in_row_weighted_stat(spark):
+    """The interlaced corpus must produce file bytes whose NAIVE
+    (flag-ignoring) row-weighted sum differs from the source-order
+    oracle value — i.e. the new statistic actually distinguishes a
+    correct de-interlacer from one that ignores the flag."""
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    # w=2 (id%6==0), 17 bytes -> h=8: interlace is a non-trivial
+    # permutation and the byte values are row-distinct
+    txt = bytes(range(33, 33 + 16)).decode()
+    docs = spark.createDataFrame([(0, txt)], "doc_id bigint, text string")
+    blob = bytes(M.synth_gif_interlaced_corpus(docs).first().content)
+    gi = M._gif_indices(blob)
+    w, h = gi[0], gi[1]
+    src = gi[3]
+    correct = sum((k // w + 1) * v for k, v in enumerate(src))
+    # replay the decode WITHOUT de-interlacing: permute back to file
+    # order and weight that
+    order = M._gif_interlace_source_rows(h)
+    filestream = []
+    for srow in order:
+        filestream += src[srow * w:(srow + 1) * w]
+    naive = sum((k // w + 1) * v for k, v in enumerate(filestream))
+    assert naive != correct, "fixture too symmetric to distinguish"
+    assert M.parse_gif_rowpos(blob)[4] == correct

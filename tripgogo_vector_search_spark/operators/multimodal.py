@@ -991,6 +991,23 @@ _GIF_SYNTH_MAX_PIXELS = 4096
 
 def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
+    """Non-interlaced wrapper of :func:`_synth_gif` (the original
+    corpus; see there for the construction)."""
+    return _synth_gif(docs, id_col, text_col, interlaced=False)
+
+
+def synth_gif_interlaced_corpus(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """INTERLACED wrapper of :func:`_synth_gif` (r15): the image
+    descriptor sets the appendix E interlace flag and the LZW stream
+    carries the pixel rows in four-pass FILE order — so a decoder
+    that ignores the flag reads a row-permuted image, observable via
+    the row-position-weighted statistic."""
+    return _synth_gif(docs, id_col, text_col, interlaced=True)
+
+
+def _synth_gif(docs: DataFrame, id_col: str, text_col: str,
+               interlaced: bool) -> DataFrame:
     """Deterministic corpus of REAL GIF89a files (GIF spec 89a, 1990),
     built with pure Catalyst byte arithmetic INCLUDING the LZW layer:
     each document\'s UTF-8 bytes become the 8-bit palette indices of an
@@ -1022,9 +1039,29 @@ def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id",
                        (F.lit(_GIF_SYNTH_MAX_PIXELS) / w).cast("bigint")))
     b1 = b0.select("media_id", "_hex", h.alias("_h"))
     npx = F.col("_h") * w
+    # interlaced serialization: output pixel i comes from SOURCE row
+    # srow(i // w) per the appendix E pass counts (n1 rows 0 mod 8,
+    # n2 rows 4 mod 8, n3 rows 2 mod 4, the rest odd)
+    hcol = F.col("_h")
+    n1 = F.floor((hcol + 7) / 8).cast("bigint")
+    n2 = F.floor((hcol + 3) / 8).cast("bigint")
+    n3 = F.floor((hcol + 1) / 4).cast("bigint")
+
+    def src_pos(i):
+        if not interlaced:
+            return i
+        fr = F.floor(i / w).cast("bigint")
+        srow = (F.when(fr < n1, 8 * fr)
+                .when(fr < n1 + n2, 8 * (fr - n1) + 4)
+                .when(fr < n1 + n2 + n3, 4 * (fr - n1 - n2) + 2)
+                .otherwise(2 * (fr - n1 - n2 - n3) + 1))
+        return srow * w + i % w
+
     px = F.when(npx >= 1, F.transform(
         F.sequence(F.lit(0), npx - 1),
-        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
+        lambda i: F.conv(F.substring("_hex",
+                                     (src_pos(i) * 2 + 1).cast("int"),
+                                     2),
                          16, 10).cast("bigint"))) \
         .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
     b2 = b1.select("media_id", "_h", px.alias("_px"))
@@ -1087,7 +1124,7 @@ def synth_gif_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.lit(_GIF_PALETTE_HEX),
         F.lit("2C"), F.lit("00000000"),             # image desc, left/top
         _le_hex(w, 2), _le_hex(F.col("_h"), 2),
-        F.lit("00"),                                # no LCT, no interlace
+        F.lit("40" if interlaced else "00"),        # no LCT; interlace bit
         F.lit(f"{_GIF_MCS:02X}"),                   # LZW min code size
         F.array_join(subs, ""),
         F.lit("00"),                                # block terminator
@@ -1141,18 +1178,29 @@ def _gif_lzw_decode(mcs: int, data: bytes,
     return None                          # ran out of bits before EOI
 
 
-def parse_gif(data: bytes | None) -> tuple | None:
-    """Plain-Python GIF decode — REAL pixel access through the REAL
-    LZW compression layer, pure integer/bit arithmetic, no codec
-    library: validates the GIF87a/89a signature, parses the logical
-    screen descriptor and global color table, skips extension blocks,
-    decodes the FIRST image descriptor\'s sub-block-framed LZW stream
-    with the full variable-width table machinery, and averages the
-    palette channels over the decoded indices. Interlace only permutes
-    row order, so the means are unaffected and the flag is accepted.
-    Returns ``(width, height, n_pixels, mean_idx, mean_r, mean_g,
-    mean_b)`` with unrounded means, or ``None`` for anything
-    unreadable. The executable spec behind :func:`gif_stats_udf`."""
+def _gif_interlace_source_rows(h: int) -> list[int]:
+    """GIF89a appendix E interlace order: file row k of an interlaced
+    image holds SOURCE row ``rows[k]`` — the four passes cover rows
+    0,8,16,... then 4,12,... then 2,6,10,... then 1,3,5,..."""
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
+def _gif_indices(data: bytes | None) -> tuple | None:
+    """Plain-Python GIF decode to DE-INTERLACED palette indices —
+    REAL pixel access through the REAL LZW compression layer, pure
+    integer/bit arithmetic, no codec library: validates the
+    GIF87a/89a signature, parses the logical screen descriptor and
+    global color table, skips extension blocks, decodes the FIRST
+    image descriptor's sub-block-framed LZW stream with the full
+    variable-width table machinery, and (r15) reorders rows per the
+    appendix E four-pass grid when the descriptor's interlace flag
+    is set. Returns ``(width, height, palette, indices)`` with
+    ``indices`` a row-major list in IMAGE order, or ``None`` for
+    anything unreadable. Exposed separately from :func:`parse_gif`
+    because every mean is invariant under row permutation — only a
+    positional consumer (parse_gif_rowpos, or a test) can see a
+    de-interlacing bug."""
     if data is None or len(data) < 13 \
             or data[:6] not in (b"GIF87a", b"GIF89a"):
         return None
@@ -1222,13 +1270,49 @@ def parse_gif(data: bytes | None) -> tuple | None:
             return None
         if any(3 * i + 2 >= len(pal) for i in idxs):
             return None
-        n_px = w * h
-        si = sum(idxs)
-        sr = sum(pal[3 * i] for i in idxs)
-        sg = sum(pal[3 * i + 1] for i in idxs)
-        sb = sum(pal[3 * i + 2] for i in idxs)
-        return (w, h, n_px, si / n_px, sr / n_px, sg / n_px, sb / n_px)
+        if ipacked & 0x40:               # interlaced: de-permute rows
+            out = [0] * (w * h)
+            for k, srow in enumerate(_gif_interlace_source_rows(h)):
+                out[srow * w:(srow + 1) * w] = idxs[k * w:(k + 1) * w]
+            idxs = out
+        return (w, h, pal, idxs)
     return None
+
+
+def parse_gif(data: bytes | None) -> tuple | None:
+    """Plain-Python GIF decode to stats (the executable spec behind
+    :func:`gif_stats_udf`): :func:`_gif_indices` for the pixel path,
+    then palette-channel means over the decoded indices. Returns
+    ``(width, height, n_pixels, mean_idx, mean_r, mean_g, mean_b)``
+    with unrounded means, or ``None`` for anything unreadable."""
+    gi = _gif_indices(data)
+    if gi is None:
+        return None
+    w, h, pal, idxs = gi
+    n_px = w * h
+    si = sum(idxs)
+    sr = sum(pal[3 * i] for i in idxs)
+    sg = sum(pal[3 * i + 1] for i in idxs)
+    sb = sum(pal[3 * i + 2] for i in idxs)
+    return (w, h, n_px, si / n_px, sr / n_px, sg / n_px, sb / n_px)
+
+
+def parse_gif_rowpos(data: bytes | None) -> tuple | None:
+    """Row-POSITION-aware GIF stats (the executable spec behind
+    :func:`gif_rowpos_stats_udf`): mean index plus the exact integer
+    ``sum((row + 1) * index)`` over the de-interlaced image — the
+    statistic that makes the interlace permutation ORACLE-VISIBLE
+    (every mean is invariant under row reordering; this is not).
+    Returns ``(width, height, n_pixels, mean_idx,
+    row_weighted_idx)`` or ``None``."""
+    gi = _gif_indices(data)
+    if gi is None:
+        return None
+    w, h, _pal, idxs = gi
+    n_px = w * h
+    si = sum(idxs)
+    rw = sum((k // w + 1) * v for k, v in enumerate(idxs))
+    return (w, h, n_px, si / n_px, rw)
 
 
 _GIF_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
@@ -1250,11 +1334,8 @@ _GIF_DECODE_MAX_PIXELS = 1 << 24
 
 def gif_stats_udf(content_col) -> "F.Column":
     """Arrow-batched GIF decode: binary content -> image metadata +
-    palette-index and channel means. Same container walk as
-    :func:`parse_gif`, but the LZW inner loop is a genuinely
-    independent implementation: a shift-register bit reader (no
-    per-bit loop) over prefix/suffix code arrays with stack
-    backtracking (no list-of-lists table), and the channel means are
+    palette-index and channel means, over :func:`_gif_blob_indices`
+    (the numpy/shift-register twin of the spec pixel path) with
     exact int64 histogram dot products (np.bincount over the decoded
     indices x the palette arrays) instead of per-pixel sums.
     Unreadable payloads decode to an all-NULL struct, never an error.
@@ -1278,7 +1359,41 @@ def gif_stats_udf(content_col) -> "F.Column":
             cols["mean_g"].append(mg)
             cols["mean_b"].append(mb)
 
-        def lzw(mcs, data, want):
+        for blob in blobs:
+            data = bytes(blob) if blob is not None else None
+            gi = _gif_blob_indices(data) if data is not None else None
+            if gi is None:
+                emit()
+                continue
+            w, h, pal, idxs = gi
+            parr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            counts = np.bincount(idxs, minlength=parr.shape[0])
+            n_px = w * h
+            si = int(np.dot(counts, np.arange(parr.shape[0],
+                                              dtype=np.int64)))
+            ch = [int(np.dot(counts, parr[:, c].astype(np.int64)))
+                  for c in range(3)]
+            emit(w, h, n_px, si / n_px, ch[0] / n_px,
+                 ch[1] / n_px, ch[2] / n_px)
+        return pd.DataFrame(cols)
+
+    return _gif(content_col if not isinstance(content_col, str)
+                else F.col(content_col))
+
+
+def _gif_blob_indices(data: bytes):
+    """numpy twin of :func:`_gif_indices`: same container walk, but
+    the LZW inner loop is a genuinely independent implementation — a
+    shift-register bit reader (no per-bit loop) over prefix/suffix
+    code arrays with stack backtracking (no list-of-lists table) —
+    and (r15) interlaced frames are de-permuted with one fancy-index
+    row assignment. Returns ``(w, h, palette_bytes, int64 index
+    array in IMAGE order)`` or ``None``. Module level so tests can
+    pin kernel ROW POSITIONS against the spec — means alone cannot
+    see a permutation."""
+    import numpy as np
+
+    def lzw(mcs, data, want):
             ln = len(data)
             # Bound the preallocation BEFORE touching the stream
             # (ADVICE r13 medium): a stream of ln bytes holds at most
@@ -1359,88 +1474,117 @@ def gif_stats_udf(content_col) -> "F.Column":
                 prev = code
             return None
 
+    if data is None or len(data) < 13 \
+            or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = data[6] | data[7] << 8
+    sh = data[8] | data[9] << 8
+    pos, gct = 13, None
+    if data[10] & 0x80:
+        n = 2 << (data[10] & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C or pos + 10 > len(data):
+            break
+        w = data[pos + 5] | data[pos + 6] << 8
+        h = data[pos + 7] | data[pos + 8] << 8
+        ipacked = data[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                break
+            pal = data[pos:pos + 3 * n]
+            pos += 3 * n
+        if pal is None or pos >= len(data):
+            break
+        mcs = data[pos]
+        pos += 1
+        if not (2 <= mcs <= 11):
+            break
+        chunks = []
+        bad = False
+        while pos < len(data) and data[pos] != 0:
+            ln2 = data[pos]
+            if pos + 1 + ln2 > len(data):
+                bad = True
+                break
+            chunks.append(data[pos + 1:pos + 1 + ln2])
+            pos += 1 + ln2
+        if bad or pos >= len(data):
+            break
+        if not (0 < w and 0 < h and w <= sw and h <= sh):
+            break
+        idxs = lzw(mcs, b"".join(chunks), w * h)
+        if idxs is None:
+            break
+        parr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(idxs.max()) >= parr.shape[0]:
+            break
+        if ipacked & 0x40:               # interlaced: de-permute rows
+            img = np.empty_like(idxs).reshape(h, w)
+            img[np.asarray(_gif_interlace_source_rows(h))] = \
+                idxs.reshape(h, w)
+            idxs = img.reshape(-1)
+        return (w, h, pal, idxs)
+    return None
+
+
+_GIF_ROWPOS_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
+                      "mean_idx:double,row_weighted_idx:bigint>")
+
+
+def gif_rowpos_stats_udf(content_col) -> "F.Column":
+    """Row-POSITION-aware Arrow GIF decode: mean index plus the exact
+    integer ``sum((row + 1) * index)`` over the de-interlaced image —
+    the statistic that makes the interlace permutation ORACLE-VISIBLE
+    (means are invariant under row reordering). Same
+    :func:`_gif_blob_indices` pixel path as :func:`gif_stats_udf`;
+    the weighted sum is one int64 dot of row sums with 1..h."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_GIF_ROWPOS_STRUCT)
+    def _gif_rp(blobs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        cols = {k: [] for k in ("width", "height", "n_pixels",
+                                "mean_idx", "row_weighted_idx")}
+
+        def emit(w=None, h=None, n=None, mi=None, rw=None):
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_pixels"].append(n)
+            cols["mean_idx"].append(mi)
+            cols["row_weighted_idx"].append(rw)
+
         for blob in blobs:
             data = bytes(blob) if blob is not None else None
-            if data is None or len(data) < 13 \
-                    or data[:6] not in (b"GIF87a", b"GIF89a"):
+            gi = _gif_blob_indices(data) if data is not None else None
+            if gi is None:
                 emit()
                 continue
-            sw = data[6] | data[7] << 8
-            sh = data[8] | data[9] << 8
-            pos, gct = 13, None
-            if data[10] & 0x80:
-                n = 2 << (data[10] & 0x07)
-                if pos + 3 * n > len(data):
-                    emit()
-                    continue
-                gct = data[pos:pos + 3 * n]
-                pos += 3 * n
-            res = None
-            while pos < len(data):
-                b = data[pos]
-                if b == 0x3B:
-                    break
-                if b == 0x21:
-                    pos += 2
-                    while pos < len(data) and data[pos] != 0:
-                        pos += 1 + data[pos]
-                    pos += 1
-                    continue
-                if b != 0x2C or pos + 10 > len(data):
-                    break
-                w = data[pos + 5] | data[pos + 6] << 8
-                h = data[pos + 7] | data[pos + 8] << 8
-                ipacked = data[pos + 9]
-                pos += 10
-                pal = gct
-                if ipacked & 0x80:
-                    n = 2 << (ipacked & 0x07)
-                    if pos + 3 * n > len(data):
-                        break
-                    pal = data[pos:pos + 3 * n]
-                    pos += 3 * n
-                if pal is None or pos >= len(data):
-                    break
-                mcs = data[pos]
-                pos += 1
-                if not (2 <= mcs <= 11):
-                    break
-                chunks = []
-                bad = False
-                while pos < len(data) and data[pos] != 0:
-                    ln2 = data[pos]
-                    if pos + 1 + ln2 > len(data):
-                        bad = True
-                        break
-                    chunks.append(data[pos + 1:pos + 1 + ln2])
-                    pos += 1 + ln2
-                if bad or pos >= len(data):
-                    break
-                if not (0 < w and 0 < h and w <= sw and h <= sh):
-                    break
-                idxs = lzw(mcs, b"".join(chunks), w * h)
-                if idxs is None:
-                    break
-                parr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
-                if int(idxs.max()) >= parr.shape[0]:
-                    break
-                counts = np.bincount(idxs, minlength=parr.shape[0])
-                n_px = w * h
-                si = int(np.dot(counts, np.arange(parr.shape[0],
-                                                  dtype=np.int64)))
-                ch = [int(np.dot(counts, parr[:, c].astype(np.int64)))
-                      for c in range(3)]
-                res = (w, h, n_px, si / n_px, ch[0] / n_px,
-                       ch[1] / n_px, ch[2] / n_px)
-                break
-            if res is None:
-                emit()
-            else:
-                emit(*res)
+            w, h, _pal, idxs = gi
+            rows = idxs.reshape(h, w).sum(axis=1)
+            rw = int(np.dot(np.arange(1, h + 1, dtype=np.int64), rows))
+            n_px = w * h
+            emit(w, h, n_px, int(idxs.sum()) / n_px, rw)
         return pd.DataFrame(cols)
 
-    return _gif(content_col if not isinstance(content_col, str)
-                else F.col(content_col))
+    return _gif_rp(content_col if not isinstance(content_col, str)
+                   else F.col(content_col))
 
 
 def decode_gif_stats(media: DataFrame) -> DataFrame:
@@ -1448,6 +1592,15 @@ def decode_gif_stats(media: DataFrame) -> DataFrame:
     map-only Arrow pass, unreadable objects surfaced as NULL stats."""
     w = media.select("media_id",
                      gif_stats_udf(F.col("content")).alias("w"))
+    return w.select("media_id", "w.*")
+
+
+def decode_gif_rowpos_stats(media: DataFrame) -> DataFrame:
+    """Per-object row-position-aware GIF decode (interlace-sensitive
+    stats) over a (media_id, content) frame: one map-only Arrow
+    pass, unreadable objects surfaced as NULL stats."""
+    w = media.select("media_id",
+                     gif_rowpos_stats_udf(F.col("content")).alias("w"))
     return w.select("media_id", "w.*")
 
 

@@ -10252,6 +10252,69 @@ def multimodal_gif_stats_q(spark, sf_dir):
 # Round-13: streaming decode-on-arrival (multimodal x streaming)
 # --------------------------------------------------------------------------
 
+@query("multimodal_gif_interlaced_stats",
+       f"""WITH b AS (SELECT doc_id, doc_id % 6 + 2 AS w,
+                  upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS dlen
+           FROM documents),
+           p AS (SELECT doc_id, w, hx,
+                        CASE WHEN hx IS NULL THEN NULL
+                             ELSE least(dlen // w,
+                                        {_GIF_SYNTH_MAX_PIXELS} // w)
+                             END AS h
+                 FROM b),
+           s AS (SELECT doc_id, w, h, hx,
+                        unnest(CASE WHEN h >= 1 THEN
+                               generate_series(0, w * h - 1)
+                               ELSE []::BIGINT[] END) AS i
+                 FROM p),
+           v AS (SELECT doc_id, i // w AS r,
+                        ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                 FROM s),
+           q AS (SELECT doc_id, count(*) AS npx, sum(u) AS si,
+                        sum((r + 1) * u) AS srw
+                 FROM v GROUP BY doc_id)
+           SELECT p.doc_id AS media_id,
+                  CAST(CASE WHEN p.h >= 1 THEN p.w END AS INT) AS width,
+                  CAST(CASE WHEN p.h >= 1 THEN p.h END AS INT)
+                    AS height,
+                  CAST(q.npx AS BIGINT) AS n_pixels,
+                  round(q.si::DOUBLE / q.npx, 6) AS mean_idx,
+                  CAST(q.srw AS BIGINT) AS row_weighted_idx
+           FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_gif_interlaced_stats_q(spark, sf_dir):
+    """INTERLACED GIF (r15): the same pixel source as
+    multimodal_gif_stats, but the LZW stream carries the rows in the
+    appendix E four-pass FILE order with the descriptor's interlace
+    flag set (synth_gif_interlaced_corpus), and the decode is
+    row-POSITION-aware: both decoders de-permute the rows
+    (_gif_indices / _gif_blob_indices) and the output carries
+    ``row_weighted_idx = sum((row + 1) * index)`` as an EXACT
+    integer — the statistic that makes de-interlacing
+    ORACLE-VISIBLE end-to-end (every mean is invariant under row
+    permutation, so the plain stats key could never see a decoder
+    that ignores the flag; this one goes red). The oracle replays
+    the weighted sum from the text bytes in SOURCE order. A
+    positional hypothesis round-trip through the independent
+    test-encoder assembly pins both decoders row-exactly
+    (tests/test_round15_props.py). Scale: map-only Arrow pass over
+    the materialized sidecar, no shuffle. Reference parity:
+    streamlit_app.py display layer."""
+    from ..operators.multimodal import (decode_gif_rowpos_stats,
+                                        synth_gif_interlaced_corpus)
+    from ..partitioning import widen
+    path = _materialized_index(
+        spark, sf_dir, "gif_interlaced_corpus",
+        lambda p: synth_gif_interlaced_corpus(
+            widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_gif_interlaced_corpus, widen))
+    w = decode_gif_rowpos_stats(spark.read.parquet(path))
+    return w.select("media_id", "width", "height", "n_pixels",
+                    F.round("mean_idx", 6).alias("mean_idx"),
+                    "row_weighted_idx")
+
+
 @query("stream_media_decode",
        f"""WITH b AS (SELECT doc_id, doc_id % 6 + 2 AS w,
                   upper(hex(encode(text))) AS hx,
