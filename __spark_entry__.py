@@ -96,6 +96,13 @@ _CHECK_FIRST = [
     # module level (_gif_indices / _gif_blob_indices), re-rowing the
     # GIF-closure keys (already queued above).
     "multimodal_gif_interlaced_stats",
+    # NEW (r15 capability): RLE8-compressed BMP — the second real
+    # compression layer in the BMP family: absolute/encoded modes,
+    # EOL/EOB/delta escapes, zero-fill, word-alignment pad, absolute
+    # allocation cap (RLE zero-fills, so no data-derived bound
+    # exists), and a row-weighted statistic that makes the bottom-up
+    # flip oracle-visible.
+    "multimodal_bmp_rle_stats",
     # ROTATION (VERDICT r14 list #3). Oldest first per
     # tools/rotation.py — the full r08 tail (9 keys), then the entire
     # r09 cohort (31 keys). Plans unchanged — the drift gate pins

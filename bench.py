@@ -221,6 +221,8 @@ HEADLINE_R15 = {
     "multimodal_png_interlaced_stats": "noop",
     # interlaced GIF: four-pass de-permute + row-weighted statistic
     "multimodal_gif_interlaced_stats": "noop",
+    # RLE8 BMP: run-length decompression + bottom-up flip statistic
+    "multimodal_bmp_rle_stats": "noop",
 }
 
 

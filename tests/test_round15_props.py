@@ -427,3 +427,92 @@ def test_gif_interlace_is_observable_in_row_weighted_stat(spark):
     naive = sum((k // w + 1) * v for k, v in enumerate(filestream))
     assert naive != correct, "fixture too symmetric to distinguish"
     assert M.parse_gif_rowpos(blob)[4] == correct
+
+
+# -- RLE8 BMP (r15) --------------------------------------------------------
+
+def _rle_bmp(w, h, stream: bytes) -> bytes:
+    """Hand-assembled RLE8 BMP around an arbitrary escape stream."""
+    import struct
+
+    from tripgogo_vector_search_spark.operators.multimodal import (
+        _BMP_RLE_PALETTE_HEX)
+
+    offset = 14 + 40 + 1024
+    hdr = (b"BM" + struct.pack("<I", offset + len(stream))
+           + b"\x00\x00\x00\x00" + struct.pack("<I", offset)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                         len(stream), 0, 0, 0, 0)
+           + bytes.fromhex(_BMP_RLE_PALETTE_HEX))
+    return hdr + stream
+
+
+def test_bmp_rle_delta_skip_and_zero_fill():
+    """Delta escapes (00 02 dx dy) skip pixels; skipped and
+    never-written pixels decode to index 0 — and the early
+    end-of-bitmap leaves whole rows zero."""
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    # 4x3 bottom-up: write 2 px of 7 at bottom-left, delta-skip
+    # (dx=1, dy=1), write 1 px of 9, then EOB
+    stream = bytes([2, 7, 0, 2, 1, 1, 1, 9, 0, 1])
+    got = M._bmp_rle_indices(_rle_bmp(4, 3, stream))
+    assert got is not None
+    w, h, _pal, idxs = got
+    img = [idxs[r * w:(r + 1) * w] for r in range(h)]
+    # bottom row (image row 2): [7, 7, 0, 0]
+    assert img[2] == [7, 7, 0, 0]
+    # delta lands at x=3, y=1 (bottom-up) -> image row 1, col 3
+    assert img[1] == [0, 0, 0, 9]
+    assert img[0] == [0, 0, 0, 0]       # never written
+    # spec stats agree with a hand computation
+    st = M.parse_bmp_rle(_rle_bmp(4, 3, stream))
+    assert st[2] == 12 and st[3] == (7 + 7 + 9) / 12
+    assert st[4] == 1 * 0 + 2 * 9 + 3 * 14   # rows 1..3 weighted
+
+
+def test_bmp_rle_absolute_mode_padding_and_malformed():
+    """Absolute mode consumes its word-alignment pad byte; a
+    truncated absolute run, an overflowing encoded run, and a
+    missing EOB all NULL."""
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    # 3-wide: absolute run of 3 costs 2 + 3 + 1(pad) bytes
+    ok = bytes([0, 3, 1, 2, 3, 0xEE, 0, 0, 0, 1])   # pad byte 0xEE ignored
+    got = M._bmp_rle_indices(_rle_bmp(3, 1, ok))
+    assert got is not None and got[3] == [1, 2, 3]
+    assert M._bmp_rle_indices(_rle_bmp(3, 1, bytes([0, 3, 1, 2]))) is None
+    assert M._bmp_rle_indices(_rle_bmp(3, 1, bytes([4, 5, 0, 1]))) is None
+    assert M._bmp_rle_indices(_rle_bmp(3, 1, bytes([1, 5]))) is None
+
+
+def test_bmp_rle_hostile_header_nulls_before_allocation():
+    """65535 x 32767 (~2.1e9 px) with a 2-byte EOB must NULL at the
+    absolute cap, never allocate (RLE zero-fills, so no data-derived
+    bound exists)."""
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    blob = _rle_bmp(65535, 32767, bytes([0, 1]))
+    assert M._bmp_rle_indices(blob) is None
+    assert M.parse_bmp_rle(blob) is None
+
+
+def test_bmp_rle_synthesis_roundtrips_and_flip_is_observable(spark):
+    """The Catalyst corpus decodes exactly on both decoders, and the
+    bottom-up storage makes the naive (flip-forgetting) row-weighted
+    sum differ from the oracle value on an asymmetric fixture."""
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    txt = bytes(range(65, 65 + 12)).decode()    # w=4 (id%5==0), h=3
+    docs = spark.createDataFrame([(0, txt)], "doc_id bigint, text string")
+    blob = bytes(M.synth_bmp_rle_corpus(docs).first().content)
+    w, h, _pal, idxs = M._bmp_rle_indices(blob)
+    src = list(txt.encode())
+    assert (w, h) == (4, 3) and idxs == src
+    correct = sum((k // w + 1) * v for k, v in enumerate(src))
+    flipped = []
+    for r in range(h - 1, -1, -1):
+        flipped += src[r * w:(r + 1) * w]
+    naive = sum((k // w + 1) * v for k, v in enumerate(flipped))
+    assert naive != correct
+    assert M.parse_bmp_rle(blob)[4] == correct

@@ -346,7 +346,8 @@ def run(spark, op: str, k: int) -> dict:
             "media_quality_gate_multiformat",
             "multimodal_jpeg_411_stats",
             "multimodal_png_interlaced_stats",
-            "multimodal_gif_interlaced_stats"):
+            "multimodal_gif_interlaced_stats",
+            "multimodal_bmp_rle_stats"):
         # r15: the single-pass dispatch re-plan (kind-partitioned
         # sniffed sidecar — six disjoint partition scans instead of
         # six firehose passes) and the new 4:2:2 corpus key. Exact

@@ -345,6 +345,72 @@ def synth_bmp_corpus(docs: DataFrame, id_col: str = "doc_id",
                        F.unhex(hexfile).alias("content"))
 
 
+def synth_bmp_rle_corpus(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic corpus of REAL RLE8-COMPRESSED BMP files (r15),
+    pure Catalyst byte arithmetic: each document's UTF-8 bytes become
+    the 8-bpp palette indices of an image whose width cycles 4..8 px
+    by ``id % 5``; height = full pixel rows. Rows are stored
+    BOTTOM-UP (file row j carries source row h-1-j, the BMP
+    convention the decoder must invert) and the encoding alternates
+    per file row to exercise the whole RLE8 machine: even rows use
+    ABSOLUTE mode (00, n, raw indices, padded to a 2-byte boundary —
+    the pad is live whenever w is odd), odd rows use unit ENCODED
+    runs (01, index); every row ends with the 00 00 end-of-line
+    escape and the stream with 00 01 end-of-bitmap. Palette =
+    ``_BMP_RLE_PALETTE_HEX`` (BGR0 quads of the affine GIF palette
+    convention). NULL text yields NULL content; text shorter than
+    one row yields a structurally valid height-0 file the decoder
+    rejects to NULLs."""
+    b0 = docs.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
+    w0 = (F.col("media_id") % 5 + 4).cast("bigint")
+    h = (F.length("_hex") / 2 / w0).cast("bigint")
+    b1 = b0.select("media_id", "_hex", h.alias("_h"))
+    hcol = F.col("_h")
+
+    def row_hex(j):
+        # file row j carries SOURCE row h-1-j (bottom-up storage)
+        s = hcol - 1 - j
+        rhex = F.substring("_hex", (s * w0 * 2 + 1).cast("int"),
+                           (w0 * 2).cast("int"))
+        absolute = F.concat(
+            F.lit("00"), F.lpad(F.hex(w0), 2, "0"), rhex,
+            F.when(w0 % 2 == 1, F.lit("00")).otherwise(F.lit("")))
+        runs = F.array_join(
+            F.transform(F.sequence(F.lit(0), w0 - 1),
+                        lambda c: F.concat(
+                            F.lit("01"),
+                            F.substring("_hex",
+                                        ((s * w0 + c) * 2 + 1)
+                                        .cast("int"), 2))), "")
+        return F.concat(F.when(j % 2 == 0, absolute).otherwise(runs),
+                        F.lit("0000"))              # end of line
+
+    enc = F.when(hcol >= 1, F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), hcol - 1),
+                                 row_hex), ""),
+        F.lit("0001"))).otherwise(F.lit("0001"))    # end of bitmap
+    b2 = b1.select("media_id", "_h", enc.alias("_e"))
+    img_size = (F.length("_e") / 2).cast("bigint")
+    offset = 14 + 40 + 1024
+    hexfile = F.concat(
+        F.lit("424D"), _le_hex(img_size + offset, 4),  # 'BM', file size
+        F.lit("00000000"), _le_hex(F.lit(offset), 4),  # resv, data offset
+        _le_hex(F.lit(40), 4),                         # infoheader size
+        _le_hex(w0, 4), _le_hex(F.col("_h"), 4),       # width, height
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(8), 2),    # planes, 8 bpp
+        _le_hex(F.lit(1), 4), _le_hex(img_size, 4),    # BI_RLE8, size
+        _le_hex(F.lit(0), 4), _le_hex(F.lit(0), 4),    # px-per-meter
+        _le_hex(F.lit(0), 4), _le_hex(F.lit(0), 4),    # palette counts
+        F.lit(_BMP_RLE_PALETTE_HEX),
+        F.col("_e"))
+    return b2.select("media_id",
+                     F.when(F.col("_h").isNotNull(),
+                            F.unhex(hexfile)).alias("content"))
+
+
 def parse_bmp(data: bytes | None) -> tuple | None:
     """Plain-Python BMP decode — REAL pixel access, pure byte
     arithmetic, no codec library: validates the 'BM' preamble, reads
@@ -456,6 +522,187 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
     map-only Arrow pass, unreadable objects surfaced as NULL stats."""
     w = media.select("media_id",
                      bmp_stats_udf(F.col("content")).alias("w"))
+    return w.select("media_id", "w.*")
+
+
+#: absolute decoded-pixel cap for RLE8 BMP (the GIF-decode lesson,
+#: sharpened: RLE ZERO-FILLS unwritten pixels, so — unlike the
+#: uncompressed path, whose offset + stride*h <= len(data) check is
+#: data-derived — a hostile header (65535 x 65535 + a 2-byte EOB)
+#: could demand a 4.3e9-pixel allocation from almost no input. An
+#: absolute cap is therefore the only sound bound here.
+_BMP_RLE_MAX_PIXELS = 1 << 24
+
+#: RLE8 BMPs are 8-bpp palette images; reuse the GIF palette
+#: convention (channels are affine functions of the index, so palette
+#: INDIRECTION is observable in the channel means).
+_BMP_RLE_PALETTE_HEX = "".join(
+    f"{(13 * i + 5) % 256:02X}{(7 * i + 1) % 256:02X}"
+    f"{(3 * i + 7) % 256:02X}00"        # BGR0 quads
+    for i in range(256))
+
+
+def _bmp_rle_indices(data: bytes | None) -> tuple | None:
+    """Plain-Python RLE8 BMP decode to TOP-DOWN palette indices — a
+    REAL run-length decompression layer (r15; the uncompressed
+    decoder rejects biCompression != 0): validates the 'BM' header
+    and a BITMAPINFOHEADER with biBitCount=8 / biCompression=1
+    (BI_RLE8), reads the 256-entry BGR0 palette, then runs the full
+    RLE8 machine — encoded runs (count, index), absolute mode
+    (00, n>=3, n raw indices, padded to a 2-byte boundary), end-of-
+    line (00 00), end-of-bitmap (00 01), and delta skips (00 02 dx
+    dy); pixels never written decode to index 0, per convention.
+    Rows are stored bottom-up and FLIPPED to image order — the flip
+    is invisible to every mean, so consumers that must see it use
+    the row-weighted statistic. Returns ``(width, height, palette,
+    indices)`` (row-major, top-down) or ``None``."""
+    import struct
+
+    if data is None or len(data) < 54 + 1024 or data[0:2] != b"BM":
+        return None
+    (offset,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        return None
+    w, height_s = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if w <= 0 or height_s <= 0 or planes != 1 or bpp != 8 \
+            or compression != 1:
+        return None                      # RLE8 is bottom-up only
+    h = height_s
+    if w * h > _BMP_RLE_MAX_PIXELS:
+        return None
+    pal = data[14 + hdr_size:14 + hdr_size + 1024]
+    if len(pal) != 1024 or offset > len(data):
+        return None
+    rows = [[0] * w for _ in range(h)]
+    x, y = 0, 0                          # y counts bottom-up rows
+    pos = offset
+    while True:
+        if pos + 2 > len(data):
+            return None                  # ran out before EOB
+        c, v = data[pos], data[pos + 1]
+        pos += 2
+        if c > 0:                        # encoded run
+            if y >= h or x + c > w:
+                return None
+            rows[y][x:x + c] = [v] * c
+            x += c
+            continue
+        if v == 0:                       # end of line
+            x, y = 0, y + 1
+            continue
+        if v == 1:                       # end of bitmap
+            break
+        if v == 2:                       # delta: skip right/up
+            if pos + 2 > len(data):
+                return None
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                return None
+            continue
+        # absolute mode: v >= 3 raw indices, word-aligned
+        if y >= h or x + v > w or pos + v > len(data):
+            return None
+        rows[y][x:x + v] = data[pos:pos + v]
+        x += v
+        pos += v + (v & 1)
+    # bottom-up -> top-down
+    idxs = []
+    for r in range(h - 1, -1, -1):
+        idxs.extend(rows[r])
+    return (w, h, pal, idxs)
+
+
+def parse_bmp_rle(data: bytes | None) -> tuple | None:
+    """RLE8 BMP stats (the executable spec behind
+    :func:`bmp_rle_stats_udf`): :func:`_bmp_rle_indices` for the
+    pixel path, then the palette-channel means PLUS the exact
+    integer ``sum((row + 1) * index)`` over the top-down image — the
+    statistic that makes the bottom-up row FLIP oracle-visible
+    (every mean is invariant under row reordering). Returns
+    ``(width, height, n_pixels, mean_idx, row_weighted_idx, mean_r,
+    mean_g, mean_b)`` or ``None``."""
+    bi = _bmp_rle_indices(data)
+    if bi is None:
+        return None
+    w, h, pal, idxs = bi
+    n_px = w * h
+    si = sum(idxs)
+    rw = sum((k // w + 1) * v for k, v in enumerate(idxs))
+    # palette quads are BGR0
+    sr = sum(pal[4 * i + 2] for i in idxs)
+    sg = sum(pal[4 * i + 1] for i in idxs)
+    sb = sum(pal[4 * i] for i in idxs)
+    return (w, h, n_px, si / n_px, rw,
+            sr / n_px, sg / n_px, sb / n_px)
+
+
+_BMP_RLE_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
+                   "mean_idx:double,row_weighted_idx:bigint,"
+                   "mean_r:double,mean_g:double,mean_b:double>")
+
+
+def bmp_rle_stats_udf(content_col) -> "F.Column":
+    """Arrow-batched RLE8 BMP decode over the same
+    :func:`_bmp_rle_indices` pixel path, with exact int64 histogram
+    dot products for the palette-channel means and one int64 dot for
+    the row-weighted statistic. Unreadable payloads decode to an
+    all-NULL struct, never an error. Map-only Arrow pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_BMP_RLE_STRUCT)
+    def _bmp_rle(blobs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        cols = {k: [] for k in ("width", "height", "n_pixels",
+                                "mean_idx", "row_weighted_idx",
+                                "mean_r", "mean_g", "mean_b")}
+
+        def emit(w=None, h=None, n=None, mi=None, rw=None,
+                 mr=None, mg=None, mb=None):
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_pixels"].append(n)
+            cols["mean_idx"].append(mi)
+            cols["row_weighted_idx"].append(rw)
+            cols["mean_r"].append(mr)
+            cols["mean_g"].append(mg)
+            cols["mean_b"].append(mb)
+
+        for blob in blobs:
+            data = bytes(blob) if blob is not None else None
+            bi = _bmp_rle_indices(data) if data is not None else None
+            if bi is None:
+                emit()
+                continue
+            w, h, pal, idxs = bi
+            arr = np.asarray(idxs, dtype=np.int64).reshape(h, w)
+            parr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)
+            counts = np.bincount(arr.reshape(-1), minlength=256)
+            n_px = w * h
+            si = int(np.dot(counts, np.arange(256, dtype=np.int64)))
+            rw = int(np.dot(np.arange(1, h + 1, dtype=np.int64),
+                            arr.sum(axis=1)))
+            chan = [int(np.dot(counts, parr[:, c].astype(np.int64)))
+                    for c in (2, 1, 0)]            # quads are BGR0
+            emit(w, h, n_px, si / n_px, rw, chan[0] / n_px,
+                 chan[1] / n_px, chan[2] / n_px)
+        return pd.DataFrame(cols)
+
+    return _bmp_rle(content_col if not isinstance(content_col, str)
+                    else F.col(content_col))
+
+
+def decode_bmp_rle_stats(media: DataFrame) -> DataFrame:
+    """Per-object RLE8 BMP decode over a (media_id, content) frame:
+    one map-only Arrow pass, unreadable objects surfaced as NULL
+    stats."""
+    w = media.select("media_id",
+                     bmp_rle_stats_udf(F.col("content")).alias("w"))
     return w.select("media_id", "w.*")
 
 

@@ -10252,6 +10252,82 @@ def multimodal_gif_stats_q(spark, sf_dir):
 # Round-13: streaming decode-on-arrival (multimodal x streaming)
 # --------------------------------------------------------------------------
 
+@query("multimodal_bmp_rle_stats",
+       """WITH b AS (SELECT doc_id, doc_id % 5 + 4 AS w,
+                  upper(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS dlen
+           FROM documents),
+           p AS (SELECT doc_id, w, hx,
+                        CASE WHEN hx IS NULL THEN NULL
+                             ELSE dlen // w END AS h
+                 FROM b),
+           s AS (SELECT doc_id, w, h, hx,
+                        unnest(CASE WHEN h >= 1 THEN
+                               generate_series(0, w * h - 1)
+                               ELSE []::BIGINT[] END) AS i
+                 FROM p),
+           v AS (SELECT doc_id, i // w AS r,
+                        ('0x' || substr(hx, 2*i + 1, 2))::BIGINT AS u
+                 FROM s),
+           q AS (SELECT doc_id, count(*) AS npx, sum(u) AS si,
+                        sum((r + 1) * u) AS srw,
+                        sum((3*u + 7) % 256) AS sr,
+                        sum((7*u + 1) % 256) AS sg,
+                        sum((13*u + 5) % 256) AS sb
+                 FROM v GROUP BY doc_id)
+           SELECT p.doc_id AS media_id,
+                  CAST(CASE WHEN p.h >= 1 THEN p.w END AS INT) AS width,
+                  CAST(CASE WHEN p.h >= 1 THEN p.h END AS INT)
+                    AS height,
+                  CAST(q.npx AS BIGINT) AS n_pixels,
+                  round(q.si::DOUBLE / q.npx, 6) AS mean_idx,
+                  CAST(q.srw AS BIGINT) AS row_weighted_idx,
+                  round(q.sr::DOUBLE / q.npx, 6) AS mean_r,
+                  round(q.sg::DOUBLE / q.npx, 6) AS mean_g,
+                  round(q.sb::DOUBLE / q.npx, 6) AS mean_b
+           FROM p LEFT JOIN q ON p.doc_id = q.doc_id""")
+def multimodal_bmp_rle_stats_q(spark, sf_dir):
+    """RLE8-COMPRESSED BMP (r15) — the second real COMPRESSION layer
+    in the BMP family (the uncompressed key's decoder rejects
+    biCompression != 0): the corpus is synthesized in pure Catalyst
+    with rows stored BOTTOM-UP and the encoding alternating per file
+    row between ABSOLUTE mode (00, n, raw indices, 2-byte-aligned —
+    the pad is live on every odd-width image) and unit ENCODED runs,
+    with real end-of-line/end-of-bitmap escapes
+    (operators/multimodal.py:synth_bmp_rle_corpus). Both decoders
+    run the full RLE8 machine — including delta skips and the
+    zero-fill convention for unwritten pixels, exercised by
+    hand-built streams in tests — and FLIP the bottom-up rows to
+    image order; the output carries ``row_weighted_idx =
+    sum((row + 1) * index)`` as an exact integer, the statistic that
+    makes the vertical flip ORACLE-VISIBLE (means are invariant
+    under any row permutation, so a decoder that forgets the flip
+    goes red here and nowhere else). Allocation is capped absolutely
+    (2^24 px) BEFORE decoding: RLE zero-fills unwritten pixels, so —
+    unlike the uncompressed path — no data-derived bound exists and
+    a hostile 65535x65535 header with a 2-byte EOB must NULL, not
+    allocate. Palette indirection is observable via the affine
+    BGR0 palette (the GIF convention). Scale: map-only Arrow pass
+    over the materialized sidecar, no shuffle. Reference parity:
+    streamlit_app.py display layer."""
+    from ..operators.multimodal import (decode_bmp_rle_stats,
+                                        synth_bmp_rle_corpus)
+    from ..partitioning import widen
+    path = _materialized_index(
+        spark, sf_dir, "bmp_rle_corpus",
+        lambda p: synth_bmp_rle_corpus(
+            widen(_t(spark, sf_dir, "documents")))
+        .write.mode("overwrite").parquet(p),
+        src=(synth_bmp_rle_corpus, widen))
+    w = decode_bmp_rle_stats(spark.read.parquet(path))
+    return w.select("media_id", "width", "height", "n_pixels",
+                    F.round("mean_idx", 6).alias("mean_idx"),
+                    "row_weighted_idx",
+                    F.round("mean_r", 6).alias("mean_r"),
+                    F.round("mean_g", 6).alias("mean_g"),
+                    F.round("mean_b", 6).alias("mean_b"))
+
+
 @query("multimodal_gif_interlaced_stats",
        f"""WITH b AS (SELECT doc_id, doc_id % 6 + 2 AS w,
                   upper(hex(encode(text))) AS hx,
