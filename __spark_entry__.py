@@ -64,9 +64,11 @@ _CHECK_FIRST = [
     # NEW (r15 capability): 4:1:1 (Y 4x1, the DV/camcorder layout) —
     # whitelisted through the already-general sampling geometry with
     # its own synthesis corpus; factor-4 horizontal chroma
-    # replication pinned; off-whitelist layouts stay NULL. (This
-    # entry makes the queue 51 long; the driver checks a 50-key
-    # prefix, so the final rotation entry rolls to r16.)
+    # replication pinned; off-whitelist layouts stay NULL.
+    # (Queue accounting: with every r15 capability queued the list is
+    # 56 long — 16 heads + 9 r08 + 31 r09 — and the driver checks a
+    # 50-key prefix, so the final SIX r09 rotation entries roll to
+    # r16; SCALE.md records the same figures.)
     "multimodal_jpeg_411_stats",
     # NEW (the r14 verdict's candidate widening): curation flags over
     # the WHOLE five-format firehose, reading the same kind-partitioned

@@ -231,6 +231,16 @@ def test_stream_media_dispatch_releases_its_per_batch_cache(spark):
                      "image/bmp", "audio/wav"}
     assert resident() <= before, \
         f"stream_media_dispatch leaked resident RDDs: {resident() - before}"
+    # and the per-batch sniffed scratch is freed in the same batch:
+    # no batch_id dirs survive the run (self-review finding — the
+    # first cut left one full firehose copy per micro-batch on disk)
+    import glob
+    import os
+
+    from tripgogo_vector_search_spark.plans.registry import _cache_dir
+    scratch = _cache_dir(SF_SMOKE, "stream_media_dispatch") + "_sniffed"
+    assert not glob.glob(os.path.join(scratch, "batch_id=*")), \
+        "per-batch sniffed scratch not freed"
 
 
 # -- Adam7 interlaced PNG (r15) --------------------------------------------
@@ -516,3 +526,27 @@ def test_bmp_rle_synthesis_roundtrips_and_flip_is_observable(spark):
     naive = sum((k // w + 1) * v for k, v in enumerate(flipped))
     assert naive != correct
     assert M.parse_bmp_rle(blob)[4] == correct
+
+
+def test_bmp_rle_synthesis_cap_arm_matches_oracle_formula(spark):
+    """A document LONGER than the RLE synthesis pixel cap must
+    produce a BMP whose height is the oracle's formula
+    ``least(dlen // w, cap // w)`` with the cap arm winning — the
+    arm the self-review found unguarded (an uncapped synthesis would
+    cross the decoder's 2^24 allocation cap on multi-megabyte
+    documents and silently diverge from the oracle)."""
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    assert M._BMP_RLE_SYNTH_MAX_PIXELS == 4096
+    assert M._BMP_RLE_MAX_PIXELS == 1 << 24
+    text = "ab" * 2500                       # dlen = 5000 > 4096
+    docs = spark.createDataFrame([(0, text)],
+                                 "doc_id bigint, text string")
+    o = M.decode_bmp_rle_stats(M.synth_bmp_rle_corpus(docs)).first()
+    w, dlen = 4, 5000                        # id % 5 == 0 -> w = 4
+    h_oracle = min(dlen // w, M._BMP_RLE_SYNTH_MAX_PIXELS // w)
+    assert h_oracle == 1024                  # the cap arm
+    assert (o.width, o.height, o.n_pixels) == (w, h_oracle,
+                                               w * h_oracle)
+    used = text.encode()[:w * h_oracle]
+    assert o.mean_idx == sum(used) / len(used)

@@ -228,17 +228,21 @@ def synth_jpeg_color_corpus(docs: DataFrame, id_col: str = "doc_id",
     ])
 
 
-def synth_jpeg_420_corpus(docs: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
-    """The SUBSAMPLED sibling: byte u becomes one 4:2:0 MCU — a 16x16
-    pixel macroblock of FOUR uniform Y data units (DC predictor
-    chaining through them: one coded difference, then three cat-0
-    entries) and ONE 8x8 block each of Cb=(3u+7)%256, Cr=(7u+1)%256
-    that the decoder must box-upsample 2x. Uniform chroma makes
-    replication upsampling exactly invertible, so the per-byte RGB
-    means are the SAME formula as the 4:4:4 color key — only the
-    geometry (16n x 16, 256 px/byte) differs, which is precisely what
-    pins the MCU/upsampling machinery. NULL/empty text -> NULL."""
+def _synth_jpeg_subsampled(docs: DataFrame, id_col: str, text_col: str,
+                           *, n_extra_y: int, samp_hex: str,
+                           sof_h_hex: str, mcu_w: int) -> DataFrame:
+    """Shared construction behind the three SUBSAMPLED color corpora
+    (4:2:0 / 4:2:2 / 4:1:1 — collapsed from three near-verbatim
+    copies by the r15 self-review): byte u becomes one MCU whose
+    FIRST Y data unit carries the coded DC difference, followed by
+    ``n_extra_y`` cat-0 Y entries (the predictor chains through
+    them per A.2.3), then one 8x8 block each of the affine chroma
+    planes Cb=(3u+7)%256 / Cr=(7u+1)%256. ``samp_hex`` is the SOF
+    component list (Y sampling factors + chroma 1x1), ``sof_h_hex``
+    the frame height, ``mcu_w`` the pixel width per MCU (X =
+    mcu_w * n_MCUs). Lossless-at-quant-8 per channel, so every
+    variant's oracle replays the same per-byte RGB formula at its
+    own geometry."""
     b0 = docs.select(
         F.col(id_col).alias("media_id"),
         F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
@@ -277,12 +281,12 @@ def synth_jpeg_420_corpus(docs: DataFrame, id_col: str = "doc_id",
         first = i == F.lit(0)
         prev_u = F.element_at("_px", i.cast("int"))
         parts = [
-            # Y_tl carries the coded difference; Y_tr/bl/br are
-            # cat-0 + EOB ("00000") — same value, zero diff
+            # Y_0 carries the coded difference; the remaining Y units
+            # are cat-0 + EOB ("00000") — same value, zero diff
             dc_bits(cur_u,
                     F.when(first, F.lit(128).cast("bigint"))
                     .otherwise(prev_u)),
-            F.lit("00000" * 3),
+            F.lit("00000" * n_extra_y),
             dc_bits((cur_u * 3 + 7) % 256,
                     F.when(first, F.lit(128).cast("bigint"))
                     .otherwise((prev_u * 3 + 7) % 256)),
@@ -302,183 +306,49 @@ def synth_jpeg_420_corpus(docs: DataFrame, id_col: str = "doc_id",
     b5 = b4.select("media_id", "_n", eh.alias("_eh"))
     hexfile = F.concat(
         F.lit(_SYNTH_HEADER_HEX),
-        F.lit("FFC00011" "08" "0010"),            # SOF0: P=8, Y=16
-        F.lpad(F.hex(F.col("_n") * 16), 4, "0"),  # X = 16 * n_MCUs
-        F.lit("03" "012200" "021100" "031100"),   # Y 2x2; Cb/Cr 1x1
+        F.lit("FFC00011" "08" + sof_h_hex),        # SOF0: P=8, Y
+        F.lpad(F.hex(F.col("_n") * mcu_w), 4, "0"),  # X = mcu_w * n
+        F.lit("03" + samp_hex + "021100" "031100"),  # Y; Cb/Cr 1x1
         F.lit("FFDA000C" "03" "0100" "0200" "0300" "003F00"),
         F.col("_eh"),
         F.lit(_SYNTH_EOI_HEX))
     content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
     return b5.select("media_id", content.alias("content"))
 
+
+def synth_jpeg_420_corpus(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The 4:2:0 SUBSAMPLED sibling: one 16x16 MCU per byte — FOUR
+    uniform Y data units (one coded difference + three cat-0
+    entries) and one block per chroma plane, box-upsampled 2x both
+    axes by the decoder. Geometry 16n x 16, 256 px/byte; shared
+    construction in :func:`_synth_jpeg_subsampled`."""
+    return _synth_jpeg_subsampled(docs, id_col, text_col,
+                                  n_extra_y=3, samp_hex="012200",
+                                  sof_h_hex="0010", mcu_w=16)
 
 def synth_jpeg_422_corpus(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """The 4:2:2 sibling (Y 2x1 — the broadcast/video-frame layout):
-    byte u becomes one 8x16 MCU — TWO uniform Y data units side by
-    side (DC predictor chaining: one coded difference, then one cat-0
-    entry) and ONE 8x8 block each of Cb=(3u+7)%256, Cr=(7u+1)%256
-    that the decoder box-upsamples 2x HORIZONTALLY only. Same
-    lossless-at-quant-8 contract as the 4:2:0 key, so the per-byte
-    RGB means are the SAME oracle formula — only the geometry
-    (16n x 8, 128 px/byte) differs, which pins the 2x1 MCU walk and
-    the axis-asymmetric upsampler. NULL/empty text -> NULL."""
-    b0 = docs.select(
-        F.col(id_col).alias("media_id"),
-        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
-    nb = F.when(
-        F.col("_hex").isNotNull(),
-        F.least((F.length("_hex") / 2).cast("bigint"),
-                F.lit(_JPEG_MAX_BLOCKS).cast("bigint")))
-    b1 = b0.select("media_id", "_hex", nb.alias("_n"))
-    px = F.when(F.col("_n") >= 1, F.transform(
-        F.sequence(F.lit(0), F.col("_n") - 1),
-        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
-                         16, 10).cast("bigint"))) \
-        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    b2 = b1.select("media_id", "_n", px.alias("_px"))
-
-    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
-
-    def dc_bits(cur, prev):
-        diff = cur - prev
-        cat = (F.when(diff == 0, F.lit(0).cast("bigint"))
-               .otherwise(F.length(
-                   F.conv(F.abs(diff).cast("string"), 10, 2))
-                   .cast("bigint")))
-        mapped = (F.when(diff >= 0, diff)
-                  .otherwise(diff
-                             + F.element_at(pow2, (cat + 1).cast("int"))
-                             - 1))
-        vbits = (F.lpad(F.conv(mapped.cast("string"), 10, 2), 8, "0")
-                 .substr((F.lit(9) - cat).cast("int"), cat.cast("int")))
-        return F.concat(
-            F.lpad(F.conv(cat.cast("string"), 10, 2), 4, "0"),
-            vbits, F.lit("0"))
-
-    def mcu_bits(i):
-        cur_u = F.element_at("_px", (i + 1).cast("int"))
-        first = i == F.lit(0)
-        prev_u = F.element_at("_px", i.cast("int"))
-        parts = [
-            # Y_left carries the coded difference; Y_right is cat-0 +
-            # EOB ("00000") — same value, zero diff
-            dc_bits(cur_u,
-                    F.when(first, F.lit(128).cast("bigint"))
-                    .otherwise(prev_u)),
-            F.lit("00000"),
-            dc_bits((cur_u * 3 + 7) % 256,
-                    F.when(first, F.lit(128).cast("bigint"))
-                    .otherwise((prev_u * 3 + 7) % 256)),
-            dc_bits((cur_u * 7 + 1) % 256,
-                    F.when(first, F.lit(128).cast("bigint"))
-                    .otherwise((prev_u * 7 + 1) % 256)),
-        ]
-        return F.concat(*parts)
-
-    bs0 = F.when(F.col("_n") >= 1, F.array_join(
-        F.transform(F.sequence(F.lit(0), F.col("_n") - 1), mcu_bits),
-        ""))
-    b3 = b2.select("media_id", "_n", bs0.alias("_bs0"))
-    b4 = b3.select("media_id", "_n",
-                   _pad_bits(F.col("_bs0")).alias("_bs"))
-    eh = F.when(F.col("_n") >= 1, _bits_to_entropy_hex(F.col("_bs")))
-    b5 = b4.select("media_id", "_n", eh.alias("_eh"))
-    hexfile = F.concat(
-        F.lit(_SYNTH_HEADER_HEX),
-        F.lit("FFC00011" "08" "0008"),            # SOF0: P=8, Y=8
-        F.lpad(F.hex(F.col("_n") * 16), 4, "0"),  # X = 16 * n_MCUs
-        F.lit("03" "012100" "021100" "031100"),   # Y 2x1; Cb/Cr 1x1
-        F.lit("FFDA000C" "03" "0100" "0200" "0300" "003F00"),
-        F.col("_eh"),
-        F.lit(_SYNTH_EOI_HEX))
-    content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
-    return b5.select("media_id", content.alias("content"))
-
+    one 8x16 MCU per byte — TWO Y data units side by side + one
+    block per chroma plane, box-upsampled 2x HORIZONTALLY only (the
+    axis-asymmetric upsampler is what this variant pins). Geometry
+    16n x 8, 128 px/byte; shared construction in
+    :func:`_synth_jpeg_subsampled`."""
+    return _synth_jpeg_subsampled(docs, id_col, text_col,
+                                  n_extra_y=1, samp_hex="012100",
+                                  sof_h_hex="0008", mcu_w=16)
 
 def synth_jpeg_411_corpus(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
-    """The 4:1:1 sibling (Y 4x1 — the DV/camcorder layout): byte u
-    becomes one 8x32 MCU — FOUR uniform Y data units in a row (DC
-    predictor chaining: one coded difference, then three cat-0
-    entries) and ONE 8x8 block each of Cb=(3u+7)%256, Cr=(7u+1)%256
-    that the decoder box-upsamples 4x HORIZONTALLY. Same
-    lossless-at-quant-8 contract, same per-byte RGB oracle formula —
-    only the geometry (32n x 8, 256 px/byte) differs, pinning the
-    4x1 MCU walk and the factor-4 upsampler. NULL/empty text ->
-    NULL."""
-    b0 = docs.select(
-        F.col(id_col).alias("media_id"),
-        F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
-    nb = F.when(
-        F.col("_hex").isNotNull(),
-        F.least((F.length("_hex") / 2).cast("bigint"),
-                F.lit(_JPEG_MAX_BLOCKS).cast("bigint")))
-    b1 = b0.select("media_id", "_hex", nb.alias("_n"))
-    px = F.when(F.col("_n") >= 1, F.transform(
-        F.sequence(F.lit(0), F.col("_n") - 1),
-        lambda i: F.conv(F.substring("_hex", (i * 2 + 1).cast("int"), 2),
-                         16, 10).cast("bigint"))) \
-        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    b2 = b1.select("media_id", "_n", px.alias("_px"))
-
-    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(9)])
-
-    def dc_bits(cur, prev):
-        diff = cur - prev
-        cat = (F.when(diff == 0, F.lit(0).cast("bigint"))
-               .otherwise(F.length(
-                   F.conv(F.abs(diff).cast("string"), 10, 2))
-                   .cast("bigint")))
-        mapped = (F.when(diff >= 0, diff)
-                  .otherwise(diff
-                             + F.element_at(pow2, (cat + 1).cast("int"))
-                             - 1))
-        vbits = (F.lpad(F.conv(mapped.cast("string"), 10, 2), 8, "0")
-                 .substr((F.lit(9) - cat).cast("int"), cat.cast("int")))
-        return F.concat(
-            F.lpad(F.conv(cat.cast("string"), 10, 2), 4, "0"),
-            vbits, F.lit("0"))
-
-    def mcu_bits(i):
-        cur_u = F.element_at("_px", (i + 1).cast("int"))
-        first = i == F.lit(0)
-        prev_u = F.element_at("_px", i.cast("int"))
-        parts = [
-            # Y_0 carries the coded difference; Y_1..Y_3 are cat-0 +
-            # EOB ("00000") — same value, zero diff
-            dc_bits(cur_u,
-                    F.when(first, F.lit(128).cast("bigint"))
-                    .otherwise(prev_u)),
-            F.lit("00000" * 3),
-            dc_bits((cur_u * 3 + 7) % 256,
-                    F.when(first, F.lit(128).cast("bigint"))
-                    .otherwise((prev_u * 3 + 7) % 256)),
-            dc_bits((cur_u * 7 + 1) % 256,
-                    F.when(first, F.lit(128).cast("bigint"))
-                    .otherwise((prev_u * 7 + 1) % 256)),
-        ]
-        return F.concat(*parts)
-
-    bs0 = F.when(F.col("_n") >= 1, F.array_join(
-        F.transform(F.sequence(F.lit(0), F.col("_n") - 1), mcu_bits),
-        ""))
-    b3 = b2.select("media_id", "_n", bs0.alias("_bs0"))
-    b4 = b3.select("media_id", "_n",
-                   _pad_bits(F.col("_bs0")).alias("_bs"))
-    eh = F.when(F.col("_n") >= 1, _bits_to_entropy_hex(F.col("_bs")))
-    b5 = b4.select("media_id", "_n", eh.alias("_eh"))
-    hexfile = F.concat(
-        F.lit(_SYNTH_HEADER_HEX),
-        F.lit("FFC00011" "08" "0008"),            # SOF0: P=8, Y=8
-        F.lpad(F.hex(F.col("_n") * 32), 4, "0"),  # X = 32 * n_MCUs
-        F.lit("03" "014100" "021100" "031100"),   # Y 4x1; Cb/Cr 1x1
-        F.lit("FFDA000C" "03" "0100" "0200" "0300" "003F00"),
-        F.col("_eh"),
-        F.lit(_SYNTH_EOI_HEX))
-    content = F.when(F.col("_n") >= 1, F.unhex(hexfile))
-    return b5.select("media_id", content.alias("content"))
-
+    """The 4:1:1 sibling (Y 4x1 — the DV/camcorder layout): one 8x32
+    MCU per byte — FOUR Y data units in a row + one block per chroma
+    plane, box-upsampled 4x HORIZONTALLY (the factor-4 replication
+    is what this variant pins). Geometry 32n x 8, 256 px/byte;
+    shared construction in :func:`_synth_jpeg_subsampled`."""
+    return _synth_jpeg_subsampled(docs, id_col, text_col,
+                                  n_extra_y=3, samp_hex="014100",
+                                  sof_h_hex="0008", mcu_w=32)
 
 #: the progressive synthesis's AC table: the six EOBn symbols this
 #: corpus can need (EOB runs up to 48 blocks -> rbits <= 5) at a flat
@@ -1541,7 +1411,7 @@ def jpeg_stats_udf(content_col) -> "F.Column":
                                                [0x22, 0x11, 0x11],
                                                [0x21, 0x11, 0x11],
                                                [0x41, 0x11, 0x11]):
-                        return None    # 4:4:4 / 4:2:0 / 4:2:2 only
+                        return None    # 4:4:4/4:2:0/4:2:2/4:1:1 only
                     if prog and hvs != [0x11] * len(comps):
                         return None    # subsampled progressive: NULL
                     if len({c[0] for c in comps}) != nf:

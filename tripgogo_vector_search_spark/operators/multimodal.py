@@ -350,7 +350,10 @@ def synth_bmp_rle_corpus(docs: DataFrame, id_col: str = "doc_id",
     """Deterministic corpus of REAL RLE8-COMPRESSED BMP files (r15),
     pure Catalyst byte arithmetic: each document's UTF-8 bytes become
     the 8-bpp palette indices of an image whose width cycles 4..8 px
-    by ``id % 5``; height = full pixel rows. Rows are stored
+    by ``id % 5``; height = full pixel rows, capped at
+    ``_BMP_RLE_SYNTH_MAX_PIXELS`` total pixels (the oracle derives
+    its literal from this constant, so synthesis and oracle cannot
+    drift across the decoder's allocation cap). Rows are stored
     BOTTOM-UP (file row j carries source row h-1-j, the BMP
     convention the decoder must invert) and the encoding alternates
     per file row to exercise the whole RLE8 machine: even rows use
@@ -366,7 +369,11 @@ def synth_bmp_rle_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("media_id"),
         F.hex(F.encode(F.col(text_col), "UTF-8")).alias("_hex"))
     w0 = (F.col("media_id") % 5 + 4).cast("bigint")
-    h = (F.length("_hex") / 2 / w0).cast("bigint")
+    hlen = (F.length("_hex") / 2 / w0).cast("bigint")
+    h = F.when(hlen.isNotNull(),
+               F.least(hlen,
+                       (F.lit(_BMP_RLE_SYNTH_MAX_PIXELS) / w0)
+                       .cast("bigint")))
     b1 = b0.select("media_id", "_hex", h.alias("_h"))
     hcol = F.col("_h")
 
@@ -524,6 +531,14 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
                      bmp_stats_udf(F.col("content")).alias("w"))
     return w.select("media_id", "w.*")
 
+
+#: synthesis cap on w*h for the RLE8 BMP corpus, mirrored by the
+#: multimodal_bmp_rle_stats oracle's least(dlen // w, cap // w)
+#: literal (DERIVED from this constant at registration — the GIF
+#: cap-drift lesson, caught again by this round's self-review: an
+#: uncapped synthesis would exceed the decoder's allocation cap on
+#: multi-megabyte documents and diverge from the oracle).
+_BMP_RLE_SYNTH_MAX_PIXELS = 4096
 
 #: absolute decoded-pixel cap for RLE8 BMP (the GIF-decode lesson,
 #: sharpened: RLE ZERO-FILLS unwritten pixels, so — unlike the

@@ -26,7 +26,8 @@ from ..operators.knn import knn_topk, with_distance, with_match_score
 # module-level assignment under the same name silently shadowed the
 # 4096 cap to 2^24, so the oracle literal and the runtime cap could
 # drift on any document longer than the cap).
-from ..operators.multimodal import _GIF_SYNTH_MAX_PIXELS
+from ..operators.multimodal import (_BMP_RLE_SYNTH_MAX_PIXELS,
+                                    _GIF_SYNTH_MAX_PIXELS)
 from ..operators.simjoin import similarity_join
 from ..session import prepare
 from ..sources.tables import load_table
@@ -10253,13 +10254,15 @@ def multimodal_gif_stats_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @query("multimodal_bmp_rle_stats",
-       """WITH b AS (SELECT doc_id, doc_id % 5 + 4 AS w,
+       f"""WITH b AS (SELECT doc_id, doc_id % 5 + 4 AS w,
                   upper(hex(encode(text))) AS hx,
                   octet_length(encode(text)) AS dlen
            FROM documents),
            p AS (SELECT doc_id, w, hx,
                         CASE WHEN hx IS NULL THEN NULL
-                             ELSE dlen // w END AS h
+                             ELSE least(dlen // w,
+                                        {_BMP_RLE_SYNTH_MAX_PIXELS}
+                                        // w) END AS h
                  FROM b),
            s AS (SELECT doc_id, w, h, hx,
                         unnest(CASE WHEN h >= 1 THEN
@@ -11482,10 +11485,11 @@ def stream_media_dispatch_q(spark, sf_dir):
     micro-batch is sniffed FROM
     CONTENT and routed across all five decode kernels
     (streaming/ingest.py:stream_media_dispatch). The sniffed
-    micro-batch is persisted once per batch (bounded, freed in the
-    same batch — the streaming analogue of the batch key's
-    kind-partitioned sidecar) so the six branches don't re-run the
-    synthesis. Per-object verdicts depend only on that object's
+    micro-batch is written once per batch, kind-partitioned, to a
+    scratch dir that is DELETED at the end of the same batch
+    (bounded — the streaming analogue of the batch key's
+    kind-partitioned sidecar) so the six branches are pruned scans
+    and don't re-run the synthesis. Per-object verdicts depend only on that object's
     bytes, so the read-back equals the batch formula exactly
     whatever the micro-batch boundaries; unroutable payloads surface
     as kind='unknown', decoded=false. Scale: map-only Arrow pass per
