@@ -550,3 +550,46 @@ def test_bmp_rle_synthesis_cap_arm_matches_oracle_formula(spark):
                                                w * h_oracle)
     used = text.encode()[:w * h_oracle]
     assert o.mean_idx == sum(used) / len(used)
+
+
+def test_bmp_rle_decoders_fuzz_total_and_agree(spark):
+    """Hostile bytes: single-byte mutations, truncations, and garbage
+    must never raise in either implementation, and both must return
+    the SAME verdict (None/None or equal stats) — the
+    WAV/BMP/PNG/GIF fuzz-total discipline, extended to the RLE8
+    decoder."""
+    import random
+
+    from tripgogo_vector_search_spark.operators import multimodal as M
+
+    rng = random.Random(151)
+    docs = spark.createDataFrame(
+        [(3, "".join(chr(32 + rng.randrange(90)) for _ in range(120)))],
+        "doc_id bigint, text string")
+    base = bytes(M.synth_bmp_rle_corpus(docs).first().content)
+    blobs = [base]
+    for _ in range(150):
+        b = bytearray(base)
+        b[rng.randrange(len(b))] = rng.randrange(256)
+        blobs.append(bytes(b))
+    for _ in range(40):
+        blobs.append(base[:rng.randrange(len(base))])
+    blobs += [b"", b"BM", b"\x00" * 64,
+              bytes(rng.randrange(256) for _ in range(300))]
+    # spec side must be total
+    specs = [M.parse_bmp_rle(b) for b in blobs]
+    # kernel side must be total AND verdict-equal
+    m = spark.createDataFrame(
+        pd.DataFrame({"media_id": list(range(len(blobs))),
+                      "content": blobs}))
+    kern = {r.media_id: r for r in M.decode_bmp_rle_stats(m).collect()}
+    for i, s in enumerate(specs):
+        k = kern[i]
+        if s is None:
+            assert k.width is None, i
+        else:
+            got = (k.width, k.height, k.n_pixels, k.mean_idx,
+                   k.row_weighted_idx, k.mean_r, k.mean_g, k.mean_b)
+            assert all(
+                a == b if isinstance(a, int) else abs(a - b) < 1e-12
+                for a, b in zip(got, s)), i
