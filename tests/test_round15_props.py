@@ -57,17 +57,47 @@ def test_first_scan_bound_admits_one_bit_per_block_dc_scan(spark):
 
 
 def test_first_scan_bound_still_rejects_unfillable_headers(spark):
-    from tripgogo_vector_search_spark.operators.jpeg import parse_jpeg
+    """Pixel-cap arm: a 65528 x 65528 frame NULLs at the absolute
+    ``x * y > _JPEG_MAX_PIXELS`` check before the data-derived bound
+    is even consulted (ADVICE r15 low #3 renamed this test honestly —
+    the data arm has its own test below)."""
+    from tripgogo_vector_search_spark.operators.jpeg import (
+        _JPEG_MAX_PIXELS, parse_jpeg)
 
-    # a header demanding more blocks than 8 bits/byte of scan data can
-    # possibly code must still NULL before allocating: 65528 x 65528
-    # (~67M blocks) against a handful of scan bytes
     blob = _jpeg_dc_only_progressive(65528, 65528)
+    assert 65528 * 65528 > _JPEG_MAX_PIXELS
     # rebuild with TINY scan data: strip the synthesized entropy bytes
     cut = blob.index(b"\xff\xda")
     sos_end = cut + 2 + 8                    # marker + segment
     hostile = blob[:sos_end] + b"\x00" * 4 + b"\xff\xd9"
     assert parse_jpeg(hostile) is None
+
+
+def test_first_scan_bound_data_arm_rejects_under_pixel_cap(spark):
+    """ADVICE r15 low #3: the relaxed data-derived arm itself
+    (``blocks > 8 * remaining scan bytes``) must reject — the prior
+    test's 65528 x 65528 frame NULLed at the earlier absolute pixel
+    cap, so the new 1-bit floor's reject path had no direct coverage.
+    2048 x 2048 is UNDER the pixel cap (4.2M px <= 2^24) but its
+    65536 blocks against 6 remaining bytes (48 bits) cannot be coded
+    at even 1 bit per block, so the bound NULLs before the ~16M-entry
+    coefficient allocation. Both decoders take the arm."""
+    import pandas as pd
+
+    from tripgogo_vector_search_spark.operators.jpeg import (
+        _JPEG_MAX_PIXELS, decode_jpeg_stats, parse_jpeg)
+
+    blob = _jpeg_dc_only_progressive(2048, 2048)
+    assert 2048 * 2048 <= _JPEG_MAX_PIXELS
+    cut = blob.index(b"\xff\xda")
+    sos_end = cut + 2 + 8                    # marker + segment
+    hostile = blob[:sos_end] + b"\x00" * 4 + b"\xff\xd9"
+    n_blocks, remaining = (2048 // 8) ** 2, 4 + 2
+    assert n_blocks > 8 * remaining          # the data arm decides
+    assert parse_jpeg(hostile) is None
+    m = spark.createDataFrame(pd.DataFrame(
+        {"media_id": [1], "content": [hostile]}))
+    assert decode_jpeg_stats(m).first().width is None
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
