@@ -27,99 +27,23 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 15. Head = keys whose plan/oracle/source closure changed
+    # ROUND 16. Head = keys whose plan/oracle/source closure changed
     # this round (drift gate: tests/test_plan_manifest.py), then the
     # stale-row rotation (oldest first per tools/rotation.py).
     #
-    # CHANGED (VERDICT r14 "What's wrong #1"): the GIF synthesis pixel
-    # cap and the decoder's allocation cap were ONE shadowed name
-    # (_GIF_MAX_PIXELS defined twice; the 2^24 decode cap silently won,
-    # so synthesis diverged from the 4096 the four GIF oracles pin on
-    # any document longer than 4096 bytes). Split into
-    # _GIF_SYNTH_MAX_PIXELS (4096) / _GIF_DECODE_MAX_PIXELS (2^24),
-    # oracle literals now DERIVED from the synthesis constant at
-    # registration, and a >4096-byte document exercises the cap arm
-    # red-on-violation (tests/test_degenerate_inputs.py). All four
-    # keys whose closure reaches the GIF synthesis re-row.
-    "multimodal_gif_stats", "stream_media_decode", "media_quality_gate",
-    # CHANGED (VERDICT r14 list #1): media_decode_dispatch is now
-    # SINGLE-PASS — the sniffed firehose is materialized ONCE,
-    # partitioned by kind, so each format branch partition-prunes to
-    # its own files instead of re-scanning the whole union (6 passes
-    # -> 1 in aggregate); media_id offset aliasing guarded at
-    # materialization (ADVICE r14 low #5).
-    "media_decode_dispatch",
-    # CHANGED (ADVICE r14 low #4): the progressive first-scan
-    # allocation bound now uses the true 1-bit-per-block floor
-    # (8 * scan bytes) instead of the 2-bit assumption that falsely
-    # NULLed rare legitimate DC-first scans; docstring NULL-boundary
-    # scope refreshed (ADVICE low #1/#3). All JPEG-closure keys
-    # re-row.
-    "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
-    "multimodal_jpeg_progressive_stats", "multimodal_jpeg_420_stats",
-    # NEW (VERDICT r14 list #4): 4:2:2 subsampled color gets driver
-    # evidence of its own — same oracle family as the 4:2:0 key at
-    # 8x16-MCU geometry.
-    "multimodal_jpeg_422_stats",
-    # NEW (r15 capability): 4:1:1 (Y 4x1, the DV/camcorder layout) —
-    # whitelisted through the already-general sampling geometry with
-    # its own synthesis corpus; factor-4 horizontal chroma
-    # replication pinned; off-whitelist layouts stay NULL.
-    # (Queue accounting: with every r15 capability queued the list is
-    # 56 long — 16 heads + 9 r08 + 31 r09 — and the driver checks a
-    # 50-key prefix, so the final SIX r09 rotation entries roll to
-    # r16; SCALE.md records the same figures.)
-    "multimodal_jpeg_411_stats",
-    # NEW (the r14 verdict's candidate widening): curation flags over
-    # the WHOLE five-format firehose, reading the same kind-partitioned
-    # sniffed sidecar as dispatch (single-pass in aggregate) — image
-    # size/aspect prefilters plus an audio minimum-duration gate, all
-    # flags total booleans (the NULL-boolean None-vs-NaN driver trap
-    # is documented in the key's docstring).
-    "media_quality_gate_multiformat",
-    # NEW (r15 capability): dispatch-on-arrival — the streaming
-    # sibling of media_decode_dispatch (15th streaming query): a
-    # MIXED-format firehose cohort sniffed+routed per micro-batch
-    # across all five decoders, per-batch persist-once, idempotent
-    # per-batch_id sink.
-    "stream_media_dispatch",
-    # NEW (r15 capability): Adam7-INTERLACED PNG — seven-pass
-    # serialization in pure Catalyst, pass-local unfiltering +
-    # positional de-interlace in both decoders (scatter pinned at
-    # pixel level by a real-deflate test encoder under hypothesis,
-    # since channel means are permutation-invariant). The shared PNG
-    # pixel path was refactored (module-level _png_blob_pixels /
-    # _png_pixels), so the base PNG key re-rows too.
-    "multimodal_png_interlaced_stats", "multimodal_png_stats",
-    # NEW (r15 capability): interlaced GIF — appendix E four-pass
-    # serialization with a row-position-WEIGHTED output statistic
-    # that makes de-interlacing oracle-visible (means are invariant
-    # under row permutation); the shared GIF pixel path moved to
-    # module level (_gif_indices / _gif_blob_indices), re-rowing the
-    # GIF-closure keys (already queued above).
-    "multimodal_gif_interlaced_stats",
-    # NEW (r15 capability): RLE8-compressed BMP — the second real
-    # compression layer in the BMP family: absolute/encoded modes,
-    # EOL/EOB/delta escapes, zero-fill, word-alignment pad, absolute
-    # allocation cap (RLE zero-fills, so no data-derived bound
-    # exists), and a row-weighted statistic that makes the bottom-up
-    # flip oracle-visible.
+    # CHANGED (ADVICE r15 low #2): the RLE8 BMP Arrow kernel now runs
+    # an INDEPENDENT pixel path (_bmp_rle_indices_np — flat bottom-up
+    # numpy surface, int.from_bytes header parse) instead of reusing
+    # the spec decoder's _bmp_rle_indices, restoring the
+    # dual-implementation discipline the other codecs have; the fuzz
+    # agreement test now also feeds random delta/multi-count-run
+    # escape streams the synthesized corpus never emits.
     "multimodal_bmp_rle_stats",
-    # ROTATION (VERDICT r14 list #3). Oldest first per
-    # tools/rotation.py — the full r08 tail (9 keys), then the entire
-    # r09 cohort (31 keys). Plans unchanged — the drift gate pins
-    # them.
-    # r08 (the complete remainder):
-    "stream_hop_window", "stream_minhash_probe", "stream_quality_filter",
-    "stream_static_join", "stream_stream_join", "stream_window_agg",
-    "table_scan", "text_stats", "window_topk",
-    # r09 (the complete cohort):
-    "approx_distinct", "asof_join", "count_distinct", "csv_scan",
-    "cube_agg", "deterministic_sample", "distinct_vals", "global_sort",
-    "group_zscore", "having_agg", "jdbc_sink", "observed_ingest",
-    "pii_intl_screen", "pii_prevalence", "pii_screen", "pivot_agg",
-    "range_join", "result_fetch", "rolling_fingerprint", "rollup_agg",
-    "running_agg", "salted_agg", "sessionize", "set_ops", "stats_agg",
+    # ROTATION (VERDICT r15 list #3). Oldest first per
+    # tools/rotation.py — the r09 tail (6 keys), then the r10 cohort
+    # as far as the driver window allows. Plans unchanged — the
+    # drift gate pins them.
+    # r09 (the complete remainder):
     "time_bucket_rollup", "tpch_q1", "tpch_q6", "window_first_last",
     "window_frame", "window_funcs",
 ]

@@ -587,7 +587,12 @@ def test_bmp_rle_decoders_fuzz_total_and_agree(spark):
     must never raise in either implementation, and both must return
     the SAME verdict (None/None or equal stats) — the
     WAV/BMP/PNG/GIF fuzz-total discipline, extended to the RLE8
-    decoder."""
+    decoder. Since r16 the kernel runs the INDEPENDENT
+    ``_bmp_rle_indices_np`` pixel path (ADVICE r15 low #2), so this
+    agreement is a real cross-check; random hand-built escape
+    streams below exercise delta skips, multi-count encoded runs,
+    and absolute runs — shapes the synthesized corpus (unit runs +
+    absolute rows only) never emits."""
     import random
 
     from tripgogo_vector_search_spark.operators import multimodal as M
@@ -606,6 +611,31 @@ def test_bmp_rle_decoders_fuzz_total_and_agree(spark):
         blobs.append(base[:rng.randrange(len(base))])
     blobs += [b"", b"BM", b"\x00" * 64,
               bytes(rng.randrange(256) for _ in range(300))]
+    # random escape-machine streams over small frames: mixes of
+    # encoded runs (any count), absolute runs (with pad), deltas,
+    # EOLs, and a final EOB — roughly half stay valid, the rest trip
+    # bounds checks; both implementations must agree either way
+    for _ in range(120):
+        w, h = rng.randrange(1, 9), rng.randrange(1, 7)
+        stream = bytearray()
+        for _ in range(rng.randrange(1, 8)):
+            op = rng.randrange(4)
+            if op == 0:                      # encoded run
+                stream += bytes([rng.randrange(1, 10),
+                                 rng.randrange(256)])
+            elif op == 1:                    # absolute run
+                v = rng.randrange(3, 8)
+                stream += bytes([0, v])
+                stream += bytes(rng.randrange(256) for _ in range(v))
+                if v & 1:
+                    stream.append(rng.randrange(256))   # pad
+            elif op == 2:                    # delta skip
+                stream += bytes([0, 2, rng.randrange(4),
+                                 rng.randrange(3)])
+            else:                            # end of line
+                stream += bytes([0, 0])
+        stream += bytes([0, 1])              # EOB
+        blobs.append(_rle_bmp(w, h, bytes(stream)))
     # spec side must be total
     specs = [M.parse_bmp_rle(b) for b in blobs]
     # kernel side must be total AND verdict-equal

@@ -656,14 +656,85 @@ def parse_bmp_rle(data: bytes | None) -> tuple | None:
             sr / n_px, sg / n_px, sb / n_px)
 
 
+def _bmp_rle_indices_np(data: "bytes | None"):
+    """INDEPENDENT RLE8 pixel path for the Arrow kernel (ADVICE r15
+    low #2: the kernel previously reused :func:`_bmp_rle_indices`, so
+    a decode bug in the shared machine was invisible to the
+    spec-vs-kernel fuzz agreement test — unlike PNG/GIF/JPEG, whose
+    kernels are genuinely independent twins). Same semantics,
+    independently written: header fields via ``int.from_bytes``
+    instead of ``struct``, the escape machine scattering runs into a
+    FLAT bottom-up numpy surface instead of per-row lists, absolute
+    runs copied via ``np.frombuffer``, and the bottom-up flip as a
+    single ``[::-1]`` view. Returns ``(width, height, palette,
+    top_down_uint8_2d)`` or ``None`` on exactly the inputs the spec
+    NULLs (agreement fuzz-pinned in tests/test_round15_props.py,
+    including delta/multi-count-run streams the synthesized corpus
+    never emits)."""
+    import numpy as np
+
+    if data is None or len(data) < 1078 or not data.startswith(b"BM"):
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    hsz = int.from_bytes(data[14:18], "little")
+    if hsz < 40:
+        return None
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    if (w <= 0 or h <= 0                     # RLE8 is bottom-up only
+            or int.from_bytes(data[26:28], "little") != 1   # planes
+            or int.from_bytes(data[28:30], "little") != 8   # bpp
+            or int.from_bytes(data[30:34], "little") != 1   # BI_RLE8
+            or w * h > _BMP_RLE_MAX_PIXELS):
+        return None
+    pal = data[14 + hsz:14 + hsz + 1024]
+    if len(pal) != 1024 or off > len(data):
+        return None
+    n = len(data)
+    flat = np.zeros(w * h, dtype=np.uint8)   # bottom-up row-major
+    x = y = 0                                # y counts bottom-up rows
+    pos = off
+    while True:
+        if n - pos < 2:
+            return None                      # ran out before EOB
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count:                            # encoded run
+            if y >= h or x + count > w:
+                return None
+            flat[y * w + x:y * w + x + count] = val
+            x += count
+        elif val == 0:                       # end of line
+            x, y = 0, y + 1
+        elif val == 1:                       # end of bitmap
+            break
+        elif val == 2:                       # delta: skip right/up
+            if n - pos < 2:
+                return None
+            x, y = x + data[pos], y + data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                return None
+        else:                                # absolute: val raw indices
+            if y >= h or x + val > w or pos + val > n:
+                return None
+            flat[y * w + x:y * w + x + val] = np.frombuffer(
+                data, np.uint8, val, pos)
+            x += val
+            pos += val + (val & 1)           # word-alignment pad
+    return (w, h, pal, flat.reshape(h, w)[::-1])
+
+
 _BMP_RLE_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
                    "mean_idx:double,row_weighted_idx:bigint,"
                    "mean_r:double,mean_g:double,mean_b:double>")
 
 
 def bmp_rle_stats_udf(content_col) -> "F.Column":
-    """Arrow-batched RLE8 BMP decode over the same
-    :func:`_bmp_rle_indices` pixel path, with exact int64 histogram
+    """Arrow-batched RLE8 BMP decode over the INDEPENDENT
+    :func:`_bmp_rle_indices_np` pixel path (the spec twin is
+    :func:`_bmp_rle_indices` — ADVICE r15 low #2 restored the
+    dual-implementation discipline here), with exact int64 histogram
     dot products for the palette-channel means and one int64 dot for
     the row-weighted statistic. Unreadable payloads decode to an
     all-NULL struct, never an error. Map-only Arrow pass."""
@@ -690,12 +761,12 @@ def bmp_rle_stats_udf(content_col) -> "F.Column":
 
         for blob in blobs:
             data = bytes(blob) if blob is not None else None
-            bi = _bmp_rle_indices(data) if data is not None else None
+            bi = _bmp_rle_indices_np(data) if data is not None else None
             if bi is None:
                 emit()
                 continue
-            w, h, pal, idxs = bi
-            arr = np.asarray(idxs, dtype=np.int64).reshape(h, w)
+            w, h, pal, top_down = bi
+            arr = top_down.astype(np.int64)
             parr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)
             counts = np.bincount(arr.reshape(-1), minlength=256)
             n_px = w * h
