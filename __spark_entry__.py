@@ -39,6 +39,36 @@ _CHECK_FIRST = [
     # agreement test now also feeds random delta/multi-count-run
     # escape streams the synthesized corpus never emits.
     "multimodal_bmp_rle_stats",
+    # CHANGED (VERDICT r15 list #1 + ADVICE r15 low #1):
+    # stream_media_dispatch now streams STORED BYTES — the
+    # mixed-format arrival corpus is rendered once into a sidecar
+    # (registry._media_arrival_path, integer (doc_id div 10) % 5
+    # selector) and the stream reads (media_id, content) from it, so
+    # the bench measures the operator (sniff+route+decode), not
+    # per-batch re-synthesis of the arrival bytes.
+    "stream_media_dispatch",
+    # CHANGED (VERDICT r15 list #2): every streaming
+    # sink/checkpoint/scratch create-delete now goes through the
+    # Hadoop FileSystem API (fsutil.fs_delete) instead of
+    # shutil/local paths, so hdfs://s3a:// layouts take the same
+    # code path as local ones; file:// round-trip pinned in
+    # tests/test_round16_props.py. Source closure moves for every
+    # scratch-writing stream key.
+    "stream_foreach_sink", "stream_minhash_probe",
+    "stream_paragraph_probe", "stream_media_decode",
+    # CHANGED (r16 single-pass dispatch kernel): the JPEG and plain-
+    # BMP Arrow kernels' per-blob bodies were hoisted verbatim to
+    # module level (_jpeg_blob_stats / _bmp_blob_stats) so the
+    # streaming dispatch can route a sniffed blob per row inside ONE
+    # mapInPandas stage (media_dispatch_stats) instead of paying six
+    # branch plans over an unstored batch. Behavior-identical
+    # (kernel-equivalence + degenerate suites green), but the source
+    # closure of every JPEG/BMP-kernel key moves, so they all re-row.
+    "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
+    "multimodal_jpeg_progressive_stats", "multimodal_jpeg_420_stats",
+    "multimodal_jpeg_422_stats", "multimodal_jpeg_411_stats",
+    "multimodal_bmp_stats", "media_decode_dispatch",
+    "media_quality_gate_multiformat",
     # ROTATION (VERDICT r15 list #3). Oldest first per
     # tools/rotation.py — the r09 tail (6 keys), then the r10 cohort
     # as far as the driver window allows. Plans unchanged — the

@@ -1099,6 +1099,449 @@ _JPEG_STRUCT = ("struct<width:int,height:int,n_pixels:bigint,"
                 "mean_r:double,mean_g:double,mean_b:double>")
 
 
+_JPEG_KERNEL_CONSTS = None
+
+
+def _jpeg_kernel_consts():
+    """Lazy per-process kernel constants (IDCT basis tensor + natural-
+    order zigzag walk) — built once per worker, shared by the UDF and
+    the dispatch kernel."""
+    global _JPEG_KERNEL_CONSTS
+    if _JPEG_KERNEL_CONSTS is None:
+        import numpy as np
+        _JPEG_KERNEL_CONSTS = (np.array(_dct_basis_q20(), dtype=np.int64),
+                               _zigzag_order())
+    return _JPEG_KERNEL_CONSTS
+
+
+def _kernel_build_huff(bits, vals):
+    table = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _KernelBits:
+    __slots__ = ("seg", "byte", "nbuf", "buf")
+
+    def __init__(self, seg):
+        self.seg = seg
+        self.byte = 0
+        self.buf = 0
+        self.nbuf = 0
+
+    def take(self, n):
+        while self.nbuf < n:
+            if self.byte >= len(self.seg):
+                return None
+            self.buf = (self.buf << 8) | self.seg[self.byte]
+            self.byte += 1
+            self.nbuf += 8
+        self.nbuf -= n
+        v = (self.buf >> self.nbuf) & ((1 << n) - 1)
+        return v
+
+    def sym(self, table):
+        ln, code = 0, 0
+        while ln < 16:
+            b = self.take(1)
+            if b is None:
+                return None
+            code = (code << 1) | b
+            ln += 1
+            s = table.get((ln, code))
+            if s is not None:
+                return s
+        return None
+
+
+def _kernel_decode_scan(data, p, dri, n_units, uw, scomps,
+                ss, se, ah, al, coefs):
+    """One scan's entropy decode into the int64 zigzag
+    accumulator; the kernel-side twin of _spec_decode_scan
+    (same scan shapes, its own reader/table idioms). Returns
+    the offset past the entropy data, or None."""
+    segs, rsts, p2 = _split_entropy(data, p)
+    if dri:
+        need = (n_units - 1) // dri
+        if len(rsts) != need or any(r != i % 8
+                                    for i, r in enumerate(rsts)):
+            return None
+    elif rsts:
+        return None
+    unit = 0
+    p1v, m1v = 1 << al, -(1 << al)
+    for si, seg in enumerate(segs):
+        rd = _KernelBits(seg)
+        preds = {sc[0]: 0 for sc in scomps}
+        eobrun = 0
+        left = (n_units - unit) if si == len(segs) - 1 else dri
+        for _ in range(left):
+            for ci, dct, act, hi, vi, bw_c in scomps:
+                my, mx = divmod(unit, uw)
+                for bofs in range(hi * vi):
+                    v0, h0 = divmod(bofs, hi)
+                    zz = coefs[ci][(my * vi + v0) * bw_c
+                                   + (mx * hi + h0)]
+                    if ss == 0 and ah == 0:
+                        t = rd.sym(dct)
+                        if t is None or t > 15:
+                            return None
+                        v = rd.take(t)
+                        if v is None:
+                            return None
+                        if t and v < (1 << (t - 1)):
+                            v -= (1 << t) - 1
+                        preds[ci] += v
+                        zz[0] = preds[ci] << al
+                        k = 1
+                        while k <= se:
+                            rs = rd.sym(act)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            v = rd.take(s)
+                            if v is None:
+                                return None
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            zz[k] = v << al
+                            k += 1
+                    elif ss == 0:
+                        b = rd.take(1)
+                        if b is None:
+                            return None
+                        if b:
+                            zz[0] |= p1v
+                    elif ah == 0:
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = rd.sym(act)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                v = rd.take(r)
+                                if v is None:
+                                    return None
+                                eobrun = (1 << r) + v - 1
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            v = rd.take(s)
+                            if v is None:
+                                return None
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            zz[k] = v << al
+                            k += 1
+                    else:
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = rd.sym(act)
+                                if rs is None:
+                                    return None
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r < 15:
+                                        v = rd.take(r)
+                                        if v is None:
+                                            return None
+                                        eobrun = (1 << r) + v
+                                        break
+                                    val = 0
+                                elif s == 1:
+                                    b = rd.take(1)
+                                    if b is None:
+                                        return None
+                                    val = p1v if b else m1v
+                                else:
+                                    return None
+                                while k <= se:
+                                    z = int(zz[k])
+                                    if z != 0:
+                                        b = rd.take(1)
+                                        if b is None:
+                                            return None
+                                        if b and (z & p1v) == 0:
+                                            zz[k] = z + (
+                                                p1v if z >= 0 else m1v)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val != 0:
+                                    if k > se:
+                                        return None
+                                    zz[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                z = int(zz[k])
+                                if z != 0:
+                                    b = rd.take(1)
+                                    if b is None:
+                                        return None
+                                    if b and (z & p1v) == 0:
+                                        zz[k] = z + (
+                                            p1v if z >= 0 else m1v)
+                                k += 1
+                            eobrun -= 1
+            unit += 1
+    return p2 if unit == n_units else None
+
+
+def _jpeg_blob_stats(data):
+    """Module-level per-blob KERNEL entry point (hoisted verbatim
+    from the jpeg_stats_udf closure in r16 so the single-pass
+    streaming dispatch kernel — operators/multimodal.py:
+    media_dispatch_stats — can route a sniffed blob here without
+    paying a per-format Spark branch): full baseline+progressive
+    decode of one JPEG byte string. Returns ``(w, h, n_px,
+    mean_gray, mean_r, mean_g, mean_b)`` (color means None for
+    grayscale) or ``None`` for unreadable/out-of-scope payloads;
+    never raises on hostile bytes."""
+    import numpy as np
+
+    basis, zz_nat = _jpeg_kernel_consts()
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    qts, huffs = {}, {}
+    sof, dri = None, 0
+    prog = False
+    coefs = None
+    p = 2
+    n = len(data)
+    while True:
+        if p >= n or data[p] != 0xFF:
+            return None
+        p += 1
+        while p < n and data[p] == 0xFF:
+            p += 1
+        if p >= n:
+            return None
+        m = data[p]
+        p += 1
+        if m == 0xD9:
+            break              # EOI: frame complete
+        if 0xD0 <= m <= 0xD7 or m == 0x01:
+            continue
+        if p + 2 > n:
+            return None
+        ln2 = (data[p] << 8) | data[p + 1]
+        if ln2 < 2 or p + ln2 > n:
+            return None
+        seg = data[p + 2:p + ln2]
+        p += ln2
+        if m == 0xDB:
+            q = 0
+            while q < len(seg):
+                pq, tq = seg[q] >> 4, seg[q] & 15
+                q += 1
+                step = 64 if pq == 0 else (128 if pq == 1 else 0)
+                if not step or q + step > len(seg):
+                    return None
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        seg[q:q + 64], np.uint8).astype(np.int64)
+                else:
+                    qts[tq] = np.frombuffer(
+                        seg[q:q + 128], ">u2").astype(np.int64)
+                q += step
+        elif m == 0xC4:
+            q = 0
+            while q < len(seg):
+                tcth = seg[q]
+                q += 1
+                if q + 16 > len(seg):
+                    return None
+                bits = list(seg[q:q + 16])
+                q += 16
+                nv = sum(bits)
+                if q + nv > len(seg):
+                    return None
+                huffs[(tcth >> 4, tcth & 15)] = _kernel_build_huff(
+                    bits, list(seg[q:q + nv]))
+                q += nv
+        elif m in (0xC0, 0xC2):
+            if sof is not None or len(seg) < 6 or seg[0] != 8:
+                return None
+            prog = (m == 0xC2)
+            y = (seg[1] << 8) | seg[2]
+            x = (seg[3] << 8) | seg[4]
+            nf = seg[5]
+            if nf not in (1, 3) or x < 1 or y < 1 \
+                    or len(seg) < 6 + 3 * nf:
+                return None
+            comps = [(seg[6 + 3 * i], seg[7 + 3 * i],
+                      seg[8 + 3 * i]) for i in range(nf)]
+            if nf == 1:
+                # never interleaved: sampling is irrelevant
+                comps = [(comps[0][0], 0x11, comps[0][2])]
+            hvs = [c[1] for c in comps]
+            if nf == 3 and hvs not in ([0x11] * 3,
+                                       [0x22, 0x11, 0x11],
+                                       [0x21, 0x11, 0x11],
+                                       [0x41, 0x11, 0x11]):
+                return None    # 4:4:4/4:2:0/4:2:2/4:1:1 only
+            if prog and hvs != [0x11] * len(comps):
+                return None    # subsampled progressive: NULL
+            if len({c[0] for c in comps}) != nf:
+                return None
+            sof = (x, y, comps)
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None
+        elif m == 0xDD:
+            if len(seg) < 2:
+                return None
+            dri = (seg[0] << 8) | seg[1]
+        elif m == 0xDA:
+            if sof is None or len(seg) < 4:
+                return None
+            x, y, comps = sof
+            nf = len(comps)
+            ns = seg[0]
+            if ns < 1 or len(seg) < 4 + 2 * ns:
+                return None
+            o = 1 + 2 * ns
+            ss, se = seg[o], seg[o + 1]
+            ah, al = seg[o + 2] >> 4, seg[o + 2] & 15
+            if not prog:
+                if ns != nf or ss != 0 or se != 63 or ah or al:
+                    return None
+            else:
+                if ss == 0:
+                    if se != 0:
+                        return None
+                elif ns != 1 or not (1 <= ss <= se <= 63):
+                    return None
+                if al > 13 or (ah and ah != al + 1):
+                    return None
+            ids = {c[0]: i for i, c in enumerate(comps)}
+            hmax = max(c[1] >> 4 for c in comps)
+            vmax = max(c[1] & 15 for c in comps)
+            mw = (x + 8 * hmax - 1) // (8 * hmax)
+            mh = (y + 8 * vmax - 1) // (8 * vmax)
+            scomps = []
+            last = -1
+            blocks_in_unit = 0
+            for i in range(ns):
+                cs = seg[1 + 2 * i]
+                td = seg[2 + 2 * i] >> 4
+                ta = seg[2 + 2 * i] & 15
+                if cs not in ids or ids[cs] <= last:
+                    return None
+                last = ids[cs]
+                dct = huffs.get((0, td))
+                act = huffs.get((1, ta))
+                if ss == 0 and ah == 0 and dct is None:
+                    return None
+                if se > 0 and act is None:
+                    return None
+                hi = comps[ids[cs]][1] >> 4
+                vi = comps[ids[cs]][1] & 15
+                blocks_in_unit += hi * vi
+                scomps.append((ids[cs], dct, act,
+                               hi, vi, mw * hi))
+            n_units = mw * mh
+            if coefs is None:
+                # first scan must be DC-first; >= 1 bit per
+                # block (a 1-bit category-0 DC code is legal
+                # — ADVICE r14), so blocks <= 8 * remaining
+                # scan bytes bounds the allocation by the
+                # data — the ADVICE r13 GIF lesson
+                if ss != 0 or ah != 0:
+                    return None
+                if x * y > _JPEG_MAX_PIXELS:
+                    return None
+                if n_units * blocks_in_unit \
+                        > 8 * max(n - p, 0):
+                    return None
+                coefs = [np.zeros((mw * (c[1] >> 4)
+                                   * mh * (c[1] & 15), 64),
+                                  dtype=np.int64)
+                         for c in comps]
+            p = _kernel_decode_scan(data, p, dri, n_units, mw, scomps,
+                            ss, se, ah, al, coefs)
+            if p is None:
+                return None
+            if not prog:
+                break          # baseline: one full-band scan
+                # IS the image (EOI optional); progressive
+                # needs the EOI to know the script ended
+    if sof is None or coefs is None:
+        return None
+    x, y, comps = sof
+    nf = len(comps)
+    hmax = max(c[1] >> 4 for c in comps)
+    vmax = max(c[1] & 15 for c in comps)
+    mw = (x + 8 * hmax - 1) // (8 * hmax)
+    mh = (y + 8 * vmax - 1) // (8 * vmax)
+    qtabs = []
+    for _cid, _hv, tq in comps:
+        if tq not in qts:
+            return None
+        qtabs.append(qts[tq])
+    # per component: dequant in zigzag, scatter to natural,
+    # IDCT all blocks in one exact int64 contraction, then
+    # box-replication upsampling (np.repeat) for subsampled
+    # components — the pinned convention
+    planes = []
+    for ci in range(nf):
+        hi, vi = comps[ci][1] >> 4, comps[ci][1] & 15
+        bw_c, bh_c = mw * hi, mh * vi
+        n_blk = bw_c * bh_c
+        deq = coefs[ci] * qtabs[ci][None, :]
+        nat = np.zeros((n_blk, 8, 8), dtype=np.int64)
+        nat.reshape(n_blk, 64)[:, zz_nat] = deq
+        out = np.tensordot(nat, basis, axes=([1, 2], [0, 1]))
+        pix = np.clip(((out + (1 << 19)) >> 20) + 128, 0, 255)
+        img = np.zeros((bh_c * 8, bw_c * 8), dtype=np.int64)
+        for bi in range(n_blk):
+            by, bx = divmod(bi, bw_c)
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[bi]
+        if vi != vmax:
+            img = np.repeat(img, vmax // vi, axis=0)
+        if hi != hmax:
+            img = np.repeat(img, hmax // hi, axis=1)
+        planes.append(img[:y, :x])
+    n_px = x * y
+    mean_y = int(planes[0].sum()) / n_px
+    if nf == 1:
+        return (x, y, n_px, mean_y, None, None, None)
+    lum, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+    r = np.clip(lum + ((_CR_R * cr + 32768) >> 16), 0, 255)
+    g = np.clip(lum - ((_CB_G * cb + _CR_G * cr + 32768) >> 16),
+                0, 255)
+    b = np.clip(lum + ((_CB_B * cb + 32768) >> 16), 0, 255)
+    return (x, y, n_px, mean_y, int(r.sum()) / n_px,
+            int(g.sum()) / n_px, int(b.sum()) / n_px)
+
+
+
 def jpeg_stats_udf(content_col) -> "F.Column":
     """Arrow-batched baseline-JPEG decode: binary content -> image
     dimensions + exact luma mean, plus exact RGB channel means for
@@ -1117,10 +1560,6 @@ def jpeg_stats_udf(content_col) -> "F.Column":
 
     @pandas_udf(_JPEG_STRUCT)
     def _jpeg(blobs: pd.Series) -> pd.DataFrame:
-        import numpy as np
-
-        basis = np.array(_dct_basis_q20(), dtype=np.int64)
-        zz_nat = _zigzag_order()
         cols = {k: [] for k in ("width", "height", "n_pixels",
                                 "mean_gray", "mean_r", "mean_g",
                                 "mean_b")}
@@ -1135,420 +1574,9 @@ def jpeg_stats_udf(content_col) -> "F.Column":
             cols["mean_g"].append(mgr)
             cols["mean_b"].append(mb)
 
-        def build_huff(bits, vals):
-            table = {}
-            code, k = 0, 0
-            for ln in range(1, 17):
-                for _ in range(bits[ln - 1]):
-                    table[(ln, code)] = vals[k]
-                    k += 1
-                    code += 1
-                code <<= 1
-            return table
-
-        class Bits:
-            __slots__ = ("seg", "byte", "nbuf", "buf")
-
-            def __init__(self, seg):
-                self.seg = seg
-                self.byte = 0
-                self.buf = 0
-                self.nbuf = 0
-
-            def take(self, n):
-                while self.nbuf < n:
-                    if self.byte >= len(self.seg):
-                        return None
-                    self.buf = (self.buf << 8) | self.seg[self.byte]
-                    self.byte += 1
-                    self.nbuf += 8
-                self.nbuf -= n
-                v = (self.buf >> self.nbuf) & ((1 << n) - 1)
-                return v
-
-            def sym(self, table):
-                ln, code = 0, 0
-                while ln < 16:
-                    b = self.take(1)
-                    if b is None:
-                        return None
-                    code = (code << 1) | b
-                    ln += 1
-                    s = table.get((ln, code))
-                    if s is not None:
-                        return s
-                return None
-
-        def decode_scan(data, p, dri, n_units, uw, scomps,
-                        ss, se, ah, al, coefs):
-            """One scan's entropy decode into the int64 zigzag
-            accumulator; the kernel-side twin of _spec_decode_scan
-            (same scan shapes, its own reader/table idioms). Returns
-            the offset past the entropy data, or None."""
-            segs, rsts, p2 = _split_entropy(data, p)
-            if dri:
-                need = (n_units - 1) // dri
-                if len(rsts) != need or any(r != i % 8
-                                            for i, r in enumerate(rsts)):
-                    return None
-            elif rsts:
-                return None
-            unit = 0
-            p1v, m1v = 1 << al, -(1 << al)
-            for si, seg in enumerate(segs):
-                rd = Bits(seg)
-                preds = {sc[0]: 0 for sc in scomps}
-                eobrun = 0
-                left = (n_units - unit) if si == len(segs) - 1 else dri
-                for _ in range(left):
-                    for ci, dct, act, hi, vi, bw_c in scomps:
-                        my, mx = divmod(unit, uw)
-                        for bofs in range(hi * vi):
-                            v0, h0 = divmod(bofs, hi)
-                            zz = coefs[ci][(my * vi + v0) * bw_c
-                                           + (mx * hi + h0)]
-                            if ss == 0 and ah == 0:
-                                t = rd.sym(dct)
-                                if t is None or t > 15:
-                                    return None
-                                v = rd.take(t)
-                                if v is None:
-                                    return None
-                                if t and v < (1 << (t - 1)):
-                                    v -= (1 << t) - 1
-                                preds[ci] += v
-                                zz[0] = preds[ci] << al
-                                k = 1
-                                while k <= se:
-                                    rs = rd.sym(act)
-                                    if rs is None:
-                                        return None
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16
-                                            continue
-                                        break
-                                    k += r
-                                    if k > se:
-                                        return None
-                                    v = rd.take(s)
-                                    if v is None:
-                                        return None
-                                    if v < (1 << (s - 1)):
-                                        v -= (1 << s) - 1
-                                    zz[k] = v << al
-                                    k += 1
-                            elif ss == 0:
-                                b = rd.take(1)
-                                if b is None:
-                                    return None
-                                if b:
-                                    zz[0] |= p1v
-                            elif ah == 0:
-                                if eobrun > 0:
-                                    eobrun -= 1
-                                    continue
-                                k = ss
-                                while k <= se:
-                                    rs = rd.sym(act)
-                                    if rs is None:
-                                        return None
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16
-                                            continue
-                                        v = rd.take(r)
-                                        if v is None:
-                                            return None
-                                        eobrun = (1 << r) + v - 1
-                                        break
-                                    k += r
-                                    if k > se:
-                                        return None
-                                    v = rd.take(s)
-                                    if v is None:
-                                        return None
-                                    if v < (1 << (s - 1)):
-                                        v -= (1 << s) - 1
-                                    zz[k] = v << al
-                                    k += 1
-                            else:
-                                k = ss
-                                if eobrun == 0:
-                                    while k <= se:
-                                        rs = rd.sym(act)
-                                        if rs is None:
-                                            return None
-                                        r, s = rs >> 4, rs & 15
-                                        if s == 0:
-                                            if r < 15:
-                                                v = rd.take(r)
-                                                if v is None:
-                                                    return None
-                                                eobrun = (1 << r) + v
-                                                break
-                                            val = 0
-                                        elif s == 1:
-                                            b = rd.take(1)
-                                            if b is None:
-                                                return None
-                                            val = p1v if b else m1v
-                                        else:
-                                            return None
-                                        while k <= se:
-                                            z = int(zz[k])
-                                            if z != 0:
-                                                b = rd.take(1)
-                                                if b is None:
-                                                    return None
-                                                if b and (z & p1v) == 0:
-                                                    zz[k] = z + (
-                                                        p1v if z >= 0 else m1v)
-                                            else:
-                                                if r == 0:
-                                                    break
-                                                r -= 1
-                                            k += 1
-                                        if val != 0:
-                                            if k > se:
-                                                return None
-                                            zz[k] = val
-                                        k += 1
-                                if eobrun > 0:
-                                    while k <= se:
-                                        z = int(zz[k])
-                                        if z != 0:
-                                            b = rd.take(1)
-                                            if b is None:
-                                                return None
-                                            if b and (z & p1v) == 0:
-                                                zz[k] = z + (
-                                                    p1v if z >= 0 else m1v)
-                                        k += 1
-                                    eobrun -= 1
-                    unit += 1
-            return p2 if unit == n_units else None
-
-        def walk(data):
-            if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
-                return None
-            qts, huffs = {}, {}
-            sof, dri = None, 0
-            prog = False
-            coefs = None
-            p = 2
-            n = len(data)
-            while True:
-                if p >= n or data[p] != 0xFF:
-                    return None
-                p += 1
-                while p < n and data[p] == 0xFF:
-                    p += 1
-                if p >= n:
-                    return None
-                m = data[p]
-                p += 1
-                if m == 0xD9:
-                    break              # EOI: frame complete
-                if 0xD0 <= m <= 0xD7 or m == 0x01:
-                    continue
-                if p + 2 > n:
-                    return None
-                ln2 = (data[p] << 8) | data[p + 1]
-                if ln2 < 2 or p + ln2 > n:
-                    return None
-                seg = data[p + 2:p + ln2]
-                p += ln2
-                if m == 0xDB:
-                    q = 0
-                    while q < len(seg):
-                        pq, tq = seg[q] >> 4, seg[q] & 15
-                        q += 1
-                        step = 64 if pq == 0 else (128 if pq == 1 else 0)
-                        if not step or q + step > len(seg):
-                            return None
-                        if pq == 0:
-                            qts[tq] = np.frombuffer(
-                                seg[q:q + 64], np.uint8).astype(np.int64)
-                        else:
-                            qts[tq] = np.frombuffer(
-                                seg[q:q + 128], ">u2").astype(np.int64)
-                        q += step
-                elif m == 0xC4:
-                    q = 0
-                    while q < len(seg):
-                        tcth = seg[q]
-                        q += 1
-                        if q + 16 > len(seg):
-                            return None
-                        bits = list(seg[q:q + 16])
-                        q += 16
-                        nv = sum(bits)
-                        if q + nv > len(seg):
-                            return None
-                        huffs[(tcth >> 4, tcth & 15)] = build_huff(
-                            bits, list(seg[q:q + nv]))
-                        q += nv
-                elif m in (0xC0, 0xC2):
-                    if sof is not None or len(seg) < 6 or seg[0] != 8:
-                        return None
-                    prog = (m == 0xC2)
-                    y = (seg[1] << 8) | seg[2]
-                    x = (seg[3] << 8) | seg[4]
-                    nf = seg[5]
-                    if nf not in (1, 3) or x < 1 or y < 1 \
-                            or len(seg) < 6 + 3 * nf:
-                        return None
-                    comps = [(seg[6 + 3 * i], seg[7 + 3 * i],
-                              seg[8 + 3 * i]) for i in range(nf)]
-                    if nf == 1:
-                        # never interleaved: sampling is irrelevant
-                        comps = [(comps[0][0], 0x11, comps[0][2])]
-                    hvs = [c[1] for c in comps]
-                    if nf == 3 and hvs not in ([0x11] * 3,
-                                               [0x22, 0x11, 0x11],
-                                               [0x21, 0x11, 0x11],
-                                               [0x41, 0x11, 0x11]):
-                        return None    # 4:4:4/4:2:0/4:2:2/4:1:1 only
-                    if prog and hvs != [0x11] * len(comps):
-                        return None    # subsampled progressive: NULL
-                    if len({c[0] for c in comps}) != nf:
-                        return None
-                    sof = (x, y, comps)
-                elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                    return None
-                elif m == 0xDD:
-                    if len(seg) < 2:
-                        return None
-                    dri = (seg[0] << 8) | seg[1]
-                elif m == 0xDA:
-                    if sof is None or len(seg) < 4:
-                        return None
-                    x, y, comps = sof
-                    nf = len(comps)
-                    ns = seg[0]
-                    if ns < 1 or len(seg) < 4 + 2 * ns:
-                        return None
-                    o = 1 + 2 * ns
-                    ss, se = seg[o], seg[o + 1]
-                    ah, al = seg[o + 2] >> 4, seg[o + 2] & 15
-                    if not prog:
-                        if ns != nf or ss != 0 or se != 63 or ah or al:
-                            return None
-                    else:
-                        if ss == 0:
-                            if se != 0:
-                                return None
-                        elif ns != 1 or not (1 <= ss <= se <= 63):
-                            return None
-                        if al > 13 or (ah and ah != al + 1):
-                            return None
-                    ids = {c[0]: i for i, c in enumerate(comps)}
-                    hmax = max(c[1] >> 4 for c in comps)
-                    vmax = max(c[1] & 15 for c in comps)
-                    mw = (x + 8 * hmax - 1) // (8 * hmax)
-                    mh = (y + 8 * vmax - 1) // (8 * vmax)
-                    scomps = []
-                    last = -1
-                    blocks_in_unit = 0
-                    for i in range(ns):
-                        cs = seg[1 + 2 * i]
-                        td = seg[2 + 2 * i] >> 4
-                        ta = seg[2 + 2 * i] & 15
-                        if cs not in ids or ids[cs] <= last:
-                            return None
-                        last = ids[cs]
-                        dct = huffs.get((0, td))
-                        act = huffs.get((1, ta))
-                        if ss == 0 and ah == 0 and dct is None:
-                            return None
-                        if se > 0 and act is None:
-                            return None
-                        hi = comps[ids[cs]][1] >> 4
-                        vi = comps[ids[cs]][1] & 15
-                        blocks_in_unit += hi * vi
-                        scomps.append((ids[cs], dct, act,
-                                       hi, vi, mw * hi))
-                    n_units = mw * mh
-                    if coefs is None:
-                        # first scan must be DC-first; >= 1 bit per
-                        # block (a 1-bit category-0 DC code is legal
-                        # — ADVICE r14), so blocks <= 8 * remaining
-                        # scan bytes bounds the allocation by the
-                        # data — the ADVICE r13 GIF lesson
-                        if ss != 0 or ah != 0:
-                            return None
-                        if x * y > _JPEG_MAX_PIXELS:
-                            return None
-                        if n_units * blocks_in_unit \
-                                > 8 * max(n - p, 0):
-                            return None
-                        coefs = [np.zeros((mw * (c[1] >> 4)
-                                           * mh * (c[1] & 15), 64),
-                                          dtype=np.int64)
-                                 for c in comps]
-                    p = decode_scan(data, p, dri, n_units, mw, scomps,
-                                    ss, se, ah, al, coefs)
-                    if p is None:
-                        return None
-                    if not prog:
-                        break          # baseline: one full-band scan
-                        # IS the image (EOI optional); progressive
-                        # needs the EOI to know the script ended
-            if sof is None or coefs is None:
-                return None
-            x, y, comps = sof
-            nf = len(comps)
-            hmax = max(c[1] >> 4 for c in comps)
-            vmax = max(c[1] & 15 for c in comps)
-            mw = (x + 8 * hmax - 1) // (8 * hmax)
-            mh = (y + 8 * vmax - 1) // (8 * vmax)
-            qtabs = []
-            for _cid, _hv, tq in comps:
-                if tq not in qts:
-                    return None
-                qtabs.append(qts[tq])
-            # per component: dequant in zigzag, scatter to natural,
-            # IDCT all blocks in one exact int64 contraction, then
-            # box-replication upsampling (np.repeat) for subsampled
-            # components — the pinned convention
-            planes = []
-            for ci in range(nf):
-                hi, vi = comps[ci][1] >> 4, comps[ci][1] & 15
-                bw_c, bh_c = mw * hi, mh * vi
-                n_blk = bw_c * bh_c
-                deq = coefs[ci] * qtabs[ci][None, :]
-                nat = np.zeros((n_blk, 8, 8), dtype=np.int64)
-                nat.reshape(n_blk, 64)[:, zz_nat] = deq
-                out = np.tensordot(nat, basis, axes=([1, 2], [0, 1]))
-                pix = np.clip(((out + (1 << 19)) >> 20) + 128, 0, 255)
-                img = np.zeros((bh_c * 8, bw_c * 8), dtype=np.int64)
-                for bi in range(n_blk):
-                    by, bx = divmod(bi, bw_c)
-                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[bi]
-                if vi != vmax:
-                    img = np.repeat(img, vmax // vi, axis=0)
-                if hi != hmax:
-                    img = np.repeat(img, hmax // hi, axis=1)
-                planes.append(img[:y, :x])
-            n_px = x * y
-            mean_y = int(planes[0].sum()) / n_px
-            if nf == 1:
-                return (x, y, n_px, mean_y, None, None, None)
-            lum, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
-            r = np.clip(lum + ((_CR_R * cr + 32768) >> 16), 0, 255)
-            g = np.clip(lum - ((_CB_G * cb + _CR_G * cr + 32768) >> 16),
-                        0, 255)
-            b = np.clip(lum + ((_CB_B * cb + 32768) >> 16), 0, 255)
-            return (x, y, n_px, mean_y, int(r.sum()) / n_px,
-                    int(g.sum()) / n_px, int(b.sum()) / n_px)
-
         for blob in blobs:
             data = bytes(blob) if blob is not None else None
-            res = walk(data) if data is not None else None
+            res = _jpeg_blob_stats(data) if data is not None else None
             if res is None:
                 emit()
             else:
