@@ -31,6 +31,16 @@ _CHECK_FIRST = [
     # this round (drift gate: tests/test_plan_manifest.py), then the
     # stale-row rotation (oldest first per tools/rotation.py).
     #
+    # CHANGED (r16 optimization, guide §2.5 — results identical, plans
+    # re-shaped for width): the DSIR/LM corpus bigram explode now
+    # widen()s its single-split scan (was a 1-task stage); the
+    # shingle-pair, prefix-verify, and semdedup pair stages pin their
+    # exchange width explicitly so AQE's byte-based coalescing cannot
+    # serialize CPU-dense, small-byte stages onto 1-2 tasks. Evidence
+    # in OPTIMIZATION_r16.md + plans/r16/*_{before,after}.txt.
+    "dsir_importance_weights", "dsir_resample", "lm_cross_entropy",
+    "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
+    "jaccard_topk_per_doc", "semdedup",
     # CHANGED (ADVICE r15 low #2): the RLE8 BMP Arrow kernel now runs
     # an INDEPENDENT pixel path (_bmp_rle_indices_np — flat bottom-up
     # numpy surface, int.from_bytes header parse) instead of reusing

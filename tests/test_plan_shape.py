@@ -184,7 +184,13 @@ def test_dedup_plans_bound_shuffles_and_python(spark):
         # list shape are reused reads of the same shingle partitioning,
         # bought deliberately to keep pair expansion in codegen with no
         # df_cap^2/2 in-task arrays (measured faster at sf0.1)
-        "ngram_jaccard": (12, 0),
+        # r16: +1 real node (the pinned-width repartition at the head
+        # of _posting_intersections, guide §2.5 — blocks AQE from
+        # coalescing the CPU-dense pair stage onto 1-2 tasks) which the
+        # sizes agg, attach join, and pair self-join all REUSE, so the
+        # count rises by reused-read mentions, not by extra shuffles
+        # of new data.
+        "ngram_jaccard": (16, 0),
         "minhash_dedup": (8, 4),        # + mins gby + broadcast back-join
         "embedding_near_dup": (10, 0),  # bucket SMJ both sides + mins + join
     }

@@ -232,7 +232,19 @@ def _posting_intersections(inv: DataFrame, df_cap: int) -> DataFrame:
     shingles are vocabulary-scale at 100 TB); the sizes aggregate, the
     attach join, and the pair self-join all hash-partition on the
     shingle key, so the exchanges line up and are reused."""
-    withn = _attach_bucket_sizes(inv, "shingle", max_n=df_cap)
+    # r16 (guide §2.5): pin the shingle exchange's width explicitly.
+    # The pair-expansion stage downstream is CPU-dense per BYTE (each
+    # sub-cap bucket emits up to df_cap^2/2 join rows from a few KB of
+    # input), so AQE's byte-based coalescing collapsed it to a handful
+    # of tasks at fixture scale (profiled 5 of 32 cores busy). An
+    # explicit user-specified numPartitions blocks the coalesce; the
+    # count aggregate, the attach join, and the pair self-join all
+    # reuse this one exchange (same key, same width), so no shuffle is
+    # added over the implicit plan — at 100 TB this is the exchange the
+    # plan pays anyway, at the width the cluster conf asks for.
+    width = int(inv.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    withn = _attach_bucket_sizes(inv.repartition(width, "shingle"),
+                                 "shingle", max_n=df_cap)
     a = withn.select("shingle", F.col("id").alias("id_a"),
                      F.col("n_sh").alias("n_a"))
     b = withn.select("shingle", F.col("id").alias("id_b"),
@@ -482,6 +494,19 @@ def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
     (Spark's self-join attribute dedup defeats ReuseExchange).
     """
     cand = ngram_jaccard_prefix_candidates(docset, t, df_cap)
+    # r16 (guide §2.5): the verification below — two joins plus an
+    # array_intersect over the full ranked sets per candidate — is the
+    # CPU-dense stage of this plan, and its input is a few MB of
+    # 16-byte id pairs, so AQE's byte-based coalescing ran it 2-wide
+    # at fixture scale (profiled: 1.5 s on 2 of 32 cores). Pin the
+    # pair frame's width with a ROUND-ROBIN repartition: a hash
+    # repartition on (id_a, id_b) is elided by EnsureRequirements
+    # (the distinct's exchange already satisfies it) and the
+    # non-user exchange then coalesces right back; round-robin cannot
+    # be elided, the deduped rows are the cheapest bytes in the plan
+    # to move, and user-specified numPartitions blocks the coalesce.
+    width = int(docset.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(width)
     # Exact verification, one pass over docset: explode each candidate
     # pair against the docset with two plain equi-joins (attach a's
     # ranked set, then b's) and verify. The previous shape (explode each
@@ -1059,14 +1084,23 @@ def semdedup_keep(idx: DataFrame, cents: DataFrame, eps: float = 0.60,
             sub = F.when(cond, val) if sub is None else sub.when(cond, val)
         a = a.withColumn("_sub", sub.otherwise(F.lit(0).cast("bigint")))
         join_keys = [cell_col, "_sub"]
+    # r16 (guide §2.5): pin the pair join's width. The in-cell pair
+    # scan is quadratic CPU over a few hundred KB of vectors, so AQE's
+    # byte-based coalescing ran every cell's pair work on ONE task at
+    # fixture scale (profiled 1.47 s single-task). Explicit
+    # numPartitions blocks the coalesce; both sides repartition on the
+    # join keys so the join adds no further exchange, and at 100 TB
+    # (n_cells >> width) this is the same hash exchange the plan pays
+    # anyway at the conf-requested width.
+    width = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     left = a.select(F.col(id_col).alias("l_id"),
                     F.col(vec_col).alias("l_emb"), *join_keys,
                     F.col("cdist").alias("l_cd"),
-                    F.col("nrm").alias("l_n"))
+                    F.col("nrm").alias("l_n")).repartition(width, *join_keys)
     right = a.select(F.col(id_col).alias("r_id"),
                      F.col(vec_col).alias("r_emb"), *join_keys,
                      F.col("cdist").alias("r_cd"),
-                     F.col("nrm").alias("r_n"))
+                     F.col("nrm").alias("r_n")).repartition(width, *join_keys)
     pair_d = F.round(F.lit(1.0)
                      - dot(F.col("l_emb"), F.col("r_emb"))
                      / (F.col("l_n") * F.col("r_n")), 6)

@@ -9383,7 +9383,13 @@ def dsir_importance_weights_q(spark, sf_dir):
     point, identical IEEE ops in both engines) + one ln() truncated to
     DECIMAL(28,12) + DECIMAL per-doc accumulation make the float path
     engine-exact (operators/corpus.py:dsir_importance_weights)."""
-    d = _t(spark, sf_dir, "documents")
+    from ..partitioning import widen
+    # r16 (guide §2.5 input skew): the corpus scan is ONE split at
+    # fixture scale, so the bigram explode + md5 bucketing — the
+    # dominant CPU of this plan — ran as a single task (profiled
+    # 1.45 s of a 3.0 s key). widen() spreads it across the cluster;
+    # at 100 TB the scan arrives in many splits and this is a no-op.
+    d = widen(_t(spark, sf_dir, "documents"))
     return CP.dsir_importance_weights(d, F.col("doc_id") % 7 == 0)
 
 
@@ -9441,7 +9447,9 @@ def dsir_resample_q(spark, sf_dir):
     Efraimidis-Spirakis u^(1/w) key. Deterministic across engines
     and partitionings; compiles to TakeOrderedAndProject
     (operators/corpus.py:dsir_resample)."""
-    d = _t(spark, sf_dir, "documents")
+    from ..partitioning import widen
+    # r16: same single-split explode fix as dsir_importance_weights
+    d = widen(_t(spark, sf_dir, "documents"))
     return CP.dsir_resample(d, F.col("doc_id") % 7 == 0)
 
 
@@ -9499,7 +9507,9 @@ def lm_cross_entropy_q(spark, sf_dir):
     to double before the divide). Gram-less docs score NULL, not 0.
     Reference parity: corpus quality screening ahead of
     ingest_hotels.py-style embedding ingest."""
-    d = _t(spark, sf_dir, "documents")
+    from ..partitioning import widen
+    # r16: same single-split explode fix as dsir_importance_weights
+    d = widen(_t(spark, sf_dir, "documents"))
     return CP.lm_cross_entropy(d, F.col("doc_id") % 7 == 0)
 
 
