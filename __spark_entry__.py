@@ -74,6 +74,16 @@ _CHECK_FIRST = [
     # branch plans over an unstored batch. Behavior-identical
     # (kernel-equivalence + degenerate suites green), but the source
     # closure of every JPEG/BMP-kernel key moves, so they all re-row.
+    # FURTHER (r16 optimization, guide §4/§2 — results identical):
+    # media_decode_dispatch and media_quality_gate_multiformat now
+    # run that same single mapInPandas router over the sniffed
+    # sidecar instead of six branch plans + union — both keys consume
+    # EVERY kind, so partition pruning bought the branch shape
+    # nothing while costing six Arrow stage launches (dispatch
+    # 2.75 -> 1.11 s at sf0.1); the gate derives its flags as
+    # kind-gated Catalyst predicates over the router's columns
+    # (audio_fields=True surfaces the WAV rate/frames the too_short
+    # flag needs). Evidence in OPTIMIZATION_r16.md + plans/r16/.
     "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
     "multimodal_jpeg_progressive_stats", "multimodal_jpeg_420_stats",
     "multimodal_jpeg_422_stats", "multimodal_jpeg_411_stats",

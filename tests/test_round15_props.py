@@ -109,38 +109,27 @@ import pytest
                                  "media_quality_gate_multiformat"])
 def test_media_firehose_consumers_are_single_pass(spark, key):
     """VERDICT r14 list #1: every consumer of the media firehose must
-    read it ONCE in aggregate. The sniffed frame is materialized
-    partitioned by kind, so each format branch's scan must (a) target
-    the sniffed sidecar, not any raw corpus, (b) carry a kind=
-    partition filter, and (c) the six branch filters must name six
-    DISTINCT kinds — disjoint partition scans whose union touches
-    every data file exactly once."""
-    import re
-
+    read it ONCE in aggregate. r16 strengthens the pin: the dispatch
+    and the multiformat gate consume EVERY kind, so the r15 shape's
+    six disjoint partition-pruned scans + six-way union read the same
+    bytes as one full scan while paying six Arrow stage launches —
+    each key's plan must now hold (a) EXACTLY ONE FileScan, (b) of
+    the sniffed sidecar (never a raw per-format corpus), (c) feeding
+    exactly one Python stage (the media_dispatch_stats router)."""
     from tripgogo_vector_search_spark.plans import registry as reg
 
     df = reg.QUERIES[key](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
-    assert scans, "expected FileScan leaves in the dispatch plan"
-    # (a) every scan reads the sniffed sidecar; no branch re-reads a
-    # raw per-format corpus
-    for ln in scans:
-        assert "media_sniffed" in ln, f"raw-corpus scan leaked: {ln}"
+    # (a) one scan: the firehose is read once, literally
+    assert len(scans) == 1, f"expected ONE firehose scan, got: {scans}"
+    # (b) it reads the sniffed sidecar; no raw per-format corpus leaks
+    assert "media_sniffed" in scans[0], scans[0]
     for corp in ("png_corpus", "gif_corpus", "jpeg_corpus",
                  "bmp_corpus", "wav_corpus"):
         assert corp not in plan
-    # (b)+(c) each scan partition-prunes on kind, and the six pruned
-    # kinds are pairwise distinct
-    kinds = []
-    for ln in scans:
-        m = re.search(r"PartitionFilters: \[[^\]]*kind#\d+ = ([^)\]]+)\)",
-                      ln)
-        assert m, f"scan without a kind= partition filter: {ln}"
-        kinds.append(m.group(1))
-    assert len(kinds) == 6 and len(set(kinds)) == 6, kinds
-    assert set(kinds) == {"image/png", "image/gif", "image/jpeg",
-                          "image/bmp", "audio/wav", "unknown"}
+    # (c) one Python stage routes every object
+    assert plan.count("MapInPandas") == 1, plan
 
 
 def test_dispatch_id_stride_guard_raises_on_aliasing_ids(spark, tmp_path):

@@ -11214,63 +11214,29 @@ def media_decode_dispatch_q(spark, sf_dir):
     objects carry NULL image dimensions with decoded=true — the
     heterogeneous-schema reality of a mixed-modality ingest. The
     oracle re-derives kind and per-format dimensions synthesis-side.
-    Plan (r15, VERDICT r14 list #1 — SINGLE-PASS): a magic-byte
-    predicate cannot prune a parquet scan, so the r14 shape re-read
-    the unioned firehose once per branch (6 passes, ~5 s at sf0.1).
-    Now the sniff runs ONCE, at materialization, and the sniffed
+    Plan (r16 optimization; single-pass since r15, VERDICT r14 list
+    #1): the sniff runs ONCE, at materialization, and the sniffed
     frame is persisted PARTITIONED BY KIND — classify-once,
     write-partitioned-by-modality, the layout a 100 TB media lake
-    keeps as its canonical ingest table — so each format branch
-    partition-prunes to exactly its own files: the firehose is read
-    once in aggregate (disjoint partition scans; pinned by
-    tests/test_round15_props.py, which asserts every branch scan
-    carries a kind= partition filter, the six filters are distinct,
-    and no raw-corpus scan remains in the plan). Decode branches
-    stay map-only Arrow passes with no shuffle; payload bytes never
-    leave the executors. The k * 1e8 media_id offsets that
-    disambiguate the five corpora are GUARDED at materialization
-    (ADVICE r14: a per-row raise_error if any source id reaches the
-    stride) instead of silently aliasing across branches. The
-    branch-per-format shape is kept because it exercises each real
-    kernel through its own plan while the oracle's synthesis-side
-    dims double-check every routed decode end-to-end, not just the
-    routing."""
-    from ..operators.jpeg import decode_jpeg_stats
-    from ..operators.multimodal import (decode_bmp_stats,
-                                        decode_gif_stats,
-                                        decode_png_stats,
-                                        decode_wav_stats)
+    keeps as its canonical ingest table (downstream per-format
+    consumers partition-prune to exactly their files). The dispatch
+    itself consumes EVERY kind, so pruning buys ITS plan nothing:
+    the r15 branch-per-format shape (six disjoint pruned scans +
+    six-way union) read the same bytes as one full scan while
+    paying six Arrow stage launches — the r16 re-plan routes every
+    object through ONE ``media_dispatch_stats`` mapInPandas pass
+    (2.75 s -> 1.11 s at sf0.1; per-blob kernels, so per-row routing
+    adds only a dict dispatch), pinned single-scan/no-raw-corpus by
+    tests/test_round15_props.py and object-for-object equal to the
+    six-branch composition by tests/test_round16_props.py. Map-only,
+    no shuffle; payload bytes never leave the executors. The k * 1e8
+    media_id offsets that disambiguate the five corpora are GUARDED
+    at materialization (ADVICE r14: a per-row raise_error if any
+    source id reaches the stride) instead of silently aliasing
+    across branches."""
+    from ..operators.multimodal import media_dispatch_stats
     sniffed = spark.read.parquet(_media_sniffed_path(spark, sf_dir))
-
-    def branch(kind, decode):
-        stats = decode(sniffed.filter(F.col("kind") == kind)
-                       .select("media_id", "content"))
-        return stats.select(
-            "media_id", F.lit(kind).alias("kind"),
-            F.col("width").cast("int").alias("width"),
-            F.col("height").cast("int").alias("height"),
-            F.col("n_pixels").cast("bigint").alias("n_pixels"),
-            F.col("width").isNotNull().alias("decoded"))
-
-    wav = (decode_wav_stats(sniffed.filter(F.col("kind") == "audio/wav")
-                            .select("media_id", "content"))
-           .select("media_id", F.lit("audio/wav").alias("kind"),
-                   F.lit(None).cast("int").alias("width"),
-                   F.lit(None).cast("int").alias("height"),
-                   F.lit(None).cast("bigint").alias("n_pixels"),
-                   F.col("sample_rate").isNotNull().alias("decoded")))
-    unknown = (sniffed.filter(F.col("kind") == "unknown")
-               .select("media_id", F.lit("unknown").alias("kind"),
-                       F.lit(None).cast("int").alias("width"),
-                       F.lit(None).cast("int").alias("height"),
-                       F.lit(None).cast("bigint").alias("n_pixels"),
-                       F.lit(False).alias("decoded")))
-    return (branch("image/png", decode_png_stats)
-            .unionByName(branch("image/gif", decode_gif_stats))
-            .unionByName(branch("image/jpeg", decode_jpeg_stats))
-            .unionByName(branch("image/bmp", decode_bmp_stats))
-            .unionByName(wav)
-            .unionByName(unknown))
+    return media_dispatch_stats(sniffed.select("media_id", "content"))
 
 
 @query("media_quality_gate_multiformat",
@@ -11374,68 +11340,56 @@ def media_quality_gate_multiformat_q(spark, sf_dir):
     numeric NULLs don't suffer this (both sides surface float64 NaN).
     The oracle re-derives every flag synthesis-side, so
     the gate double-checks each decoder's dimension/duration fields
-    end-to-end. Plan: six disjoint partition-pruned scans of the
-    sniffed sidecar (one firehose pass in aggregate — the same
-    single-pass shape test_round15_props pins for dispatch), map-only
-    Arrow decodes, cheap integer flag predicates; embarrassingly
-    parallel at 100 TB. Fires on real data at sf0.01: too_small gates
+    end-to-end. Plan (r16 optimization): ONE
+    ``media_dispatch_stats(audio_fields=True)`` mapInPandas pass over
+    the sniffed sidecar — the gate, like the dispatch, consumes EVERY
+    kind, so the r15 six-branch shape's partition pruning read the
+    same bytes as one full scan while paying six Arrow stage launches
+    and a six-way union; the flags become kind-gated Catalyst
+    predicates over the single pass's output columns, expression-
+    identical per kind to the old per-branch flag exprs (the router's
+    (width, height, n_pixels, sample_rate, n_samples) are
+    object-for-object the branch decoders' values —
+    tests/test_round16_props.py pins the dispatch fields, and the
+    audio fields are the same _wav_pcm16 parse wav_stats_udf wraps).
+    Map-only, no shuffle; embarrassingly parallel at 100 TB. Fires on
+    real data at sf0.01: too_small gates
     147 BMP / 146 PNG / 15 GIF objects, extreme_aspect 219 GIF / 22
     PNG — and all 500 JPEG strips (the 8n x 8 corpus is wide by
     construction, so the whole format fails the aspect gate: a gate
     that never fires is untested, one that always fires on a strip
     corpus is honest) — while the audio corpus splits 216 keep / 284
     too-short across its three sample rates."""
-    from ..operators.jpeg import decode_jpeg_stats
-    from ..operators.multimodal import (decode_bmp_stats,
-                                        decode_gif_stats,
-                                        decode_png_stats,
-                                        decode_wav_stats)
+    from ..operators.multimodal import media_dispatch_stats
     sniffed = spark.read.parquet(_media_sniffed_path(spark, sf_dir))
-
-    def img_branch(kind, decode):
-        s = decode(sniffed.filter(F.col("kind") == kind)
-                   .select("media_id", "content"))
-        dec = F.col("width").isNotNull()
-        long_side = F.greatest(F.col("width"), F.col("height"))
-        short_side = F.least(F.col("width"), F.col("height"))
-        return s.select(
-            "media_id", F.lit(kind).alias("kind"),
-            (~dec).alias("undecodable"),
-            F.coalesce(dec & (F.col("n_pixels") < 64),
-                       F.lit(False)).alias("too_small"),
-            F.coalesce(dec & (long_side > 16 * short_side),
-                       F.lit(False)).alias("extreme_aspect"),
-            F.lit(False).alias("too_short"),
-            F.coalesce(dec & (F.col("n_pixels") >= 64)
-                       & (long_side <= 16 * short_side),
-                       F.lit(False)).alias("keep"))
-
-    wav_stats = decode_wav_stats(
-        sniffed.filter(F.col("kind") == "audio/wav")
-        .select("media_id", "content"))
+    s = media_dispatch_stats(sniffed.select("media_id", "content"),
+                             audio_fields=True)
+    is_img = F.col("kind").isin("image/png", "image/gif",
+                                "image/jpeg", "image/bmp")
+    is_wav = F.col("kind") == "audio/wav"
+    dec = F.col("width").isNotNull()
+    long_side = F.greatest(F.col("width"), F.col("height"))
+    short_side = F.least(F.col("width"), F.col("height"))
     wdec = F.col("sample_rate").isNotNull()
     long_enough = (F.col("n_samples") * 1000
                    >= 10 * F.col("sample_rate"))
-    wav = wav_stats.select(
-        "media_id", F.lit("audio/wav").alias("kind"),
-        (~wdec).alias("undecodable"),
-        F.lit(False).alias("too_small"),
-        F.lit(False).alias("extreme_aspect"),
-        F.coalesce(wdec & ~long_enough, F.lit(False)).alias("too_short"),
-        F.coalesce(wdec & long_enough, F.lit(False)).alias("keep"))
-    unknown = (sniffed.filter(F.col("kind") == "unknown")
-               .select("media_id", F.lit("unknown").alias("kind"),
-                       F.lit(True).alias("undecodable"),
-                       F.lit(False).alias("too_small"),
-                       F.lit(False).alias("extreme_aspect"),
-                       F.lit(False).alias("too_short"),
-                       F.lit(False).alias("keep")))
-    return (img_branch("image/png", decode_png_stats)
-            .unionByName(img_branch("image/gif", decode_gif_stats))
-            .unionByName(img_branch("image/jpeg", decode_jpeg_stats))
-            .unionByName(img_branch("image/bmp", decode_bmp_stats))
-            .unionByName(wav)
-            .unionByName(unknown))
+    return s.select(
+        "media_id", "kind",
+        F.when(is_img, ~dec).when(is_wav, ~wdec)
+        .otherwise(F.lit(True)).alias("undecodable"),
+        F.when(is_img, F.coalesce(dec & (F.col("n_pixels") < 64),
+                                  F.lit(False)))
+        .otherwise(F.lit(False)).alias("too_small"),
+        F.when(is_img, F.coalesce(dec & (long_side > 16 * short_side),
+                                  F.lit(False)))
+        .otherwise(F.lit(False)).alias("extreme_aspect"),
+        F.when(is_wav, F.coalesce(wdec & ~long_enough, F.lit(False)))
+        .otherwise(F.lit(False)).alias("too_short"),
+        F.when(is_img, F.coalesce(dec & (F.col("n_pixels") >= 64)
+                                  & (long_side <= 16 * short_side),
+                                  F.lit(False)))
+        .when(is_wav, F.coalesce(wdec & long_enough, F.lit(False)))
+        .otherwise(F.lit(False)).alias("keep"))
 
 
 def _media_arrival_path(spark, sf_dir) -> str:
