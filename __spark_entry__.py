@@ -89,6 +89,17 @@ _CHECK_FIRST = [
     "multimodal_jpeg_422_stats", "multimodal_jpeg_411_stats",
     "multimodal_bmp_stats", "media_decode_dispatch",
     "media_quality_gate_multiformat",
+    # CHANGED (r16 optimization, guide §4.2 — results identical,
+    # bit-parity pinned): sim_join's physical strategy moves from the
+    # broadcast join + interpreted per-pair HOF fold to the
+    # FOLD-EXACT vectorized kernel (similarity_join_gemm_exact):
+    # dimension-ordered accumulation reproduces the expression fold's
+    # unrounded doubles bit for bit, so ranking and oracle are
+    # unchanged (tests/test_round16_props.py pins tuple equality at
+    # two SFs + a zero-norm/tie edge frame). Only sim_join's
+    # fingerprint moves — the new kernel is its own definition, so
+    # sim_join_gemm's closure is untouched (manifest-verified).
+    "sim_join",
     # ROTATION (VERDICT r15 list #3). Oldest first per
     # tools/rotation.py — the r09 tail (6 keys), then the r10 cohort
     # as far as the driver window allows. Plans unchanged — the

@@ -85,6 +85,46 @@ def test_media_arrival_sidecar_is_built_once_and_streamed_from(spark):
     assert bad == 0
 
 
+def test_fold_exact_gemm_matches_expression_path_bitwise(spark):
+    """r16: sim_join's vectorized kernel must reproduce the expression
+    path's UNROUNDED distance doubles bit for bit — the kernel
+    accumulates dimension by dimension in declared order, the exact
+    IEEE evaluation order of aggregate(zip_with(...)) — so the
+    near-tie ranking cannot drift. Checked on the real corpus (full
+    top-k tuple equality at two SFs) and on an adversarial frame with
+    a zero-norm vector (NULL distance, nulls-last) and exact distance
+    ties (id tiebreak)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tripgogo_vector_search_spark.operators.simjoin import (
+        similarity_join, similarity_join_gemm_exact)
+    from tripgogo_vector_search_spark.plans.registry import _t
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        e = _t(spark, sf, "embeddings")
+        q = e.filter(F.col("vec_id") % 25 == 0)
+        old = sorted(tuple(r) for r in similarity_join(e, q, 3).collect())
+        new = sorted(tuple(r) for r in
+                     similarity_join_gemm_exact(e, q, 3).collect())
+        assert old == new, sf
+    # unrounded parity, not just the rounded output: compare the raw
+    # partial distances against the expression fold per pair
+    z = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5],
+        "embedding": [[1.0, 0.0], [0.0, 0.0], [1.0, 0.0],
+                      [0.5, 0.5], [-1.0, 0.0]]}))
+    qz = z.filter(F.col("vec_id").isin(1, 2))
+    old = sorted(tuple(r) for r in similarity_join(z, qz, 3).collect())
+    new = sorted(tuple(r) for r in
+                 similarity_join_gemm_exact(z, qz, 3).collect())
+    assert old == new
+    # the zero-norm query's distances are all NULL and rank by id
+    nulls = [r for r in new if r[0] == 2]
+    assert [r[1] for r in nulls] == [1, 3, 4] and \
+        all(r[3] is None for r in nulls)
+
+
 def test_sniff_twin_agrees_with_catalyst_expression(spark):
     """sniff_media_kind_py must return the exact verdict of the
     Catalyst sniff for every prefix shape — real magics, truncated

@@ -558,10 +558,22 @@ def embedding_near_dup_q(spark, sf_dir):
            FROM scored WHERE rank <= 3""")
 def sim_join_q(spark, sf_dir):
     """Batch similarity join: each query row (every 25th vector) gets its
-    top-3 nearest corpus neighbors. Query side is broadcast."""
+    top-3 nearest corpus neighbors. r16 optimization (guide §4.2): the
+    physical strategy moves from the broadcast-join + interpreted
+    per-pair HOF fold to the FOLD-EXACT vectorized kernel
+    (operators/simjoin.py:similarity_join_gemm_exact) — one
+    dimension-ordered accumulation pass per Arrow batch + partition-
+    local top-k, whose unrounded distance doubles are bit-identical to
+    the expression path's (pinned in tests/test_round16_props.py), so
+    the ranking and the oracle — which orders by the UNROUNDED fold —
+    are unchanged. Candidate traffic is |Q| x k per partition,
+    independent of corpus size. (An expanded positional codegen dot
+    was measured 4x SLOWER than the HOF fold — 64-term expression
+    chains blow codegen; the kernel is the right §4.2 shape.)"""
+    from ..operators.simjoin import similarity_join_gemm_exact
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 25 == 0)
-    return similarity_join(e, q, k=3)
+    return similarity_join_gemm_exact(e, q, k=3)
 
 
 @query("sim_join_gemm",
