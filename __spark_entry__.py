@@ -100,6 +100,15 @@ _CHECK_FIRST = [
     # fingerprint moves — the new kernel is its own definition, so
     # sim_join_gemm's closure is untouched (manifest-verified).
     "sim_join",
+    # CHANGED (r16 optimization, guide §2.3/§5 — results identical):
+    # quality_gate materializes its scored (doc_id, lang, quality)
+    # projection once per run (eager localCheckpoint) instead of
+    # re-scanning the text column and re-running the regex battery
+    # three times (selection stats pass, probe pass, final gate) —
+    # the in-query form of the production "persist the scored
+    # column" shape its docstring always prescribed. 2.35 -> 1.67 s
+    # at sf0.1; three corpus scans -> one at 100 TB.
+    "quality_gate",
     # ROTATION (VERDICT r15 list #3). Oldest first per
     # tools/rotation.py — the r09 tail (6 keys), then the r10 cohort
     # as far as the driver window allows. Plans unchanged — the

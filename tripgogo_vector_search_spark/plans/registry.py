@@ -5035,14 +5035,25 @@ def quality_gate(spark, sf_dir):
     by the bounded language key (each task sorted |corpus|/|langs|
     rows — the median_agg defect class, VERDICT r7 "What's wrong
     #1"); the per-language threshold frame is tiny and broadcasts
-    back. At 100 TB you'd persist the scored column from the
-    corpus-prep pass and pay the selection scans once, not per
-    gate."""
+    back. r16 optimization (guide §2.3/§5): the scored projection is
+    materialized ONCE per run — an eager localCheckpoint of the
+    narrow (doc_id, lang, quality) frame, the in-query form of the
+    "persist the scored column" production shape this docstring
+    always prescribed. The selection's stats and probe passes plus
+    the final gate previously re-scanned the text column and re-ran
+    the regex battery THREE times (3 x 0.31 s at sf0.1; three full
+    corpus scans at 100 TB); they now read ~24 B/row blocks.
+    Results identical — same rows, same selection. On a long-lived
+    cluster swap localCheckpoint for a reliable checkpoint or a
+    persisted table (executor-local blocks are not fault-tolerant;
+    same caveat and escape as the CC loop's durable=True in
+    operators/dedup.py)."""
     from ..operators.quantile import quantiles_disc
     from ..partitioning import widen
     d = widen(_t(spark, sf_dir, "documents"))
     q = d.select("doc_id", "lang",
-                 TX.quality_score("text").alias("quality"))
+                 TX.quality_score("text").alias("quality")) \
+        .localCheckpoint(eager=True)
     med = quantiles_disc(q, ["lang"], "quality", [("median_q", 0.5)])
     return (q.join(F.broadcast(med), "lang")
             .filter(F.col("quality") >= F.col("median_q"))
