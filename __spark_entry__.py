@@ -115,8 +115,9 @@ _CHECK_FIRST = [
     # bytes from the build-once _gif_arrival_path sidecar instead of
     # re-running the per-byte Catalyst GIF synthesis inside every
     # micro-batch; per-batch tasks sized by the same narrow-coalesce
-    # rule as the dispatch stream. 2.00 -> 1.17 s at sf0.1.
-    "stream_media_decode",
+    # rule as the dispatch stream. 2.00 -> 1.17 s at sf0.1. (The key
+    # is already queued in the fsutil closure-move group above;
+    # _ordered() keeps its first position.)
     # ROTATION (VERDICT r15 list #3). Oldest first per
     # tools/rotation.py — the r09 tail (6 keys), then the r10 cohort
     # as far as the driver window allows. Plans unchanged — the

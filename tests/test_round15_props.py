@@ -235,8 +235,13 @@ def test_stream_media_dispatch_releases_its_per_batch_cache(spark):
     from tripgogo_vector_search_spark.plans import registry as reg
 
     def resident() -> set:
+        # keySet elements are Java Integers, which py4j hands over as
+        # plain Python ints (r16: the first NON-empty map this helper
+        # ever met — quality_gate's caller-held localCheckpoint frame,
+        # the same accepted pattern as the CC loop's final label
+        # frame — crashed the old `.toString()` form)
         m = spark.sparkContext._jsc.getPersistentRDDs()
-        return {k.toString() for k in m.keySet().toArray()}
+        return {int(k) for k in m.keySet().toArray()}
 
     # other tests may legitimately hold checkpoint RDDs (the CC
     # loop's reliable checkpoints); the contract here is that THIS
