@@ -5047,7 +5047,12 @@ def quality_gate(spark, sf_dir):
     cluster swap localCheckpoint for a reliable checkpoint or a
     persisted table (executor-local blocks are not fault-tolerant;
     same caveat and escape as the CC loop's durable=True in
-    operators/dedup.py)."""
+    operators/dedup.py). The eager materialization makes this an
+    EAGER builder (build runs the scoring job), the same accepted
+    class as the CC-loop keys — the plan's LogicalRDD leaf puts it
+    under the manifest's source-closure fingerprinting, and the
+    r9 lazy-builder concern (build-vs-action data divergence) is
+    bounded to the same single-snapshot semantics those keys carry."""
     from ..operators.quantile import quantiles_disc
     from ..partitioning import widen
     d = widen(_t(spark, sf_dir, "documents"))
