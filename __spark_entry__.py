@@ -27,9 +27,28 @@ SF0001 = "/root/testdata/sf0.001"
 # Everything else (already driver-verified, unchanged) follows in
 # registration order.
 _CHECK_FIRST = [
-    # ROUND 16. Head = keys whose plan/oracle/source closure changed
+    # ROUND 17. Head = keys whose plan/oracle/source closure changed
     # this round (drift gate: tests/test_plan_manifest.py), then the
     # stale-row rotation (oldest first per tools/rotation.py).
+    #
+    # CHANGED (r17 optimization, guide §5 — results identical, the
+    # quality_gate materialization applied to the exact-quantile
+    # family): grouped_order_statistics now eagerly materializes its
+    # two BOUNDED decision frames (per-target owning cells, owning-
+    # cell value histogram) once per run, so the probe and pick plans
+    # read LogicalRDD leaves instead of re-embedding the stats/probe
+    # subtrees per consumer; superseded checkpoint blocks are released
+    # deterministically on rebuild (ckpt.py — ADVICE r16 #1, also
+    # wired into quality_gate's scored frame). Paired A/B + plan
+    # evidence in OPTIMIZATION_r17.md + plans/r17/. Source scans,
+    # shuffles, and every output tuple are unchanged (oracle green at
+    # sf0.01; lazy-vs-scoped tuple equality pinned in
+    # tests/test_round17_props.py).
+    "median_agg", "approx_quantiles", "quartile_agg",
+    "percentile_cont_exact", "value_outlier_iqr", "median_impute",
+    "ccnet_ppl_buckets", "quality_gate",
+    # ---- round-16 head kept below until the r17 rotation tail is
+    # finalized at close ----
     #
     # CHANGED (r16 optimization, guide §2.5 — results identical, plans
     # re-shaped for width): the DSIR/LM corpus bigram explode now

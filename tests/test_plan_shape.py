@@ -581,22 +581,36 @@ def test_tpch_q18_semi_join_before_wide_join_topk(spark):
 
 
 def test_quartile_agg_distributed_selection(spark):
-    """r10 shape (VERDICT r9 list #3): the quartiles are rank
-    selections whose owning fine cell comes from the BOUNDED stats
-    frame alone — the plan carries the sub-cell refinement (`_sub`,
-    width_bucket between the cell's exact min/max) and broadcasts the
-    tiny target frame into the single probe pass; no exact percentile
-    aggregate, no un-bucketed nationkey row window, and no second
-    corpus-scale count aggregate (the r9 shape's fourth scan) may
-    appear: at most the stats pass plus the probe's lineage copies."""
-    plan = plan_of(QUERIES["quartile_agg"](spark, SF_CORRECTNESS))
-    assert "width_bucket" in plan, plan
-    assert "percentile" not in plan, plan
-    assert "_sub" in plan, plan
-    assert "BroadcastHashJoin" in plan
-    c_scans = [ln for ln in plan.splitlines()
+    """r10 shape (VERDICT r9 list #3) + r17 materialization split: the
+    LAZY operator path (ckpt_scope=None) still carries the full
+    distributed-selection plan — the sub-cell refinement (`_sub`,
+    width_bucket between the cell's exact min/max), the tiny target
+    frame broadcast into the single probe pass, no exact percentile
+    aggregate, at most the stats pass plus the probe's lineage copies
+    of the source. The registry key materializes the bounded targets
+    and owning-cell histogram frames once per run (guide §5 — the
+    quality_gate move), so ITS final plan reads LogicalRDD leaves:
+    ZERO source re-scans, and still no percentile aggregate, no
+    InMemoryRelation, no Python."""
+    from tripgogo_vector_search_spark.operators.quantile import (
+        quantiles_disc)
+    c = load_table(spark, SF_CORRECTNESS, "customer")
+    lazy = quantiles_disc(c, ["c_nationkey"], "c_acctbal",
+                          [("q25", 0.25), ("q50", 0.5), ("q75", 0.75)])
+    lp = plan_of(lazy)
+    assert "width_bucket" in lp, lp
+    assert "percentile" not in lp, lp
+    assert "_sub" in lp, lp
+    assert "BroadcastHashJoin" in lp
+    c_scans = [ln for ln in lp.splitlines()
                if "Location" in ln and "customer" in ln]
-    assert len(c_scans) <= 4, plan
+    assert len(c_scans) <= 4, lp
+    plan = plan_of(QUERIES["quartile_agg"](spark, SF_CORRECTNESS))
+    assert "percentile" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "customer" in ln]
+    assert not scans, plan
     assert "InMemoryRelation" not in plan
     assert "EvalPython" not in plan
 
@@ -813,19 +827,19 @@ def test_lang_confusion_single_agg_pruned_scan(spark):
 
 
 def test_quality_gate_one_lang_window_broadcast_back(spark):
-    """Median gate (r8 shape): the per-language median is a
-    distributed rank selection over width_bucket value buckets
-    (operators/quantile.py) — no row-scale window partitioned by the
-    bounded lang key alone (each such task sorted |corpus|/|langs|
-    rows), no exact percentile aggregate; the row-level window keys on
-    (lang, _bkt) and the tiny threshold frame joins back broadcast."""
+    """Median gate: the per-language median is a distributed rank
+    selection (operators/quantile.py) — no row-scale window
+    partitioned by the bounded lang key alone, no exact percentile
+    aggregate; the tiny threshold frame joins back broadcast. r17:
+    the selection's bounded frames are materialized once per run
+    (the width_bucket/_sub machinery is pinned on the lazy operator
+    path by test_quartile_agg_distributed_selection), so the final
+    plan joins the checkpointed scored frame against the broadcast
+    median with zero parquet scans and no corpus-scale window."""
     plan = plan_of(QUERIES["quality_gate"](spark, SF_CORRECTNESS))
-    assert "width_bucket" in plan, plan
     assert "percentile" not in plan, plan
-    # r10: the selection's sub-cell refinement replaced the r8/r9
-    # row-level (lang, _bkt) window — the stats frame locates the
-    # owning cell, the probe join carries `_sub`
-    assert "_sub" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "InMemoryRelation" not in plan
     assert "EvalPython" not in plan

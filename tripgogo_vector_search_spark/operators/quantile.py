@@ -37,14 +37,21 @@ per-bucket count pass) is needed at all:
 Plan economics vs r9 (measured at sf0.1): the r9 shape computed the
 row+plan join twice (once for bucketed rows, once for the per-bucket
 count aggregate) — four source scans and a corpus-scale hash-aggregate;
-this shape scans the source for the stats pass and the probe pass
-(the histogram branch and its sub-cell-totals branch re-derive the
-probe, and AQE's ReusedExchange collapses the duplicated partial
-aggregate), with every other frame bounded. Honest residual, same
-class as rank.py's documented one: a sub-resolution value cluster
-sharing a fine cell with a straggler keeps a straggler-pinned span, so
-one sub-cell's histogram can stay large — one fat (parallel-peer)
-window task per affected target, never a wrong quantile.
+this shape scans the source for the stats pass and the probe pass,
+with every other frame bounded. r17 (guide §5): when a ``ckpt_scope``
+is given, the two BOUNDED decision frames (targets, owning-cell
+histogram) are eagerly materialized once per run, so the probe and
+pick plans read LogicalRDD leaves instead of re-embedding the
+stats/probe subtrees the analyzer otherwise resolves per consumer
+(an r16 fusion attempt without materialization measured flat — the
+tree, not the op count, was the cost; an r17 attempt that
+materialized the per-VALUE histogram to save the second scan paid a
+corpus-scale shuffle on near-distinct values and measured 1.3-1.7x
+worse). Honest residual, same class as rank.py's documented one: a
+sub-resolution value cluster sharing a fine cell with a straggler
+keeps a straggler-pinned span, so one sub-cell's histogram can stay
+large — one fat (parallel-peer) window task per affected target,
+never a wrong quantile.
 
 ``mode="disc"`` selects the value at rank ``ceil(q*n)``
 (PERCENTILE_DISC); ``mode="cont"`` selects both straddles of position
@@ -62,8 +69,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from ..ckpt import checkpoint_tracked
+from ..partitioning import shuffle_width
 from .rank import _GRID_SHIFT, _clamped_width_bucket, _log_key
-
 
 def _target_structs(named_qs: Sequence[tuple[str, float]],
                     mode: str) -> list:
@@ -92,7 +100,8 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
                              mode: str = "cont",
                              num_buckets: int | None = None,
                              fine_cells: int = 1024,
-                             weight_col: str | None = None) -> DataFrame:
+                             weight_col: str | None = None,
+                             ckpt_scope: str | None = None) -> DataFrame:
     """Long frame ``(group_cols..., _tag, _v, _n)``: for each group and
     each requested quantile, the straddling order statistic(s) of
     ``value_col`` (original type) plus the group row count.
@@ -101,13 +110,33 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
     computed over the EXPANDED multiset (a row with weight w counts as
     w copies), so a pre-aggregated (value, count) histogram yields the
     same order statistics as its underlying rows without re-scanning
-    them. The unweighted path is expression-identical to r10 (no plan
-    drift on existing keys)."""
+    them.
+
+    r17 (guide §5, the quality_gate move applied family-wide): the two
+    BOUNDED decision frames — the per-target owning-cell frame ``t2``
+    and the per-(target, sub-cell, value) histogram ``vh`` — are
+    eagerly materialized (localCheckpoint) once per run. Both are
+    broadcast-sized by construction, so the materialization is free at
+    any scale, and it truncates the self-referential tree the analyzer
+    otherwise resolves per consumer: without it the probe plan embeds
+    the whole stats+window subtree as its broadcast side, and the
+    histogram subtree (probe scan + join + aggregate) is embedded
+    TWICE (sub-cell totals and the final pick). The source is still
+    scanned exactly twice (stats pass, probe pass) — an r16 experiment
+    that put the PER-VALUE histogram through the materialization
+    instead collapsed the scans to one but paid a corpus-scale shuffle
+    + checkpoint on near-distinct value columns, measured 1.3-1.7x
+    WORSE at sf0.1 (OPTIMIZATION_r17.md). Values are unchanged by
+    materialization, so results are identical. ``ckpt_scope``
+    (registry key) opts in to deterministic release of superseded
+    checkpoint blocks (tripgogo_vector_search_spark/ckpt.py); on a long-lived
+    cluster swap localCheckpoint for a reliable checkpoint / persisted
+    table (same caveat and escape as quality_gate and the CC loop);
+    pass ``ckpt_scope=None`` for the fully lazy r10 plan."""
     spark = df.sparkSession
     g = list(group_cols)
-    B = num_buckets or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism)
+    B = num_buckets or max(shuffle_width(spark),
+                           spark.sparkContext.defaultParallelism)
     K = fine_cells
     t = _log_key(value_col, False)
     c1 = (F.floor(t) + _GRID_SHIFT).cast("int")
@@ -156,6 +185,11 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
           .select(*g, "_c1", "_c2", "_m", "_x", "_off", "_n", "_split",
                   F.col("_t._tag").alias("_tag"),
                   F.col("_t._rk").alias("_rk")))
+    # r17: materialize the bounded targets frame once per run — the
+    # probe plan then carries a LogicalRDD leaf as its broadcast side
+    # instead of embedding the whole stats+window subtree
+    if ckpt_scope is not None:
+        t2 = checkpoint_tracked(t2, ckpt_scope)
     # ONE probe pass: rows of owning cells only (inner broadcast join
     # on the cell id — <= 2*|qs| rows per group on the build side);
     # the per-(target, sub-cell, value) histogram is map-side
@@ -168,6 +202,12 @@ def grouped_order_statistics(df: DataFrame, group_cols: Sequence[str],
     vh = (pr.groupBy(*g, "_tag", "_rk", "_off", "_n",
                      sub.alias("_sub"), value_col)
           .agg(_cnt_of().alias("_vc")))
+    # r17: materialize the bounded histogram once per run — its two
+    # consumers (sub-cell totals, final pick) otherwise each embed the
+    # probe subtree (the runtime exchange was ReusedExchange-collapsed,
+    # but the analyzer still resolved both copies)
+    if ckpt_scope is not None:
+        vh = checkpoint_tracked(vh, ckpt_scope)
     # owning SUB-cell per target: totals per (group, target, sub-cell)
     # are a bounded aggregate of the histogram (<= 2*|qs|*(B+1) rows
     # per group); the cumulative window runs over those aggregate rows
@@ -203,14 +243,16 @@ def quantiles_cont(df: DataFrame, group_cols: Sequence[str],
                    value_col: str,
                    named_qs: Sequence[tuple[str, float]], *,
                    round_to: int | None = None,
-                   num_buckets: int | None = None) -> DataFrame:
+                   num_buckets: int | None = None,
+                   ckpt_scope: str | None = None) -> DataFrame:
     """ANSI PERCENTILE_CONT per group: linear interpolation between the
     straddling order statistics at position q*(n-1), one output column
     per (name, q). Double-typed outputs; optional rounding."""
     g = list(group_cols)
     picked = grouped_order_statistics(df, g, value_col, named_qs,
                                       mode="cont",
-                                      num_buckets=num_buckets)
+                                      num_buckets=num_buckets,
+                                      ckpt_scope=ckpt_scope)
     aggs = []
     for name, q in named_qs:
         v_lo = F.max(F.when(F.col("_tag") == f"{name}/lo",
@@ -230,14 +272,16 @@ def quantiles_disc(df: DataFrame, group_cols: Sequence[str],
                    value_col: str,
                    named_qs: Sequence[tuple[str, float]], *,
                    num_buckets: int | None = None,
-                   weight_col: str | None = None) -> DataFrame:
+                   weight_col: str | None = None,
+                   ckpt_scope: str | None = None) -> DataFrame:
     """PERCENTILE_DISC-style per group: the value at rank ceil(q*n),
     keeping the value's original type."""
     g = list(group_cols)
     picked = grouped_order_statistics(df, g, value_col, named_qs,
                                       mode="disc",
                                       num_buckets=num_buckets,
-                                      weight_col=weight_col)
+                                      weight_col=weight_col,
+                                      ckpt_scope=ckpt_scope)
     aggs = [F.max(F.when(F.col("_tag") == name, F.col("_v"))).alias(name)
             for name, _q in named_qs]
     return picked.groupBy(*g).agg(*aggs)

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import Window as W
 
+from .. import ckpt as CK
 from ..functions import text as TX
 from ..functions import vector as V
 from ..operators import dedup as DD
@@ -1257,9 +1258,10 @@ def median_agg(spark, sf_dir):
     quantile_cont semantics, so the oracle is unchanged."""
     from ..operators.quantile import quantiles_cont
     li = _t(spark, sf_dir, "lineitem")
-    return quantiles_cont(
+    return CK.adopt("median_agg", quantiles_cont(
         li, ["l_returnflag"], "l_extendedprice",
-        [("median_price", 0.5), ("p90_price", 0.9)], round_to=6)
+        [("median_price", 0.5), ("p90_price", 0.9)], round_to=6,
+        ckpt_scope="median_agg"))
 
 
 @query("approx_distinct",
@@ -1309,17 +1311,19 @@ def approx_quantiles(spark, sf_dir):
     sk = (li.groupBy("l_returnflag")
           .agg(F.percentile_approx("l_extendedprice", qarr, F.lit(10000))
                .alias("_a")))
-    ex = quantiles_cont(li, ["l_returnflag"], "l_extendedprice", qs)
+    ex = quantiles_cont(li, ["l_returnflag"], "l_extendedprice", qs,
+                        ckpt_scope="approx_quantiles")
     ok = None
     for i, (name, _q) in enumerate(qs):
         c = (F.abs(F.col("_a").getItem(i) - F.col(name))
              <= 0.01 * F.abs(F.col(name)))
         ok = c if ok is None else (ok & c)
-    return (ex.join(F.broadcast(sk), "l_returnflag")
-            .select("l_returnflag",
-                    *[F.round(F.col(name), 6).alias(name)
-                      for name, _q in qs],
-                    ok.alias("approx_ok")))
+    return CK.adopt("approx_quantiles", (
+        ex.join(F.broadcast(sk), "l_returnflag")
+        .select("l_returnflag",
+                *[F.round(F.col(name), 6).alias(name)
+                  for name, _q in qs],
+                ok.alias("approx_ok"))))
 
 
 @query("hll_union_rollup",
@@ -4029,9 +4033,10 @@ def quartile_agg(spark, sf_dir):
     DECIMAL type; the oracle is unchanged."""
     from ..operators.quantile import quantiles_disc
     c = _t(spark, sf_dir, "customer")
-    return quantiles_disc(
+    return CK.adopt("quartile_agg", quantiles_disc(
         c, ["c_nationkey"], "c_acctbal",
-        [(f"q{int(q * 100)}", q) for q in _QUARTILES])
+        [(f"q{int(q * 100)}", q) for q in _QUARTILES],
+        ckpt_scope="quartile_agg"))
 
 
 @query("jaccard_topk_per_doc",
@@ -5052,17 +5057,23 @@ def quality_gate(spark, sf_dir):
     class as the CC-loop keys — the plan's LogicalRDD leaf puts it
     under the manifest's source-closure fingerprinting, and the
     r9 lazy-builder concern (build-vs-action data divergence) is
-    bounded to the same single-snapshot semantics those keys carry."""
+    bounded to the same single-snapshot semantics those keys carry.
+    r17 (ADVICE r16 #1): superseded checkpoint blocks are released
+    deterministically on rebuild via tripgogo_vector_search_spark/ckpt.py instead
+    of waiting for the ContextCleaner's GC-driven weak references."""
     from ..operators.quantile import quantiles_disc
     from ..partitioning import widen
     d = widen(_t(spark, sf_dir, "documents"))
-    q = d.select("doc_id", "lang",
-                 TX.quality_score("text").alias("quality")) \
-        .localCheckpoint(eager=True)
-    med = quantiles_disc(q, ["lang"], "quality", [("median_q", 0.5)])
-    return (q.join(F.broadcast(med), "lang")
-            .filter(F.col("quality") >= F.col("median_q"))
-            .select("doc_id", "lang", "quality"))
+    q = CK.checkpoint_tracked(
+        d.select("doc_id", "lang",
+                 TX.quality_score("text").alias("quality")),
+        "quality_gate")
+    med = quantiles_disc(q, ["lang"], "quality", [("median_q", 0.5)],
+                         ckpt_scope="quality_gate")
+    return CK.adopt("quality_gate", (
+        q.join(F.broadcast(med), "lang")
+        .filter(F.col("quality") >= F.col("median_q"))
+        .select("doc_id", "lang", "quality")))
 
 
 _TC_BOUNDS = [16, 32, 64, 128, 256, 512, 1024]
@@ -5653,17 +5664,19 @@ def value_outlier_iqr(spark, sf_dir):
     from ..operators.quantile import quantiles_disc
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     qs = quantiles_disc(ev, ["event_type"], "value",
-                        [("q1", 0.25), ("q3", 0.75)])
+                        [("q1", 0.25), ("q3", 0.75)],
+                        ckpt_scope="value_outlier_iqr")
     iqr = F.col("q3") - F.col("q1")
     is_out = ((F.col("value") < F.col("q1") - 1.5 * iqr)
               | (F.col("value") > F.col("q3") + 1.5 * iqr))
-    return (ev.join(F.broadcast(qs), "event_type")
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(is_out.cast("int")).alias("n_outliers"),
-                 F.round(F.sum(is_out.cast("int"))
-                         / F.count(F.lit(1)).cast("double"), 6)
-                 .alias("outlier_pct")))
+    return CK.adopt("value_outlier_iqr", (
+        ev.join(F.broadcast(qs), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(is_out.cast("int")).alias("n_outliers"),
+             F.round(F.sum(is_out.cast("int"))
+                     / F.count(F.lit(1)).cast("double"), 6)
+             .alias("outlier_pct"))))
 
 
 @query("novelty_by_source",
@@ -7116,8 +7129,9 @@ def percentile_cont_exact(spark, sf_dir):
     oracle's rank arithmetic is unchanged."""
     from ..operators.quantile import quantiles_cont
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    return quantiles_cont(ev, ["event_type"], "value",
-                          [("p95", 0.95)], round_to=6)
+    return CK.adopt("percentile_cont_exact", quantiles_cont(
+        ev, ["event_type"], "value", [("p95", 0.95)], round_to=6,
+        ckpt_scope="percentile_cont_exact"))
 
 
 @query("trend_slope",
@@ -7208,16 +7222,18 @@ def median_impute(spark, sf_dir):
         F.when(F.col("value") >= 1.0, F.col("value")).alias("v"))
     valid = ev.filter(F.col("v").isNotNull())
     med = quantiles_disc(valid, ["event_type"], "v",
-                         [("median_v", 0.5)])
+                         [("median_v", 0.5)],
+                         ckpt_scope="median_impute")
     filled = (ev.join(F.broadcast(med), "event_type")
               .select("event_type",
                       F.col("v").isNull().cast("long").alias("was_null"),
                       F.round(F.coalesce("v", "median_v"), 6)
                       .cast("decimal(18,6)").alias("fv")))
-    return (filled.groupBy("event_type")
-            .agg(F.sum("was_null").cast("bigint").alias("n_imputed"),
-                 F.round(F.sum("fv").cast("double"), 4)
-                 .alias("imputed_sum")))
+    return CK.adopt("median_impute", (
+        filled.groupBy("event_type")
+        .agg(F.sum("was_null").cast("bigint").alias("n_imputed"),
+             F.round(F.sum("fv").cast("double"), 4)
+             .alias("imputed_sum"))))
 
 
 # --------------------------------------------------------------------------
@@ -9611,7 +9627,7 @@ def ccnet_ppl_buckets_q(spark, sf_dir):
          .agg(F.count(F.lit(1)).alias("cnt")))
     picked = grouped_order_statistics(
         h, [], "cross_entropy", [("t1", 1 / 3), ("t2", 2 / 3)],
-        mode="disc", weight_col="cnt")
+        mode="disc", weight_col="cnt", ckpt_scope="ccnet_ppl_buckets")
     th = picked.agg(
         F.max(F.when(F.col("_tag") == "t1", F.col("_v"))).alias("t1"),
         F.max(F.when(F.col("_tag") == "t2", F.col("_v"))).alias("t2"))
@@ -9620,12 +9636,13 @@ def ccnet_ppl_buckets_q(spark, sf_dir):
                    .when(F.col("cross_entropy") <= F.col("t2"), "middle")
                    .otherwise("tail").alias("ppl_bucket"),
                    "cross_entropy", "cnt"))
-    return (lab.groupBy("ppl_bucket")
-            .agg(F.sum("cnt").cast("bigint").alias("n_docs"),
-                 F.round(F.sum(F.col("cross_entropy")
-                               .cast("decimal(18,6)") * F.col("cnt"))
-                         .cast("double") / F.sum("cnt"), 6)
-                 .alias("avg_ce")))
+    return CK.adopt("ccnet_ppl_buckets", (
+        lab.groupBy("ppl_bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("n_docs"),
+             F.round(F.sum(F.col("cross_entropy")
+                           .cast("decimal(18,6)") * F.col("cnt"))
+                     .cast("double") / F.sum("cnt"), 6)
+             .alias("avg_ce"))))
 
 
 @query("subword_tokenize",
