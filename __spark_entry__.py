@@ -47,6 +47,22 @@ _CHECK_FIRST = [
     "median_agg", "approx_quantiles", "quartile_agg",
     "percentile_cont_exact", "value_outlier_iqr", "median_impute",
     "ccnet_ppl_buckets", "quality_gate",
+    # CHANGED closure only (ADVICE r16 #2 — no plan change, no
+    # behavior change: the three dedup.py width pins and rank.py's
+    # bucket count now read spark.sql.shuffle.partitions through
+    # partitioning.shuffle_width, which falls back to
+    # defaultParallelism when the conf is non-numeric; the numeric
+    # value — every supported local/cluster conf — is identical, so
+    # plans are byte-identical and only source-closure fingerprints
+    # move). Nine of these were already due in the r10 stale rotation,
+    # so the slots do double duty.
+    "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
+    "jaccard_topk_per_doc", "minhash_dedup", "minhash_refresh",
+    "simhash_dedup", "simhash_hamming_dedup", "stream_minhash_probe",
+    "dedup_cluster_examples", "dedup_components", "dedup_keep_best",
+    "dedup_pair_audit_sample", "index_compact", "near_dup_cluster_stats",
+    "near_dup_cross_source", "novelty_by_source", "refresh_compact_cycle",
+    "shingle_df_histogram",
     # ---- round-16 head kept below until the r17 rotation tail is
     # finalized at close ----
     #

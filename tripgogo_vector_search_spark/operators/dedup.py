@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.hashing import lsh_band_keys, minhash_signature, simhash32
 from ..functions.kernels import minhash_signature_udf, simhash_udf
 from ..functions.text import fingerprint, shingles, words
-from ..partitioning import widen
+from ..partitioning import shuffle_width, widen
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -242,7 +242,7 @@ def _posting_intersections(inv: DataFrame, df_cap: int) -> DataFrame:
     # reuse this one exchange (same key, same width), so no shuffle is
     # added over the implicit plan — at 100 TB this is the exchange the
     # plan pays anyway, at the width the cluster conf asks for.
-    width = int(inv.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = shuffle_width(inv.sparkSession)
     withn = _attach_bucket_sizes(inv.repartition(width, "shingle"),
                                  "shingle", max_n=df_cap)
     a = withn.select("shingle", F.col("id").alias("id_a"),
@@ -505,7 +505,7 @@ def ngram_jaccard_prefix_join(docset: DataFrame, t: float,
     # non-user exchange then coalesces right back; round-robin cannot
     # be elided, the deduped rows are the cheapest bytes in the plan
     # to move, and user-specified numPartitions blocks the coalesce.
-    width = int(docset.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = shuffle_width(docset.sparkSession)
     cand = cand.repartition(width)
     # Exact verification, one pass over docset: explode each candidate
     # pair against the docset with two plain equi-joins (attach a's
@@ -1092,7 +1092,7 @@ def semdedup_keep(idx: DataFrame, cents: DataFrame, eps: float = 0.60,
     # join keys so the join adds no further exchange, and at 100 TB
     # (n_cells >> width) this is the same hash exchange the plan pays
     # anyway at the conf-requested width.
-    width = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = shuffle_width(a.sparkSession)
     left = a.select(F.col(id_col).alias("l_id"),
                     F.col(vec_col).alias("l_emb"), *join_keys,
                     F.col("cdist").alias("l_cd"),

@@ -115,6 +115,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from ..partitioning import shuffle_width
+
 
 def _log_key(value_col: str, descending: bool):
     """The deterministic monotone bucketing domain: sign-preserving
@@ -159,9 +161,8 @@ def with_bucket_id(df: DataFrame, value_col: str, *, descending: bool = False,
     ``bucket_col``."""
     spark = df.sparkSession
     g = list(partition_cols)
-    B = num_buckets or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism)
+    B = num_buckets or max(shuffle_width(spark),
+                           spark.sparkContext.defaultParallelism)
     K = fine_cells
     t = _log_key(value_col, descending)
     # both grid levels are pure per-row expressions — no data pass, so
@@ -294,9 +295,8 @@ def with_global_rank(df: DataFrame, value_col: str,
     on the probe unless a cell actually split."""
     spark = df.sparkSession
     g = list(partition_cols)
-    B = num_buckets or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        spark.sparkContext.defaultParallelism)
+    B = num_buckets or max(shuffle_width(spark),
+                           spark.sparkContext.defaultParallelism)
     K = fine_cells
     t = _log_key(value_col, descending)
     d = (df.withColumn("_c1", (F.floor(t) + _GRID_SHIFT).cast("int"))
