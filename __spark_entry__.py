@@ -56,6 +56,13 @@ _CHECK_FIRST = [
     # plans are byte-identical and only source-closure fingerprints
     # move). Nine of these were already due in the r10 stale rotation,
     # so the slots do double duty.
+    # CHANGED (r17 optimization, guide §5 — results identical): both
+    # recall evals materialize their 8-row eval-query sample once per
+    # run; the sample is a TakeOrderedAndProject over a FULL corpus
+    # scan and was re-embedded by every consuming arm (ivfpq: probe
+    # selection, LUT build, shortlist re-rank, brute force — 22 scans
+    # -> 12 in the final plan, five sampling scans -> one).
+    "ann_recall_eval", "ivfpq_recall_eval",
     "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
     "jaccard_topk_per_doc", "minhash_dedup", "minhash_refresh",
     "simhash_dedup", "simhash_hamming_dedup", "stream_minhash_probe",

@@ -5315,7 +5315,14 @@ def ann_recall_eval(spark, sf_dir):
             _t(spark, sf_dir, "embeddings"), p, n_cells=16),
         src=(ANN.materialize_ivf_index,))
     emb = _t(spark, sf_dir, "embeddings")
-    queries = _eval_query_sample(emb)
+    # r17 (guide §5): the 8-row eval sample is a TakeOrderedAndProject
+    # over a FULL corpus scan, and every consuming arm (probe
+    # selection, candidate re-rank, brute-force ground truth)
+    # re-embeds that subtree — materialize it once per run so the
+    # sampling scan runs exactly once at any scale. 8 rows; results
+    # unchanged.
+    queries = CK.checkpoint_tracked(_eval_query_sample(emb),
+                                    "ann_recall_eval")
     approx = (ANN.ivf_knn_join_materialized(spark, path, queries,
                                             k=3, nprobe=2)
               .select("qid", F.col("vec_id").alias("a_vec")))
@@ -5324,12 +5331,13 @@ def ann_recall_eval(spark, sf_dir):
                              k=3, exclude_self=False)
              .select(F.col("query_id").alias("qid"),
                      F.col("neighbor_id").alias("vec_id")))
-    return (exact.join(F.broadcast(approx),
-                       (exact["qid"] == approx["qid"])
-                       & (exact["vec_id"] == approx["a_vec"]), "left")
-            .groupBy(exact["qid"].alias("qid"))
-            .agg(F.count("a_vec").alias("matched"),
-                 F.round(F.count("a_vec") / 3.0, 6).alias("recall_at_3")))
+    return CK.adopt("ann_recall_eval", (
+        exact.join(F.broadcast(approx),
+                   (exact["qid"] == approx["qid"])
+                   & (exact["vec_id"] == approx["a_vec"]), "left")
+        .groupBy(exact["qid"].alias("qid"))
+        .agg(F.count("a_vec").alias("matched"),
+             F.round(F.count("a_vec") / 3.0, 6).alias("recall_at_3"))))
 
 
 @query("semdedup",
@@ -10157,7 +10165,12 @@ def ivfpq_recall_eval_q(spark, sf_dir):
     import os
     path = _ivfpq_path(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    queries = _eval_query_sample(emb)
+    # r17 (guide §5): the 8-row eval sample's TakeOrderedAndProject
+    # corpus scan was re-embedded by FIVE consuming arms (probe
+    # selection, LUT build, shortlist re-rank, brute force) —
+    # materialize it once per run. 8 rows; results unchanged.
+    queries = CK.checkpoint_tracked(_eval_query_sample(emb),
+                                    "ivfpq_recall_eval")
     cents = (spark.read.parquet(os.path.join(path, "_centroids"))
              .select(F.col("cid"), F.col("cvec")))
     pw = W.partitionBy("qid").orderBy(F.col("pd").asc(),
@@ -10212,13 +10225,14 @@ def ivfpq_recall_eval_q(spark, sf_dir):
                              k=3, exclude_self=False)
              .select(F.col("query_id").alias("qid"),
                      F.col("neighbor_id").alias("vec_id")))
-    return (exact.join(F.broadcast(approx),
-                       (exact["qid"] == approx["qid"])
-                       & (exact["vec_id"] == approx["a_vec"]), "left")
-            .groupBy(exact["qid"].alias("qid"))
-            .agg(F.count("a_vec").alias("matched"),
-                 F.round(F.count("a_vec") / 3.0, 6)
-                 .alias("recall_at_3")))
+    return CK.adopt("ivfpq_recall_eval", (
+        exact.join(F.broadcast(approx),
+                   (exact["qid"] == approx["qid"])
+                   & (exact["vec_id"] == approx["a_vec"]), "left")
+        .groupBy(exact["qid"].alias("qid"))
+        .agg(F.count("a_vec").alias("matched"),
+             F.round(F.count("a_vec") / 3.0, 6)
+             .alias("recall_at_3"))))
 
 
 # --------------------------------------------------------------------------
