@@ -56,6 +56,15 @@ _CHECK_FIRST = [
     # plans are byte-identical and only source-closure fingerprints
     # move). Nine of these were already due in the r10 stale rotation,
     # so the slots do double duty.
+    # CHANGED (r17 optimization, guide §4.2 — results identical): the
+    # custom stateful sessionizer's per-group body now sorts with one
+    # np.lexsort over the raw column buffers instead of
+    # pd.concat().sort_values() and yields no frame for groups that
+    # close nothing — the function is called once per (user, batch),
+    # so the per-call constant dominated the stream (paired floors
+    # 6.35 -> 4.43 s at sf0.1). Same (ts, event_id) order, same µs
+    # arithmetic, oracle green.
+    "stream_sessionize",
     # CHANGED (r17 optimization, guide §5 — results identical): both
     # recall evals materialize their 8-row eval-query sample once per
     # run; the sample is a TakeOrderedAndProject over a FULL corpus
