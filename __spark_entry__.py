@@ -72,6 +72,17 @@ _CHECK_FIRST = [
     # selection, LUT build, shortlist re-rank, brute force — 22 scans
     # -> 12 in the final plan, five sampling scans -> one).
     "ann_recall_eval", "ivfpq_recall_eval",
+    # CHANGED closure only (VERDICT r16 #3 — no plan change, no
+    # behavior change: run_stream_to_table's stateful-operator width
+    # now resolves from spark.tripgogo.stream.statePartitions via
+    # default_state_partitions() instead of a baked-in literal 8; the
+    # resolved value everywhere this repo runs is still 8, so stream
+    # plans and results are identical and only the shared source
+    # closure of the stream keys moves).
+    "stream_dedup", "stream_embed", "stream_event_alert",
+    "stream_hop_window", "stream_quality_filter",
+    "stream_session_window", "stream_static_join", "stream_stream_join",
+    "stream_window_agg",
     "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
     "jaccard_topk_per_doc", "minhash_dedup", "minhash_refresh",
     "simhash_dedup", "simhash_hamming_dedup", "stream_minhash_probe",

@@ -160,3 +160,91 @@ def test_family_keys_leave_no_cache(spark, key):
     from tripgogo_vector_search_spark.plans.registry import QUERIES
     QUERIES[key](spark, SF).write.format("noop").mode("overwrite").save()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_state_partitions_resolve_from_conf(spark):
+    """run_stream_to_table's state width resolves from
+    spark.tripgogo.stream.statePartitions (VERDICT r16 #3: scale-
+    dependent sizing must be conf-settable, not a baked-in literal),
+    keeps the measured fixture default 8 when unset, and falls back
+    rather than raises on a non-numeric value (same policy as
+    partitioning.shuffle_width)."""
+    from tripgogo_vector_search_spark.streaming.ingest import (
+        default_state_partitions)
+
+    class _Conf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key, default=None):
+            return self._v if self._v is not None else default
+
+    class _Spark:
+        def __init__(self, value):
+            self.conf = _Conf(value)
+
+    assert default_state_partitions(_Spark(None)) == 8
+    assert default_state_partitions(_Spark("24")) == 24
+    assert default_state_partitions(_Spark("auto")) == 8
+    assert default_state_partitions(spark) == 8  # real session, unset
+
+
+def test_dispatch_audio_fields_equal_wav_kernel(spark):
+    """ADVICE r16 #3: media_dispatch_stats(audio_fields=True) must
+    report the SAME (sample_rate, n_samples) as the dedicated
+    decode_wav_stats kernel over a hostile mixed corpus (every format,
+    a valid-magic/garbage-body member per format, unroutable payloads),
+    and NULL both fields on every non-WAV row — the direct parity the
+    r16 test only covered via the gate's end-to-end oracle."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tripgogo_vector_search_spark.operators import multimodal as M
+    from tripgogo_vector_search_spark.operators.jpeg import (
+        synth_jpeg_corpus)
+
+    rng = random.Random(173)
+    docs = spark.createDataFrame(
+        [(i, "".join(chr(32 + rng.randrange(90))
+                     for _ in range(rng.randrange(1, 120))))
+         for i in range(8)] + [(8, None)],
+        "doc_id bigint, text string")
+    blobs = []
+    for synth in (M.synth_png_corpus, M.synth_gif_corpus,
+                  synth_jpeg_corpus, M.synth_bmp_corpus,
+                  M.synth_wav_corpus):
+        blobs.extend(bytes(r.content) if r.content is not None else None
+                     for r in synth(docs).collect())
+    blobs += [b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256)
+                                           for _ in range(40)),
+              b"\xff\xd8\xff" + bytes(rng.randrange(256)
+                                      for _ in range(40)),
+              b"GIF89a" + bytes(rng.randrange(256) for _ in range(40)),
+              b"BM" + bytes(rng.randrange(256) for _ in range(40)),
+              b"RIFF" + bytes(rng.randrange(256) for _ in range(40)),
+              b"not a media file", b"", None]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": list(range(len(blobs))),
+                      "content": blobs}))
+    got = {r.media_id: (r.kind, r.sample_rate, r.n_samples)
+           for r in M.media_dispatch_stats(
+               media, audio_fields=True).collect()}
+    sn = media.select("media_id", "content",
+                      M.sniff_media_kind(F.col("content")).alias("kind"))
+    wav_ref = {r.media_id: (r.sample_rate, r.n_samples)
+               for r in M.decode_wav_stats(
+                   sn.filter(F.col("kind") == "audio/wav")
+                   .select("media_id", "content")).collect()}
+    n_wav = 0
+    for mid, (kind, rate, frames) in got.items():
+        if kind == "audio/wav":
+            n_wav += 1
+            assert (rate, frames) == wav_ref[mid]
+        else:
+            assert rate is None and frames is None
+    assert n_wav == len(wav_ref) and n_wav >= 9  # corpus + hostile RIFF
+    # the hostile RIFF member must be present and undecoded
+    assert any(k == "audio/wav" and r is None
+               for (k, r, _) in got.values())
