@@ -90,103 +90,37 @@ _CHECK_FIRST = [
     "dedup_pair_audit_sample", "index_compact", "near_dup_cluster_stats",
     "near_dup_cross_source", "novelty_by_source", "refresh_compact_cycle",
     "shingle_df_histogram",
-    # ---- round-16 head kept below until the r17 rotation tail is
-    # finalized at close ----
-    #
-    # CHANGED (r16 optimization, guide §2.5 — results identical, plans
-    # re-shaped for width): the DSIR/LM corpus bigram explode now
-    # widen()s its single-split scan (was a 1-task stage); the
-    # shingle-pair, prefix-verify, and semdedup pair stages pin their
-    # exchange width explicitly so AQE's byte-based coalescing cannot
-    # serialize CPU-dense, small-byte stages onto 1-2 tasks. Evidence
-    # in OPTIMIZATION_r16.md + plans/r16/*_{before,after}.txt.
-    "dsir_importance_weights", "dsir_resample", "lm_cross_entropy",
-    "ngram_jaccard", "ngram_jaccard_prefix", "containment_join",
-    "jaccard_topk_per_doc", "semdedup",
-    # CHANGED (ADVICE r15 low #2): the RLE8 BMP Arrow kernel now runs
-    # an INDEPENDENT pixel path (_bmp_rle_indices_np — flat bottom-up
-    # numpy surface, int.from_bytes header parse) instead of reusing
-    # the spec decoder's _bmp_rle_indices, restoring the
-    # dual-implementation discipline the other codecs have; the fuzz
-    # agreement test now also feeds random delta/multi-count-run
-    # escape streams the synthesized corpus never emits.
-    "multimodal_bmp_rle_stats",
-    # CHANGED (VERDICT r15 list #1 + ADVICE r15 low #1):
-    # stream_media_dispatch now streams STORED BYTES — the
-    # mixed-format arrival corpus is rendered once into a sidecar
-    # (registry._media_arrival_path, integer (doc_id div 10) % 5
-    # selector) and the stream reads (media_id, content) from it, so
-    # the bench measures the operator (sniff+route+decode), not
-    # per-batch re-synthesis of the arrival bytes.
-    "stream_media_dispatch",
-    # CHANGED (VERDICT r15 list #2): every streaming
-    # sink/checkpoint/scratch create-delete now goes through the
-    # Hadoop FileSystem API (fsutil.fs_delete) instead of
-    # shutil/local paths, so hdfs://s3a:// layouts take the same
-    # code path as local ones; file:// round-trip pinned in
-    # tests/test_round16_props.py. Source closure moves for every
-    # scratch-writing stream key.
-    "stream_foreach_sink", "stream_minhash_probe",
-    "stream_paragraph_probe", "stream_media_decode",
-    # CHANGED (r16 single-pass dispatch kernel): the JPEG and plain-
-    # BMP Arrow kernels' per-blob bodies were hoisted verbatim to
-    # module level (_jpeg_blob_stats / _bmp_blob_stats) so the
-    # streaming dispatch can route a sniffed blob per row inside ONE
-    # mapInPandas stage (media_dispatch_stats) instead of paying six
-    # branch plans over an unstored batch. Behavior-identical
-    # (kernel-equivalence + degenerate suites green), but the source
-    # closure of every JPEG/BMP-kernel key moves, so they all re-row.
-    # FURTHER (r16 optimization, guide §4/§2 — results identical):
-    # media_decode_dispatch and media_quality_gate_multiformat now
-    # run that same single mapInPandas router over the sniffed
-    # sidecar instead of six branch plans + union — both keys consume
-    # EVERY kind, so partition pruning bought the branch shape
-    # nothing while costing six Arrow stage launches (dispatch
-    # 2.75 -> 1.11 s at sf0.1); the gate derives its flags as
-    # kind-gated Catalyst predicates over the router's columns
-    # (audio_fields=True surfaces the WAV rate/frames the too_short
-    # flag needs). Evidence in OPTIMIZATION_r16.md + plans/r16/.
-    "multimodal_jpeg_stats", "multimodal_jpeg_color_stats",
-    "multimodal_jpeg_progressive_stats", "multimodal_jpeg_420_stats",
-    "multimodal_jpeg_422_stats", "multimodal_jpeg_411_stats",
-    "multimodal_bmp_stats", "media_decode_dispatch",
-    "media_quality_gate_multiformat",
-    # CHANGED (r16 optimization, guide §4.2 — results identical,
-    # bit-parity pinned): sim_join's physical strategy moves from the
-    # broadcast join + interpreted per-pair HOF fold to the
-    # FOLD-EXACT vectorized kernel (similarity_join_gemm_exact):
-    # dimension-ordered accumulation reproduces the expression fold's
-    # unrounded doubles bit for bit, so ranking and oracle are
-    # unchanged (tests/test_round16_props.py pins tuple equality at
-    # two SFs + a zero-norm/tie edge frame). Only sim_join's
-    # fingerprint moves — the new kernel is its own definition, so
-    # sim_join_gemm's closure is untouched (manifest-verified).
-    "sim_join",
-    # CHANGED (r16 optimization, guide §2.3/§5 — results identical):
-    # quality_gate materializes its scored (doc_id, lang, quality)
-    # projection once per run (eager localCheckpoint) instead of
-    # re-scanning the text column and re-running the regex battery
-    # three times (selection stats pass, probe pass, final gate) —
-    # the in-query form of the production "persist the scored
-    # column" shape its docstring always prescribed. 2.35 -> 1.67 s
-    # at sf0.1; three corpus scans -> one at 100 TB.
-    "quality_gate",
-    # CHANGED (r16 optimization — the stream_media_dispatch
-    # stored-bytes move applied to its older sibling, results
-    # identical): stream_media_decode now streams PRE-RENDERED GIF
-    # bytes from the build-once _gif_arrival_path sidecar instead of
-    # re-running the per-byte Catalyst GIF synthesis inside every
-    # micro-batch; per-batch tasks sized by the same narrow-coalesce
-    # rule as the dispatch stream. 2.00 -> 1.17 s at sf0.1. (The key
-    # is already queued in the fsutil closure-move group above;
-    # _ordered() keeps its first position.)
-    # ROTATION (VERDICT r15 list #3). Oldest first per
-    # tools/rotation.py — the r09 tail (6 keys), then the r10 cohort
-    # as far as the driver window allows. Plans unchanged — the
-    # drift gate pins them.
-    # r09 (the complete remainder):
-    "time_bucket_rollup", "tpch_q1", "tpch_q6", "window_first_last",
-    "window_frame", "window_funcs",
+    # ROTATION (VERDICT r16 list #6). Oldest first per
+    # tools/rotation.py; the r16 head keys above this round's changed
+    # set all carry fresh r16 driver rows and rotate out. The changed
+    # head is 39 keys, so the 50-key driver window reaches ~11 rows
+    # into this tail; the r10 cohort remainder is listed in full
+    # (14 of its 38 keys already sit in the changed head — the dedup-
+    # closure and quantile groups do double duty), then the r11
+    # remainder for whatever width the window actually has. Plans
+    # unchanged — the drift gate pins them.
+    # r10 (complete remainder, alphabetical = registry order):
+    "array_funcs", "boilerplate_ngrams", "case_when", "chunk_docs",
+    "collect_agg", "corpus_refresh_cycle", "correlated_subquery",
+    "date_funcs", "decontaminate", "dup_ngram_fraction",
+    "dup_paragraph_fraction", "dup_paragraph_removal", "explode_tokens",
+    "minhash_band_recall", "minhash_jaccard_estimate",
+    "minhash_threshold_sweep", "multimodal_magic_audit",
+    "quality_by_length_decile", "repetition_filter", "scalar_funcs",
+    "scalar_subquery", "set_ops_all", "split_contamination_audit",
+    "string_funcs",
+    # r11 (remainder not already queued above):
+    "argmax_agg", "cdc_upsert", "embedding_drift", "entropy_score",
+    "event_gap_stats", "funnel_stages", "gopher_quality_gate",
+    "grouped_agg_udaf", "histogram_fixed_bins", "hll_union_rollup",
+    "incremental_dedup", "ivfpq_topk", "json_scan", "label_centroids",
+    "like_filter", "map_funcs", "mode_agg", "multimodal_wav_stats",
+    "normalize_text", "ntile_bands", "null_funcs", "orders_rfm",
+    "pack_sequences", "partitioned_sink", "pii_redact", "pivot_table",
+    "regex_funcs", "salted_join", "schema_evolution",
+    "session_window_agg", "skew_stats", "time_weighted_avg",
+    "tpch_q11", "tpch_q16", "tpch_q2", "tpch_q20", "tpch_q21",
+    "udtf_ngrams", "vector_distances", "xml_roundtrip",
 ]
 
 
